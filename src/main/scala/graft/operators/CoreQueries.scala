@@ -1,0 +1,308 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The engine's batch query surface (SURVEY.md §2.14, Q1–Q21).
+  *
+  * Design rules for DuckDB-oracle exactness (SURVEY §7.6):
+  *  - monetary math runs in DECIMAL(18,2) (order-independent, exact) and is
+  *    cast to DOUBLE only at the output boundary, so Spark and DuckDB produce
+  *    bit-identical doubles regardless of aggregation order / parallelism;
+  *  - averages are `CAST(sum_dec AS DOUBLE) / count` — one double division
+  *    with identical operands on both engines;
+  *  - every query ends in an ORDER BY on a unique key set;
+  *  - event timestamps travel as epoch-microsecond BIGINTs (see [[Tables]]).
+  *
+  * Scale notes are inline per query: each plan is shaped so the same code
+  * runs on a 1000-executor cluster (broadcast hints for dims, partial
+  * aggregation, filter/projection pushdown into the parquet scan).
+  */
+object CoreQueries {
+
+  /** Cast to exact decimal for order-independent monetary aggregation. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact decimal sum surfaced as a double. */
+  private def money(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  // --- Q1: filter + projection (both pushed into the parquet scan) -------
+  def q01FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  // --- Q2: PII masking via built-in sha2 (codegen'd; no UDF) -------------
+  def q02MaskSha256(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "customer")
+      .select(col("c_custkey"), sha2(col("c_name"), 256).as("masked"))
+      .orderBy("c_custkey")
+
+  // --- Q3: latest-state materialization (reference §2.5 upsert view) -----
+  // row_number over (entity, ts desc) = 1, dropping entities whose final
+  // event is the delete marker ('error' plays that role in this corpus).
+  // Scale: single shuffle on user_id; state bounded by distinct entities.
+  def q03LatestState(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"),
+        col("ts_us").as("last_ts_us"))
+      .orderBy("user_id")
+  }
+
+  // --- Q4: delete propagation = latest inserts ANTI JOIN delete markers --
+  // Delete marker = an 'error' event in a deterministic 15% id-slice, so the
+  // survivor set stays non-trivial at every scale factor (events-per-user is
+  // constant across SFs, so "any error at all" would delete everyone).
+  def q04DeletePropagation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val latest = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"))
+    val deleted = ev.filter(col("event_type") === "error" &&
+        col("event_id") % 100 < 15)
+      .select("user_id").distinct()
+    latest.join(deleted, Seq("user_id"), "left_anti").orderBy("user_id")
+  }
+
+  // --- Q5: type casting / widening (reference §1.2 type matrix) ----------
+  def q05TypeCast(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("bigint").as("qty_big"),
+        dec(col("l_extendedprice")).as("price_dec"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // --- Q6: max-progress aggregation (reference offset tracking §2.4) -----
+  def q06MaxProgress(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max(col("ts_us")).as("max_ts_us"), count(lit(1)).as("n"),
+        money(col("value")).as("sum_value"))
+      .orderBy("user_id")
+
+  // --- Q7: inner equi-join (shuffle hash/SMJ on the big sides; AQE picks)
+  def q07JoinInner(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+    val c = Tables.table(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  // --- Q8a: left outer join + aggregate ----------------------------------
+  def q08JoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(s, dir, "customer")
+    val o = Tables.table(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        money(col("o_totalprice")).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  // --- Q8b: anti join (customers with no URGENT orders; ~e^-2 of customers
+  // at every SF since orders-per-customer is constant) ----------------------
+  def q08bJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(s, dir, "customer")
+    val o = Tables.table(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // --- Q9: multi-way join, TPC-H Q5 shape ---------------------------------
+  // Dims (region/nation/customer-side) broadcast; the lineitem⋈orders
+  // fact-fact join shuffles on orderkey — the only unavoidable big shuffle.
+  def q09JoinMultiway(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+    val o = Tables.table(s, dir, "orders")
+    val c = Tables.table(s, dir, "customer")
+    val n = Tables.table(s, dir, "nation")
+    val r = Tables.table(s, dir, "region").filter(col("r_name") === "ASIA")
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  // --- Q10: broadcast dim join (fact × tiny dims, zero fact shuffle pre-agg)
+  def q10JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+    val sup = Tables.table(s, dir, "supplier")
+    val n = Tables.table(s, dir, "nation")
+    val r = Tables.table(s, dir, "region")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        money(col("l_extendedprice")).as("total_price"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // --- Q11: TPC-H Q1 hash aggregate (partial+final, exact decimal) --------
+  def q11AggTpchQ1(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val disc = dec(col("l_discount"))
+    val ext = dec(col("l_extendedprice"))
+    val tax = dec(col("l_tax"))
+    Tables.table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty_dec"),
+        sum(ext).as("sum_base_dec"),
+        sum(ext * (one - disc)).cast(DoubleType).as("sum_disc_price"),
+        sum(ext * (one - disc) * (one + tax)).cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+        col("sum_base_dec").cast(DoubleType).as("sum_base_price"),
+        col("sum_disc_price"), col("sum_charge"),
+        (col("sum_qty_dec").cast(DoubleType) / col("count_order")).as("avg_qty"),
+        (col("sum_base_dec").cast(DoubleType) / col("count_order")).as("avg_price"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // --- Q12: exact distinct (expands to two-phase agg; no driver collect) --
+  def q12CountDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  // --- Q12b: approximate distinct (HLL++; rows-only check, no oracle) -----
+  def q12bApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        count(lit(1)).as("n_orders"))
+
+  // --- Q13: ROLLUP with GROUPING() disambiguation -------------------------
+  def q13Rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+    val c = Tables.table(s, dir, "customer")
+    val n = Tables.table(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(grouping(col("n_name")).cast("int").as("g_nation"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        money(col("o_totalprice")).as("total_price"))
+      .select(col("n_name"), col("o_orderpriority"), col("g_nation"),
+        col("g_prio"), col("n_orders"), col("total_price"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
+  }
+
+  // --- Q14: HAVING over scalar subquery (TPC-H Q11 shape) ------------------
+  def q14HavingSubquery(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.table(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(sum(dec(col("c_acctbal"))).as("tb"))
+    val avgAll = totals.agg(
+      (sum(col("tb")).cast(DoubleType) / count(lit(1))).as("avg_tb"))
+    totals.crossJoin(broadcast(avgAll))
+      .filter(col("tb").cast(DoubleType) > col("avg_tb"))
+      .select(col("c_nationkey"), col("tb").cast(DoubleType).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  // --- Q15: ranking window, top-3 per nation -------------------------------
+  def q15WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.table(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  // --- Q16: analytic window (lag + 10-row moving sum, reference §2.4) ------
+  def q16WindowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(dec(col("o_totalprice")), 1).over(w).cast(DoubleType).as("prev_price"),
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(-9, 0))
+          .cast(DoubleType).as("moving_sum_10"))
+      .select("o_custkey", "o_orderkey", "prev_price", "moving_sum_10")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // --- Q17: event-time tumbling window (1h), pure integer bucket math ------
+  def q17TimeBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket_us",
+        expr("ts_us DIV 3600000000") * lit(3600000000L))
+      .groupBy("bucket_us")
+      .agg(count(lit(1)).as("n"), money(col("value")).as("sum_value"))
+      .orderBy("bucket_us")
+
+  // --- Q18: top-k (plans as TakeOrderedAndProject — no full sort) ----------
+  def q18TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+
+  // --- Q19: set operations --------------------------------------------------
+  def q19SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(s, dir, "customer")
+    val a = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val b = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val both = a.intersect(b).withColumn("tag", lit("both"))
+    val onlyA = a.except(b).withColumn("tag", lit("only_a"))
+    both.unionByName(onlyA)
+      .select("tag", "c_custkey")
+      .orderBy("tag", "c_custkey")
+  }
+
+  // --- Q20: scalar string/date/math functions -------------------------------
+  def q20Scalar(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        substring(col("o_orderpriority"), 1, 1).as("pri1"),
+        lower(substring(col("o_orderpriority"), 3, 20)).as("pri_word"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        length(col("o_orderpriority")).as("pri_len"),
+        (col("o_orderkey") % 97).as("mod97"))
+      .orderBy("o_orderkey")
+
+  // --- Q21: array / map / json ----------------------------------------------
+  def q21ArrayJson(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(s, dir, "customer")
+    val n = Tables.table(s, dir, "nation")
+    val agg = c.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        array_sort(collect_list(col("c_custkey"))).as("cust_keys"))
+    agg.join(broadcast(n), agg("c_nationkey") === n("n_nationkey"))
+      .select(col("c_nationkey"), col("n_cust"),
+        col("cust_keys"),
+        to_json(struct(col("n_nationkey"), col("n_cust"))).as("j"),
+        element_at(map(lit("name"), col("n_name")), "name").as("map_val"))
+      .orderBy("c_nationkey")
+  }
+}
