@@ -41,6 +41,7 @@ object SparkEntry {
     "q19_setops" -> CoreQueries.q19SetOps _,
     "q20_scalar" -> CoreQueries.q20Scalar _,
     "q21_array_json" -> CoreQueries.q21ArrayJson _,
+    "q22_mask_hmac" -> CoreQueries.q22MaskHmac _,
   )
 
   // DuckDB oracle equivalents. Notes:

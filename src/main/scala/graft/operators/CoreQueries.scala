@@ -291,6 +291,17 @@ object CoreQueries {
         (col("o_orderkey") % 97).as("mod97"))
       .orderBy("o_orderkey")
 
+  // --- Q22: HMAC-SHA256 keyed masking (custom Catalyst expression §2.8) ----
+  // No DuckDB oracle: DuckDB 1.0's sha256() is VARCHAR-only, so a raw-byte
+  // HMAC cannot be expressed there; parity with javax.crypto is proven in
+  // MaskingSpec instead. Rows-only check from the driver.
+  def q22MaskHmac(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "customer")
+      .select(col("c_custkey"),
+        graft.functions.HmacSha256.hmac_sha256(col("c_name"),
+          lit(graft.functions.MaskRules.DefaultKey)).as("hmac_token"))
+      .orderBy("c_custkey")
+
   // --- Q21: array / map / json ----------------------------------------------
   def q21ArrayJson(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.table(s, dir, "customer")
