@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.events.ChangeEvent
+import graft.functions.{HmacSha256, MaskRules}
+import graft.sinks.DlqSink
+
+/** The reference's critical path (SURVEY §3.1–3.2) as one Structured
+  * Streaming pipeline:
+  *
+  *   readStream(JSONL change events) → validate → mask → dedup
+  *     → foreachBatch { DLQ invalids; upsert latest-state; commit }
+  *
+  * What replaces what (SURVEY §7.1):
+  *  - `CommitLogReader.poll_for_new_events` (`src/cdc/reader.py:203-242`)
+  *    → file streaming source + `Trigger.ProcessingTime` (default 100 ms,
+  *    matching `config/pipeline.example.yaml:50`), `maxFilesPerTrigger`
+  *    as the native backpressure the reference only declared
+  *    (`src/config/settings.py:87-89`);
+  *  - `OffsetManager` (`src/cdc/offset.py`) → the checkpoint/WAL;
+  *  - per-row `ON CONFLICT` loops → set-based [[UpsertStateStore.upsert]];
+  *  - transactional data+offset commit (`src/sinks/postgres.py:148-205`)
+  *    → idempotent batchId-guarded merge + checkpoint sequencing.
+  *
+  * Masking and validation are Column expressions inside the streaming plan
+  * (not driver loops), so Catalyst optimizes and codegens them per batch.
+  */
+object CdcPipeline {
+
+  /** Mask PII/PHI values inside the envelope's `columns` map by key name —
+    * plan-level `transform_values`, classification compiled from rules. */
+  def maskEnvelope(rules: MaskRules)(df: DataFrame): DataFrame = {
+    def anyMatch(k: Column, fields: Seq[String]): Column =
+      fields.map(f => lower(k).contains(lit(f))).reduce(_ || _)
+    df.withColumn("columns", transform_values(col("columns"), (k, v) =>
+      when(anyMatch(k, rules.phiFields),
+        HmacSha256.hmac_sha256(v, lit(rules.hmacKey)))
+        .when(anyMatch(k, rules.piiFields), sha2(v, 256))
+        .otherwise(v)))
+  }
+
+  /** Start the pipeline. One streaming query; fan-out to additional sinks
+    * happens inside foreachBatch against the persisted batch (SURVEY §2.9
+    * fan-out note). */
+  def start(
+      spark: SparkSession,
+      eventsDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      dlqDir: String,
+      rules: MaskRules = MaskRules(),
+      triggerMs: Long = 100,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+
+    val store = new UpsertStateStore(stateDir,
+      keyNames = Seq("keyspace", "table_name", "event_key_cols"),
+      orderNames = Seq("timestamp_micros", "event_id"))
+
+    val raw = spark.readStream
+      .schema(ChangeEvent.envelopeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(eventsDir)
+
+    val masked = maskEnvelope(rules)(raw)
+      .withColumn("event_key", ChangeEvent.eventKeyCol)
+      // canonical partition+clustering key rendering = the upsert identity
+      .withColumn("event_key_cols",
+        expr("substring_index(event_key, ':', 3)"))
+      .withColumn("captured_at",
+        timestamp_micros(col("captured_at_micros")))
+      // redelivery dedup within the watermark horizon (§2.5)
+      .withWatermark("captured_at", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_key")
+
+    masked.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val (valid, invalid) = ChangeEvent.validate(batch)
+          if (!invalid.isEmpty)
+            DlqSink.write(
+              invalid.withColumnRenamed("_invalid_reason", "validation_reason"),
+              dlqDir, destination = "state-store",
+              errorType = "ValidationError", errorMessage = "validation failed",
+              failedAtMicros = System.currentTimeMillis() * 1000)
+          store.upsert(valid, batchId)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Read the materialized latest state (the engine's analog of querying
+    * the destination warehouse). */
+  def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    new UpsertStateStore(stateDir, Seq("event_key_cols"),
+      Seq("timestamp_micros")).current(spark)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+import graft.streaming.{CdcPipeline, UpsertStateStore}
+import graft.functions.MaskRules
+import org.apache.spark.sql.functions._
+
+/** End-to-end streaming slice (SURVEY §7.2): JSONL change events →
+  * validate/mask/dedup → upsert state store, with kill/restart
+  * exactly-once semantics mirroring
+  * `tests/integration/test_exactly_once.py:16-168` and
+  * `test_crash_recovery.py:16-208`. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventJson(id: String, typ: String, user: String, email: String,
+      ts: Long): String =
+    s"""{"event_id":"$id","event_type":"$typ","table_name":"users",""" +
+      s""""keyspace":"ecommerce","partition_key":{"user_id":"$user"},""" +
+      s""""clustering_key":{},"columns":${
+        if (typ == "DELETE") "{}"
+        else s"""{"email":"$email","age":"30"}"""},""" +
+      s""""timestamp_micros":$ts,"captured_at_micros":$ts}"""
+
+  private def writeFile(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  private def run(eventsDir: Path, base: Path): Unit = {
+    val q = CdcPipeline.start(spark,
+      eventsDir.toString, base.resolve("state").toString,
+      base.resolve("ckpt").toString, base.resolve("dlq").toString)
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("pipeline: mask, dedup, upsert, delete, DLQ, restart exactly-once") {
+    val base = Files.createTempDirectory("cdc")
+    val events = Files.createDirectories(base.resolve("events"))
+
+    // batch 1: u1 insert, u2 insert, one duplicate redelivery of u1's
+    // event (same natural key), one invalid event (no partition key)
+    writeFile(events, "b1.json", Seq(
+      eventJson("e1", "INSERT", "u1", "a@x.com", 1000),
+      eventJson("e1-redelivered", "INSERT", "u1", "a@x.com", 1000),
+      eventJson("e2", "INSERT", "u2", "b@x.com", 1000),
+      """{"event_id":"bad","event_type":"INSERT","table_name":"users",
+        |"keyspace":"ecommerce","partition_key":{},"clustering_key":{},
+        |"columns":{},"timestamp_micros":5,"captured_at_micros":5}"""
+        .stripMargin.replaceAll("\n", "")))
+    run(events, base)
+
+    val store = new UpsertStateStore(base.resolve("state").toString,
+      Seq("event_key_cols"), Seq("timestamp_micros"))
+    val s1 = store.current(spark).get.cache()
+    assert(s1.count() == 2) // u1 deduped, bad row routed to DLQ
+    val u1email = s1.filter(col("event_key_cols").contains("u1"))
+      .select(element_at(col("columns"), "email")).as[String].head()
+    // masked: sha256 of the PII email, not the raw value
+    assert(u1email.length == 64 && u1email != "a@x.com")
+    assert(spark.read.json(base.resolve("dlq").toString).count() == 1)
+
+    // batch 2 after restart: update u1, delete u2, insert u3,
+    // plus an exact redelivery of e2 from batch 1 (crash replay analog)
+    writeFile(events, "b2.json", Seq(
+      eventJson("e4", "UPDATE", "u1", "new@x.com", 2000),
+      eventJson("e5", "DELETE", "u2", "", 2000),
+      eventJson("e6", "INSERT", "u3", "c@x.com", 2000),
+      eventJson("e2", "INSERT", "u2", "b@x.com", 1000)))
+    run(events, base) // new query instance, same checkpoint → recovery path
+
+    val s2 = store.current(spark).get.cache()
+    val keys = s2.select("event_key_cols").as[String].collect()
+    assert(keys.length == 2) // u2 deleted; u1 + u3 remain
+    assert(keys.exists(_.contains("u1")) && keys.exists(_.contains("u3")))
+    // u1 reflects the UPDATE (ts 2000), exactly once
+    val u1 = s2.filter(col("event_key_cols").contains("u1"))
+    assert(u1.select("timestamp_micros").as[Long].head() == 2000)
+
+    // replaying the same upsert batch is a no-op (idempotent foreachBatch)
+    val before = s2.collect().toSet
+    val replay = s2.sparkSession.createDataFrame(s2.rdd, s2.schema)
+    store.upsert(replay, batchId = 999)
+    store.upsert(replay, batchId = 999) // committed marker short-circuits
+    assert(store.current(spark).get.collect().toSet == before)
+  }
+}
