@@ -42,7 +42,51 @@ object SparkEntry {
     "q20_scalar" -> CoreQueries.q20Scalar _,
     "q21_array_json" -> CoreQueries.q21ArrayJson _,
     "q22_mask_hmac" -> CoreQueries.q22MaskHmac _,
+    // training-data / north-star operator surface
+    "d01_dedup_exact" -> Dedup.exact _,
+    "d02_dedup_minhash_lsh" -> Dedup.minhashLsh _,
+    "d03_dedup_simhash" -> Dedup.simhash _,
+    "d04_dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "d05_dedup_embedding" -> Dedup.embeddingCosine _,
+    "s01_sim_bruteforce_topk" -> Similarity.bruteForceTopK _,
+    "s02_sim_ann_lsh" -> Similarity.annLsh _,
+    "t01_text_langid" -> TextAnalysis.langId _,
+    "t02_text_quality" -> TextAnalysis.quality _,
+    "t03_text_tokens" -> TextAnalysis.tokenCount _,
+    "t04_text_fingerprint" -> TextAnalysis.fingerprint _,
+    "m01_media_meta" -> Multimodal.mediaMeta _,
   )
+
+  // ---- shared DuckDB oracle fragments (north-star queries) ----------------
+
+  /** tokens CTE: identical normalization + tokenizer to TextPrep. */
+  private val toksCte =
+    """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |         FROM documents)""".stripMargin
+
+  /** shingle CTEs shared by the dedup oracles. */
+  private val shingleCtes =
+    toksCte + """,
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |           THEN list_transform(generate_series(1, len(t) - 2),
+      |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      |           ELSE CAST([] AS VARCHAR[]) END) AS shingles
+      |       FROM toks),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)""".stripMargin
+
+  /** exact-decimal self-dot (norm²) over embeddings — matches Dedup.dotDec. */
+  private val embCte =
+    """e AS (SELECT vec_id, embedding,
+      |        list_sum(list_transform(embedding,
+      |          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
+      |      FROM embeddings)""".stripMargin
+
+  private val dotAB =
+    """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |  z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6))))"""
+      .stripMargin.replaceAll("\n", " ")
 
   // DuckDB oracle equivalents. Notes:
   //  - DuckDB reads events.ts as TIMESTAMP_NS; epoch_us(CAST(ts AS
@@ -213,5 +257,175 @@ object SparkEntry {
         |  n_name AS map_val
         |FROM agg JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    // ---- north-star surface oracles ---------------------------------------
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+    "d02_dedup_minhash_lsh" -> {
+      val sigCols = (0 until Dedup.K)
+        .map(j => s"min(substr(md5('$j|' || s), 1, 16)) AS h$j").mkString(",\n  ")
+      val bandSelects = (0 until Dedup.Bands).map { b =>
+        val cols = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
+        s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ")}) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $shingleCtes,
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |i AS (SELECT da, db, count(*) AS inter
+         |      FROM cand JOIN ex a ON a.doc_id = da
+         |                JOIN ex b ON b.doc_id = db AND b.s = a.s
+         |      GROUP BY da, db)
+         |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold}
+         |ORDER BY da, db""".stripMargin
+    },
+    "d03_dedup_simhash" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+         |contrib AS (
+         |  SELECT doc_id, pos, b,
+         |    ((((strpos('0123456789abcdef', substr(h, pos + 1, 1)) - 1) >> b) % 2) * 2 - 1) AS contrib
+         |  FROM h, generate_series(0, 31) g1(pos), generate_series(0, 3) g2(b)),
+         |bits AS (SELECT doc_id, pos, b,
+         |           CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
+         |         FROM contrib GROUP BY doc_id, pos, b),
+         |nib AS (SELECT doc_id, pos, sum(bit * (1 << b)) AS nib
+         |        FROM bits GROUP BY doc_id, pos),
+         |hexc AS (SELECT doc_id, pos,
+         |           substr('0123456789abcdef', CAST(nib AS INT) + 1, 1) AS c FROM nib)
+         |SELECT doc_id, string_agg(c, '' ORDER BY pos) AS simhash128
+         |FROM hexc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d04_dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold}
+         |ORDER BY da, db""".stripMargin,
+    "d05_dedup_embedding" ->
+      s"""WITH $embCte
+         |SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  CAST($dotAB AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE CAST($dotAB AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > ${Dedup.CosineThreshold}
+         |ORDER BY va, vb""".stripMargin,
+    "s01_sim_bruteforce_topk" ->
+      s"""WITH $embCte,
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         |    CAST($dotAB AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < ${Similarity.NumQueries}),
+         |r AS (SELECT qid, neighbor_id, cos_sim,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |      FROM scored)
+         |SELECT qid, rank, neighbor_id, cos_sim FROM r
+         |WHERE rank <= ${Similarity.TopK} ORDER BY qid, rank""".stripMargin,
+    "s02_sim_ann_lsh" ->
+      s"""WITH $embCte,
+         |planes AS (
+         |  SELECT j, i,
+         |    ((strpos('0123456789abcdef', substr(md5(j || 'p' || i), 1, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef', substr(md5(j || 'p' || i), 2, 1)) - 1)) % 21 - 10 AS w
+         |  FROM generate_series(0, ${Similarity.NumPlanes - 1}) g1(j),
+         |       generate_series(0, ${Similarity.Dim - 1}) g2(i)),
+         |comps AS (
+         |  SELECT vec_id, j, sum(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(12,6)) * w) AS proj
+         |  FROM e, generate_series(0, ${Similarity.Dim - 1}) g(i) JOIN planes USING (i)
+         |  GROUP BY vec_id, j),
+         |bk AS (SELECT vec_id,
+         |         string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+         |       FROM comps GROUP BY vec_id),
+         |ee AS (SELECT e.*, bk.bucket FROM e JOIN bk USING (vec_id)),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         |    CAST($dotAB AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+         |  FROM ee a JOIN ee b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < ${Similarity.NumQueries}),
+         |r AS (SELECT qid, neighbor_id, cos_sim,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |      FROM scored)
+         |SELECT qid, rank, neighbor_id, cos_sim FROM r
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "t01_text_langid" -> {
+      val values = TextAnalysis.markers
+        .map { case (l, w) => s"('$l','$w')" }.mkString(",")
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |m(lang, word) AS (VALUES $values),
+         |hits AS (SELECT doc_id, lang, count(*) AS score
+         |         FROM tok JOIN m ON tok = word GROUP BY doc_id, lang),
+         |grid AS (SELECT d.doc_id, l.lang FROM documents d
+         |         CROSS JOIN (SELECT DISTINCT lang FROM m) l),
+         |scored AS (SELECT g.doc_id, g.lang, coalesce(h.score, 0) AS score
+         |           FROM grid g LEFT JOIN hits h
+         |             ON g.doc_id = h.doc_id AND g.lang = h.lang),
+         |r AS (SELECT doc_id, lang, score,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY score DESC, lang) AS rn FROM scored)
+         |SELECT doc_id, lang AS pred_lang, score FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+    },
+    "t02_text_quality" -> {
+      val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(",")
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |st AS (SELECT doc_id, count(*) AS n_tokens,
+         |         count(DISTINCT tok) AS n_distinct,
+         |         CAST(sum(length(tok)) AS BIGINT) AS token_chars,
+         |         CAST(sum(CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |       FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars, n_tokens, n_distinct,
+         |  CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+         |  CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+         |  CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+         |  0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         |    + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |    + 0.2 * (CAST(stop_hits AS DOUBLE) / n_tokens) AS quality_score
+         |FROM documents d JOIN st ON d.doc_id = st.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "t03_text_tokens" ->
+      s"""WITH $toksCte
+         |SELECT d.doc_id,
+         |  CAST(len(t.t) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(d.text), '[a-z]+')) AS INT) AS alpha_tokens,
+         |  CAST(len(regexp_extract_all(lower(d.text), '[a-z]{1,4}')) AS INT) AS subword_tokens,
+         |  CAST(length(d.text) AS INT) AS n_chars
+         |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "t04_text_fingerprint" ->
+      s"""WITH $toksCte
+         |SELECT d.doc_id,
+         |  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp_full,
+         |  md5(substr(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), 1, 64)) AS fp_prefix64,
+         |  CAST(greatest(0, len(t.t) - 2) AS INT) AS n_shingles
+         |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "m01_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames,
+        |  (['jpeg','png','webp'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

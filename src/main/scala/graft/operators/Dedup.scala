@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Deduplication operator family over the `documents` corpus — the
+  * training-data-pipeline extension surface (north-star per BASELINE.json;
+  * generalizes the reference's natural-key dedup, SURVEY §2.5).
+  *
+  * Scale design: every variant is a bounded-candidate pipeline — LSH bands
+  * (minhash), fingerprints (simhash/exact), or shingle-postings joins —
+  * never an unbounded cross join. At 100 TB the shapes stay the same:
+  * shuffle on band key / fingerprint, verify only candidates.
+  */
+object Dedup {
+  import TextPrep._
+
+  // --- exact dedup: hash-groupBy on full text ------------------------------
+  // Representative = min(doc_id) per distinct text (deterministic).
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"))
+      .orderBy("rep_id")
+
+  // --- MinHash + LSH banding ----------------------------------------------
+  // K=16 signatures, 4 bands × 4 rows. Candidates = pairs sharing a band
+  // key; verification = exact shingle jaccard on candidates only.
+  val K = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val JaccardThreshold = 0.8
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+
+    val sigExprs = (0 until K).map(j => minhashAgg(col("s"), j).as(s"h$j"))
+    val sigs = ex.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)).as("bkey"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+
+    // verify candidates with exact jaccard (shingle-postings join)
+    val inter = cands
+      .join(ex.as("a"), col("da") === col("a.doc_id"))
+      .join(ex.as("b"), col("db") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("inter").cast(DoubleType) /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+    scored.filter(col("jaccard") >= JaccardThreshold).orderBy("da", "db")
+  }
+
+  // --- SimHash fingerprint -------------------------------------------------
+  // 128-bit fingerprint as 32 hex nibbles: per-nibble-bit majority vote over
+  // md5(token) of the distinct tokens. One explode + two aggregations —
+  // linear in corpus size, shuffle keyed by doc.
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val contrib = toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("pos"))
+      .withColumn("v", expr("instr('0123456789abcdef', substring(h, pos + 1, 1)) - 1"))
+      .select(col("doc_id"), col("pos"), col("v"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("contrib", expr("(shiftright(v, b) % 2) * 2 - 1"))
+    val bits = contrib.groupBy("doc_id", "pos", "b")
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("bit", when(col("score") > 0, 1).otherwise(0))
+    val nibbles = bits.groupBy("doc_id", "pos")
+      .agg(sum(expr("bit * CAST(pow(2, b) AS INT)")).as("nib"))
+      .withColumn("hexc", expr("substring('0123456789abcdef', CAST(nib AS INT) + 1, 1)"))
+    nibbles.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("hexc")))),
+        x => x.getField("hexc")), "").as("simhash128"))
+      .orderBy("doc_id")
+  }
+
+  // --- n-gram jaccard (exact, postings-join bounded) -----------------------
+  // All pairs sharing ≥1 shingle, scored exactly; ≥ threshold survive.
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("inter").cast(DoubleType) /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("da", "db")
+  }
+
+  // --- embedding-cosine near-dup ------------------------------------------
+  // Exact-decimal dot products (order-independent → engine-exact doubles).
+  // Threshold 0.5 is calibrated to this corpus (max cosine ≈ 0.6);
+  // production near-dup would use ~0.95 with an LSH/IVF candidate stage
+  // (see Similarity.annLsh for that scale path).
+  val CosineThreshold = 0.5
+
+  private[operators] def dec(c: Column): Column = c.cast(DecimalType(12, 6))
+
+  /** Exact-decimal dot product of two float-array columns. The accumulator
+    * stays at DECIMAL(30,12): the fold's add then types as (31,12) — below
+    * the 38-digit cap, so no scale is shaved mid-sum (a (38,12) accumulator
+    * would make each add round to scale 11 and drift ~1e-10 off the
+    * oracle). The re-cast to (30,12) is exact for |dot| < 1e18. */
+  private[operators] def dotDec(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
+      lit(0).cast(DecimalType(30, 12)),
+      (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+
+  /** sqrt of the exact-decimal self-dot, as double. */
+  private[operators] def normD(v: Column): Column =
+    sqrt(dotDec(v, v).cast(DoubleType))
+
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        normD(col("embedding")).as("nrm"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (dotDec(col("a.embedding"), col("b.embedding")).cast(DoubleType) /
+          (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+    pairs.filter(col("cos_sim") > CosineThreshold).orderBy("va", "vb")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted per partition (north-star surface).
+  *
+  * This container has no image/audio codecs, so [[DecodeStub.decode]] is a
+  * clearly-marked deterministic FAKE standing in for e.g. a JPEG decoder —
+  * everything around it (schema, Dataset encoders, mapPartitions batch
+  * shape, partition sizing) is the real distributed plumbing a decoder
+  * would plug into. In PySpark terms this is the `mapInPandas` slot; in
+  * Scala the idiomatic equivalent is `Dataset.mapPartitions` so decoder
+  * instances are reused per partition, not per row.
+  */
+object Multimodal {
+
+  /** One media asset: id + opaque payload + envelope metadata. */
+  final case class MediaAsset(doc_id: Long, payload: Array[Byte],
+      media_type: String)
+
+  /** Typed decode output. */
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+      byte_len: Int, width: Int, height: Int, n_frames: Int,
+      histogram: Array[Double])
+
+  object DecodeStub {
+    /** FAKE decode — deterministic stand-in for a real codec.
+      * Real implementation would parse the container format; the stub
+      * derives "dimensions" from payload length and a 16-bin byte
+      * histogram as the "feature vector". */
+    def decode(a: MediaAsset): MediaFeatures = {
+      val len = a.payload.length
+      val hist = new Array[Double](16)
+      a.payload.foreach(b => hist((b & 0xff) >> 4) += 1)
+      val total = math.max(1, len).toDouble
+      MediaFeatures(a.doc_id, a.media_type, len,
+        width = len % 640, height = len % 480, n_frames = len % 30,
+        histogram = hist.map(_ / total))
+    }
+  }
+
+  /** The corpus has no binary media table, so assets are synthesized from
+    * document text bytes — the payload is opaque to everything downstream,
+    * exactly as real media bytes would be. */
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        concat(lit("fake/"),
+          element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+            (col("doc_id") % 3 + 1).cast("int"))).as("media_type"))
+      .as[MediaAsset]
+  }
+
+  /** Distributed decode: one decoder per partition (mapPartitions), typed
+    * output, no driver involvement. */
+  def decodeAll(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition setup slot (real codec init would go here)
+      it.map(DecodeStub.decode)
+    }
+  }
+
+  /** Frame sampling: every k-th byte as a "frame" marker — the partition
+    * and batch shape of real video frame extraction. */
+  def sampleFrames(assets: Dataset[MediaAsset], everyK: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      a.payload.indices.by(everyK).map(i =>
+        (a.doc_id, i, a.payload(i).toInt & 0xff))
+    }.toDF("doc_id", "frame_offset", "frame_byte")
+  }
+
+  /** Oracle-checkable metadata query: byte length + stub-decoded dims via
+    * pure column expressions (same formulas as [[DecodeStub.decode]]). */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).as("byte_len"))
+      .select(col("doc_id"), col("byte_len"),
+        (col("byte_len") % 640).as("width"),
+        (col("byte_len") % 480).as("height"),
+        (col("byte_len") % 30).as("n_frames"),
+        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+          (col("doc_id") % 3 + 1).cast("int")).as("fmt"))
+      .orderBy("doc_id")
+}

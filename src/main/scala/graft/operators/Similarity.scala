@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths (north-star surface per BASELINE.json):
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    O(Q·N) pairs; at 100 TB this is what you run for a small query set
+  *    against a broadcast of the queries, never all-pairs.
+  *  - [[annLsh]]: random-hyperplane LSH — sign-pattern bucketing shrinks
+  *    the candidate set to same-bucket vectors; the scale path. Hyperplane
+  *    weights are md5-derived pseudo-random integers generated IN-ENGINE,
+  *    so the DuckDB oracle reproduces them bit-for-bit.
+  *
+  * All dot products run in exact DECIMAL (order-independent), surfacing as
+  * doubles only at the boundary — engine-exact scores, stable ranks (ties
+  * broken by vec_id).
+  */
+object Similarity {
+  import Dedup.{dec, dotDec, normD}
+
+  val NumQueries = 10 // vec_id < 10 are the query vectors
+  val TopK = 5
+  val NumPlanes = 8
+  val Dim = 64
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+
+  // --- exact top-k ---------------------------------------------------------
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        (dotDec(col("qv"), col("embedding")).cast(DoubleType) /
+          (col("qn") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("qid", "rank", "neighbor_id", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
+  // --- LSH-bucketed ANN ----------------------------------------------------
+  /** (plane j, dim i) → deterministic weight in [-10, 10]:
+    * first two hex chars of md5(j || 'p' || i) as an int, mod 21, minus 10. */
+  private def planes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val grid = for (j <- 0 until NumPlanes; i <- 0 until Dim) yield (j, i)
+    grid.toDF("j", "i").withColumn("w",
+      expr("CAST(conv(substring(md5(concat(j, 'p', i)), 1, 2), 16, 10) AS INT) % 21 - 10"))
+  }
+
+  /** Sign-pattern bucket per vector: bit_j = [Σ_i w_ji · x_i ≥ 0]. */
+  def buckets(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val comps = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .join(broadcast(planes(s)), "i")
+      .groupBy("vec_id", "j")
+      .agg(sum(dec(col("x")) * col("w")).as("proj"))
+      .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
+    comps.groupBy("vec_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("bit")))),
+        x => x.getField("bit")), "").as("bucket"))
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).join(buckets(s, dir), "vec_id")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    // candidate set = same-bucket vectors only (the whole point of LSH)
+    val scored = e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        (dotDec(col("qv"), col("embedding")).cast(DoubleType) /
+          (col("qn") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "neighbor_id", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators over `documents` (north-star surface):
+  * language ID, quality scoring, token counting, fingerprinting. All
+  * integer-count based with double math only at the boundary — DuckDB
+  * oracle-exact. Each is explode → aggregate: linear work, shuffles keyed
+  * by doc_id, no driver loops.
+  */
+object TextAnalysis {
+  import TextPrep._
+
+  /** Marker-word profiles per language (tiny, broadcast). Real systems use
+    * char-n-gram models; the operator shape (score per (doc, lang) →
+    * argmax with deterministic tie-break) is the same. */
+  val markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "es" -> "el", "es" -> "la", "es" -> "los", "es" -> "de", "es" -> "y",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "fr" -> "le", "fr" -> "la", "fr" -> "les", "fr" -> "de", "fr" -> "et",
+    "zh" -> "的", "zh" -> "是", "zh" -> "在", "zh" -> "了", "zh" -> "和")
+
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  // --- language ID ---------------------------------------------------------
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.table(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val m = markers.toDF("lang", "word")
+    val hits = toks.join(broadcast(m), col("tok") === col("word"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("score"))
+    // full (doc × lang) grid so zero-hit docs still classify deterministically
+    val grid = docs.select(col("doc_id"))
+      .crossJoin(broadcast(m.select("lang").distinct()))
+    val scored = grid.join(hits, Seq("doc_id", "lang"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  // --- quality scoring -----------------------------------------------------
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val stats = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_distinct"),
+      sum(length(col("tok"))).as("token_chars"),
+      sum(when(col("tok").isInCollection(stopwordsEn), 1L).otherwise(0L))
+        .as("stop_hits"))
+    docs.select(col("doc_id"), length(col("text")).as("n_chars"))
+      .join(stats, "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
+        (col("token_chars").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
+        (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("type_token_ratio"),
+        (col("stop_hits").cast(DoubleType) / col("n_tokens")).as("stopword_ratio"))
+      .withColumn("quality_score",
+        lit(0.5) * col("type_token_ratio") +
+          lit(0.3) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) +
+          lit(0.2) * col("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // --- token counting ------------------------------------------------------
+  // Whitespace tokens, alpha words, and a BPE-ish greedy ≤4-char chunking.
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("alpha_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]{1,4}"), lit(0)))
+          .as("subword_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  // --- document fingerprinting --------------------------------------------
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(canonical(col("text"))).as("fp_full"),
+        md5(substring(canonical(col("text")), 1, 64)).as("fp_prefix64"),
+        greatest(lit(0), size(tokens(col("text"))) - 2).as("n_shingles"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, TextPrep}
+
+/** North-star operator internals not covered by the DuckDB oracle. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("multimodal: mapPartitions decode is deterministic, typed, batched") {
+    val assets = Multimodal.assets(spark, sf)
+    val feats = Multimodal.decodeAll(assets).cache()
+    assert(feats.count() == assets.count())
+    val f = feats.filter(_.doc_id == 0).head()
+    // histogram is a probability distribution over 16 byte-buckets
+    assert(f.histogram.length == 16)
+    assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+    assert(f.width == f.byte_len % 640 && f.height == f.byte_len % 480)
+    // deterministic across runs
+    val again = Multimodal.decodeAll(Multimodal.assets(spark, sf))
+      .filter(_.doc_id == 0).head()
+    assert(again.histogram.toSeq == f.histogram.toSeq)
+  }
+
+  test("multimodal: frame sampling yields every k-th byte") {
+    val one = Multimodal.assets(spark, sf).filter(_.doc_id == 0)
+    val bytes = one.head().payload
+    val frames = Multimodal.sampleFrames(one, everyK = 10)
+      .orderBy("frame_offset").collect()
+    assert(frames.length == (bytes.length + 9) / 10)
+    assert(frames.head.getInt(2) == (bytes(0) & 0xff))
+  }
+
+  test("minhash LSH finds every high-jaccard pair the exact scan finds") {
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // corpus has engineered near-dups
+    assert(lsh == exact)   // ≥0.98-jaccard pairs ⇒ band-collision prob ≈ 1
+  }
+
+  test("shingles guard short documents") {
+    val df = Seq("one two", "a b c d").toDF("text")
+      .select(TextPrep.shingles(col("text")).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0).isEmpty)
+    assert(rows(1) == Seq("a b c", "b c d"))
+  }
+}
