@@ -37,7 +37,9 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // the postings list feeds signature agg + both sides of candidate
+    // verification — cache once instead of re-shingling three times
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).cache()
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
 
     val sigExprs = (0 until K).map(j => minhashAgg(col("s"), j).as(s"h$j"))
@@ -79,17 +81,19 @@ object Dedup {
     val toks = Tables.table(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
+    // one row per (doc, token, nibble-position); the four bit-majority
+    // sums ride as aggregate columns instead of a ×4 row explode — 1.7M
+    // rows through one aggregation rather than 7M through two.
     val contrib = toks
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("pos"))
       .withColumn("v", expr("instr('0123456789abcdef', substring(h, pos + 1, 1)) - 1"))
-      .select(col("doc_id"), col("pos"), col("v"),
-        explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("contrib", expr("(shiftright(v, b) % 2) * 2 - 1"))
-    val bits = contrib.groupBy("doc_id", "pos", "b")
-      .agg(sum(col("contrib")).as("score"))
-      .withColumn("bit", when(col("score") > 0, 1).otherwise(0))
-    val nibbles = bits.groupBy("doc_id", "pos")
-      .agg(sum(expr("bit * CAST(pow(2, b) AS INT)")).as("nib"))
+    val bitSums = (0 to 3).map(b =>
+      sum(expr(s"(shiftright(v, $b) % 2) * 2 - 1")).as(s"s$b"))
+    val nibbles = contrib.groupBy("doc_id", "pos")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("nib", expr(
+        "(CASE WHEN s0 > 0 THEN 1 ELSE 0 END) + 2 * (CASE WHEN s1 > 0 THEN 1 ELSE 0 END)" +
+          " + 4 * (CASE WHEN s2 > 0 THEN 1 ELSE 0 END) + 8 * (CASE WHEN s3 > 0 THEN 1 ELSE 0 END)"))
       .withColumn("hexc", expr("substring('0123456789abcdef', CAST(nib AS INT) + 1, 1)"))
     nibbles.groupBy("doc_id")
       .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("hexc")))),
@@ -102,7 +106,7 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).cache()
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -142,13 +146,24 @@ object Dedup {
     sqrt(dotDec(v, v).cast(DoubleType))
 
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FloatVecDot.float_vec_dot
     val e = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         normD(col("embedding")).as("nrm"))
-    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // two-phase scoring: a codegen'd double dot prunes the O(N²) pair space
+    // (|double − exact| ≪ 1e-9 here, margin 1e-6 is generous), then only
+    // the surviving handful is re-scored with exact decimals — identical
+    // output to scoring every pair exactly, ~100× cheaper.
+    val approx = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("approx_cos",
+        float_vec_dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")))
+      .filter(col("approx_cos") > CosineThreshold - 1e-6)
+    approx
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         (dotDec(col("a.embedding"), col("b.embedding")).cast(DoubleType) /
           (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
-    pairs.filter(col("cos_sim") > CosineThreshold).orderBy("va", "vb")
+      .filter(col("cos_sim") > CosineThreshold)
+      .orderBy("va", "vb")
   }
 }
