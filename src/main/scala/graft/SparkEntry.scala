@@ -42,6 +42,15 @@ object SparkEntry {
     "q20_scalar" -> CoreQueries.q20Scalar _,
     "q21_array_json" -> CoreQueries.q21ArrayJson _,
     "q22_mask_hmac" -> CoreQueries.q22MaskHmac _,
+    "q23_cube" -> ExtendedQueries.q23Cube _,
+    "q24_pivot" -> ExtendedQueries.q24Pivot _,
+    "q25_window_family" -> ExtendedQueries.q25WindowFamily _,
+    "q26_exists_subquery" -> ExtendedQueries.q26ExistsSubquery _,
+    "q27_percentiles" -> ExtendedQueries.q27Percentiles _,
+    "q28_string_agg" -> ExtendedQueries.q28StringAgg _,
+    "q29_conditional_agg" -> ExtendedQueries.q29ConditionalAgg _,
+    "q30_date_arith" -> ExtendedQueries.q30DateArith _,
+    "q31_asof_join" -> ExtendedQueries.q31AsofJoin _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLsh _,
@@ -257,6 +266,102 @@ object SparkEntry {
         |  n_name AS map_val
         |FROM agg JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    // ---- extended relational surface oracles ------------------------------
+    "q23_cube" ->
+      """SELECT n_name, o_orderstatus,
+        |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, o_orderstatus)
+        |ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q24_pivot" -> {
+      val cols = ExtendedQueries.Priorities
+        .map(p => s"""count(*) FILTER (WHERE o_orderpriority = '$p') AS "$p"""")
+        .mkString(",\n  ")
+      s"""SELECT n_name,
+         |  $cols
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
+    "q25_window_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drank,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS next_price,
+        |  CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf AS DOUBLE) AS first_price,
+        |  CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf AS DOUBLE) AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q26_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q27_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q28_string_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  COUNT(*) AS n
+        |FROM customer WHERE c_custkey % 100 = 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q29_conditional_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / count(*) FILTER (WHERE o_orderstatus = 'F') AS avg_finished_price
+        |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin,
+    "q30_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |    AS days_since_epoch95,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q31_asof_join" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                   event_id, event_type FROM events),
+        |u AS (
+        |  SELECT user_id, ts_us, event_id, 0 AS side,
+        |         event_id AS view_event_id, ts_us AS view_ts_us
+        |  FROM ev WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts_us, event_id, 1 AS side, NULL, NULL
+        |  FROM ev WHERE event_type = 'purchase'),
+        |m AS (SELECT user_id, ts_us, event_id, side,
+        |        last_value(view_event_id IGNORE NULLS) OVER w AS asof_view_id,
+        |        last_value(view_ts_us IGNORE NULLS) OVER w AS asof_view_ts
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
+        |       asof_view_id, asof_view_ts
+        |FROM m WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->

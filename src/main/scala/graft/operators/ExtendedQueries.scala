@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Extended relational surface beyond SURVEY §2.14 — operators a user of a
+  * full warehouse expects (cube, pivot, analytic-window family, quantifiers,
+  * percentiles, ordered string agg, conditional aggregation, date math) plus
+  * an as-of join implemented the scalable merge-sorted way. Exactness
+  * conventions as in [[CoreQueries]].
+  */
+object ExtendedQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def money(c: org.apache.spark.sql.Column) = sum(dec(c)).cast(DoubleType)
+
+  // --- Q23: CUBE ------------------------------------------------------------
+  def q23Cube(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+    val c = Tables.table(s, dir, "customer")
+    val n = Tables.table(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("o_orderstatus"))
+      .agg(grouping(col("n_name")).cast("int").as("g_nation"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_orders"),
+        money(col("o_totalprice")).as("total_price"))
+      .select("n_name", "o_orderstatus", "g_nation", "g_status",
+        "n_orders", "total_price")
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))
+  }
+
+  // --- Q24: PIVOT (wide conditional aggregation) ----------------------------
+  // Explicit value list keeps the plan single-pass (no distinct-scan) and the
+  // output schema static — required for both the oracle and scale.
+  val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def q24Pivot(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+    val c = Tables.table(s, dir, "customer")
+    val n = Tables.table(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+      .orderBy("n_name")
+  }
+
+  // --- Q25: analytic window family -----------------------------------------
+  def q25WindowFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).cast("int").as("drank"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        lead(dec(col("o_totalprice")), 1).over(w).cast(DoubleType).as("next_price"),
+        first(dec(col("o_totalprice"))).over(wFull).cast(DoubleType).as("first_price"),
+        last(dec(col("o_totalprice"))).over(wFull).cast(DoubleType).as("last_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // --- Q26: EXISTS / NOT EXISTS quantifiers (as semi/anti joins) ------------
+  def q26ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(s, dir, "customer")
+    val o = Tables.table(s, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 400000).select("o_custkey")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .join(open, c("c_custkey") === open("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // --- Q27: exact percentiles (linear interpolation) ------------------------
+  def q27Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  // --- Q28: ordered string aggregation --------------------------------------
+  def q28StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "customer")
+      .filter(col("c_custkey") % 100 === 0)
+      .groupBy("c_nationkey")
+      .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  // --- Q29: conditional aggregation -----------------------------------------
+  def q29ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        sum(when(col("o_orderpriority") === "1-URGENT", dec(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType)
+          .as("urgent_total"),
+        (sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))
+          .cast(DoubleType) / count(when(col("o_orderstatus") === "F", 1)))
+          .as("avg_finished_price"))
+      .orderBy("yr")
+
+  // --- Q30: date/time arithmetic --------------------------------------------
+  def q30DateArith(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1995-01-01"))).as("days_since_epoch95"),
+        trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .orderBy("o_orderkey")
+
+  // --- Q31: as-of join (merge-sorted, single shuffle) -----------------------
+  // For each purchase event: the user's most recent strictly-earlier view
+  // event. Implemented as the scalable as-of algorithm — union both sides,
+  // one shuffle on the key, one sort by (time, side, id), then
+  // last(ignoreNulls) carries the latest view forward. No range join, no
+  // per-row subquery; this shape survives any data volume.
+  def q31AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        lit(0).as("side"), col("event_id").as("view_event_id"),
+        col("ts_us").as("view_ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        lit(1).as("side"), lit(null).cast("long").as("view_event_id"),
+        lit(null).cast("long").as("view_ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("asof_view_id", last(col("view_event_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_view_ts", last(col("view_ts_us"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("asof_view_id"), col("asof_view_ts"))
+      .orderBy("user_id", "purchase_id")
+  }
+}
