@@ -1,0 +1,74 @@
+package graft.obs
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicLong, DoubleAdder}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Streaming metrics bridge carrying the reference's observability
+  * vocabulary (`src/observability/metrics.py:10-43`):
+  * `cdc_events_processed_total`, `cdc_events_per_second`,
+  * `cdc_replication_duration_seconds`, `cdc_errors_total`,
+  * `cdc_backlog_depth` — fed from Spark's `StreamingQueryListener`
+  * progress events instead of hand-maintained counters. Sink-health
+  * states mirror `DestinationSink` (`src/models/destination_sink.py:
+  * 14-20, 67-72`): DEGRADED above 1000 ms batch duration, UNHEALTHY on
+  * error.
+  */
+final class MetricsListener extends StreamingQueryListener {
+
+  sealed trait Health
+  case object Healthy extends Health
+  case object Degraded extends Health
+  case object Unhealthy extends Health
+  case object Unknown extends Health
+
+  val DegradedThresholdMs = 1000L // destination_sink.py:67-72
+
+  private val processedTotal = new AtomicLong(0)
+  private val errorsTotal = new AtomicLong(0)
+  private val durationSeconds = new DoubleAdder
+  private val batches = new AtomicLong(0)
+  @volatile private var lastEventsPerSecond: Double = 0.0
+  @volatile private var lastBacklog: Long = 0
+  @volatile private var health: Health = Unknown
+  private val byQuery = new ConcurrentHashMap[String, Long]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = {
+    health = Unknown
+  }
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    processedTotal.addAndGet(p.numInputRows)
+    byQuery.merge(p.name, p.numInputRows, (a, b) => a + b)
+    lastEventsPerSecond = p.processedRowsPerSecond
+    batches.incrementAndGet()
+    val batchMs = Option(p.durationMs.get("triggerExecution"))
+      .map(_.longValue).getOrElse(0L)
+    durationSeconds.add(batchMs / 1000.0)
+    // backlog analog: rows available but not yet processed this trigger
+    lastBacklog = math.max(0L,
+      (p.inputRowsPerSecond - p.processedRowsPerSecond).toLong)
+    health = if (batchMs > DegradedThresholdMs) Degraded else Healthy
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+    if (event.exception.isDefined) {
+      errorsTotal.incrementAndGet()
+      health = Unhealthy
+    }
+  }
+
+  /** Prometheus-style snapshot (names from metrics.py:10-43). */
+  def snapshot: Map[String, Double] = Map(
+    "cdc_events_processed_total" -> processedTotal.get.toDouble,
+    "cdc_errors_total" -> errorsTotal.get.toDouble,
+    "cdc_events_per_second" -> lastEventsPerSecond,
+    "cdc_replication_duration_seconds_sum" -> durationSeconds.sum,
+    "cdc_replication_duration_seconds_count" -> batches.get.toDouble,
+    "cdc_backlog_depth" -> lastBacklog.toDouble)
+
+  def currentHealth: Health = health
+  def processedFor(queryName: String): Long = byQuery.getOrDefault(queryName, 0L)
+}

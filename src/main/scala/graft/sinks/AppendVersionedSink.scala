@@ -1,0 +1,43 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Append-only versioned sink with a dedup read view — the engine's analog
+  * of the reference's ClickHouse path: the sink only ever appends
+  * (`src/sinks/clickhouse.py:81-145` — DELETEs skipped, dedup deferred to
+  * `ReplacingMergeTree` collapsing by ORDER BY key), and exactness is
+  * restored at READ time by a last-write-wins view
+  * (`specs/.../research.md:68-74` accepts transient duplicates; SURVEY
+  * §7.6 requires the read view so query results stay exact).
+  *
+  * Append scales trivially (no read-modify-write, any number of writers);
+  * the view is one shuffle on the key — the same trade ClickHouse makes,
+  * expressed relationally.
+  */
+final class AppendVersionedSink(val tableDir: String, keyNames: Seq[String],
+    versionCol: String, isDeleteCol: String = "event_type",
+    deleteValue: String = "DELETE") {
+
+  /** Append a micro-batch; a constant `_batch_id` column makes replays
+    * observable (and removable) downstream. */
+  def append(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("_batch_id", lit(batchId))
+      .write.mode("append").parquet(tableDir)
+
+  /** Raw appended rows (may contain duplicates + tombstones). */
+  def raw(spark: SparkSession): DataFrame = spark.read.parquet(tableDir)
+
+  /** The exact read view: latest version per key (ties broken by highest
+    * `_batch_id` — redeliveries are byte-identical so either wins), with
+    * delete tombstones dropped. */
+  def view(spark: SparkSession): DataFrame = {
+    val w = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_batch_id").desc)
+    raw(spark)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(isDeleteCol) =!= deleteValue)
+      .drop("__rn", "_batch_id")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation — the rigor the reference lacks
+  * (SURVEY §2.9: no watermarks, ordering assumed monotonic per partition;
+  * spec mandates last-write-wins only). These are the engine's streaming
+  * aggregation building blocks; each takes a streaming DataFrame with an
+  * event-time column and returns a windowed aggregate safe to run with
+  * state bounded by the watermark horizon.
+  */
+object WindowedAggs {
+
+  /** Tumbling count+sum per window×key (update/append per output mode). */
+  def tumbling(events: DataFrame, timeCol: String, watermark: String,
+      windowLen: String, keyCol: String, valueCol: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol),
+        col("n"), col("total"))
+
+  /** Sliding window (length + slide interval). */
+  def sliding(events: DataFrame, timeCol: String, watermark: String,
+      windowLen: String, slide: String, keyCol: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n"))
+
+  /** Session window: events gapped less than `gap` merge into one session. */
+  def session(events: DataFrame, timeCol: String, watermark: String,
+      gap: String, keyCol: String): DataFrame =
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
+}

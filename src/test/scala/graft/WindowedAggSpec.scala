@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.WindowedAggs
+
+/** Event-time windows + watermark late-data semantics (SURVEY §2.9 — the
+  * rigor the reference lacks). */
+class WindowedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window aggregates by event time; late rows beyond watermark drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = WindowedAggs.tumbling(
+      input.toDF().toDF("ts", "user", "v"),
+      timeCol = "ts", watermark = "10 minutes", windowLen = "5 minutes",
+      keyCol = "user", valueCol = "v")
+    val q = agg.writeStream.format("memory").queryName("tumbled")
+      .outputMode(OutputMode.Update).start()
+
+    input.addData((ts(1), "u1", 1.0), (ts(3), "u1", 2.0), (ts(7), "u1", 4.0))
+    q.processAllAvailable()
+    // advance the watermark far ahead: max event 10:40 → watermark 10:30
+    input.addData((ts(40), "u1", 8.0))
+    q.processAllAvailable()
+    // this event (10:02) is far behind the watermark → must be dropped
+    input.addData((ts(2), "u1", 100.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbled")
+      .select("window_start", "n", "total").as[(Timestamp, Long, Double)]
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.last }
+    assert(rows(ts(0))._2 == 2 && rows(ts(0))._3 == 3.0) // 10:00–05, late row NOT added
+    assert(rows(ts(5))._2 == 1 && rows(ts(5))._3 == 4.0)
+    assert(rows(ts(40))._2 == 1)
+  }
+
+  test("session window merges gapped events per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = WindowedAggs.session(input.toDF().toDF("ts", "user"),
+      timeCol = "ts", watermark = "10 minutes", gap = "5 minutes",
+      keyCol = "user")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+
+    // u1: events at 10:01, 10:04, 10:06 → one session; 10:20 → second
+    input.addData((ts(1), "u1"), (ts(4), "u1"), (ts(6), "u1"), (ts(20), "u1"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions")
+      .select("session_start", "n").as[(Timestamp, Long)].collect().toMap
+    assert(rows(ts(1)) == 3)
+    assert(rows(ts(20)) == 1)
+  }
+}
