@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+import graft.plans.{AutoMaskRule, GraftExtensions}
+
+/** SQL function injection + metadata-driven auto-masking rule. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("injected SQL functions: hmac_sha256 and float_vec_dot callable from SQL") {
+    GraftExtensions.install(spark)
+    val hmac = spark.sql(
+      "SELECT hmac_sha256('patient-123', 'default-secret-key') AS t")
+      .as[String].head()
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      "default-secret-key".getBytes("UTF-8"), "HmacSHA256"))
+    assert(hmac == mac.doFinal("patient-123".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+
+    val dot = spark.sql(
+      "SELECT float_vec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), " +
+        "CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d").as[Double].head()
+    assert(dot == 11.0)
+  }
+
+  test("auto-mask rule: metadata-tagged columns come out masked from any query") {
+    GraftExtensions.install(spark)
+    val piiMeta = new MetadataBuilder()
+      .putString(AutoMaskRule.MetadataKey, "pii").build()
+    val phiMeta = new MetadataBuilder()
+      .putString(AutoMaskRule.MetadataKey, "phi").build()
+
+    val dir = Files.createTempDirectory("automask").toString
+    Seq(("a@b.c", "flu", 7)).toDF("email", "diagnosis", "n")
+      .select(col("email").as("email", piiMeta),
+        col("diagnosis").as("diagnosis", phiMeta), col("n"))
+      .write.mode("overwrite").parquet(dir)
+
+    // field metadata round-trips through the parquet footer; reading with
+    // the rule installed masks at the scan — even a SELECT * cannot see raw
+    val row = spark.read.parquet(dir)
+      .select("email", "diagnosis", "n").head()
+    assert(row.getString(0).length == 64 && row.getString(0) != "a@b.c")
+    assert(row.getString(1).length == 64 && row.getString(1) != "flu")
+    assert(row.getInt(2) == 7)
+
+    // filters on masked columns compare masked values (deterministic join/
+    // filter semantics preserved, reference masking.py design goal)
+    val sha = Seq("a@b.c").toDF("v").select(sha2(col("v"), 256)).as[String].head()
+    assert(spark.read.parquet(dir).filter(col("email") === sha).count() == 1)
+  }
+}
