@@ -43,7 +43,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // streaming throughput (events/sec through the full CDC pipeline) —
+    // comparable to the reference's 1,200 eps sustained baseline
+    val eps =
+      try graft.streaming.ThroughputBench.run(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_eps failed: ${e.getMessage}"); -1.0
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_eps":$eps%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,4 +56,13 @@ object OffsetTracker {
     * (`src/cdc/offset.py:271-290`). */
   def lagMicros(offset: ReplicationOffset, nowMicros: Long): Long =
     math.max(0L, nowMicros - offset.last_event_timestamp_micros)
+
+  /** Retention sweep over the audit offset table: drop offsets not updated
+    * since the cutoff (`src/cdc/offset.py:199-226`, default 7 days). The
+    * real recovery state lives in the checkpoint with its own native
+    * retention; this prunes only the observable artifact. */
+  def retain(offsets: org.apache.spark.sql.DataFrame,
+      cutoffMicros: Long): org.apache.spark.sql.DataFrame =
+    offsets.filter(
+      org.apache.spark.sql.functions.col("last_event_timestamp_micros") >= cutoffMicros)
 }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Streaming-throughput measurement comparable to the reference's headline
+  * numbers (BASELINE.md: 1,200 events/s sustained / 8,500 burst on the
+  * same single-node footprint): generates ChangeEvent JSONL, streams it
+  * through the full pipeline (validate → mask → dedup → upsert state
+  * store) in `nFiles` micro-batches, and reports events/second end-to-end
+  * including checkpointing.
+  */
+object ThroughputBench {
+
+  def generate(dir: Path, nEvents: Int, nFiles: Int, nUsers: Int): Unit = {
+    val perFile = nEvents / nFiles
+    var id = 0
+    for (f <- 0 until nFiles) {
+      val sb = new java.lang.StringBuilder(perFile * 220)
+      for (_ <- 0 until perFile) {
+        val user = id % nUsers
+        val ts = 1704067200000000L + id.toLong * 1000
+        val typ = if (id % 10 == 9) "DELETE" else if (id % 3 == 0) "UPDATE" else "INSERT"
+        val cols = if (typ == "DELETE") "{}"
+          else s"""{"email":"user$user@example.com","age":"${20 + user % 60}"}"""
+        sb.append(s"""{"event_id":"e$id","event_type":"$typ","table_name":"users",""")
+          .append(s""""keyspace":"ecommerce","partition_key":{"user_id":"u$user"},""")
+          .append(s""""clustering_key":{},"columns":$cols,""")
+          .append(s""""timestamp_micros":$ts,"captured_at_micros":$ts}""").append('\n')
+        id += 1
+      }
+      Files.write(dir.resolve(f"events_$f%03d.json"),
+        sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Returns events/second over the full pipeline run. */
+  def run(spark: SparkSession, nEvents: Int = 100000, nFiles: Int = 10,
+      nUsers: Int = 10000): Double = {
+    val base = Files.createTempDirectory("graft-eps")
+    val events = Files.createDirectories(base.resolve("events"))
+    generate(events, nEvents, nFiles, nUsers)
+    val t0 = System.nanoTime()
+    val q = CdcPipeline.start(spark, events.toString,
+      base.resolve("state").toString, base.resolve("ckpt").toString,
+      base.resolve("dlq").toString,
+      maxFilesPerTrigger = 1) // nFiles micro-batches, like reference batching
+    q.processAllAvailable()
+    q.stop()
+    nEvents / ((System.nanoTime() - t0) / 1e9)
+  }
+}
