@@ -51,6 +51,9 @@ object SparkEntry {
     "q29_conditional_agg" -> ExtendedQueries.q29ConditionalAgg _,
     "q30_date_arith" -> ExtendedQueries.q30DateArith _,
     "q31_asof_join" -> ExtendedQueries.q31AsofJoin _,
+    "q32_grouping_sets" -> ExtendedQueries.q32GroupingSets _,
+    "q33_range_join" -> ExtendedQueries.q33RangeJoin _,
+    "q34_sessionize" -> ExtendedQueries.q34Sessionize _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLsh _,
@@ -362,6 +365,47 @@ object SparkEntry {
         |SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
         |       asof_view_id, asof_view_ts
         |FROM m WHERE side = 1 ORDER BY user_id, purchase_id""".stripMargin,
+    "q32_grouping_sets" ->
+      """SELECT n_name, o_orderpriority,
+        |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q33_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b1_under_20k', 0.0, 20000.0),
+        |  ('b2_20k_40k', 20000.0, 40000.0),
+        |  ('b3_40k_60k', 40000.0, 60000.0),
+        |  ('b4_60k_80k', 60000.0, 80000.0),
+        |  ('b5_80k_plus', 80000.0, 1e18))
+        |SELECT band, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q34_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                   event_id FROM events),
+        |flagged AS (SELECT user_id, ts_us, event_id,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |       WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |       ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sessions AS (SELECT user_id, ts_us,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |    AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  MAX(ts_us) - MIN(ts_us) AS duration_us
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->

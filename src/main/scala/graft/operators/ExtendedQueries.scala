@@ -126,6 +126,76 @@ object ExtendedQueries {
         quarter(col("o_orderdate")).as("qtr"))
       .orderBy("o_orderkey")
 
+  // --- Q32: GROUPING SETS ---------------------------------------------------
+  // Distinct-dimension rollups in ONE pass over the joined fact — at scale
+  // this beats two separate group-bys because the expensive join + shuffle
+  // happen once (Catalyst expands the sets map-side).
+  def q32GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+    val c = Tables.table(s, dir, "customer")
+    val n = Tables.table(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("o_orderpriority")), Seq.empty),
+        col("n_name"), col("o_orderpriority"))
+      .agg(grouping(col("n_name")).cast("int").as("g_nation"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        money(col("o_totalprice")).as("total_price"))
+      .select("n_name", "o_orderpriority", "g_nation", "g_prio",
+        "n_orders", "total_price")
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
+  }
+
+  // --- Q33: range (band) join -----------------------------------------------
+  // Non-equi join of a fact against a tiny band table: Spark plans a
+  // BroadcastNestedLoopJoin, which is the right physical shape — the 5-row
+  // build side replicates to every executor and the fact never shuffles.
+  val PriceBands: Seq[(String, Double, Double)] = Seq(
+    ("b1_under_20k", 0.0, 20000.0),
+    ("b2_20k_40k", 20000.0, 40000.0),
+    ("b3_40k_60k", 40000.0, 60000.0),
+    ("b4_60k_80k", 60000.0, 80000.0),
+    ("b5_80k_plus", 80000.0, 1e18))
+
+  def q33RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = PriceBands.toDF("band", "lo", "hi")
+    Tables.table(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+        money(col("l_extendedprice")).as("total_price"))
+      .orderBy("band")
+  }
+
+  // --- Q34: gap-based sessionization (batch session_window analog) ----------
+  // 30-minute inactivity gap. One shuffle on user_id; the session id is a
+  // running sum of gap-break flags — the standard scalable sessionization
+  // (the streaming twin uses session_window(), see streaming/WindowedAggs).
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  def q34Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > SessionGapUs, 1)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("int"))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
   // --- Q31: as-of join (merge-sorted, single shuffle) -----------------------
   // For each purchase event: the user's most recent strictly-earlier view
   // event. Implemented as the scalable as-of algorithm — union both sides,
