@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{Bucketing, SaltedJoin}
+
+/** Scale-layout operators: co-located bucketed joins (no shuffle) and
+  * skew salting (same result, even partitions).
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("co-bucketed join plans zero shuffle exchanges and matches unbucketed result") {
+    val tmp = Files.createTempDirectory("graft-bucketed").toString
+    val customer = Tables.table(spark, sf, "customer")
+    val orders = Tables.table(spark, sf, "orders")
+    Bucketing.writeBucketed(
+      customer.withColumnRenamed("c_custkey", "custkey"),
+      "customer_b", s"$tmp/customer", "custkey", 4)
+    Bucketing.writeBucketed(
+      orders.withColumnRenamed("o_custkey", "custkey"),
+      "orders_b", s"$tmp/orders", "custkey", 4)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "orders_b", "customer_b", "custkey")
+      assert(Bucketing.isShuffleFree(joined), "bucketed join must not shuffle:\n" +
+        joined.queryExecution.executedPlan.toString)
+      val expected = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey")).count()
+      assert(joined.count() == expected)
+
+      // the same layout also makes groupBy(key) shuffle-free
+      val agg = spark.table("orders_b").groupBy("custkey").count()
+      assert(Bucketing.isShuffleFree(agg), "bucketed agg must not shuffle:\n" +
+        agg.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+    }
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // 90% of fact rows share key 1 — the classic hot key
+    val fact = spark.range(10000)
+      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(1L).as("k"),
+        $"id".as("v"))
+    val dim = spark.range(7).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
+
+    val plain = fact.join(dim, Seq("k")).groupBy("k", "name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    val salted = SaltedJoin.inner(fact, dim, "k", salts = 8).groupBy("k", "name")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted count spreads the hot key and matches exact counts") {
+    val fact = spark.range(10000)
+      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(1L).as("k"))
+    val exact = fact.groupBy("k").count()
+      .as[(Long, Long)].collect().toMap
+    val salted = SaltedJoin.countByKeySalted(fact, "k", salts = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(salted == exact)
+  }
+}
