@@ -1,0 +1,63 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Time-bucket-partitioned append sink — the TimescaleDB hypertable analog
+  * (reference `src/sinks/timescaledb.py:89-139` creates hypertables
+  * chunked on a time column with compression; SURVEY §2.1 maps that to
+  * `partitionBy(time_bucket)` on a columnar sink).
+  *
+  * Scale properties this layout buys at 100 TB:
+  *  - time-range queries prune whole directories (PartitionFilters, no
+  *    file listing outside the range) — the hypertable chunk-exclusion
+  *    analog;
+  *  - ZSTD-compressed parquet within each bucket is the compression-policy
+  *    analog (`timescaledb.py:120-139`);
+  *  - append-only micro-batches never rewrite old buckets, so concurrent
+  *    readers see immutable history.
+  */
+object HypertableSink {
+
+  /** Derive the bucket column. `granularity` is any `date_trunc` unit
+    * ("day", "hour", "week"); micros-typed time columns should be passed
+    * through `timestamp_micros` first by the caller.
+    */
+  def bucketCol(timeCol: String, granularity: String) =
+    date_format(date_trunc(granularity, col(timeCol)),
+      "yyyy-MM-dd'T'HH").as("time_bucket")
+
+  /** Batch append, one directory per time bucket. */
+  def write(df: DataFrame, path: String, timeCol: String,
+      granularity: String = "day"): Unit =
+    df.withColumn("time_bucket", bucketCol(timeCol, granularity))
+      .write.mode("append")
+      .partitionBy("time_bucket")
+      .option("compression", "zstd")
+      .parquet(path)
+
+  /** Streaming append with checkpointed exactly-once file commits. */
+  def writeStream(df: DataFrame, path: String, checkpointDir: String,
+      timeCol: String, granularity: String = "day"): StreamingQuery =
+    df.withColumn("time_bucket", bucketCol(timeCol, granularity))
+      .writeStream.format("parquet")
+      .partitionBy("time_bucket")
+      .option("path", path)
+      .option("compression", "zstd")
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Read back; time predicates on `time_bucket` become partition filters
+    * (directory pruning), predicates on `timeCol` prune row groups via
+    * parquet min/max within the surviving buckets.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** True iff `df`'s scan prunes partitions (its plan carries a
+    * non-empty PartitionFilters list). */
+  def prunesPartitions(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(time_bucket")
+}
