@@ -1,0 +1,130 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import scala.util.Random
+
+import org.apache.spark.sql.types.StructType
+import graft.events.ChangeEvent
+import graft.schema.{AddColumn, DropColumn, SchemaDiff, SchemaMeta}
+import graft.sinks.{Retry, RetryPolicy}
+import graft.types.CqlTypes
+
+/** ScalaCheck properties for the pure (driver-side) kernel — the SURVEY §5
+  * property-test tier: backoff math bounds, retry outcome accounting,
+  * schema-diff duality, schema-hash canonicalization, event-key
+  * permutation invariance.
+  */
+object GraftProperties extends Properties("graft") {
+
+  // ---- retry backoff (reference src/sinks/retry.py:38-70 semantics) -------
+
+  private val genPolicy: Gen[RetryPolicy] = for {
+    base <- Gen.choose(1L, 5000L)
+    mult <- Gen.choose(1.0, 4.0)
+    cap <- Gen.choose(base, 60000L)
+    jitter <- Gen.choose(0.0, 0.5)
+  } yield RetryPolicy(maxAttempts = 5, baseDelayMs = base, multiplier = mult,
+    maxDelayMs = cap, jitterFraction = jitter)
+
+  property("backoff is monotone and capped") =
+    forAll(genPolicy, Gen.choose(1, 20)) { (p, n) =>
+      val delays = (1 to n).map(p.backoffMs)
+      delays.zip(delays.tail).forall { case (a, b) => b >= a } &&
+        delays.forall(_ <= p.maxDelayMs)
+    }
+
+  property("jittered backoff stays within ±jitterFraction of the base") =
+    forAll(genPolicy, Gen.choose(1, 20), Gen.long) { (p, n, seed) =>
+      val base = p.backoffMs(n).toDouble
+      val d = p.backoffWithJitterMs(n, new Random(seed)).toDouble
+      d >= math.max(0, base * (1 - p.jitterFraction)) - 1 &&
+        d <= base * (1 + p.jitterFraction) + 1
+    }
+
+  property("withRetry succeeds after exactly k failures when k < maxAttempts") =
+    forAll(Gen.choose(0, 4)) { k =>
+      val p = RetryPolicy(maxAttempts = 5, baseDelayMs = 1, maxDelayMs = 2)
+      var calls = 0
+      val out = Retry.withRetry(p, sleep = _ => ()) {
+        calls += 1
+        if (calls <= k) throw new java.net.ConnectException("refused")
+        42
+      }
+      out == Retry.Succeeded(42, k + 1)
+    }
+
+  property("withRetry: permanent errors never retry, retryable exhaust at cap") = {
+    val p = RetryPolicy(maxAttempts = 3, baseDelayMs = 1, maxDelayMs = 2)
+    var permCalls = 0
+    val perm = Retry.withRetry(p, sleep = _ => ()) {
+      permCalls += 1; throw new IllegalArgumentException("bad schema")
+    }
+    var exhCalls = 0
+    val exh = Retry.withRetry(p, sleep = _ => ()) {
+      exhCalls += 1; throw new java.util.concurrent.TimeoutException("slow")
+    }
+    Prop(permCalls == 1 && perm.isInstanceOf[Retry.Permanent] &&
+      exhCalls == 3 && exh.isInstanceOf[Retry.Exhausted])
+  }
+
+  // ---- schema diff / hash ---------------------------------------------------
+
+  private val colNames = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+  private val cqlTypes = Gen.oneOf("TEXT", "INT", "BIGINT", "FLOAT", "DOUBLE",
+    "UUID", "TIMESTAMP", "BOOLEAN")
+
+  private val genSchema: Gen[StructType] = for {
+    names <- Gen.someOf("a", "b", "c", "d", "e", "f", "g", "h")
+    fields <- Gen.sequence[Seq[(String, String)], (String, String)](
+      names.map(n => cqlTypes.map(t => n -> t)))
+  } yield StructType(fields.map { case (n, t) => SchemaMeta.field(n, t) })
+
+  property("diff(s, s) is empty and hash is stable") = forAll(genSchema) { s =>
+    SchemaDiff.diff(s, s).isEmpty &&
+      SchemaDiff.schemaHash(s) == SchemaDiff.schemaHash(s)
+  }
+
+  property("diff adds/drops are dual under argument swap") =
+    forAll(genSchema, genSchema) { (a, b) =>
+      val ab = SchemaDiff.diff(a, b)
+      val ba = SchemaDiff.diff(b, a)
+      ab.collect { case AddColumn(c, _) => c }.toSet ==
+        ba.collect { case DropColumn(c) => c }.toSet
+    }
+
+  property("schema hash ignores field order, sees type changes") =
+    forAll(genSchema) { s =>
+      s.fields.length < 2 || {
+        val shuffled = StructType(s.fields.reverse)
+        val retyped = StructType(s.fields.updated(0,
+          SchemaMeta.field(s.fields(0).name, "BLOB")))
+        SchemaDiff.schemaHash(shuffled) == SchemaDiff.schemaHash(s) &&
+          SchemaDiff.schemaHash(retyped) != SchemaDiff.schemaHash(s)
+      }
+    }
+
+  property("widening is reflexive; only the reference matrix widens") =
+    forAll(cqlTypes, cqlTypes) { (f, t) =>
+      val expected = f == t || Set(
+        ("INT", "BIGINT"), ("FLOAT", "DOUBLE"), ("DECIMAL", "DOUBLE"),
+        ("TEXT", "VARCHAR"), ("VARCHAR", "TEXT")).contains((f, t))
+      CqlTypes.isCompatibleWidening(f, t) == expected
+    }
+
+  // ---- event key ------------------------------------------------------------
+
+  private val genKv = Gen.mapOf(Gen.zip(
+    Gen.identifier.map(_.take(8)), Gen.alphaNumStr.map(_.take(8))))
+
+  property("eventKey is insertion-order invariant and timestamp-sensitive") =
+    forAll(genKv, genKv, Gen.choose(0L, 1L << 50)) { (pk, ck, ts) =>
+      def ev(p: Map[String, String], c: Map[String, String], t: Long) =
+        ChangeEvent("e1", "INSERT", "users", "ks", p, c, Map.empty, t, None, t)
+      val reordered = ev(
+        Map(pk.toSeq.reverse: _*), Map(ck.toSeq.reverse: _*), ts)
+      ev(pk, ck, ts).eventKey == reordered.eventKey &&
+        (pk.isEmpty && ck.isEmpty ||
+          ev(pk, ck, ts).eventKey != ev(pk, ck, ts + 1).eventKey)
+    }
+}
