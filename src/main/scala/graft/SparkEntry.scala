@@ -62,6 +62,7 @@ object SparkEntry {
     "d05_dedup_embedding" -> Dedup.embeddingCosine _,
     "s01_sim_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "s02_sim_ann_lsh" -> Similarity.annLsh _,
+    "s03_sim_ann_ivf" -> Similarity.annIvf _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -507,6 +508,40 @@ object SparkEntry {
          |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
          |  FROM ee a JOIN ee b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
          |  WHERE a.vec_id < ${Similarity.NumQueries}),
+         |r AS (SELECT qid, neighbor_id, cos_sim,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |      FROM scored)
+         |SELECT qid, rank, neighbor_id, cos_sim FROM r
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "s03_sim_ann_ivf" ->
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |            AND vec_id >= ${Similarity.NumQueries}),
+         |ac AS (SELECT a.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(list_zip(a.embedding, c.cv),
+         |      z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6))
+         |         * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+         |  FROM e a, cents c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn
+         |    FROM ac WHERE vec_id < ${Similarity.NumQueries})
+         |  WHERE rn <= ${Similarity.NProbe}),
+         |scored AS (
+         |  SELECT p.qid, s.vec_id AS neighbor_id,
+         |    CAST($dotAB AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+         |  FROM probes p
+         |  JOIN assign s ON s.cid = p.cid AND s.vec_id <> p.qid
+         |  JOIN e a ON a.vec_id = p.qid
+         |  JOIN e b ON b.vec_id = s.vec_id),
          |r AS (SELECT qid, neighbor_id, cos_sim,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank

@@ -74,6 +74,60 @@ object Similarity {
         x => x.getField("bit")), "").as("bucket"))
   }
 
+  // --- IVF (inverted-file) ANN ---------------------------------------------
+  /** Coarse-quantizer parameters. Centroids are the data vectors with
+    * `vec_id % CentroidStride == 0` — a deterministic sample playing the
+    * role k-means centroids would in production IVF (training a quantizer
+    * is offline work; the SEARCH data flow here is the real thing). Every
+    * vector is assigned to its nearest centroid's inverted list; a query
+    * probes its `NProbe` nearest lists and re-ranks exactly inside them.
+    * At scale: centroid set is broadcast (K ≪ N), assignment is one
+    * narrow map-side pass over the vectors, and the probe prunes the
+    * exact scoring to ~NProbe/K of the corpus.
+    */
+  val CentroidStride = 50
+  val NProbe = 3
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
+        col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    def cosToCentroid = (dotDec(col("embedding"), col("cv")).cast(DoubleType) /
+      (col("nrm") * col("cn"))).as("ccos")
+    val wNearest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    // inverted lists: every vector → its single nearest centroid
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cid"), cosToCentroid)
+      .withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") === 1).select("vec_id", "cid")
+    // queries probe their NProbe nearest lists
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id").as("qid"), col("cid"), cosToCentroid)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("rn") <= NProbe).select("qid", "cid")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    // candidates = union of probed lists; exact re-rank within them
+    val scored = assigned
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(e, "vec_id").join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        (dotDec(col("qv"), col("embedding")).cast(DoubleType) /
+          (col("qn") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "neighbor_id", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).join(buckets(s, dir), "vec_id")
     val q = e.filter(col("vec_id") < NumQueries)
