@@ -52,7 +52,9 @@ object CdcPipeline {
       dlqDir: String,
       rules: MaskRules = MaskRules(),
       triggerMs: Long = 100,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      extraSinks: Seq[FanOut.Destination] = Nil,
+      retryPolicy: graft.sinks.RetryPolicy = graft.sinks.RetryPolicy()): StreamingQuery = {
 
     val store = new UpsertStateStore(stateDir,
       keyNames = Seq("keyspace", "table_name", "event_key_cols"),
@@ -87,7 +89,12 @@ object CdcPipeline {
               dlqDir, destination = "state-store",
               errorType = "ValidationError", errorMessage = "validation failed",
               failedAtMicros = System.currentTimeMillis() * 1000)
-          store.upsert(valid, batchId)
+          // per-destination retry + failure isolation + DLQ handoff
+          // (reference main.py:123-155 semantics; see FanOut)
+          FanOut.writeAll(valid, batchId,
+            FanOut.Destination("state-store", retryPolicy, store.upsert)
+              +: extraSinks,
+            dlqDir)
         } finally batch.unpersist()
         ()
       }

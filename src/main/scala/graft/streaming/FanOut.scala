@@ -1,0 +1,72 @@
+package graft.streaming
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sinks.{DlqSink, Retry, RetryPolicy}
+
+/** Per-batch fan-out to N destinations with per-destination failure
+  * isolation — the reference's core orchestration
+  * (`src/main.py:123-155`: one batch, `asyncio.gather` across sinks,
+  * `return_exceptions=True` so one sick destination never blocks the
+  * others; retry + DLQ handoff per destination,
+  * `specs/.../research.md:361-378`).
+  *
+  * Spark shape (SURVEY §2.9 fan-out note): ONE streaming query, the batch
+  * `persist()`ed once, destination writes dispatched concurrently from the
+  * driver. Each destination owns a retry policy (§2.9 backoff semantics);
+  * permanent or exhausted failures append the whole batch to that
+  * destination's DLQ partition and the other destinations proceed —
+  * matching the reference's per-sink health independence. Exactly-once
+  * stays per-destination: every sink write is `batchId`-idempotent, so a
+  * replayed batch re-writes only destinations that failed.
+  */
+object FanOut {
+
+  /** One destination: a name (DLQ partition key), a retry policy, and a
+    * batchId-idempotent write. */
+  final case class Destination(
+      name: String,
+      policy: RetryPolicy = RetryPolicy(),
+      write: (DataFrame, Long) => Unit)
+
+  /** Outcome per destination for metrics/health bookkeeping. */
+  final case class FanOutResult(destination: String,
+      outcome: Retry.Outcome[Unit], dlqRows: Long)
+
+  /** Write `batch` to every destination concurrently; isolate failures.
+    * Returns per-destination outcomes (order of `dests`). */
+  def writeAll(batch: DataFrame, batchId: Long, dests: Seq[Destination],
+      dlqDir: String)(implicit ec: ExecutionContext = ExecutionContext.global)
+      : Seq[FanOutResult] = {
+    batch.persist()
+    try {
+      val futures = dests.map { d =>
+        Future {
+          val out = Retry.withRetry(d.policy)(d.write(batch, batchId))
+          val dlqRows = out match {
+            case Retry.Succeeded(_, _) => 0L
+            case Retry.Permanent(err, _) => toDlq(batch, batchId, d.name, err, dlqDir)
+            case Retry.Exhausted(err, _) => toDlq(batch, batchId, d.name, err, dlqDir)
+          }
+          FanOutResult(d.name, out, dlqRows)
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally { batch.unpersist(); () }
+  }
+
+  private def toDlq(batch: DataFrame, batchId: Long, dest: String,
+      err: Throwable, dlqDir: String): Long = {
+    val n = batch.count()
+    DlqSink.write(
+      batch.withColumn("batch_id", lit(batchId)),
+      dlqDir, destination = dest,
+      errorType = err.getClass.getSimpleName,
+      errorMessage = Option(err.getMessage).getOrElse(""),
+      failedAtMicros = System.currentTimeMillis() * 1000)
+    n
+  }
+}
