@@ -36,6 +36,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // JVM/codegen warmup outside the measurement: without this the first
+    // measured query pays classloading + whole-stage-codegen compiler
+    // startup (~2-3 s) that belongs to the process, not the query.
+    spark.range(1L << 20).selectExpr("sum(id) s", "count(distinct id % 7) c")
+      .write.format("noop").mode("overwrite").save()
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> runOne(name, fn)
     }

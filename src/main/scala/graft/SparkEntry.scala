@@ -520,9 +520,8 @@ object SparkEntry {
          |          WHERE vec_id % ${Similarity.CentroidStride} = 0
          |            AND vec_id >= ${Similarity.NumQueries}),
          |ac AS (SELECT a.vec_id, c.cid,
-         |    CAST(list_sum(list_transform(list_zip(a.embedding, c.cv),
-         |      z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6))
-         |         * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+         |    list_sum(list_transform(list_zip(a.embedding, c.cv),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
          |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
          |  FROM e a, cents c),
          |assign AS (SELECT vec_id, cid FROM (

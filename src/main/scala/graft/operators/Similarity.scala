@@ -94,8 +94,13 @@ object Similarity {
         col("vec_id") >= NumQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
-    def cosToCentroid = (dotDec(col("embedding"), col("cv")).cast(DoubleType) /
-      (col("nrm") * col("cn"))).as("ccos")
+    // Assignment/probing only needs an ARGMAX over centroids, so it runs on
+    // the codegen'd double dot (sequential fold — bit-identical to the
+    // oracle's list_sum-over-doubles) instead of ~300×-slower exact
+    // decimals; the FINAL cos_sim output below stays decimal-exact.
+    def cosToCentroid =
+      (graft.functions.FloatVecDot.float_vec_dot(col("embedding"), col("cv")) /
+        (col("nrm") * col("cn"))).as("ccos")
     val wNearest = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
     // inverted lists: every vector → its single nearest centroid
