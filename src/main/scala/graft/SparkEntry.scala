@@ -413,16 +413,22 @@ object SparkEntry {
       """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
     "d02_dedup_minhash_lsh" -> {
+      // same universal-hash family as TextPrep.minhashAgg: one md5 per
+      // shingle, h_j = (a_j·base + b_j) mod p with md5-derived constants
       val sigCols = (0 until Dedup.K)
-        .map(j => s"min(substr(md5('$j|' || s), 1, 16)) AS h$j").mkString(",\n  ")
+        .map(j => s"min((${graft.operators.TextPrep.mixA(j)} * hb + " +
+          s"${graft.operators.TextPrep.mixB(j)}) % " +
+          s"${graft.operators.TextPrep.MinhashP}) AS h$j").mkString(",\n  ")
       val bandSelects = (0 until Dedup.Bands).map { b =>
         val cols = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
         s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ")}) AS bkey FROM sig"
       }.mkString("\n  UNION ALL ")
       s"""WITH $shingleCtes,
+         |exh AS (SELECT doc_id,
+         |          CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS hb FROM ex),
          |sig AS (SELECT doc_id,
          |  $sigCols
-         |FROM ex GROUP BY doc_id),
+         |FROM exh GROUP BY doc_id),
          |bands AS (
          |  $bandSelects),
          |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db

@@ -42,8 +42,10 @@ object Dedup {
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).cache()
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
 
-    val sigExprs = (0 until K).map(j => minhashAgg(col("s"), j).as(s"h$j"))
-    val sigs = ex.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+    // one md5 per shingle; K universal-hash mixes derive the K signatures
+    val sigExprs = (0 until K).map(j => minhashAgg(col("hb"), j).as(s"h$j"))
+    val sigs = ex.withColumn("hb", shingleBase(col("s")))
+      .groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
 
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),

@@ -39,10 +39,33 @@ object TextPrep {
       zip_with(acc, p, (a, b) => concat(a, lit(" "), b))))
   }
 
-  /** Seeded 64-bit-ish minhash primitive: lexicographic min over shingles
-    * of the first 16 hex chars of md5(seed || '|' || shingle). Fixed-width
-    * lowercase hex makes string-min equal numeric-min, which keeps the
-    * DuckDB oracle expressible without hex→int conversion. */
-  def minhashAgg(shingleCol: Column, seed: Int): Column =
-    min(substring(md5(concat(lit(s"$seed|"), shingleCol)), 1, 16))
+  /** 32-bit base hash of a shingle: first 8 hex chars of its md5 as a
+    * BIGINT. Computed ONCE per shingle; the K minhash functions derive
+    * from it with cheap integer mixing (below) instead of K separate md5
+    * passes — the dominant cost of signature computation at scale. */
+  def shingleBase(shingleCol: Column): Column =
+    conv(substring(md5(shingleCol), 1, 8), 16, 10).cast("long")
+
+  /** Modulus of the universal hash family (smallest prime > 2^32). */
+  val MinhashP: Long = 4294967311L
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Multiplier for seed j: odd, < 2^29 (so a·base < 2^61 — no overflow
+    * under ANSI arithmetic in either engine). Derived from md5 so both
+    * the engine and the DuckDB oracle can reproduce it. */
+  def mixA(j: Int): Long =
+    java.lang.Long.parseLong(md5hex("a" + j).take(7), 16) * 2 + 1
+
+  /** Offset for seed j, < 2^32. */
+  def mixB(j: Int): Long = java.lang.Long.parseLong(md5hex("b" + j).take(8), 16)
+
+  /** Seeded minhash primitive over pre-hashed shingles: the textbook
+    * universal family h_j(x) = (a_j·x + b_j) mod p applied to
+    * [[shingleBase]]. One md5 per shingle total, K cheap integer mixes —
+    * versus the naive K md5 passes. */
+  def minhashAgg(baseCol: Column, seed: Int): Column =
+    min((lit(mixA(seed)) * baseCol + lit(mixB(seed))) % MinhashP)
 }
