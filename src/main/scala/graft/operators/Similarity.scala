@@ -60,18 +60,21 @@ object Similarity {
       expr("CAST(conv(substring(md5(concat(j, 'p', i)), 1, 2), 16, 10) AS INT) % 21 - 10"))
   }
 
-  /** Sign-pattern bucket per vector: bit_j = [Σ_i w_ji · x_i ≥ 0]. */
+  /** Sign-pattern bucket per vector: bit_j = [Σ_i w_ji · x_i ≥ 0].
+    * All NumPlanes projections ride one groupBy(vec_id) as conditional
+    * sums (and the bit-string is a plain concat), instead of a
+    * groupBy(vec_id, j) + collect_list re-aggregation — one shuffle,
+    * no per-group array sort. */
   def buckets(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val comps = e.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
+    val projs = (0 until NumPlanes).map(j =>
+      sum(when(col("j") === j, dec(col("x")) * col("w"))).as(s"p$j"))
+    val bits = (0 until NumPlanes).map(j =>
+      when(col(s"p$j") >= 0, lit("1")).otherwise(lit("0")))
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .join(broadcast(planes(s)), "i")
-      .groupBy("vec_id", "j")
-      .agg(sum(dec(col("x")) * col("w")).as("proj"))
-      .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
-    comps.groupBy("vec_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("bit")))),
-        x => x.getField("bit")), "").as("bucket"))
+      .groupBy("vec_id").agg(projs.head, projs.tail: _*)
+      .select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 
   // --- IVF (inverted-file) ANN ---------------------------------------------

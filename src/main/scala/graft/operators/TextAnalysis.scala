@@ -31,20 +31,24 @@ object TextAnalysis {
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.table(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val m = markers.toDF("lang", "word")
-    val hits = toks.join(broadcast(m), col("tok") === col("word"))
-      .groupBy("doc_id", "lang").agg(count(lit(1)).as("score"))
-    // full (doc × lang) grid so zero-hit docs still classify deterministically
-    val grid = docs.select(col("doc_id"))
-      .crossJoin(broadcast(m.select("lang").distinct()))
-    val scored = grid.join(hits, Seq("doc_id", "lang"), "left")
-      .withColumn("score", coalesce(col("score"), lit(0L)))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("lang").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+    val langs = markers.map(_._1).distinct.sorted
+    // Single aggregation pass: a LEFT broadcast join tags every token with
+    // its marker language (or null), one groupBy(doc_id) builds all
+    // per-language counts as conditional sums, and the argmax (score desc,
+    // lang asc on ties — zero-hit docs included, every doc has ≥1 token)
+    // is a driver-free struct sort. 2 shuffles total where the
+    // grid + left-join + ranking-window shape needed 5.
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val cnts = langs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val counts = toks.join(broadcast(m), col("tok") === col("word"), "left")
+      .groupBy("doc_id").agg(cnts.head, cnts.tail: _*)
+    val best = sort_array(array(langs.map(l => struct(
+      (-col(s"c_$l")).as("neg"), lit(l).as("lang"), col(s"c_$l").as("score"))): _*))
+      .getItem(0)
+    counts.select(col("doc_id"), best.getField("lang").as("pred_lang"),
+        best.getField("score").as("score"))
       .orderBy("doc_id")
   }
 
