@@ -8,7 +8,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -82,24 +82,31 @@ object CommitLogFormat {
 
   /** Largest entry-aligned offset ≤ file length, walking only the 4-byte
     * frame headers from `from` (which must itself be aligned). */
-  def alignedEnd(file: File, from: Long): Long = {
+  def alignedEnd(file: File, from: Long): Long =
+    alignedEndLimited(file, from, Long.MaxValue)._1
+
+  /** Like [[alignedEnd]] but stops after admitting at most `maxEntries`
+    * entries; returns (aligned position, entries admitted). */
+  def alignedEndLimited(file: File, from: Long, maxEntries: Long): (Long, Long) = {
     val len = file.length()
     var pos = from
+    var entries = 0L
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file)))
     try {
       var skipped = 0L
       while (skipped < from) skipped += in.skip(from - skipped)
       var done = false
-      while (!done && pos + 4 <= len) {
+      while (!done && pos + 4 <= len && entries < maxEntries) {
         val entry = try in.readInt() catch { case _: EOFException => -1 }
         if (entry <= 0 || entry > MaxEntryBytes || pos + 4 + entry > len) done = true
         else {
           var toSkip = entry.toLong
           while (toSkip > 0) toSkip -= in.skip(toSkip)
           pos += 4 + entry
+          entries += 1
         }
       }
-      pos
+      (pos, entries)
     } finally in.close()
   }
 }
@@ -139,7 +146,8 @@ class CommitLogTable(dir: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CommitLogFormat.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CommitLogMicroBatchStream(dir)
+          new CommitLogMicroBatchStream(dir,
+            options.getLong("maxEntriesPerTrigger", Long.MaxValue))
       }
     }
 }
@@ -148,24 +156,53 @@ class CommitLogTable(dir: String) extends Table with SupportsRead {
 case class CommitLogSegment(path: String, start: Long, end: Long)
   extends InputPartition
 
-class CommitLogMicroBatchStream(dir: String) extends MicroBatchStream {
+class CommitLogMicroBatchStream(dir: String,
+    maxEntriesPerTrigger: Long = Long.MaxValue)
+  extends MicroBatchStream with SupportsAdmissionControl {
   import CommitLogFormat._
 
-  // Entry-alignment cache: highest offset already verified aligned per
-  // file, so repeated latestOffset() calls never re-walk old headers.
+  // Entry-alignment cache for FULLY admitted (intermediate) files, so
+  // planInputPartitions never re-walks their headers.
   private val aligned = scala.collection.mutable.Map.empty[String, Long]
 
   override def initialOffset(): Offset = CommitLogOffset.Initial
 
-  override def latestOffset(): Offset = {
+  /** Backpressure the reference declared but never enforced
+    * (`max_in_flight_batches`, `src/config/settings.py:87-89`): the engine
+    * passes a ReadLimit and this source admits at most that many entries
+    * per trigger, walking frame headers from the previous end across file
+    * boundaries. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxEntriesPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxEntriesPerTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => Long.MaxValue
+    }
+    val s = start.asInstanceOf[CommitLogOffset]
     val files = listFiles(dir)
-    if (files.isEmpty) return CommitLogOffset.Initial
-    val last = files.last
-    val from = aligned.getOrElse(last.getName, 0L)
-    val end = alignedEnd(last, from)
-    aligned(last.getName) = end
-    CommitLogOffset(last.getName, end)
+    if (files.isEmpty) return s
+    var remaining = cap
+    var result = s
+    var i = if (s.file.isEmpty) 0 else files.indexWhere(_.getName >= s.file)
+    if (i < 0) i = files.length
+    while (i < files.length && remaining > 0) {
+      val f = files(i)
+      val from = if (f.getName == s.file) s.pos else 0L
+      val (end, n) = alignedEndLimited(f, from, remaining)
+      remaining -= n
+      if (end > from || f.getName > result.file ||
+        (f.getName == result.file && end > result.pos) || result.file.isEmpty)
+        result = CommitLogOffset(f.getName, end)
+      i += 1
+    }
+    result
   }
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CommitLogOffset]

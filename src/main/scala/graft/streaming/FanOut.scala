@@ -22,6 +22,11 @@ import graft.sinks.{DlqSink, Retry, RetryPolicy}
   * matching the reference's per-sink health independence. Exactly-once
   * stays per-destination: every sink write is `batchId`-idempotent, so a
   * replayed batch re-writes only destinations that failed.
+  *
+  * Constraint: destinations run CONCURRENTLY and therefore must not share
+  * an output path — two simultaneous parquet appends into one directory
+  * share the Hadoop committer's `_temporary` staging dir and corrupt each
+  * other's commits. One destination = one sink = one path.
   */
 object FanOut {
 

@@ -42,4 +42,25 @@ object WindowedAggs {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("n"))
+
+  /** Stream-stream inner join within a time band (SURVEY §2.3 streaming
+    * coverage): both sides watermarked so Spark can expire join state —
+    * without the time-range condition the state store would grow without
+    * bound. `maxDelay` is the band: right events join left events with
+    * |t_r − t_l| inside [0, maxDelay).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTime: String, rightTime: String,
+      watermark: String, maxDelay: String): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark),
+        expr(s"""$keyCol = r_$keyCol AND
+                 $rightTime >= $leftTime AND
+                 $rightTime < $leftTime + interval $maxDelay"""))
+
+  /** Stream enriched by a static dimension (broadcast per micro-batch) —
+    * the streaming-enrichment shape: no state, no watermark needed. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
 }

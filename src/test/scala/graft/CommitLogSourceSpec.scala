@@ -78,6 +78,29 @@ class CommitLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxEntriesPerTrigger rate-limits admission without losing entries") {
+    val dir = Files.createTempDirectory("graft-clog3").toFile
+    val ckpt = Files.createTempDirectory("graft-clog3-ckpt").toString
+    append(new File(dir, "CommitLog-001.log"),
+      (1 to 5).map(i => ('I', envelope(i, "INSERT"))))
+
+    val q = spark.readStream.format("graft-commitlog")
+      .option("path", dir.getPath)
+      .option("maxEntriesPerTrigger", 2)
+      .load()
+      .writeStream.format("memory").queryName("clog_rate")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("clog_rate").count() == 5)
+      val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchSizes.length >= 3, // 2+2+1, never more than the cap
+        s"expected ≥3 rate-limited batches, got ${batchSizes.mkString(",")}")
+      assert(batchSizes.forall(_ <= 2))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint does not duplicate") {
     val dir = Files.createTempDirectory("graft-clog2").toFile
     val ckpt = Files.createTempDirectory("graft-clog2-ckpt").toString

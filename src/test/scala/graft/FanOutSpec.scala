@@ -20,6 +20,11 @@ class FanOutSpec extends SparkSpec {
       Seq("timestamp_micros"))
     val versioned = new AppendVersionedSink(s"$tmp/versioned", Seq("user_id"),
       "timestamp_micros")
+    // flaky gets its OWN directory: concurrent appends into one parquet
+    // path share the _temporary staging dir and corrupt each other (see
+    // FanOut scaladoc — destinations must not share output paths)
+    val flakySink = new AppendVersionedSink(s"$tmp/flaky", Seq("user_id"),
+      "timestamp_micros")
 
     val batch = Seq(
       ("u1", "INSERT", 100L), ("u2", "INSERT", 110L), ("u1", "UPDATE", 120L))
@@ -33,7 +38,7 @@ class FanOutSpec extends SparkSpec {
       FanOut.Destination("flaky", fastRetry, (df, id) => {
         if (flakyCalls.incrementAndGet() < 3)
           throw new java.net.ConnectException("connection refused")
-        versioned.append(df.withColumn("via", lit("flaky")), id + 1000)
+        flakySink.append(df, id)
       }),
       FanOut.Destination("broken", fastRetry,
         (_, _) => throw new IllegalStateException("schema mismatch"))),
@@ -50,7 +55,8 @@ class FanOutSpec extends SparkSpec {
     val state = store.current(spark).get
     assert(state.count() == 2) // u1 collapsed to latest, u2
     assert(state.filter($"user_id" === "u1").head().getLong(2) == 120L)
-    assert(versioned.raw(spark).count() == 6) // direct append + flaky's append
+    assert(versioned.raw(spark).count() == 3)
+    assert(flakySink.raw(spark).count() == 3) // landed on 3rd attempt
 
     // the broken destination's rows are all in ITS dlq partition, tagged
     val dlq = DlqSink.read(spark, dlqDir, "broken")

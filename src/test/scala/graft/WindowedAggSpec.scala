@@ -59,4 +59,31 @@ class WindowedAggSpec extends SparkSpec {
     assert(rows(ts(1)) == 3)
     assert(rows(ts(20)) == 1)
   }
+
+  test("stream-stream join pairs events inside the time band only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    val joined = WindowedAggs.streamStreamJoin(
+      views.toDF().toDF("user", "view_ts"),
+      buys.toDF().toDF("r_user", "buy_ts"),
+      keyCol = "user", leftTime = "view_ts", rightTime = "buy_ts",
+      watermark = "10 minutes", maxDelay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+
+    views.addData(("u1", ts(1)), ("u2", ts(2)))
+    // u1 buys 3 min after viewing (in band); u2 buys 20 min after (out)
+    buys.addData(("u1", ts(4)), ("u2", ts(22)))
+    // advance both watermarks so the join state closes and results emit
+    views.addData(("zz", ts(59)))
+    buys.addData(("zz", ts(59)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin")
+      .select("user", "view_ts", "buy_ts")
+      .as[(String, Timestamp, Timestamp)].collect()
+    assert(got.count(_._1 == "u1") == 1)
+    assert(got.forall(_._1 != "u2")) // 20-minute delay is outside the band
+  }
 }
