@@ -68,6 +68,8 @@ object SparkEntry {
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
     "t04_text_fingerprint" -> TextAnalysis.fingerprint _,
     "m01_media_meta" -> Multimodal.mediaMeta _,
+    "p01_hash_split" -> Sampling.hashSplit _,
+    "p02_stratified_sample" -> Sampling.stratifiedSample _,
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -553,6 +555,24 @@ object SparkEntry {
          |      FROM scored)
          |SELECT qid, rank, neighbor_id, cos_sim FROM r
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "p01_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "p02_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |      AS INT) AS rk
+         |  FROM h)
+         |SELECT lang, rk, doc_id FROM r
+         |WHERE rk <= ${Sampling.PerStratum} ORDER BY lang, rk""".stripMargin,
     "t01_text_langid" -> {
       val values = TextAnalysis.markers
         .map { case (l, w) => s"('$l','$w')" }.mkString(",")
