@@ -54,4 +54,37 @@ final case class MaskRules(
 object MaskRules {
   /** Reference fallback key (`src/transform/masking.py:206-207`). */
   val DefaultKey = "default-secret-key"
+
+  /** Load rules from the reference's `masking-rules.yaml` shape
+    * (`config/masking-rules.yaml`): top-level `pii_fields:` /
+    * `phi_fields:` list blocks of `- pattern` entries. The HMAC key is
+    * NEVER read from the file — it comes from the `CDC_PHI_KEY`
+    * environment variable (`masking-rules.yaml:29-31` loads from env),
+    * falling back to the reference default. Restricted line-based parse:
+    * the config grammar is flat lists, no YAML engine needed (and no
+    * extra dependency).
+    */
+  def fromYaml(path: String,
+      env: String => Option[String] = sys.env.get): MaskRules = {
+    val lines = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      var section = ""
+      val pii = Seq.newBuilder[String]
+      val phi = Seq.newBuilder[String]
+      val sectionRe = """^(\w+):\s*(#.*)?$""".r
+      val itemRe = """^\s+-\s+("?)([^"#]+)\1\s*(#.*)?$""".r
+      lines.getLines().foreach {
+        case sectionRe(name, _) => section = name
+        case itemRe(_, item, _) =>
+          section match {
+            case "pii_fields" => pii += item.trim
+            case "phi_fields" => phi += item.trim
+            case _ =>
+          }
+        case _ =>
+      }
+      MaskRules(pii.result(), phi.result(),
+        env("CDC_PHI_KEY").getOrElse(DefaultKey))
+    } finally lines.close()
+  }
 }

@@ -65,6 +65,21 @@ object Multimodal {
     }
   }
 
+  /** Resize: nearest-neighbor resample of the opaque payload to a fixed
+    * target length — the partition shape (not the codec) of image resizing
+    * for model input: constant-size output vector per asset, computed
+    * executor-side with no driver involvement. A real implementation swaps
+    * the index arithmetic for a pixel-grid interpolation. */
+  def resize(assets: Dataset[MediaAsset], target: Int = 64): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      val len = a.payload.length
+      val out = Array.tabulate(target)(i =>
+        if (len == 0) 0 else a.payload((i.toLong * len / target).toInt) & 0xff)
+      (a.doc_id, target, out)
+    }.toDF("doc_id", "size", "pixels")
+  }
+
   /** Frame sampling: every k-th byte as a "frame" marker — the partition
     * and batch shape of real video frame extraction. */
   def sampleFrames(assets: Dataset[MediaAsset], everyK: Int): DataFrame = {

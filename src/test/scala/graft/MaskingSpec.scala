@@ -61,4 +61,29 @@ class MaskingSpec extends SparkSpec {
     assert(row._2.length == 64 && row._2 != "flu")
     assert(row._3 == 7)
   }
+
+  test("fromYaml parses the reference masking-rules.yaml; key comes from env only") {
+    val yaml = java.nio.file.Files.createTempFile("rules", ".yaml")
+    java.nio.file.Files.write(yaml,
+      """# comment
+        |pii_fields:
+        |  - email
+        |  - phone
+        |  - ssn
+        |
+        |phi_fields:
+        |  - medical_record_number
+        |  - diagnosis
+        |
+        |masking:
+        |  phi_key_id: "primary"
+        |""".stripMargin.getBytes("UTF-8"))
+    val rules = MaskRules.fromYaml(yaml.toString,
+      env = { case "CDC_PHI_KEY" => Some("env-key"); case _ => None })
+    assert(rules.piiFields == Seq("email", "phone", "ssn"))
+    assert(rules.phiFields == Seq("medical_record_number", "diagnosis"))
+    assert(rules.hmacKey == "env-key") // never from the file
+    val noEnv = MaskRules.fromYaml(yaml.toString, env = _ => None)
+    assert(noEnv.hmacKey == MaskRules.DefaultKey)
+  }
 }

@@ -24,6 +24,19 @@ class OperatorsSpec extends SparkSpec {
     assert(again.histogram.toSeq == f.histogram.toSeq)
   }
 
+  test("multimodal: resize yields a constant-size vector via nearest-neighbor") {
+    val assets = Multimodal.assets(spark, sf)
+    val resized = Multimodal.resize(assets, target = 32).cache()
+    assert(resized.count() == assets.count())
+    val r = resized.filter(col("doc_id") === 0).head()
+    val pixels = r.getSeq[Int](2)
+    assert(pixels.length == 32)
+    val payload = assets.filter(_.doc_id == 0).head().payload
+    // nearest-neighbor: out[i] = payload[floor(i*len/32)]
+    assert(pixels(0) == (payload(0) & 0xff))
+    assert(pixels(31) == (payload((31L * payload.length / 32).toInt) & 0xff))
+  }
+
   test("multimodal: frame sampling yields every k-th byte") {
     val one = Multimodal.assets(spark, sf).filter(_.doc_id == 0)
     val bytes = one.head().payload
