@@ -56,7 +56,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] stream_eps failed: ${e.getMessage}"); -1.0
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_eps":$eps%.0f,"sf":"$sfDir"}""")
+    // 3-destination fan-out, the reference's multi-dest benchmark shape
+    val epsMulti =
+      try graft.streaming.ThroughputBench.runMulti(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_eps_multi failed: ${e.getMessage}"); -1.0
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

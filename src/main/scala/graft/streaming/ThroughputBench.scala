@@ -37,7 +37,8 @@ object ThroughputBench {
 
   /** Returns events/second over the full pipeline run. */
   def run(spark: SparkSession, nEvents: Int = 100000, nFiles: Int = 10,
-      nUsers: Int = 10000): Double = {
+      nUsers: Int = 10000,
+      extraSinks: Path => Seq[FanOut.Destination] = _ => Nil): Double = {
     val base = Files.createTempDirectory("graft-eps")
     val events = Files.createDirectories(base.resolve("events"))
     generate(events, nEvents, nFiles, nUsers)
@@ -45,9 +46,27 @@ object ThroughputBench {
     val q = CdcPipeline.start(spark, events.toString,
       base.resolve("state").toString, base.resolve("ckpt").toString,
       base.resolve("dlq").toString,
-      maxFilesPerTrigger = 1) // nFiles micro-batches, like reference batching
+      maxFilesPerTrigger = 1, // nFiles micro-batches, like reference batching
+      extraSinks = extraSinks(base))
     q.processAllAvailable()
     q.stop()
     nEvents / ((System.nanoTime() - t0) / 1e9)
   }
+
+  /** Three-destination fan-out variant, comparable to the reference's
+    * multi-destination benchmark (≥800 eps to 3 sinks,
+    * `tests/performance/benchmark_throughput.py:109,162`): upsert state
+    * store + versioned append (ClickHouse analog) + time-bucketed
+    * hypertable analog, concurrently per batch. */
+  def runMulti(spark: SparkSession, nEvents: Int = 100000): Double =
+    run(spark, nEvents, extraSinks = { base =>
+      val versioned = new graft.sinks.AppendVersionedSink(
+        base.resolve("versioned").toString,
+        Seq("event_key_cols"), "timestamp_micros")
+      Seq(
+        FanOut.Destination("versioned", write = versioned.append),
+        FanOut.Destination("hypertable", write = (df, _) =>
+          graft.sinks.HypertableSink.write(
+            df, base.resolve("hyper").toString, "captured_at", "day")))
+    })
 }
