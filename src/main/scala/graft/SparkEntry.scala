@@ -494,21 +494,18 @@ object SparkEntry {
          |      FROM scored)
          |SELECT qid, rank, neighbor_id, cos_sim FROM r
          |WHERE rank <= ${Similarity.TopK} ORDER BY qid, rank""".stripMargin,
-    "s02_sim_ann_lsh" ->
+    "s02_sim_ann_lsh" -> {
+      // same md5-derived hyperplanes as Similarity.planeWeights, inlined as
+      // literal weight vectors; the sign of a sequential double fold is
+      // engine-exact on both sides
+      val bitExprs = Similarity.planeWeights.map { ws =>
+        val l = ws.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $l::FLOAT[]), " +
+          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
+          "THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
       s"""WITH $embCte,
-         |planes AS (
-         |  SELECT j, i,
-         |    ((strpos('0123456789abcdef', substr(md5(j || 'p' || i), 1, 1)) - 1) * 16
-         |     + (strpos('0123456789abcdef', substr(md5(j || 'p' || i), 2, 1)) - 1)) % 21 - 10 AS w
-         |  FROM generate_series(0, ${Similarity.NumPlanes - 1}) g1(j),
-         |       generate_series(0, ${Similarity.Dim - 1}) g2(i)),
-         |comps AS (
-         |  SELECT vec_id, j, sum(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(12,6)) * w) AS proj
-         |  FROM e, generate_series(0, ${Similarity.Dim - 1}) g(i) JOIN planes USING (i)
-         |  GROUP BY vec_id, j),
-         |bk AS (SELECT vec_id,
-         |         string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
-         |       FROM comps GROUP BY vec_id),
+         |bk AS (SELECT vec_id, $bitExprs AS bucket FROM e),
          |ee AS (SELECT e.*, bk.bucket FROM e JOIN bk USING (vec_id)),
          |scored AS (
          |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
@@ -521,7 +518,8 @@ object SparkEntry {
          |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
          |      FROM scored)
          |SELECT qid, rank, neighbor_id, cos_sim FROM r
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
     "s03_sim_ann_ivf" ->
       s"""WITH $embCte,
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e

@@ -51,29 +51,31 @@ object Similarity {
   }
 
   // --- LSH-bucketed ANN ----------------------------------------------------
-  /** (plane j, dim i) → deterministic weight in [-10, 10]:
-    * first two hex chars of md5(j || 'p' || i) as an int, mod 21, minus 10. */
-  private def planes(s: SparkSession): DataFrame = {
-    import s.implicits._
-    val grid = for (j <- 0 until NumPlanes; i <- 0 until Dim) yield (j, i)
-    grid.toDF("j", "i").withColumn("w",
-      expr("CAST(conv(substring(md5(concat(j, 'p', i)), 1, 2), 16, 10) AS INT) % 21 - 10"))
+  /** (plane j, dim i) → deterministic weight in [-10, 10]: first two hex
+    * chars of md5(j || 'p' || i) as an int, mod 21, minus 10. Materialized
+    * driver-side: 8×64 small integers are plan literals, not data. */
+  private[graft] def planeWeights: Seq[Seq[Int]] = {
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until NumPlanes).map(j => (0 until Dim).map(i =>
+      Integer.parseInt(md5hex(s"${j}p$i").take(2), 16) % 21 - 10))
   }
 
   /** Sign-pattern bucket per vector: bit_j = [Σ_i w_ji · x_i ≥ 0].
-    * All NumPlanes projections ride one groupBy(vec_id) as conditional
-    * sums (and the bit-string is a plain concat), instead of a
-    * groupBy(vec_id, j) + collect_list re-aggregation — one shuffle,
-    * no per-group array sort. */
+    * Each projection is a codegen'd [[graft.functions.FloatVecDot]]
+    * against a literal weight vector — per-ROW map-side work, no explode,
+    * no shuffle at all for bucketing (the earlier explode+groupBy shape
+    * pushed #vectors × Dim × NumPlanes rows through an aggregation). The
+    * sequential double fold is bit-identical to the oracle's
+    * list_sum-over-doubles, so the sign (and the bucket) match exactly. */
   def buckets(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
-    val projs = (0 until NumPlanes).map(j =>
-      sum(when(col("j") === j, dec(col("x")) * col("w"))).as(s"p$j"))
-    val bits = (0 until NumPlanes).map(j =>
-      when(col(s"p$j") >= 0, lit("1")).otherwise(lit("0")))
-    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .join(broadcast(planes(s)), "i")
-      .groupBy("vec_id").agg(projs.head, projs.tail: _*)
+    import graft.functions.FloatVecDot.float_vec_dot
+    val bits = planeWeights.map { ws =>
+      val wArr = array(ws.map(w => lit(w.toFloat)): _*)
+      when(float_vec_dot(col("embedding"), wArr) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    embeddings(s, dir)
       .select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 
