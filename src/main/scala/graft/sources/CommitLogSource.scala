@@ -8,7 +8,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -158,12 +158,32 @@ case class CommitLogSegment(path: String, start: Long, end: Long)
 
 class CommitLogMicroBatchStream(dir: String,
     maxEntriesPerTrigger: Long = Long.MaxValue)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
   import CommitLogFormat._
 
   // Entry-alignment cache for FULLY admitted (intermediate) files, so
   // planInputPartitions never re-walks their headers.
   private val aligned = scala.collection.mutable.Map.empty[String, Long]
+
+  // Trigger.AvailableNow: end offset pinned at query start; the stream
+  // drains up to here (in rate-limited batches) and stops, ignoring files
+  // that keep arriving — the backfill/catch-up execution mode.
+  @volatile private var availableNowCap: Option[CommitLogOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val files = listFiles(dir)
+    availableNowCap = Some(
+      if (files.isEmpty) CommitLogOffset.Initial
+      else CommitLogOffset(files.last.getName, alignedEnd(files.last, 0L)))
+  }
+
+  override def reportLatestOffset(): Offset =
+    availableNowCap.getOrElse {
+      val files = listFiles(dir)
+      if (files.isEmpty) CommitLogOffset.Initial
+      else CommitLogOffset(files.last.getName, alignedEnd(files.last, 0L))
+    }
 
   override def initialOffset(): Offset = CommitLogOffset.Initial
 
@@ -198,7 +218,12 @@ class CommitLogMicroBatchStream(dir: String,
         result = CommitLogOffset(f.getName, end)
       i += 1
     }
-    result
+    // under Trigger.AvailableNow never admit past the pinned cap
+    availableNowCap match {
+      case Some(cap) if result.file > cap.file ||
+        (result.file == cap.file && result.pos > cap.pos) => cap
+      case _ => result
+    }
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(

@@ -101,6 +101,26 @@ class CommitLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains what existed at start, then stops") {
+    val dir = Files.createTempDirectory("graft-clog4").toFile
+    val ckpt = Files.createTempDirectory("graft-clog4-ckpt").toString
+    val f = new File(dir, "CommitLog-001.log")
+    append(f, (1 to 6).map(i => ('I', envelope(i, "INSERT"))))
+
+    val q = spark.readStream.format("graft-commitlog")
+      .option("path", dir.getPath)
+      .option("maxEntriesPerTrigger", 4) // drains in 2 capped batches
+      .load()
+      .writeStream.format("memory").queryName("clog_avnow")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query must self-stop")
+      assert(spark.table("clog_avnow").count() == 6)
+    } finally q.stop()
+  }
+
   test("restart from checkpoint does not duplicate") {
     val dir = Files.createTempDirectory("graft-clog2").toFile
     val ckpt = Files.createTempDirectory("graft-clog2-ckpt").toString
