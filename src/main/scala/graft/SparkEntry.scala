@@ -54,6 +54,7 @@ object SparkEntry {
     "q32_grouping_sets" -> ExtendedQueries.q32GroupingSets _,
     "q33_range_join" -> ExtendedQueries.q33RangeJoin _,
     "q34_sessionize" -> ExtendedQueries.q34Sessionize _,
+    "q35_json_extract" -> ExtendedQueries.q35JsonExtract _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLsh _,
@@ -409,6 +410,11 @@ object SparkEntry {
         |  MAX(ts_us) - MIN(ts_us) AS duration_us
         |FROM sessions GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q35_json_extract" ->
+      """WITH k AS (SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->

@@ -196,6 +196,19 @@ object ExtendedQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  // --- Q35: JSON path extraction over a semi-structured column --------------
+  // The events table carries a JSON string column (`props`); extraction is
+  // a codegen'd scalar (get_json_object) evaluated inside the scan
+  // projection — no UDF, no parse-to-struct materialization.
+  def q35JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   // --- Q31: as-of join (merge-sorted, single shuffle) -----------------------
   // For each purchase event: the user's most recent strictly-earlier view
   // event. Implemented as the scalable as-of algorithm — union both sides,
