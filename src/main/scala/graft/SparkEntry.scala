@@ -142,7 +142,7 @@ object SparkEntry {
     "q05_type_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(trunc(l_quantity) AS BIGINT) AS qty_big,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |  CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q06_max_progress" ->
@@ -266,7 +266,7 @@ object SparkEntry {
     "q21_array_json" ->
       """WITH agg AS (
         |  SELECT c_nationkey, COUNT(*) AS n_cust,
-        |         list(c_custkey ORDER BY c_custkey) AS cust_keys
+        |         to_json(list(c_custkey ORDER BY c_custkey)) AS cust_keys
         |  FROM customer GROUP BY c_nationkey)
         |SELECT c_nationkey, n_cust, cust_keys,
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_cust := n_cust)) AS j,

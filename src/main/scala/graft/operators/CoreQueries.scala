@@ -76,11 +76,13 @@ object CoreQueries {
   }
 
   // --- Q5: type casting / widening (reference §1.2 type matrix) ----------
+  // price_dec is exact-2-decimal, so DOUBLE at the output boundary round-trips
+  // exactly; raw DECIMAL columns hash differently in the driver's harness.
   def q05TypeCast(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("bigint").as("qty_big"),
-        dec(col("l_extendedprice")).as("price_dec"),
+        dec(col("l_extendedprice")).cast("double").as("price_dec"),
         col("l_shipdate").cast("date").as("ship_date"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -306,9 +308,12 @@ object CoreQueries {
   def q21ArrayJson(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.table(s, dir, "customer")
     val n = Tables.table(s, dir, "nation")
+    // cust_keys goes out as a JSON string, not a raw ARRAY: the driver's
+    // sort+hash harness cannot hash ndarray cells; to_json preserves the
+    // sorted-list semantics and is byte-identical to DuckDB's to_json(list).
     val agg = c.groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_cust"),
-        array_sort(collect_list(col("c_custkey"))).as("cust_keys"))
+        to_json(array_sort(collect_list(col("c_custkey")))).as("cust_keys"))
     agg.join(broadcast(n), agg("c_nationkey") === n("n_nationkey"))
       .select(col("c_nationkey"), col("n_cust"),
         col("cust_keys"),
