@@ -58,11 +58,14 @@ object ChangeEvent {
       .select("e.*")
 
   /** Column expression of [[ChangeEvent.eventKey]] for set-based dedup —
-    * same canonical form, computed inside codegen. */
+    * same canonical form, computed inside codegen. Null maps (nullable
+    * clustering_key) must render as an EMPTY slot ("ks.t:pk::ts"), not be
+    * dropped — concat_ws silently skips null args, which would let distinct
+    * keys collide. */
   def eventKeyCol: Column = concat_ws(":",
     concat_ws(".", col("keyspace"), col("table_name")),
-    mapCanonical(col("partition_key")),
-    mapCanonical(col("clustering_key")),
+    coalesce(mapCanonical(col("partition_key")), lit("")),
+    coalesce(mapCanonical(col("clustering_key")), lit("")),
     col("timestamp_micros").cast("string"))
 
   /** Deterministic `k=v,...` rendering of a map column (sorted by key). */

@@ -41,7 +41,9 @@ final class MetricsListener extends StreamingQueryListener {
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     processedTotal.addAndGet(p.numInputRows)
-    byQuery.merge(p.name, p.numInputRows, (a, b) => a + b)
+    // p.name is null for unnamed queries and CHM.merge NPEs on null keys
+    val key = Option(p.name).getOrElse(p.id.toString)
+    byQuery.merge(key, p.numInputRows, (a, b) => a + b)
     lastEventsPerSecond = p.processedRowsPerSecond
     batches.incrementAndGet()
     val batchMs = Option(p.durationMs.get("triggerExecution"))

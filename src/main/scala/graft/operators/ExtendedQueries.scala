@@ -43,11 +43,16 @@ object ExtendedQueries {
     val o = Tables.table(s, dir, "orders")
     val c = Tables.table(s, dir, "customer")
     val n = Tables.table(s, dir, "nation")
-    o.join(c, o("o_custkey") === c("c_custkey"))
+    val pivoted = o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .pivot("o_orderpriority", Priorities)
       .agg(count(lit(1)))
+    // pivot yields NULL for a (nation, priority) with zero rows; the
+    // oracle's count(*) FILTER yields 0 — coalesce so absent combinations
+    // agree on any corpus, not just ones where every cell is populated.
+    pivoted.select(col("n_name") +:
+        Priorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
       .orderBy("n_name")
   }
 

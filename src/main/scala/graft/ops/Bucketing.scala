@@ -1,6 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Bucketed-table layout for shuffle-free ("co-located") joins.
   *
@@ -39,8 +42,17 @@ object Bucketing {
     spark.table(left).join(spark.table(right), Seq(key))
 
   /** True iff the executed plan moved no data: no shuffle exchange node.
-    * (Runs the plan through execution planning without collecting.)
+    * Walks the actual plan tree (unwrapping AQE) rather than matching plan
+    * text — shuffle nodes print as "Exchange", so a string match on
+    * "ShuffleExchange" would never fire and the check would be vacuous.
     */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange")
+  def isShuffleFree(df: DataFrame): Boolean = {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).collectWithSubqueries {
+      case e: ShuffleExchangeLike => e
+    }.isEmpty
+  }
 }

@@ -71,13 +71,52 @@ object CommitLogFormat {
     buf.array()
   }
 
-  /** Sorted commitlog files in `dir` (oldest first by name, reader.py:124-127). */
+  /** Natural-order comparison of commitlog file names: digit runs compare
+    * numerically, so `CommitLog-9.log` < `CommitLog-10.log` even without
+    * zero-padding (Cassandra segment ids are unpadded epoch-millis).
+    * Non-digit runs compare lexicographically; ties broken by full name. */
+  def fileCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.charAt(i); val cb = b.charAt(j)
+      if (ca.isDigit && cb.isDigit) {
+        var i2 = i; while (i2 < a.length && a.charAt(i2).isDigit) i2 += 1
+        var j2 = j; while (j2 < b.length && b.charAt(j2).isDigit) j2 += 1
+        // compare digit runs numerically: strip leading zeros, then by
+        // length, then lexicographically
+        var is = i; while (is < i2 - 1 && a.charAt(is) == '0') is += 1
+        var js = j; while (js < j2 - 1 && b.charAt(js) == '0') js += 1
+        val la = i2 - is; val lb = j2 - js
+        if (la != lb) return la - lb
+        var k = 0
+        while (k < la) {
+          val d = a.charAt(is + k) - b.charAt(js + k)
+          if (d != 0) return d
+          k += 1
+        }
+        i = i2; j = j2
+      } else {
+        if (ca != cb) return ca - cb
+        i += 1; j += 1
+      }
+    }
+    (a.length - i) - (b.length - j) match {
+      case 0 => a.compareTo(b) // e.g. "09" vs "9": make ordering total+stable
+      case d => d
+    }
+  }
+
+  val fileOrdering: Ordering[String] =
+    (a: String, b: String) => fileCompare(a, b)
+
+  /** Sorted commitlog files in `dir` (oldest first, numeric-aware,
+    * reader.py:124-127). */
   def listFiles(dir: String): Seq[File] = {
     val d = new File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith(FilePrefix) &&
         f.getName.endsWith(FileSuffix))
-      .sortBy(_.getName).toSeq
+      .sortBy(_.getName)(fileOrdering).toSeq
   }
 
   /** Largest entry-aligned offset ≤ file length, walking only the 4-byte
@@ -111,19 +150,30 @@ object CommitLogFormat {
   }
 }
 
-/** `(file, position)` streaming offset; `file` is empty before any data. */
+/** `(file, position)` streaming offset; `file` is empty before any data.
+  * Serialized with a real JSON writer/parser so file names containing
+  * quotes/backslashes survive the checkpoint round-trip. */
 case class CommitLogOffset(file: String, pos: Long) extends Offset {
-  override def json(): String =
-    s"""{"file":"$file","pos":$pos}"""
+  override def json(): String = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    m.put("file", file)
+    m.put("pos", pos)
+    CommitLogOffset.mapper.writeValueAsString(m)
+  }
 }
 
 object CommitLogOffset {
   val Initial: CommitLogOffset = CommitLogOffset("", 0L)
-  private val Pattern = """\{"file":"(.*)","pos":(\d+)\}""".r
-  def fromJson(s: String): CommitLogOffset = s match {
-    case Pattern(f, p) => CommitLogOffset(f, p.toLong)
-    case other => throw new IllegalArgumentException(s"bad commitlog offset: $other")
-  }
+  private[sources] val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+  def fromJson(s: String): CommitLogOffset =
+    try {
+      val n = mapper.readTree(s)
+      require(n.hasNonNull("file") && n.hasNonNull("pos"))
+      CommitLogOffset(n.get("file").asText(), n.get("pos").asLong())
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(s"bad commitlog offset: $s", e)
+    }
 }
 
 class CommitLogSourceProvider extends TableProvider with DataSourceRegister {
@@ -206,21 +256,22 @@ class CommitLogMicroBatchStream(dir: String,
     if (files.isEmpty) return s
     var remaining = cap
     var result = s
-    var i = if (s.file.isEmpty) 0 else files.indexWhere(_.getName >= s.file)
+    var i = if (s.file.isEmpty) 0
+      else files.indexWhere(f => CommitLogFormat.fileCompare(f.getName, s.file) >= 0)
     if (i < 0) i = files.length
     while (i < files.length && remaining > 0) {
       val f = files(i)
       val from = if (f.getName == s.file) s.pos else 0L
       val (end, n) = alignedEndLimited(f, from, remaining)
       remaining -= n
-      if (end > from || f.getName > result.file ||
+      if (end > from || CommitLogFormat.fileCompare(f.getName, result.file) > 0 ||
         (f.getName == result.file && end > result.pos) || result.file.isEmpty)
         result = CommitLogOffset(f.getName, end)
       i += 1
     }
     // under Trigger.AvailableNow never admit past the pinned cap
     availableNowCap match {
-      case Some(cap) if result.file > cap.file ||
+      case Some(cap) if CommitLogFormat.fileCompare(result.file, cap.file) > 0 ||
         (result.file == cap.file && result.pos > cap.pos) => cap
       case _ => result
     }
@@ -234,8 +285,9 @@ class CommitLogMicroBatchStream(dir: String,
     val e = end.asInstanceOf[CommitLogOffset]
     if (e.file.isEmpty) return Array.empty
     listFiles(dir)
-      .filter(f => f.getName >= s.file || s.file.isEmpty)
-      .filter(f => f.getName <= e.file)
+      .filter(f => s.file.isEmpty ||
+        CommitLogFormat.fileCompare(f.getName, s.file) >= 0)
+      .filter(f => CommitLogFormat.fileCompare(f.getName, e.file) <= 0)
       .flatMap { f =>
         val segStart = if (f.getName == s.file) s.pos else 0L
         // Intermediate (non-newest) files read to their aligned end; the

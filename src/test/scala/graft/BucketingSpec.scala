@@ -37,6 +37,14 @@ class BucketingSpec extends SparkSpec {
       val agg = spark.table("orders_b").groupBy("custkey").count()
       assert(Bucketing.isShuffleFree(agg), "bucketed agg must not shuffle:\n" +
         agg.queryExecution.executedPlan.toString)
+
+      // non-vacuity: the same join over the UNBUCKETED tables must be
+      // detected as shuffling (guards against a plan-text-matching bug
+      // where the check always returned true)
+      val unbucketed = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      assert(!Bucketing.isShuffleFree(unbucketed),
+        "unbucketed SMJ should shuffle — isShuffleFree is vacuous")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS customer_b")

@@ -36,6 +36,20 @@ class CommitLogSourceSpec extends SparkSpec {
     assert(CommitLogOffset.fromJson(o.json()) == o)
     assert(CommitLogOffset.fromJson(CommitLogOffset.Initial.json())
       == CommitLogOffset.Initial)
+    // names with JSON metacharacters survive the checkpoint round-trip
+    val weird = CommitLogOffset("""CommitLog-"x"\y.log""", 7L)
+    assert(CommitLogOffset.fromJson(weird.json()) == weird)
+  }
+
+  test("file ordering is numeric-aware (unpadded segment ids)") {
+    import CommitLogFormat.fileCompare
+    assert(fileCompare("CommitLog-9.log", "CommitLog-10.log") < 0)
+    assert(fileCompare("CommitLog-10.log", "CommitLog-9.log") > 0)
+    assert(fileCompare("CommitLog-2.log", "CommitLog-2.log") == 0)
+    assert(fileCompare("CommitLog-1-99.log", "CommitLog-1-100.log") < 0)
+    val sorted = Seq("CommitLog-10.log", "CommitLog-2.log", "CommitLog-1.log")
+      .sorted(CommitLogFormat.fileOrdering)
+    assert(sorted == Seq("CommitLog-1.log", "CommitLog-2.log", "CommitLog-10.log"))
   }
 
   test("reads framed entries across files, skips partial tails, resumes at offset") {

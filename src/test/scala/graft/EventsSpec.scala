@@ -23,6 +23,18 @@ class EventsSpec extends SparkSpec {
     assert(viaCol == e.eventKey) // scala and Catalyst forms agree
   }
 
+  test("eventKeyCol renders a NULL clustering_key as an empty slot") {
+    // a null map must not collapse "ks.t:pk::ts" into "ks.t:pk:ts" —
+    // concat_ws skips nulls, which would let distinct keys collide
+    val df = Seq(("ecommerce", "users", 1000L))
+      .toDF("keyspace", "table_name", "timestamp_micros")
+      .withColumn("partition_key", map(lit("user_id"), lit("u1")))
+      .withColumn("clustering_key",
+        lit(null).cast("map<string,string>"))
+    val key = df.select(ChangeEvent.eventKeyCol).as[String].head()
+    assert(key == "ecommerce.users:user_id=u1::1000")
+  }
+
   test("JSON envelope round-trips through from_json") {
     val json = """{"event_id":"e1","event_type":"INSERT","table_name":"users",
       "keyspace":"ecommerce","partition_key":{"user_id":"u1"},

@@ -35,4 +35,28 @@ class MetricsSpec extends SparkSpec {
       assert(listener.currentHealth != listener.Unknown)
     } finally spark.streams.removeListener(listener)
   }
+
+  test("unnamed queries do not kill the listener (progress.name is null)") {
+    val listener = new MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Int]
+      val q = input.toDS().toDF("v") // no queryName: progress.name == null
+        .writeStream.format("noop").start()
+      input.addData(1 to 10: _*)
+      q.processAllAvailable()
+      q.stop()
+
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.snapshot("cdc_events_processed_total") < 10 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+
+      // before the null-guard, merge(null, …) NPE'd and every metric after
+      // processedTotal silently stopped updating
+      assert(listener.snapshot("cdc_events_processed_total") == 10.0)
+      assert(listener.snapshot("cdc_replication_duration_seconds_count") >= 1.0)
+      assert(listener.processedFor(q.id.toString) == 10L)
+    } finally spark.streams.removeListener(listener)
+  }
 }
