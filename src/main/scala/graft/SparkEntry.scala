@@ -477,15 +477,34 @@ object SparkEntry {
          |FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold}
          |ORDER BY da, db""".stripMargin,
-    "d05_dedup_embedding" ->
-      s"""WITH $embCte
-         |SELECT a.vec_id AS va, b.vec_id AS vb,
+    "d05_dedup_embedding" -> {
+      // same banded md5-derived hyperplanes as Dedup.embPlaneWeights; the
+      // sign of a sequential double fold is engine-exact on both sides
+      val w = Dedup.embPlaneWeights
+      val bandSelects = (0 until Dedup.EmbBands).map { b =>
+        val bits = (0 until Dedup.EmbPlanesPerBand).map { p =>
+          val l = w(b * Dedup.EmbPlanesPerBand + p)
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $l::FLOAT[]), " +
+            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
+            "THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"SELECT vec_id, $b AS band, $bits AS bucket FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $embCte,
+         |bb AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |         FROM bb x JOIN bb y ON x.band = y.band
+         |           AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT va, vb,
          |  CAST($dotAB AS DOUBLE)
          |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |FROM cand JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
          |WHERE CAST($dotAB AS DOUBLE)
          |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > ${Dedup.CosineThreshold}
-         |ORDER BY va, vb""".stripMargin,
+         |ORDER BY va, vb""".stripMargin
+    },
     "s01_sim_bruteforce_topk" ->
       s"""WITH $embCte,
          |scored AS (

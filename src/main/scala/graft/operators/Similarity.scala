@@ -52,14 +52,19 @@ object Similarity {
 
   // --- LSH-bucketed ANN ----------------------------------------------------
   /** (plane j, dim i) → deterministic weight in [-10, 10]: first two hex
-    * chars of md5(j || 'p' || i) as an int, mod 21, minus 10. Materialized
-    * driver-side: 8×64 small integers are plan literals, not data. */
-  private[graft] def planeWeights: Seq[Seq[Int]] = {
+    * chars of md5(prefix || j || 'p' || i) as an int, mod 21, minus 10.
+    * Materialized driver-side: a handful of 64-int vectors are plan
+    * literals, not data — and md5 is engine-agnostic, so the DuckDB oracle
+    * reproduces the same planes bit-for-bit. */
+  private[graft] def planeWeightsSeeded(prefix: String, n: Int): Seq[Seq[Int]] = {
     def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (0 until NumPlanes).map(j => (0 until Dim).map(i =>
-      Integer.parseInt(md5hex(s"${j}p$i").take(2), 16) % 21 - 10))
+    (0 until n).map(j => (0 until Dim).map(i =>
+      Integer.parseInt(md5hex(s"$prefix${j}p$i").take(2), 16) % 21 - 10))
   }
+
+  private[graft] def planeWeights: Seq[Seq[Int]] =
+    planeWeightsSeeded("", NumPlanes)
 
   /** Sign-pattern bucket per vector: bit_j = [Σ_i w_ji · x_i ≥ 0].
     * Each projection is a codegen'd [[graft.functions.FloatVecDot]]
