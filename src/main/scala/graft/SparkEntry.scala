@@ -470,8 +470,17 @@ object SparkEntry {
          |FROM hexc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d04_dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
-         |i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |df AS (SELECT s, count(*) AS d FROM ex GROUP BY s),
+         |kept AS (SELECT s FROM df
+         |         WHERE d <= greatest(${Dedup.DfCapFloor},
+         |           CAST(floor(${Dedup.DfCapFraction} *
+         |             (SELECT count(*) FROM documents)) AS BIGINT))),
+         |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |i AS (SELECT da, db, count(*) AS inter
+         |      FROM cand JOIN ex a ON da = a.doc_id
+         |      JOIN ex b ON db = b.doc_id AND a.s = b.s
          |      GROUP BY 1, 2)
          |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
          |FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id

