@@ -71,6 +71,18 @@ final class MetricsListener extends StreamingQueryListener {
     "cdc_replication_duration_seconds_count" -> batches.get.toDouble,
     "cdc_backlog_depth" -> lastBacklog.toDouble)
 
+  /** Prometheus text exposition of [[snapshot]] — the `/metrics` body the
+    * reference serves (`src/observability/metrics.py:46-54`). Spark's own
+    * executor/driver metrics export natively with
+    * `spark.ui.prometheus.enabled=true` (+ the `PrometheusServlet` sink);
+    * this covers the reference's CDC-specific series. */
+  def prometheusText: String =
+    snapshot.toSeq.sortBy(_._1).map { case (name, v) =>
+      val typ = if (name.endsWith("_total") || name.endsWith("_sum") ||
+        name.endsWith("_count")) "counter" else "gauge"
+      s"# TYPE $name $typ\n$name $v"
+    }.mkString("", "\n", "\n")
+
   def currentHealth: Health = health
   def processedFor(queryName: String): Long = byQuery.getOrDefault(queryName, 0L)
 }

@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
 object DlqSink {
 
   /** Append failed rows. `df` is any DataFrame of failed events; error
-    * context is attached as columns (spec `data-model.md:233-244`). */
+    * context is attached as columns (spec `data-model.md:233-244`):
+    * `dlq_id`, `error_type/_message`, `stack_trace`, `retry_count`,
+    * `first_failure_at_micros`, and `failed_at_micros` (= dlq_written_at). */
   def write(df: DataFrame, dlqDir: String, destination: String,
-      errorType: String, errorMessage: String, failedAtMicros: Long): Unit = {
-    df.withColumn("destination", lit(destination))
+      errorType: String, errorMessage: String, failedAtMicros: Long,
+      retryCount: Int = 0, firstFailureAtMicros: Long = 0L,
+      stackTrace: String = ""): Unit = {
+    df.withColumn("dlq_id", expr("uuid()"))
+      .withColumn("destination", lit(destination))
       .withColumn("error_type", lit(errorType))
       .withColumn("error_message", lit(errorMessage))
+      .withColumn("stack_trace", lit(stackTrace))
+      .withColumn("retry_count", lit(retryCount))
+      .withColumn("first_failure_at_micros",
+        lit(if (firstFailureAtMicros > 0) firstFailureAtMicros else failedAtMicros))
       .withColumn("failed_at_micros", lit(failedAtMicros))
       .withColumn("failed_date",
         date_format(timestamp_micros(lit(failedAtMicros)), "yyyy-MM-dd"))

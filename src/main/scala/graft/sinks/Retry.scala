@@ -59,20 +59,27 @@ object Retry {
 
   sealed trait Outcome[+A]
   case class Succeeded[A](value: A, attempts: Int) extends Outcome[A]
-  case class Exhausted(lastError: Throwable, attempts: Int) extends Outcome[Nothing]
-  case class Permanent(error: Throwable, attempts: Int) extends Outcome[Nothing]
+  /** `firstFailureAtMillis` = wall-clock of the FIRST failed attempt —
+    * carried into the DLQ record (spec `data-model.md:241`). */
+  case class Exhausted(lastError: Throwable, attempts: Int,
+      firstFailureAtMillis: Long) extends Outcome[Nothing]
+  case class Permanent(error: Throwable, attempts: Int,
+      firstFailureAtMillis: Long) extends Outcome[Nothing]
 
   /** Run `op` with the policy; sleep between attempts. Permanent errors
     * fail immediately (`retry.py:150-170`). */
   def withRetry[A](policy: RetryPolicy, rng: Random = new Random(),
       sleep: Long => Unit = Thread.sleep)(op: => A): Outcome[A] = {
     var attempt = 1
+    var firstFailureAt = 0L
     while (true) {
       try return Succeeded(op, attempt)
       catch {
-        case t: Throwable if !isRetryable(t) => return Permanent(t, attempt)
         case t: Throwable =>
-          if (attempt >= policy.maxAttempts) return Exhausted(t, attempt)
+          if (firstFailureAt == 0L) firstFailureAt = System.currentTimeMillis()
+          if (!isRetryable(t)) return Permanent(t, attempt, firstFailureAt)
+          if (attempt >= policy.maxAttempts)
+            return Exhausted(t, attempt, firstFailureAt)
           sleep(policy.backoffWithJitterMs(attempt, rng))
           attempt += 1
       }

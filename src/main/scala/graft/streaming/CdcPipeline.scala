@@ -54,7 +54,8 @@ object CdcPipeline {
       triggerMs: Long = 100,
       maxFilesPerTrigger: Int = 1000,
       extraSinks: Seq[FanOut.Destination] = Nil,
-      retryPolicy: graft.sinks.RetryPolicy = graft.sinks.RetryPolicy()): StreamingQuery = {
+      retryPolicy: graft.sinks.RetryPolicy = graft.sinks.RetryPolicy(),
+      onBatch: Seq[FanOut.FanOutResult] => Unit = _ => ()): StreamingQuery = {
 
     val store = new UpsertStateStore(stateDir,
       keyNames = Seq("keyspace", "table_name", "event_key_cols"),
@@ -91,10 +92,11 @@ object CdcPipeline {
               failedAtMicros = System.currentTimeMillis() * 1000)
           // per-destination retry + failure isolation + DLQ handoff
           // (reference main.py:123-155 semantics; see FanOut)
-          FanOut.writeAll(valid, batchId,
+          val results = FanOut.writeAll(valid, batchId,
             FanOut.Destination("state-store", retryPolicy, store.upsert)
               +: extraSinks,
             dlqDir)
+          onBatch(results)
         } finally batch.unpersist()
         ()
       }
@@ -106,4 +108,43 @@ object CdcPipeline {
   def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] =
     new UpsertStateStore(stateDir, Seq("event_key_cols"),
       Seq("timestamp_micros")).current(spark)
+
+  /** Boot the pipeline from a [[graft.config.PipelineConfig]] — the
+    * reference's `load_config → CDCPipeline(config)` path
+    * (`src/config/loader.py:112-168`, `src/main.py`). Mapping:
+    * `pipeline.poll_interval_ms` → trigger; `pipeline.batch_size` →
+    * per-trigger admission (file granularity on the JSONL source; the
+    * commitlog source takes it as `maxEntriesPerTrigger` exactly);
+    * `retry.*` → every destination's [[graft.sinks.RetryPolicy]];
+    * `dlq.directory` → DLQ root; `masking_rules_file` → [[MaskRules]];
+    * each enabled destination → a [[FanOut.Destination]] whose writer
+    * `sinkFor` builds (JDBC/versioned/hypertable in production, parquet in
+    * the demo). Every fan-out result feeds `health` with up/down + the
+    * retried-write latency, driving HEALTHY/DEGRADED/UNHEALTHY. */
+  def startFromConfig(
+      spark: SparkSession,
+      cfg: graft.config.PipelineConfig,
+      eventsDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      sinkFor: graft.config.DestinationSettings => (DataFrame, Long) => Unit,
+      health: Option[graft.obs.HealthStatus] = None): StreamingQuery = {
+    val policy = cfg.retry.toPolicy
+    val rules = cfg.maskingRulesFile
+      .map(f => MaskRules.fromYaml(f)).getOrElse(MaskRules())
+    val dests = cfg.enabledDestinations.map(d =>
+      FanOut.Destination(d.name, policy, sinkFor(d)))
+    start(spark, eventsDir, stateDir, checkpointDir,
+      dlqDir = cfg.dlqDirectory,
+      rules = rules,
+      triggerMs = cfg.pipeline.pollIntervalMs,
+      maxFilesPerTrigger = cfg.pipeline.batchSize,
+      extraSinks = dests,
+      retryPolicy = policy,
+      onBatch = results => health.foreach { h =>
+        results.foreach(r => h.update(r.destination,
+          up = r.outcome.isInstanceOf[graft.sinks.Retry.Succeeded[_]],
+          latencyMs = r.durationMs.toDouble))
+      })
+  }
 }

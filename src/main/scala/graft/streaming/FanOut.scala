@@ -37,9 +37,11 @@ object FanOut {
       policy: RetryPolicy = RetryPolicy(),
       write: (DataFrame, Long) => Unit)
 
-  /** Outcome per destination for metrics/health bookkeeping. */
+  /** Outcome per destination for metrics/health bookkeeping;
+    * `durationMs` covers the whole retried write (the sink-health latency
+    * input, `src/models/destination_sink.py:67-72`). */
   final case class FanOutResult(destination: String,
-      outcome: Retry.Outcome[Unit], dlqRows: Long)
+      outcome: Retry.Outcome[Unit], dlqRows: Long, durationMs: Long = 0L)
 
   /** Write `batch` to every destination concurrently; isolate failures.
     * Returns per-destination outcomes (order of `dests`). */
@@ -50,13 +52,17 @@ object FanOut {
     try {
       val futures = dests.map { d =>
         Future {
+          val t0 = System.currentTimeMillis()
           val out = Retry.withRetry(d.policy)(d.write(batch, batchId))
           val dlqRows = out match {
             case Retry.Succeeded(_, _) => 0L
-            case Retry.Permanent(err, _) => toDlq(batch, batchId, d.name, err, dlqDir)
-            case Retry.Exhausted(err, _) => toDlq(batch, batchId, d.name, err, dlqDir)
+            case Retry.Permanent(err, attempts, firstAt) =>
+              toDlq(batch, batchId, d.name, err, dlqDir, attempts, firstAt)
+            case Retry.Exhausted(err, attempts, firstAt) =>
+              toDlq(batch, batchId, d.name, err, dlqDir, attempts, firstAt)
           }
-          FanOutResult(d.name, out, dlqRows)
+          FanOutResult(d.name, out, dlqRows,
+            durationMs = System.currentTimeMillis() - t0)
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf)
@@ -64,14 +70,20 @@ object FanOut {
   }
 
   private def toDlq(batch: DataFrame, batchId: Long, dest: String,
-      err: Throwable, dlqDir: String): Long = {
+      err: Throwable, dlqDir: String, attempts: Int,
+      firstFailureAtMillis: Long): Long = {
     val n = batch.count()
+    val sw = new java.io.StringWriter()
+    err.printStackTrace(new java.io.PrintWriter(sw))
     DlqSink.write(
       batch.withColumn("batch_id", lit(batchId)),
       dlqDir, destination = dest,
       errorType = err.getClass.getSimpleName,
       errorMessage = Option(err.getMessage).getOrElse(""),
-      failedAtMicros = System.currentTimeMillis() * 1000)
+      failedAtMicros = System.currentTimeMillis() * 1000,
+      retryCount = attempts,
+      firstFailureAtMicros = firstFailureAtMillis * 1000,
+      stackTrace = sw.toString)
     n
   }
 }

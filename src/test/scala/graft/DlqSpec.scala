@@ -26,4 +26,41 @@ class DlqSpec extends SparkSpec {
       failedAtMicros = 1704153600000000L) // next day
     assert(DlqSink.count(spark, dir, "postgres") == 4)
   }
+
+  test("spec-extra fields round-trip (data-model.md:233-244)") {
+    val dir = Files.createTempDirectory("dlq2").toString
+    val failed = Seq(("e1", "users")).toDF("event_id", "table_name")
+    DlqSink.write(failed, dir, "postgres", "ConnectionError", "refused",
+      failedAtMicros = 1704153600000000L,
+      retryCount = 5, firstFailureAtMicros = 1704153000000000L,
+      stackTrace = "java.net.ConnectException: refused\n  at Sink.write")
+    val row = DlqSink.read(spark, dir, "postgres").head()
+    assert(row.getAs[Long]("retry_count") == 5L)
+    assert(row.getAs[Long]("first_failure_at_micros") == 1704153000000000L)
+    assert(row.getAs[String]("stack_trace").startsWith("java.net.ConnectException"))
+    assert(row.getAs[String]("dlq_id").length == 36) // uuid
+    // first_failure_at defaults to the failure time when not supplied
+    DlqSink.write(failed, dir, "clickhouse", "Timeout", "slow",
+      failedAtMicros = 1704153600000000L)
+    val row2 = DlqSink.read(spark, dir, "clickhouse").head()
+    assert(row2.getAs[Long]("first_failure_at_micros") == 1704153600000000L)
+    assert(row2.getAs[Long]("retry_count") == 0L)
+  }
+
+  test("FanOut threads retry outcome into the DLQ record") {
+    val dir = Files.createTempDirectory("dlq3").toString
+    val batch = Seq(("e1", "users")).toDF("event_id", "table_name")
+    val dead = graft.streaming.FanOut.Destination("broken",
+      graft.sinks.RetryPolicy(maxAttempts = 3, baseDelayMs = 1),
+      (_, _) => throw new java.net.ConnectException("connection refused"))
+    val results = graft.streaming.FanOut.writeAll(batch, 7L, Seq(dead), dir)
+    assert(results.head.dlqRows == 1)
+    val row = DlqSink.read(spark, dir, "broken").head()
+    assert(row.getAs[Long]("retry_count") == 3L) // exhausted after 3 attempts
+    assert(row.getAs[String]("error_type") == "ConnectException")
+    assert(row.getAs[String]("stack_trace").contains("ConnectException"))
+    assert(row.getAs[Long]("first_failure_at_micros") <=
+      row.getAs[Long]("failed_at_micros"))
+    assert(row.getAs[Long]("batch_id") == 7L)
+  }
 }

@@ -59,4 +59,49 @@ class MetricsSpec extends SparkSpec {
       assert(listener.processedFor(q.id.toString) == 10L)
     } finally spark.streams.removeListener(listener)
   }
+
+  test("prometheus exposition renders every snapshot series") {
+    val listener = new MetricsListener
+    val text = listener.prometheusText
+    listener.snapshot.keys.foreach { name =>
+      assert(text.contains(s"# TYPE $name"), s"missing series $name")
+    }
+    assert(text.contains("# TYPE cdc_events_processed_total counter"))
+    assert(text.contains("# TYPE cdc_backlog_depth gauge"))
+  }
+
+  test("fan-out results drive health states incl. DEGRADED (health.py:21-84)") {
+    import graft.obs.HealthStatus
+    import graft.sinks.RetryPolicy
+    import graft.streaming.FanOut
+    val health = new HealthStatus()
+    assert(health.overall == "unhealthy") // nothing registered yet
+
+    val dir = java.nio.file.Files.createTempDirectory("health-dlq").toString
+    val batch = Seq((1, "a")).toDF("id", "v")
+    val results = FanOut.writeAll(batch, 1L, Seq(
+      FanOut.Destination("fast", RetryPolicy(), (_, _) => ()),
+      FanOut.Destination("slow", RetryPolicy(),
+        (_, _) => Thread.sleep(1200)), // > DegradedThresholdMs, still up
+      FanOut.Destination("dead", RetryPolicy(maxAttempts = 1),
+        (_, _) => throw new IllegalStateException("permanently broken"))),
+      dir)
+    results.foreach(r => health.update(r.destination,
+      up = r.outcome.isInstanceOf[graft.sinks.Retry.Succeeded[_]],
+      latencyMs = r.durationMs.toDouble))
+
+    assert(health.dependencyState("fast") == "HEALTHY")
+    assert(health.dependencyState("slow") == "DEGRADED")
+    assert(health.dependencyState("dead") == "UNHEALTHY")
+    assert(health.overall == "unhealthy") // any down dependency wins
+    val json = health.toJson
+    assert(json.contains("\"status\":\"unhealthy\"") &&
+      json.contains("\"slow\"") && json.contains("\"DEGRADED\""))
+
+    // recovery: the dead destination comes back ⇒ overall only degraded
+    health.update("dead", up = true, latencyMs = 5.0)
+    assert(health.overall == "degraded")
+    health.update("slow", up = true, latencyMs = 20.0)
+    assert(health.overall == "healthy")
+  }
 }
