@@ -12,6 +12,48 @@ import org.apache.spark.sql.SparkSession
   * real cluster.
   */
 object Bench {
+
+  /** Per-query seconds from the newest `BENCH_r{N}.json` in the repo root,
+    * so each round's JSON carries mechanical deltas vs the previous round
+    * (VERDICT r01 item 9). The driver's file wraps the engine's JSON line
+    * inside a `tail` field (with an sbt `[info] ` prefix), so parse the
+    * `parsed` field when present and fall back to extracting the line.
+    */
+  private[graft] def previousBench(): (String, Map[String, Double]) = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    def queriesOf(n: JsonNode): Map[String, Double] =
+      if (n != null && n.has("queries"))
+        n.get("queries").properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      else Map.empty
+    val candidates = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .distinct.sortBy(_.getName)
+    candidates.lastOption.map { f =>
+      try {
+        val root = mapper.readTree(f)
+        val direct = queriesOf(root)
+        val viaParsed = queriesOf(root.get("parsed"))
+        val viaTail =
+          if (direct.nonEmpty || viaParsed.nonEmpty) Map.empty[String, Double]
+          else {
+            val tail = Option(root.get("tail")).map(_.asText("")).getOrElse("")
+            val i = tail.indexOf("{\"metric\"")
+            if (i < 0) Map.empty[String, Double]
+            else {
+              val j = tail.indexOf('\n', i)
+              val line = if (j < 0) tail.substring(i) else tail.substring(i, j)
+              queriesOf(mapper.readTree(line.trim))
+            }
+          }
+        (f.getName, direct ++ viaParsed ++ viaTail)
+      } catch { case _: Throwable => (f.getName, Map.empty[String, Double]) }
+    }.getOrElse(("", Map.empty))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,7 +104,20 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] stream_eps_multi failed: ${e.getMessage}"); -1.0
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"sf":"$sfDir"}""")
+    // deltas vs previous round (positive = slower than last round)
+    val (prevName, prevQ) = previousBench()
+    val deltas = results.collect {
+      case (k, v) if v >= 0 && prevQ.contains(k) =>
+        "\"" + k + "\":" + f"${v - prevQ(k)}%.3f"
+    }.mkString("{", ",", "}")
+    val prevJson = s""","prev":"$prevName","prev_delta_sec":$deltas"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"sf":"$sfDir"$prevJson}"""
+    println(line)
+    // belt-and-braces: the driver's r01 record shows its stdout parse can
+    // fail on sbt log prefixes ("parsed": null) — persist the same line.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -47,6 +47,7 @@ object SparkEntry {
     "q25_window_family" -> ExtendedQueries.q25WindowFamily _,
     "q26_exists_subquery" -> ExtendedQueries.q26ExistsSubquery _,
     "q27_percentiles" -> ExtendedQueries.q27Percentiles _,
+    "q27b_percentiles_approx" -> ExtendedQueries.q27bPercentilesApprox _,
     "q28_string_agg" -> ExtendedQueries.q28StringAgg _,
     "q29_conditional_agg" -> ExtendedQueries.q29ConditionalAgg _,
     "q30_date_arith" -> ExtendedQueries.q30DateArith _,
@@ -64,6 +65,7 @@ object SparkEntry {
     "s01_sim_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "s02_sim_ann_lsh" -> Similarity.annLsh _,
     "s03_sim_ann_ivf" -> Similarity.annIvf _,
+    "s04_sim_ann_ivf_trained" -> Similarity.annIvfTrained _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -35,12 +36,12 @@ object Dedup {
   val JaccardThreshold = 0.8
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // width-normalize before shingling (see ngramJaccard: one small file =
+    // one partition, and every branch recompute would serialize otherwise)
     val docs = Tables.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    // the postings list feeds signature agg + both sides of candidate
-    // verification — cache once instead of re-shingling three times
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).cache()
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
 
     // one md5 per shingle; K universal-hash mixes derive the K signatures
     val sigExprs = (0 until K).map(j => minhashAgg(col("hb"), j).as(s"h$j"))
@@ -61,18 +62,23 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
 
-    // verify candidates with exact jaccard (shingle-postings join)
-    val inter = cands
-      .join(ex.as("a"), col("da") === col("a.doc_id"))
-      .join(ex.as("b"), col("db") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    val scored = inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+    // verify candidates with exact jaccard: per-pair set intersection
+    // against the per-doc shingle arrays (see ngramJaccard — one row per
+    // candidate through two doc_id equi-joins beats re-exploding
+    // candidates × shingles through a 3-way postings join)
+    val a = docs.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("db"), col("sh").as("shb"))
+    cands.join(a, "da").join(b, "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .select(col("da"), col("db"),
         (col("inter").cast(DoubleType) /
-          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
-    scored.filter(col("jaccard") >= JaccardThreshold).orderBy("da", "db")
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      // tiny expected output — single-partition sort avoids orderBy's
+      // range-sampling re-execution of the whole pipeline
+      .repartition(1).sortWithinPartitions("da", "db")
   }
 
   // --- SimHash fingerprint -------------------------------------------------
@@ -119,35 +125,67 @@ object Dedup {
   val DfCapFraction = 0.003
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Width-normalize BEFORE shingling: a small corpus arrives as one file
+    // = one partition, and this 5-branch DAG recomputes scan+shingle per
+    // branch — serially, on one core, ~6 s of the sf0.1 runtime. Hashing
+    // the raw text across the cluster makes every branch's recompute
+    // parallel; at 100 TB the scan already has ≥ this many splits and the
+    // exchange is a cheap pass AQE coalesces away.
     val docs = Tables.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s")).cache()
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
     // df cap as a broadcast scalar (no collect; the 1-row cross join is a
     // broadcast, not a shuffle)
     val cap = docs.agg(greatest(lit(DfCapFloor.toLong),
       floor(lit(DfCapFraction) * count(lit(1)))).as("cap"))
     val kept = ex.groupBy("s").agg(count(lit(1)).as("d"))
       .crossJoin(broadcast(cap))
-      .filter(col("d") <= col("cap")).select("s")
-    val exKept = ex.join(kept, "s")
-    val cands = exKept.as("a").join(exKept.as("b"),
+      .filter(col("d") <= col("cap")).select("s", "d")
+    // Prefix filtering (AllPairs/PPJoin): under a global canonical order, a
+    // pair with jaccard ≥ τ MUST collide within the first
+    // ⌊(1−τ)·|sh|⌋ + 1 shingles of each side — so only those prefixes need
+    // to be indexed for candidate generation. Order rarest-first (df asc)
+    // so the indexed prefix holds each doc's most selective shingles: at
+    // τ=0.8 this joins ~20% of the postings and shrinks pair-occurrences
+    // quadratically (sf0.1: 1.1M → ~50k). Combined with the df cap above,
+    // candidates stay bounded even on a boilerplate-heavy corpus.
+    val exKept = ex.join(kept.withColumnRenamed("s", "ks"), col("s") === col("ks"))
+      .select(col("doc_id"), col("n"), col("s"), col("d"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("d").asc, col("s").asc)
+    // Prefix length n − ⌈τ·n⌉ + 1 in EXACT integer arithmetic (τ = 4/5):
+    // the double form floor((1−τ)·n) is one short whenever 5 | n, because
+    // 1.0−0.8 = 0.1999…96 — which silently drops qualifying pairs.
+    val prefixLen = col("n") - expr("(4 * n + 4) div 5") + 1
+    val prefix = exKept.withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= prefixLen)
+      .select("doc_id", "s")
+    val cands = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // exact intersection over FULL postings for candidates only
-    val inter = cands
-      .join(ex.as("a"), col("da") === col("a.doc_id"))
-      .join(ex.as("b"), col("db") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+    // Exact re-score over the FULL shingle SETS, one row per candidate
+    // pair: two equi-joins on doc_id pull in each side's (distinct) shingle
+    // array and `array_intersect` counts the overlap map-side. The earlier
+    // shape — re-exploding candidates through a 3-way postings join —
+    // pushed |cands|·|shingles| rows through a shuffle and was 10× slower
+    // at sf0.1; this one moves |cands| rows + the docs table only.
+    val a = docs.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("db"), col("sh").as("shb"))
+    cands.join(a, "da").join(b, "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .select(col("da"), col("db"),
         (col("inter").cast(DoubleType) /
-          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy("da", "db")
+      // tiny expected output: a single-partition sort gives a total order
+      // WITHOUT orderBy's range-bound sampling pass, which re-executes the
+      // whole candidate pipeline a second time (~2× the query at sf0.1)
+      .repartition(1).sortWithinPartitions("da", "db")
   }
 
   // --- embedding-cosine near-dup ------------------------------------------

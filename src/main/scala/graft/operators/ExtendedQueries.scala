@@ -94,6 +94,30 @@ object ExtendedQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // --- Q27b: approximate percentiles (scale path) ---------------------------
+  /** Sketch-based companion to [[q27Percentiles]]. Exact `percentile` buffers
+    * every value per group (l_extendedprice is ~97% distinct), so at 100 TB
+    * the per-group buffers are the bottleneck; `approx_percentile` keeps a
+    * bounded KLL-style sketch per group with map-side partial merge — the
+    * right plan for the reference's p50/p95/p99 lag *monitoring* use-case.
+    * Accuracy 10000 ⇒ rank error ≤ 1/10000. Exact q27 remains the oracle-
+    * hashed query; this one is rows-only by design (sketch results are
+    * engine-specific, like q12b's HLL).
+    */
+  def q27bPercentilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+          .as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("pcts").getItem(0).as("p50"),
+        col("pcts").getItem(1).as("p95"),
+        col("pcts").getItem(2).as("p99"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   // --- Q28: ordered string aggregation --------------------------------------
   def q28StringAgg(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "customer")

@@ -30,8 +30,11 @@ object Similarity {
   val Dim = 64
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    withNorm(Tables.table(s, dir, "embeddings"))
+
+  /** Attach the exact-decimal L2 norm to a (vec_id, embedding) frame. */
+  private[graft] def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
 
   // --- exact top-k ---------------------------------------------------------
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -104,6 +107,15 @@ object Similarity {
         col("vec_id") >= NumQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
+    ivfSearch(e, cents, numQueries = NumQueries, nProbe = NProbe, topK = 3)
+  }
+
+  /** The IVF search data flow, shared by the oracle-pinned [[annIvf]] and the
+    * trained [[annIvfTrained]]. `e` = (vec_id, embedding, nrm); `cents` =
+    * (cid, cv, cn), K ≪ N so always broadcast.
+    */
+  private[graft] def ivfSearch(e: DataFrame, cents: DataFrame,
+      numQueries: Int, nProbe: Int, topK: Int): DataFrame = {
     // Assignment/probing only needs an ARGMAX over centroids, so it runs on
     // the codegen'd double dot (sequential fold — bit-identical to the
     // oracle's list_sum-over-doubles) instead of ~300×-slower exact
@@ -118,14 +130,14 @@ object Similarity {
       .select(col("vec_id"), col("cid"), cosToCentroid)
       .withColumn("rn", row_number().over(wNearest))
       .filter(col("rn") === 1).select("vec_id", "cid")
-    // queries probe their NProbe nearest lists
-    val probes = e.filter(col("vec_id") < NumQueries)
+    // queries probe their nProbe nearest lists
+    val probes = e.filter(col("vec_id") < numQueries)
       .join(broadcast(cents), lit(true))
       .select(col("vec_id").as("qid"), col("cid"), cosToCentroid)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("rn") <= NProbe).select("qid", "cid")
-    val q = e.filter(col("vec_id") < NumQueries)
+      .filter(col("rn") <= nProbe).select("qid", "cid")
+    val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
     // candidates = union of probed lists; exact re-rank within them
     val scored = assigned
@@ -138,9 +150,47 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select("qid", "rank", "neighbor_id", "cos_sim")
       .orderBy("qid", "rank")
+  }
+
+  // --- trained IVF (k-means|| coarse quantizer) ----------------------------
+  /** Production IVF trains its coarse quantizer; [[annIvf]] stands in a
+    * deterministic data sample so the DuckDB oracle can replay the buckets.
+    * This variant trains REAL centroids — spark.ml k-means|| with a fixed
+    * seed (reference quantizer-training shape: hybrid-cdc-demo has no ANN,
+    * this is north-star surface) — then runs the identical search flow.
+    * Driver check is rows-only by design: trained centers are engine-
+    * specific floats DuckDB cannot reproduce, like q12b's HLL sketch. The
+    * recall spec drives it on a clustered corpus where trained centroids
+    * beat sampled ones.
+    *
+    * At 100 TB: training runs on a sample (k-means|| is a handful of passes
+    * over O(sample) with K ≪ N centers on the driver — the standard, scale-
+    * sanctioned exception to "no driver data"), and the resulting centers
+    * broadcast to the assignment pass exactly as here.
+    */
+  val TrainedK = 12
+
+  private[graft] def trainCentroids(e: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = e.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(7).setMaxIter(5).fit(feats)
+    val s = e.sparkSession
+    import s.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cid", "cv")
+      .select(col("cid"), col("cv"), normD(col("cv")).as("cn"))
+  }
+
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cents = trainCentroids(e.filter(col("vec_id") >= NumQueries), TrainedK)
+    ivfSearch(e, cents, numQueries = NumQueries, nProbe = NProbe, topK = 3)
   }
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {

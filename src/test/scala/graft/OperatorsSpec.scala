@@ -46,6 +46,53 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.head.getInt(2) == (bytes(0) & 0xff))
   }
 
+  test("q27b approx percentiles track exact percentiles within sketch error") {
+    import graft.operators.ExtendedQueries
+    val exact = ExtendedQueries.q27Percentiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = ExtendedQueries.q27bPercentilesApprox(spark, sf).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (p50, p95, p99) = exact(r.getString(0))
+      // rank error 1/10000 on ~2k rows/group ⇒ approx lands on a value
+      // within a handful of ranks of the exact interpolated one; 2%
+      // relative tolerance is generous headroom for the interpolation gap
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.02)
+      assert(math.abs(r.getDouble(2) - p95) / p95 < 0.02)
+      assert(math.abs(r.getDouble(3) - p99) / p99 < 0.02)
+    }
+  }
+
+  test("trained IVF: k-means centroids beat the probe fraction on clustered data") {
+    import graft.operators.Similarity
+    // 12 planted clusters in 16 dims; queries 0..9 are members of clusters
+    // 0..9. Trained centroids should recover the planted structure, so a
+    // SINGLE probed list (probe fraction 1/12 ≈ 8%) should still find
+    // nearly all true top-3 neighbors — the gain sampling can't promise.
+    val rnd = new scala.util.Random(1234)
+    val k = 12; val perCluster = 50; val dim = 16
+    val centers = Array.fill(k)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    def jitter(c: Array[Float]) = c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val rows =
+      (0 until 10).map(c => (c.toLong, jitter(centers(c)))) ++
+      (for (c <- 0 until k; i <- 0 until perCluster)
+        yield ((10 + c * perCluster + i).toLong, jitter(centers(c))))
+    val e = Similarity.withNorm(rows.toDF("vec_id", "embedding")).cache()
+    val trained = Similarity.trainCentroids(e.filter(col("vec_id") >= 10), k)
+    val got = Similarity.ivfSearch(e, trained, numQueries = 10, nProbe = 1, topK = 3)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    // exact baseline: a single all-enclosing list turns the same flow into
+    // brute force (every vector in one inverted list, one probe)
+    val allInOne = Similarity
+      .withNorm(Seq((0L, Array.fill(dim)(0.01f))).toDF("vec_id", "embedding"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val exact = Similarity.ivfSearch(e, allInOne, numQueries = 10, nProbe = 1, topK = 3)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"trained-IVF recall $recall on clustered corpus")
+    assert(recall > 1.0 / k + 0.3, "must beat the probe fraction by a wide margin")
+  }
+
   test("IVF ANN recall meets the probe fraction; every hit is a true neighbor") {
     import graft.operators.Similarity
     // On this corpus the embedding space is near-uniform random (plus a few
