@@ -66,10 +66,13 @@ object SparkEntry {
     "s02_sim_ann_lsh" -> Similarity.annLsh _,
     "s03_sim_ann_ivf" -> Similarity.annIvf _,
     "s04_sim_ann_ivf_trained" -> Similarity.annIvfTrained _,
+    "s05_sim_quantized_topk" -> Similarity.quantizedTopK _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
     "t04_text_fingerprint" -> TextAnalysis.fingerprint _,
+    "t05_text_repetition" -> TextAnalysis.repetition _,
+    "t06_boilerplate_ngrams" -> TextAnalysis.boilerplate _,
     "m01_media_meta" -> Multimodal.mediaMeta _,
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
@@ -589,6 +592,31 @@ object SparkEntry {
          |      FROM scored)
          |SELECT qid, rank, neighbor_id, cos_sim FROM r
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // s04_sim_ann_ivf_trained: rows-only by design — k-means||-trained
+    // centroid floats are engine-specific (like q12b's HLL sketch);
+    // correctness is pinned by the clustered-corpus recall spec instead.
+    "s05_sim_quantized_topk" ->
+      s"""WITH qa AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)) AS qv
+         |  FROM qa),
+         |e AS (SELECT vec_id, qv,
+         |    sqrt(CAST(list_sum(list_transform(qv, v -> v * v)) AS DOUBLE)) AS qn
+         |  FROM q),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+         |      z -> z[1] * z[2])) AS DOUBLE) / (a.qn * b.qn) AS qcos
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < ${Similarity.NumQueries}),
+         |r AS (SELECT qid, neighbor_id, qcos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY qcos DESC, neighbor_id) AS INT) AS rank
+         |      FROM scored)
+         |SELECT qid, rank, neighbor_id, qcos FROM r
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "p01_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
@@ -662,6 +690,32 @@ object SparkEntry {
          |  CAST(greatest(0, len(t.t) - 2) AS INT) AS n_shingles
          |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "t05_text_repetition" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+         |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |         CAST(max(c) AS BIGINT) AS top_c, count(*) AS n_distinct
+         |       FROM tc GROUP BY doc_id),
+         |g AS (SELECT doc_id, len(t) - 1 AS n_bigrams,
+         |        len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |          i -> concat_ws(' ', t[i], t[i+1])))) AS n_distinct_bigrams
+         |      FROM toks)
+         |SELECT st.doc_id, n_tokens,
+         |  CAST(top_c AS DOUBLE) / n_tokens AS top_token_share,
+         |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+         |  CASE WHEN n_bigrams > 0
+         |    THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+         |    ELSE 0.0 END AS dup_bigram_frac
+         |FROM st JOIN g ON st.doc_id = g.doc_id
+         |ORDER BY st.doc_id""".stripMargin,
+    "t06_boilerplate_ngrams" ->
+      s"""WITH $shingleCtes,
+         |df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT s, df, CAST(df AS DOUBLE) / n_docs AS doc_share
+         |FROM df, n
+         |ORDER BY df DESC, s LIMIT ${TextAnalysis.BoilerplateTopK}""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

@@ -88,6 +88,62 @@ object TextAnalysis {
         length(col("text")).as("n_chars"))
       .orderBy("doc_id")
 
+  // --- within-doc repetition signals ---------------------------------------
+  /** Gopher-style repetition quality signals: the share of the most
+    * frequent token, the duplicate-token fraction, and the duplicate-bigram
+    * fraction. High values flag degenerate/templated text that a
+    * training-data pipeline drops before dedup even runs. Token stats are
+    * a two-level aggregation (per (doc, token) counts, then per doc);
+    * bigram stats are pure per-row array expressions — no extra shuffle.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tokStats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_c"),
+        count(lit(1)).as("n_distinct"))
+    val t = tokens(col("text"))
+    val g2 = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = docs.select(col("doc_id"),
+      size(g2).as("n_bigrams"),
+      size(array_distinct(g2)).as("n_distinct_bigrams"))
+    tokStats.join(grams, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_c").cast(DoubleType) / col("n_tokens")).as("top_token_share"),
+        (lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens"))
+          .as("dup_token_frac"),
+        when(col("n_bigrams") > 0,
+            lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // --- corpus-level boilerplate mining -------------------------------------
+  /** Top-K most document-frequent shingles across the corpus — the
+    * boilerplate a pipeline strips (license headers, templates) and
+    * exactly the hot keys the d04 df-cap guards against. One explode +
+    * one aggregation + top-k (`TakeOrderedAndProject`, no global sort
+    * shuffle); df counts documents, not occurrences, because per-doc
+    * shingles are distinct.
+    */
+  val BoilerplateTopK = 20
+
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("s"), col("df"),
+        (col("df").cast(DoubleType) / col("n_docs")).as("doc_share"))
+      .orderBy(col("df").desc, col("s").asc)
+      .limit(BoilerplateTopK)
+  }
+
   // --- document fingerprinting --------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")

@@ -63,6 +63,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s05: int8 quantization preserves cosine to ~1e-2 on overlapping pairs") {
+    import graft.operators.Similarity
+    val ex = Similarity.bruteForceTopK(spark, sf)
+      .select("qid", "neighbor_id", "cos_sim")
+    val qz = Similarity.quantizedTopK(spark, sf)
+      .select("qid", "neighbor_id", "qcos")
+    val joined = qz.join(ex, Seq("qid", "neighbor_id")).collect()
+    // quantized and exact top lists should overlap heavily...
+    assert(joined.length >= 10, s"only ${joined.length} overlapping top pairs")
+    // ...and agree on the score: int8 rounding perturbs a 64-dim unit dot
+    // by O(1/127) per component, well under 0.05 in cosine
+    joined.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.05,
+        s"qcos ${r.getDouble(2)} vs cos ${r.getDouble(3)}")
+    }
+  }
+
   test("trained IVF: k-means centroids beat the probe fraction on clustered data") {
     import graft.operators.Similarity
     // 12 planted clusters in 16 dims; queries 0..9 are members of clusters
