@@ -62,6 +62,7 @@ object SparkEntry {
     "d03_dedup_simhash" -> Dedup.simhash _,
     "d04_dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "d05_dedup_embedding" -> Dedup.embeddingCosine _,
+    "d06_dedup_clusters" -> Dedup.clusters _,
     "s01_sim_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "s02_sim_ann_lsh" -> Similarity.annLsh _,
     "s03_sim_ann_ivf" -> Similarity.annIvf _,
@@ -73,6 +74,7 @@ object SparkEntry {
     "t04_text_fingerprint" -> TextAnalysis.fingerprint _,
     "t05_text_repetition" -> TextAnalysis.repetition _,
     "t06_boilerplate_ngrams" -> TextAnalysis.boilerplate _,
+    "t07_keywords_tfdf" -> TextAnalysis.keywords _,
     "m01_media_meta" -> Multimodal.mediaMeta _,
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
@@ -96,6 +98,42 @@ object SparkEntry {
       |       FROM toks),
       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)""".stripMargin
+
+  /** The d02 MinHash+LSH chain up to a `pairs(da, db, jaccard)` CTE —
+    * shared by the d02 oracle and d06's connected-components closure.
+    * Same universal-hash family as TextPrep.minhashAgg: one md5 per
+    * shingle, h_j = (a_j·base + b_j) mod p with md5-derived constants.
+    */
+  private def minhashPairCtes: String = {
+    val sigCols = (0 until Dedup.K)
+      .map(j => s"min((${graft.operators.TextPrep.mixA(j)} * hb + " +
+        s"${graft.operators.TextPrep.mixB(j)}) % " +
+        s"${graft.operators.TextPrep.MinhashP}) AS h$j").mkString(",\n  ")
+    val bandSelects = (0 until Dedup.Bands).map { b =>
+      val cols = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ")}) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleCtes,
+       |exh AS (SELECT doc_id,
+       |          CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS hb FROM ex),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM exh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |i AS (SELECT da, db, count(*) AS inter
+       |      FROM cand JOIN ex a ON a.doc_id = da
+       |                JOIN ex b ON b.doc_id = db AND b.s = a.s
+       |      GROUP BY da, db),
+       |pairs AS (
+       |  SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |  FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+       |    >= ${Dedup.JaccardThreshold})""".stripMargin
+  }
 
   /** exact-decimal self-dot (norm²) over embeddings — matches Dedup.dotDec. */
   private val embCte =
@@ -425,37 +463,24 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
-    "d02_dedup_minhash_lsh" -> {
-      // same universal-hash family as TextPrep.minhashAgg: one md5 per
-      // shingle, h_j = (a_j·base + b_j) mod p with md5-derived constants
-      val sigCols = (0 until Dedup.K)
-        .map(j => s"min((${graft.operators.TextPrep.mixA(j)} * hb + " +
-          s"${graft.operators.TextPrep.mixB(j)}) % " +
-          s"${graft.operators.TextPrep.MinhashP}) AS h$j").mkString(",\n  ")
-      val bandSelects = (0 until Dedup.Bands).map { b =>
-        val cols = (0 until Dedup.RowsPerBand).map(r => s"h${b * Dedup.RowsPerBand + r}")
-        s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ")}) AS bkey FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $shingleCtes,
-         |exh AS (SELECT doc_id,
-         |          CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS hb FROM ex),
-         |sig AS (SELECT doc_id,
-         |  $sigCols
-         |FROM exh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |i AS (SELECT da, db, count(*) AS inter
-         |      FROM cand JOIN ex a ON a.doc_id = da
-         |                JOIN ex b ON b.doc_id = db AND b.s = a.s
-         |      GROUP BY da, db)
-         |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-         |FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold}
-         |ORDER BY da, db""".stripMargin
-    },
+    "d02_dedup_minhash_lsh" ->
+      s"""WITH $minhashPairCtes
+         |SELECT da, db, jaccard FROM pairs ORDER BY da, db""".stripMargin,
+    "d06_dedup_clusters" ->
+      // transitive closure over the d02 near-dup pairs (components are
+      // tiny, so the closure is small); cluster = min reachable doc_id
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT da AS ea, db AS eb FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach AS (SELECT ea, eb FROM edges
+         |          UNION
+         |          SELECT r.ea, e.eb FROM reach r JOIN edges e ON r.eb = e.ea),
+         |cl AS (SELECT ea AS doc_id, least(ea, min(eb)) AS cluster
+         |       FROM reach GROUP BY ea)
+         |SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster,
+         |  coalesce(cl.cluster, d.doc_id) = d.doc_id AS is_keeper
+         |FROM documents d LEFT JOIN cl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "d03_dedup_simhash" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks),
@@ -716,6 +741,17 @@ object SparkEntry {
          |SELECT s, df, CAST(df AS DOUBLE) / n_docs AS doc_share
          |FROM df, n
          |ORDER BY df DESC, s LIMIT ${TextAnalysis.BoilerplateTopK}""".stripMargin,
+    "t07_keywords_tfdf" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |r AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS INT) AS rk
+         |      FROM tf JOIN df USING (tok))
+         |SELECT doc_id, rk, tok AS keyword, tf, df FROM r
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

@@ -81,6 +81,54 @@ object Dedup {
       .repartition(1).sortWithinPartitions("da", "db")
   }
 
+  // --- near-dup cluster assignment (connected components) ------------------
+  /** The step after pair finding that a dedup pipeline actually acts on:
+    * group the verified near-dup pairs ([[minhashLsh]]) into connected
+    * components and give every document a cluster id — the smallest doc_id
+    * reachable through near-dup edges — with `is_keeper` marking the one
+    * canonical document the pass retains per cluster.
+    *
+    * Min-label propagation run to FIXPOINT (each step: one join + one
+    * aggregation; a `changed` count gates the next round). Near-dup
+    * clusters have tiny diameter — labels settle in 2–3 rounds. At 100 TB
+    * the same loop stands, with each round's labels persisted and the
+    * previous round's freed, which is exactly what this does; the pair
+    * edges (small: near-dup hits only) persist across rounds instead of
+    * re-running LSH per iteration.
+    */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("ea", "eb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    var prev: Option[DataFrame] = None
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 50) {
+      val nbrMin = edges.join(labels, col("eb") === col("doc_id"))
+        .groupBy(col("ea")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("doc_id") === col("ea"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      labels = next
+      round += 1
+    }
+    labels
+      .select(col("doc_id"), col("cluster"),
+        (col("cluster") === col("doc_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   // --- SimHash fingerprint -------------------------------------------------
   // 128-bit fingerprint as 32 hex nibbles: per-nibble-bit majority vote over
   // md5(token) of the distinct tokens. One explode + two aggregations —

@@ -144,6 +144,30 @@ object TextAnalysis {
       .limit(BoilerplateTopK)
   }
 
+  // --- distinctive-keyword extraction --------------------------------------
+  /** Top-3 most distinctive tokens per document, ranked by (term frequency
+    * desc, document frequency asc, token asc) — tf-idf's ordering without
+    * its logarithm, so every ranking key is an exact integer and the
+    * oracle matches bit-for-bit (ln() is not correctly-rounded across
+    * engines). Two aggregations + one join + one windowed top-k; the df
+    * side is the distinct-token table, small enough to broadcast at any
+    * scale.
+    */
+  def keywords(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.join(df, "tok")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok").as("keyword"),
+        col("tf"), col("df"))
+      .orderBy("doc_id", "rk")
+  }
+
   // --- document fingerprinting --------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")

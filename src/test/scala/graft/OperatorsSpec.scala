@@ -132,6 +132,22 @@ class OperatorsSpec extends SparkSpec {
       s"IVF recall $recall below probe fraction ${Similarity.NProbe}/$k")
   }
 
+  test("d06: every near-dup pair lands in one cluster; keeper is the min member") {
+    import graft.operators.Dedup
+    val cl = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // connectivity: both endpoints of every verified pair share a cluster
+    pairs.foreach { case (a, b) => assert(cl(a)._1 == cl(b)._1) }
+    // canonical keeper: exactly the minimum doc_id of each cluster
+    cl.groupBy(_._2._1).foreach { case (cluster, members) =>
+      assert(cluster == members.keys.min)
+      members.foreach { case (doc, (_, keep)) => assert(keep == (doc == cluster)) }
+    }
+  }
+
   test("minhash LSH finds every high-jaccard pair the exact scan finds") {
     val exact = Dedup.ngramJaccard(spark, sf)
       .select("da", "db").as[(Long, Long)].collect().toSet
