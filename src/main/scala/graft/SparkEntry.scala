@@ -78,6 +78,7 @@ object SparkEntry {
     "m01_media_meta" -> Multimodal.mediaMeta _,
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
+    "p03_split_leakage" -> Sampling.splitLeakage _,
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -660,6 +661,18 @@ object SparkEntry {
          |  FROM h)
          |SELECT lang, rk, doc_id FROM r
          |WHERE rk <= ${Sampling.PerStratum} ORDER BY lang, rk""".stripMargin,
+    "p03_split_leakage" ->
+      s"""WITH $minhashPairCtes,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |              AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |              AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT da, db, a.split AS split_a, b.split AS split_b, jaccard
+         |FROM pairs JOIN sp a ON da = a.doc_id JOIN sp b ON db = b.doc_id
+         |WHERE a.split <> b.split
+         |ORDER BY da, db""".stripMargin,
     "t01_text_langid" -> {
       val values = TextAnalysis.markers
         .map { case (l, w) => s"('$l','$w')" }.mkString(",")

@@ -22,6 +22,35 @@ object Sampling {
     (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 100).as("bucket")
 
+  /** Per-document split name (train/val/test, 80/10/10) — the assignment
+    * behind [[hashSplit]]'s rollup, reusable by other operators. */
+  private[operators] def splitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), hashBucket("doc_id"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+
+  /** Split-leakage (contamination) check: near-duplicate pairs whose two
+    * documents landed in DIFFERENT splits — exactly how eval contamination
+    * happens at scale (a test doc with a train-set near-copy). Composes
+    * the verified MinHash pairs with the deterministic split assignment;
+    * at 100 TB both sides are the operators already run, and the join is
+    * on doc_id against the (tiny) pair list. The fix in production is
+    * cluster-level splitting (route d06 clusters, not documents); this
+    * operator is the audit that proves whether it's needed.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(s, dir).select("da", "db", "jaccard")
+    val sp = splitAssign(s, dir)
+    pairs
+      .join(sp.select(col("doc_id").as("da"), col("split").as("split_a")), "da")
+      .join(sp.select(col("doc_id").as("db"), col("split").as("split_b")), "db")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("da", "db", "split_a", "split_b", "jaccard")
+      .repartition(1).sortWithinPartitions("da", "db")
+  }
+
   /** Train/val/test assignment (80/10/10) by id-hash bucket, with the
     * per-split document counts as the oracle-checked rollup. */
   def hashSplit(s: SparkSession, dir: String): DataFrame =
