@@ -76,6 +76,8 @@ object SparkEntry {
     "t06_boilerplate_ngrams" -> TextAnalysis.boilerplate _,
     "t07_keywords_tfdf" -> TextAnalysis.keywords _,
     "m01_media_meta" -> Multimodal.mediaMeta _,
+    "m02_media_resize" -> Multimodal.resizeQuery _,
+    "m03_frame_sample" -> Multimodal.frameSampleQuery _,
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> Sampling.splitLeakage _,
@@ -773,5 +775,19 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames,
         |  (['jpeg','png','webp'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ASCII corpus ⇒ payload byte i == ord of character i+1 on both sides
+    "m02_media_resize" ->
+      """SELECT doc_id, CAST(64 AS INT) AS size,
+        |  to_json(list_transform(generate_series(0, 63),
+        |    i -> ord(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1))))
+        |    AS pixels_json
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, length(text) - 1, 10)) AS off
+        |  FROM documents)
+        |SELECT doc_id, CAST(off AS INT) AS frame_offset,
+        |  ord(substr(text, CAST(off AS INT) + 1, 1)) AS frame_byte
+        |FROM f ORDER BY doc_id, frame_offset""".stripMargin,
   )
 }

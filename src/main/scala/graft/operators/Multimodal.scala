@@ -90,6 +90,21 @@ object Multimodal {
     }.toDF("doc_id", "frame_offset", "frame_byte")
   }
 
+  /** Driver-checkable resize: the [[resize]] plumbing with the pixel
+    * vector JSON-serialized (raw arrays are unhashable in the driver's
+    * compare — the q21 lesson). The corpus text is ASCII, so the oracle
+    * reproduces payload bytes with ord(substr(...)). */
+  def resizeQuery(s: SparkSession, dir: String): DataFrame =
+    resize(assets(s, dir), target = 64)
+      .select(col("doc_id"), col("size"),
+        to_json(col("pixels")).as("pixels_json"))
+      .orderBy("doc_id")
+
+  /** Driver-checkable frame sampling: every 10th payload byte. */
+  def frameSampleQuery(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(assets(s, dir), everyK = 10)
+      .orderBy("doc_id", "frame_offset")
+
   /** Oracle-checkable metadata query: byte length + stub-decoded dims via
     * pure column expressions (same formulas as [[DecodeStub.decode]]). */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
