@@ -56,6 +56,7 @@ object SparkEntry {
     "q33_range_join" -> ExtendedQueries.q33RangeJoin _,
     "q34_sessionize" -> ExtendedQueries.q34Sessionize _,
     "q35_json_extract" -> ExtendedQueries.q35JsonExtract _,
+    "q36_correlated_subquery" -> ExtendedQueries.q36CorrelatedSubquery _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLsh _,
@@ -461,6 +462,15 @@ object SparkEntry {
         |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q36_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |    (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->

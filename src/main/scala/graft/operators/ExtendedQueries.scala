@@ -238,6 +238,29 @@ object ExtendedQueries {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  // --- Q36: correlated scalar subquery (decorrelated by Catalyst) -----------
+  /** Orders priced above their own customer's average order price,
+    * expressed as TRUE correlated scalar subqueries (`spark.sql`) so
+    * Catalyst's RewriteCorrelatedScalarSubquery turns them into aggregated
+    * joins — the declarative shape users write, decorrelated for scale
+    * instead of executed per row. The predicate cross-multiplies
+    * (price·count > sum) so every comparison stays exact DECIMAL — no
+    * float boundary for a tie to land on.
+    */
+  def q36CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.table(s, dir, "orders").createOrReplaceTempView("graft_q36_orders")
+    s.sql(s"""
+      |SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM graft_q36_orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+      |    (SELECT count(*) FROM graft_q36_orders i
+      |     WHERE i.o_custkey = o.o_custkey)
+      |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |     FROM graft_q36_orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // --- Q31: as-of join (merge-sorted, single shuffle) -----------------------
   // For each purchase event: the user's most recent strictly-earlier view
   // event. Implemented as the scalable as-of algorithm — union both sides,
