@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, Decimal, DecimalType, DoubleType, FloatType}
 
 /** Native float-vector dot product as a codegen-participating Catalyst
   * expression.
@@ -61,5 +61,65 @@ object FloatVecDot {
 
   def float_vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Exact-DECIMAL float-vector dot product as a codegen-participating
+  * expression — bit-identical to the declarative form
+  * `aggregate(zip_with(a, b, (x,y) => dec(x)*dec(y)), 0, +)` with
+  * `dec = cast to DECIMAL(12,6)` (see Dedup.dotDec's numeric contract),
+  * but one tight loop instead of a lambda-interpreted intermediate array
+  * and a per-element Catalyst cast. Element parity: Spark's
+  * float→decimal(12,6) cast is BigDecimal.valueOf(toDouble) rounded
+  * HALF_UP to scale 6; products are exact at scale 12 (25 digits < 38),
+  * and the running sum stays exact at scale 12 (capped (30,12) in the
+  * declarative form — never hit at |x| ≤ 10, dim 64). The DuckDB oracle
+  * reproduces the same arithmetic, so scores hash-match.
+  */
+case class DecimalVecDot(a: Expression, b: Expression) extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DecimalType(30, 12)
+  override def prettyName: String = "decimal_vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = (a.dataType, b.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+  }
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    DecimalVecDot.dot(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.DecimalVecDot.dot($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
+}
+
+object DecimalVecDot {
+  def dot(a: ArrayData, b: ArrayData): Decimal = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val xa = java.math.BigDecimal.valueOf(a.getFloat(i).toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      val xb = java.math.BigDecimal.valueOf(b.getFloat(i).toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      acc = acc.add(xa.multiply(xb))
+      i += 1
+    }
+    Decimal(acc.setScale(12), 30, 12)
+  }
+
+  def decimal_vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DecimalVecDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

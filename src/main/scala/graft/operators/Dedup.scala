@@ -259,15 +259,15 @@ object Dedup {
 
   private[operators] def dec(c: Column): Column = c.cast(DecimalType(12, 6))
 
-  /** Exact-decimal dot product of two float-array columns. The accumulator
-    * stays at DECIMAL(30,12): the fold's add then types as (31,12) — below
-    * the 38-digit cap, so no scale is shaved mid-sum (a (38,12) accumulator
-    * would make each add round to scale 11 and drift ~1e-10 off the
-    * oracle). The re-cast to (30,12) is exact for |dot| < 1e18. */
+  /** Exact-decimal dot product of two float-array columns — the numeric
+    * contract is DECIMAL(12,6) per element, exact scale-12 products and
+    * sum, surfaced as DECIMAL(30,12). Implemented by the codegen'd
+    * [[graft.functions.DecimalVecDot]] native expression (bit-identical to
+    * the earlier `aggregate(zip_with(...))` fold, which interpreted a
+    * lambda and built an intermediate array per pair — the hot cost of
+    * every similarity re-score). */
   private[operators] def dotDec(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
-      lit(0).cast(DecimalType(30, 12)),
-      (acc, v) => (acc + v).cast(DecimalType(30, 12)))
+    graft.functions.DecimalVecDot.decimal_vec_dot(a, b)
 
   /** sqrt of the exact-decimal self-dot, as double. */
   private[operators] def normD(v: Column): Column =
