@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -84,15 +84,55 @@ object ExtendedQueries {
   }
 
   // --- Q27: exact percentiles (linear interpolation) ------------------------
-  def q27Percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"),
-        count(lit(1)).as("n"))
+  /** Exact type-7 percentiles WITHOUT the built-in `percentile`'s
+    * ObjectHashAggregate, which buffers every value per group (~97%
+    * distinct here — the per-group buffer IS the dataset, a 100-TB
+    * non-starter). Distributed counting instead: reduce to (group, value)
+    * counts, one windowed cumulative sum assigns each value its 0-indexed
+    * rank range, and the interpolation endpoints are picked by range
+    * membership — bounded memory at every stage, all codegen. The
+    * interpolation `lv·(h−pos) + hv·(pos−l)` with pos = q·(n−1) is
+    * bit-identical to `percentile()` and the oracle's quantile_cont.
+    */
+  def q27Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy("l_returnflag")
+    val wBefore = wAll.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("cb", coalesce(sum(col("c")).over(wBefore), lit(0L)))
+    def pos(q: Double) = lit(q) * (col("n") - 1).cast(DoubleType)
+    def endpoints(q: Double, tag: String): Seq[Column] = {
+      val l = floor(pos(q))
+      val h = ceil(pos(q))
+      Seq(
+        max(when(col("cb") <= l && l < col("cb") + col("c"), col("v")))
+          .as(s"lv$tag"),
+        max(when(col("cb") <= h && h < col("cb") + col("c"), col("v")))
+          .as(s"hv$tag"))
+    }
+    def interp(q: Double, tag: String): Column = {
+      val p = pos(q)
+      val l = floor(p)
+      val h = ceil(p)
+      when(l === h, col(s"lv$tag"))
+        .otherwise(col(s"lv$tag") * (h.cast(DoubleType) - p) +
+          col(s"hv$tag") * (p - l.cast(DoubleType)))
+    }
+    ranked.groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        (endpoints(0.5, "50") ++ endpoints(0.95, "95") ++
+          endpoints(0.99, "99")): _*)
+      .select(col("l_returnflag"),
+        interp(0.5, "50").as("p50"),
+        interp(0.95, "95").as("p95"),
+        interp(0.99, "99").as("p99"),
+        col("n"))
       .orderBy("l_returnflag")
+  }
 
   // --- Q27b: approximate percentiles (scale path) ---------------------------
   /** Sketch-based companion to [[q27Percentiles]]. Exact `percentile` buffers
