@@ -172,14 +172,19 @@ object Dedup {
   val DfCapFloor = 5
   val DfCapFraction = 0.003
 
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(s, Tables.table(s, dir, "documents"))
+
+  /** [[ngramJaccard]] over an arbitrary (doc_id, text, …) corpus — the
+    * spec entry point for adversarial corpora. */
+  private[graft] def ngramJaccardOf(s: SparkSession, raw: DataFrame): DataFrame = {
     // Width-normalize BEFORE shingling: a small corpus arrives as one file
     // = one partition, and this 5-branch DAG recomputes scan+shingle per
     // branch — serially, on one core, ~6 s of the sf0.1 runtime. Hashing
     // the raw text across the cluster makes every branch's recompute
     // parallel; at 100 TB the scan already has ≥ this many splits and the
     // exchange is a cheap pass AQE coalesces away.
-    val docs = Tables.table(s, dir, "documents")
+    val docs = raw
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),

@@ -41,7 +41,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => HmacSha256(args(0), args(1))),
     ("float_vec_dot",
       new ExpressionInfo(classOf[graft.functions.FloatVecDot].getName, "float_vec_dot"),
-      (args: Seq[Expression]) => graft.functions.FloatVecDot(args(0), args(1))))
+      (args: Seq[Expression]) => graft.functions.FloatVecDot(args(0), args(1))),
+    ("decimal_vec_dot",
+      new ExpressionInfo(classOf[graft.functions.DecimalVecDot].getName, "decimal_vec_dot"),
+      (args: Seq[Expression]) => graft.functions.DecimalVecDot(args(0), args(1))))
 
   /** Runtime installation into an already-built session. */
   def install(spark: SparkSession): Unit = {

@@ -132,6 +132,52 @@ class OperatorsSpec extends SparkSpec {
       s"IVF recall $recall below probe fraction ${Similarity.NProbe}/$k")
   }
 
+  test("d04 prefix filter is lossless on adversarial corpora") {
+    import graft.operators.Dedup
+    // plain-Scala mirror of the operator's semantics: 3-gram distinct
+    // shingles, df cap, exact jaccard over full sets
+    def shingle(text: String): Set[String] = {
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def expected(corpus: Seq[(Long, String)]): Set[(Long, Long, Double)] = {
+      val sh = corpus.map { case (id, t) => id -> shingle(t) }.toMap
+      val cap = math.max(Dedup.DfCapFloor,
+        math.floor(Dedup.DfCapFraction * corpus.size).toLong)
+      val df = sh.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+      val kept = df.filter(_._2 <= cap).keySet
+      (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= Dedup.JaccardThreshold && (sa & sb & kept).nonEmpty
+      } yield (a, b, j)).toSet
+    }
+    def actual(corpus: Seq[(Long, String)]): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardOf(spark, corpus.toDF("doc_id", "text"))
+        .as[(Long, Long, Double)].collect().toSet
+
+    // 1. token count 57 ⇒ 55 distinct shingles, 5 | 55: the float form of
+    //    the prefix length was one short exactly here (regression)
+    val t57 = (1 to 57).map(i => s"w$i").mkString(" ")
+    val t57b = (1 to 56).map(i => s"w$i").mkString(" ") + " zz"
+    val c1 = Seq(1L -> t57, 2L -> t57, 3L -> t57b, 4L -> "unrelated text entirely here now")
+    assert(actual(c1) == expected(c1))
+    assert(expected(c1).size >= 2, "fixture must contain qualifying pairs")
+
+    // 2. boilerplate-heavy corpus: a hot template shared by every doc
+    //    (df > cap drops its shingles) + one genuine near-dup pair whose
+    //    overlap includes non-hot shingles
+    val template = "standard legal header text appears in every document"
+    val c2 = (1 to 30).map(i => i.toLong -> s"$template unique tail $i alpha beta") ++
+      Seq(101L -> s"$template the real payload sentence one two three four five six",
+          102L -> s"$template the real payload sentence one two three four five seven")
+    assert(actual(c2) == expected(c2))
+    assert(expected(c2).exists { case (a, b, _) => a == 101L && b == 102L },
+      "the engineered near-dup pair must qualify")
+  }
+
   test("d06: every near-dup pair lands in one cluster; keeper is the min member") {
     import graft.operators.Dedup
     val cl = Dedup.clusters(spark, sf).collect()
