@@ -63,4 +63,22 @@ object WindowedAggs {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
       keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left")
+
+  /** Streaming document dedup — the streaming face of the batch dedup
+    * family (north-star): canonical-form fingerprint per document (same
+    * normalization as `TextAnalysis.fingerprint`), then
+    * `dropDuplicatesWithinWatermark` keyed on the fingerprint. State holds
+    * one fingerprint per UNIQUE document inside the watermark horizon
+    * (bounded, RocksDB-spillable) rather than per event — re-crawled or
+    * re-ingested copies are dropped as they arrive, which is how a
+    * training-data pipeline keeps an append-only corpus deduplicated
+    * without nightly batch rewrites.
+    */
+  def streamingDocDedup(docs: DataFrame, textCol: String, timeCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("fp",
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }

@@ -41,6 +41,27 @@ class WindowedAggSpec extends SparkSpec {
     assert(rows(ts(40))._2 == 1)
   }
 
+  test("streaming doc dedup drops re-ingested copies; whitespace-variant counts as dup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dedup = WindowedAggs.streamingDocDedup(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      textCol = "text", timeCol = "ts", watermark = "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("docdedup")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData((ts(1), 1L, "the quick brown fox"),
+      (ts(2), 2L, "a different document"),
+      (ts(3), 3L, "THE  quick   Brown fox")) // canonical dup of doc 1
+    q.processAllAvailable()
+    input.addData((ts(5), 4L, "the quick brown fox")) // exact re-ingest
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("docdedup").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"expected first-seen docs only, got $kept")
+  }
+
   test("session window merges gapped events per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
