@@ -57,6 +57,7 @@ object SparkEntry {
     "q34_sessionize" -> ExtendedQueries.q34Sessionize _,
     "q35_json_extract" -> ExtendedQueries.q35JsonExtract _,
     "q36_correlated_subquery" -> ExtendedQueries.q36CorrelatedSubquery _,
+    "q37_range_frame" -> ExtendedQueries.q37RangeFrame _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLsh _,
@@ -471,6 +472,13 @@ object SparkEntry {
         |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |     FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q37_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS spend_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->

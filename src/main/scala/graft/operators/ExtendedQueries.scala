@@ -301,6 +301,22 @@ object ExtendedQueries {
       |ORDER BY o_orderkey""".stripMargin)
   }
 
+  // --- Q37: RANGE window frame (time-interval rolling sum) ------------------
+  /** 30-day rolling spend per customer — a RANGE frame over the order
+    * date, which peers by VALUE distance (all rows within 30 days), not
+    * row count: the frame type q16/q25's ROWS windows don't cover, and
+    * the right semantics for time-based rolling metrics with ties. Exact
+    * DECIMAL inside the frame sum, DOUBLE at the boundary.
+    */
+  def q37RangeFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        expr("""CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+          AS DOUBLE)""").as("spend_30d"))
+      .orderBy("o_orderkey")
+
   // --- Q31: as-of join (merge-sorted, single shuffle) -----------------------
   // For each purchase event: the user's most recent strictly-earlier view
   // event. Implemented as the scalable as-of algorithm — union both sides,

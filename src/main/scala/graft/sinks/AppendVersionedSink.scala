@@ -40,4 +40,27 @@ final class AppendVersionedSink(val tableDir: String, keyNames: Seq[String],
       .filter(col("__rn") === 1 && col(isDeleteCol) =!= deleteValue)
       .drop("__rn", "_batch_id")
   }
+
+  /** Compaction — the ReplacingMergeTree background merge, run explicitly
+    * (ClickHouse `OPTIMIZE FINAL` analog): rewrite the table as its dedup
+    * view so reads stop paying the per-query collapse and storage drops to
+    * one row per live key. Tombstones are aged out with everything they
+    * shadow. Write-temp-then-swap keeps a crash from destroying the table
+    * (parquet dirs move atomically on a posix fs); readers racing the swap
+    * re-list and retry, exactly like a ClickHouse part swap. */
+  def compact(spark: SparkSession): Unit = {
+    val compacted = view(spark)
+      .withColumn("_batch_id", lit(-1L)) // compacted rows predate any batch
+    val tmp = tableDir + ".compact-tmp"
+    val old = tableDir + ".compact-old"
+    compacted.write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(tableDir)
+    val oldDir = new java.io.File(old)
+    if (oldDir.exists()) {
+      oldDir.listFiles().foreach(_.delete()); oldDir.delete()
+    }
+    dir.renameTo(oldDir)
+    new java.io.File(tmp).renameTo(dir)
+    oldDir.listFiles().foreach(_.delete()); oldDir.delete()
+  }
 }

@@ -13,6 +13,28 @@ import graft.streaming.{FanOut, UpsertStateStore}
 class FanOutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("versioned-sink compaction rewrites to the dedup view; appends keep working") {
+    val tmp = Files.createTempDirectory("graft-compact")
+    val sink = new AppendVersionedSink(s"$tmp/t", Seq("user_id"),
+      "timestamp_micros")
+    sink.append(Seq(("u1", "INSERT", 100L), ("u2", "INSERT", 110L))
+      .toDF("user_id", "event_type", "timestamp_micros"), batchId = 1L)
+    sink.append(Seq(("u1", "UPDATE", 200L), ("u2", "DELETE", 300L))
+      .toDF("user_id", "event_type", "timestamp_micros"), batchId = 2L)
+    val before = sink.view(spark).collect()
+
+    sink.compact(spark)
+    // storage collapsed to live keys only; the view is unchanged
+    assert(sink.raw(spark).count() == 1) // u1 latest; u2 tombstoned away
+    assert(sink.view(spark).collect().toSeq == before.toSeq)
+    // post-compaction appends still merge correctly
+    sink.append(Seq(("u1", "UPDATE", 400L))
+      .toDF("user_id", "event_type", "timestamp_micros"), batchId = 3L)
+    val after = sink.view(spark)
+    assert(after.count() == 1)
+    assert(after.head().getLong(2) == 400L)
+  }
+
   test("per-destination isolation: healthy + flaky succeed, broken goes to DLQ") {
     val tmp = Files.createTempDirectory("graft-fanout")
     val dlqDir = s"$tmp/dlq"
