@@ -49,7 +49,7 @@ object TextPrep {
   /** Modulus of the universal hash family (smallest prime > 2^32). */
   val MinhashP: Long = 4294967311L
 
-  private def md5hex(x: String): String =
+  private[graft] def md5hex(x: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
