@@ -193,18 +193,21 @@ object Dedup {
     // broadcast, not a shuffle)
     val cap = docs.agg(greatest(lit(DfCapFloor.toLong),
       floor(lit(DfCapFraction) * count(lit(1)))).as("cap"))
-    val kept = ex.groupBy("s").agg(count(lit(1)).as("d"))
-      .crossJoin(broadcast(cap))
-      .filter(col("d") <= col("cap")).select("s", "d")
     // Prefix filtering (AllPairs/PPJoin): under a global canonical order, a
     // pair with jaccard ≥ τ MUST collide within the first
     // ⌊(1−τ)·|sh|⌋ + 1 shingles of each side — so only those prefixes need
     // to be indexed for candidate generation. Order rarest-first (df asc)
     // so the indexed prefix holds each doc's most selective shingles: at
     // τ=0.8 this joins ~20% of the postings and shrinks pair-occurrences
-    // quadratically (sf0.1: 1.1M → ~50k). Combined with the df cap above,
+    // quadratically (sf0.1: 1.1M → ~50k). Combined with the df cap,
     // candidates stay bounded even on a boilerplate-heavy corpus.
-    val exKept = ex.join(kept.withColumnRenamed("s", "ks"), col("s") === col("ks"))
+    // Document frequency comes from a window over the postings (one
+    // shuffle on s) rather than an aggregate + join-back, which re-ran the
+    // whole shingle pipeline for the aggregate branch.
+    val wS = Window.partitionBy(col("s"))
+    val exKept = ex.withColumn("d", count(lit(1)).over(wS))
+      .crossJoin(broadcast(cap))
+      .filter(col("d") <= col("cap"))
       .select(col("doc_id"), col("n"), col("s"), col("d"))
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("d").asc, col("s").asc)
