@@ -80,6 +80,7 @@ object SparkEntry {
     "m01_media_meta" -> Multimodal.mediaMeta _,
     "m02_media_resize" -> Multimodal.resizeQuery _,
     "m03_frame_sample" -> Multimodal.frameSampleQuery _,
+    "m04_media_histogram" -> Multimodal.histogramQuery _,
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> Sampling.splitLeakage _,
@@ -807,5 +808,21 @@ object SparkEntry {
         |SELECT doc_id, CAST(off AS INT) AS frame_offset,
         |  ord(substr(text, CAST(off AS INT) + 1, 1)) AS frame_byte
         |FROM f ORDER BY doc_id, frame_offset""".stripMargin,
+    "m04_media_histogram" -> {
+      val sums = (0 until 16).map(b =>
+        s"CAST(sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS BIGINT) AS b$b")
+        .mkString(",\n  ")
+      val arr = (0 until 16).map(b => s"b$b").mkString("[", ", ", "]")
+      s"""WITH c AS (SELECT doc_id, text, CAST(length(text) AS INT) AS len,
+         |    unnest(generate_series(1, length(text))) AS i
+         |  FROM documents),
+         |b AS (SELECT doc_id, len,
+         |    ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin FROM c),
+         |h AS (SELECT doc_id, len,
+         |  $sums
+         |FROM b GROUP BY doc_id, len)
+         |SELECT doc_id, len, to_json($arr) AS hist_counts_json
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
   )
 }

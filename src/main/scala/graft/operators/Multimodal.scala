@@ -105,6 +105,30 @@ object Multimodal {
     sampleFrames(assets(s, dir), everyK = 10)
       .orderBy("doc_id", "frame_offset")
 
+  /** Driver-checkable 16-bin byte histogram — the [[DecodeStub.decode]]
+    * feature vector as pure column expressions: explode payload bytes
+    * (ASCII corpus ⇒ ord == byte), bin by the high nibble, one conditional
+    * aggregation per doc. Counts (exact integers) ship as JSON with the
+    * length alongside — the normalized fractions are counts/len, but
+    * double JSON formatting is engine-specific while integer JSON is not. */
+  def histogramQuery(s: SparkSession, dir: String): DataFrame = {
+    val bytes = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        explode(split(col("text"), "")).as("ch"))
+      // Java split(_, -1) keeps a trailing empty string — drop it
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), col("len"),
+        (ascii(col("ch")).cast("int") / 16).cast("int").as("bin"))
+    val bins = (0 until 16).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"b$b"))
+    bytes.groupBy(col("doc_id"), col("len"))
+      .agg(bins.head, bins.tail: _*)
+      .select(col("doc_id"), col("len"),
+        to_json(array((0 until 16).map(b => col(s"b$b")): _*))
+          .as("hist_counts_json"))
+      .orderBy("doc_id")
+  }
+
   /** Oracle-checkable metadata query: byte length + stub-decoded dims via
     * pure column expressions (same formulas as [[DecodeStub.decode]]). */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
