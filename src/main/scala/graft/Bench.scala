@@ -75,30 +75,23 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     val doWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
 
-    // Min of 2 timed runs: this host shows double-digit CPU-steal
-    // percentages under load, which lands multi-second spikes on random
-    // queries; the minimum is the standard robust estimator when the noise
-    // is strictly additive.
-    def runOne(name: String,
+    // This host shows double-digit CPU-steal percentages in MINUTE-scale
+    // windows: r02 recorded 27 s for a query whose steady state is 1.6 s
+    // because BOTH of its back-to-back min-of-2 runs sat inside one steal
+    // window. Defense: time the whole pack in two SEPARATED passes (pass 2
+    // starts after every query ran once, so a steal window shorter than a
+    // pass poisons at most one sample per query) and take the per-query
+    // min; queries whose two samples still disagree by >1.4× get a third
+    // tie-break run.
+    def timed(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      if (doWarm)
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-        }
-        (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
       }
-      val a = timed()
-      if (a < 0) a
-      else {
-        val b = timed()
-        if (b < 0) a else math.min(a, b)
-      }
+      (System.nanoTime() - t0) / 1e9
     }
 
     // JVM/codegen warmup outside the measurement: without this the first
@@ -107,8 +100,22 @@ object Bench {
     spark.range(1L << 20).selectExpr("sum(id) s", "count(distinct id % 7) c")
       .write.format("noop").mode("overwrite").save()
 
+    if (doWarm) SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val pass1 = SparkEntry.queries.map { case (n, fn) => n -> timed(n, fn) }
+    val pass2 = SparkEntry.queries.map { case (n, fn) => n -> timed(n, fn) }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> runOne(name, fn)
+      val (a, b) = (pass1(name), pass2(name))
+      val best =
+        if (a < 0) b
+        else if (b < 0) a
+        else if (math.max(a, b) > 1.4 * math.min(a, b) && math.min(a, b) > 0.5) {
+          val c = timed(name, fn)
+          if (c < 0) math.min(a, b) else math.min(math.min(a, b), c)
+        } else math.min(a, b)
+      name -> best
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -29,4 +29,14 @@ object Tables {
     * matching DuckDB's CAST(ts AS TIMESTAMP) → epoch_us semantics). */
   def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+
+  /** Width-normalized scan for expensive per-row work (shingling, explode,
+    * decimal vector math): a small corpus arrives as ONE parquet split and
+    * would otherwise run that work on a single core. Hash-repartitioning on
+    * the key parallelizes it; at 100 TB the scan already has ≥ this many
+    * splits and AQE coalesces the pass-through exchange away. */
+  def spread(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame =
+    table(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism, col(key))
 }

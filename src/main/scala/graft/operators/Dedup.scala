@@ -134,7 +134,9 @@ object Dedup {
   // md5(token) of the distinct tokens. One explode + two aggregations —
   // linear in corpus size, shuffle keyed by doc.
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.table(s, dir, "documents")
+    // spread: the token explode fans 5k docs into 1.7M contrib rows — from
+    // a single-split scan that generation would run on one core
+    val toks = Tables.spread(s, dir, "documents", "doc_id")
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
     // one row per (doc, token, nibble-position); the four bit-majority
@@ -283,7 +285,10 @@ object Dedup {
 
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.FloatVecDot.float_vec_dot
+    // width-normalize: one small parquet file = one split, which would run
+    // every exact-decimal norm/dot on a single core (see Similarity)
     val e = Tables.table(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         normD(col("embedding")).as("nrm"))
     // candidate generation: banded sign-pattern buckets (zero-shuffle,

@@ -29,8 +29,14 @@ object Similarity {
   val NumPlanes = 8
   val Dim = 64
 
+  /** Width-normalized scan: the small corpus arrives as ONE parquet split,
+    * and every exact-decimal dot/norm downstream would run on a single
+    * core (the documents tables hit the same wall — see
+    * [[Dedup.ngramJaccardOf]]). At 100 TB the scan has ≥ this many splits
+    * and AQE coalesces the pass-through exchange away. */
   private def embeddings(s: SparkSession, dir: String): DataFrame =
-    withNorm(Tables.table(s, dir, "embeddings"))
+    withNorm(Tables.table(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")))
 
   /** Attach the exact-decimal L2 norm to a (vec_id, embedding) frame. */
   private[graft] def withNorm(df: DataFrame): DataFrame =
@@ -50,7 +56,9 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("qid", "rank", "neighbor_id", "cos_sim")
-      .orderBy("qid", "rank")
+      // Q·K rows — single-partition sort; a global orderBy would range-sample
+      // and re-execute the whole scoring pipeline a second time (d02 pattern)
+      .repartition(1).sortWithinPartitions("qid", "rank")
   }
 
   // --- LSH-bucketed ANN ----------------------------------------------------
@@ -152,7 +160,8 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select("qid", "rank", "neighbor_id", "cos_sim")
-      .orderBy("qid", "rank")
+      // tiny output — avoid orderBy's range-sampling re-execution (d02 pattern)
+      .repartition(1).sortWithinPartitions("qid", "rank")
   }
 
   // --- trained IVF (k-means|| coarse quantizer) ----------------------------
@@ -203,7 +212,9 @@ object Similarity {
     * scores, exactly the s01 flow.
     */
   def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.table(s, dir, "embeddings").select(col("vec_id"),
+    val base = Tables.table(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"),
       col("embedding"),
       array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
         .as("amax"))
@@ -226,7 +237,8 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "neighbor_id", "qcos")
-      .orderBy("qid", "rank")
+      // tiny output — avoid orderBy's range-sampling re-execution (d02 pattern)
+      .repartition(1).sortWithinPartitions("qid", "rank")
   }
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
@@ -245,6 +257,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "neighbor_id", "cos_sim")
-      .orderBy("qid", "rank")
+      // tiny output — avoid orderBy's range-sampling re-execution (d02 pattern)
+      .repartition(1).sortWithinPartitions("qid", "rank")
   }
 }

@@ -26,7 +26,12 @@ object LatestStateProcessor {
   final case class KeyState(key: String, ts: Long, payload: String,
       deleted: Boolean)
 
-  private final case class Stored(ts: Long, payload: String, deleted: Boolean)
+  // `private[streaming]`, not `private`: a Scala-private nested class gets
+  // no public JVM access flag, and the state encoder's generated code then
+  // cannot resolve `Stored.ts()` — every state (de)serialization silently
+  // falls back to interpreted projection in the streaming hot path.
+  private[streaming] final case class Stored(ts: Long, payload: String,
+      deleted: Boolean)
 
   class Processor(ttl: TTLConfig)
       extends StatefulProcessor[String, Change, KeyState] {
