@@ -84,6 +84,9 @@ object SparkEntry {
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> Sampling.splitLeakage _,
+    "p04_sequence_packing" -> Sampling.sequencePacking _,
+    "p05_decontamination" -> Sampling.decontamination _,
+    "t08_filter_funnel" -> TextAnalysis.filterFunnel _,
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -694,6 +697,46 @@ object SparkEntry {
          |FROM pairs JOIN sp a ON da = a.doc_id JOIN sp b ON db = b.doc_id
          |WHERE a.split <> b.split
          |ORDER BY da, db""".stripMargin,
+    "p04_sequence_packing" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM tk)
+         |SELECT doc_id, lang, n_tokens,
+         |  cum_before // ${Sampling.ContextLen} AS start_bin,
+         |  (cum_before + n_tokens - 1) // ${Sampling.ContextLen} AS end_bin,
+         |  cum_before % ${Sampling.ContextLen} AS offset_in_bin
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "p05_decontamination" ->
+      s"""WITH $shingleCtes,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |              AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |              AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |testdocs AS (SELECT sh.doc_id, CAST(len(shingles) AS BIGINT)
+         |      AS n_shingles
+         |  FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE split = 'test'),
+         |testpost AS (SELECT ex.doc_id, s FROM ex
+         |  JOIN sp ON ex.doc_id = sp.doc_id WHERE split = 'test'),
+         |trainsh AS (SELECT s FROM ex JOIN sp ON ex.doc_id = sp.doc_id
+         |  WHERE split = 'train'
+         |  GROUP BY s HAVING count(*) <= ${Sampling.DecontamDfCap}),
+         |shared AS (SELECT tp.doc_id, count(*) AS n_shared
+         |  FROM testpost tp JOIN trainsh USING (s) GROUP BY tp.doc_id)
+         |SELECT t.doc_id, n_shingles,
+         |  COALESCE(n_shared, 0) AS n_shared_shingles,
+         |  (n_shingles > 0 AND COALESCE(n_shared, 0) * 10 >= n_shingles)
+         |    AS contaminated
+         |FROM testdocs t LEFT JOIN shared USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t01_text_langid" -> {
       val values = TextAnalysis.markers
         .map { case (l, w) => s"('$l','$w')" }.mkString(",")
@@ -786,6 +829,30 @@ object SparkEntry {
          |      FROM tf JOIN df USING (tok))
          |SELECT doc_id, rk, tok AS keyword, tf, df FROM r
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "t08_filter_funnel" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+         |st AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_c,
+         |         count(*) AS n_distinct
+         |       FROM tc GROUP BY doc_id),
+         |sig AS (SELECT (length(text) >= 200) AS b1, (n_tokens >= 50) AS b2,
+         |          (2 * (n_tokens - n_distinct) <= n_tokens) AS b3,
+         |          (5 * top_c <= n_tokens) AS b4
+         |        FROM documents JOIN st USING (doc_id)),
+         |a AS (SELECT count(*) AS s0,
+         |        count(*) FILTER (WHERE b1) AS s1,
+         |        count(*) FILTER (WHERE b1 AND b2) AS s2,
+         |        count(*) FILTER (WHERE b1 AND b2 AND b3) AS s3,
+         |        count(*) FILTER (WHERE b1 AND b2 AND b3 AND b4) AS s4
+         |      FROM sig)
+         |SELECT * FROM (
+         |  SELECT 0 AS stage, 'total' AS stage_name, s0 AS docs_remaining FROM a
+         |  UNION ALL SELECT 1, 'min_length', s1 FROM a
+         |  UNION ALL SELECT 2, 'min_tokens', s2 FROM a
+         |  UNION ALL SELECT 3, 'dup_token_frac', s3 FROM a
+         |  UNION ALL SELECT 4, 'top_token_share', s4 FROM a)
+         |ORDER BY stage""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

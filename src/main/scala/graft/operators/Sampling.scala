@@ -63,6 +63,88 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("split")
 
+  /** Context length for [[sequencePacking]] (tokens per training window). */
+  val ContextLen = 512
+
+  /** Sequence packing — where each document lands after the standard
+    * pretraining transform: concatenate documents in a deterministic
+    * order, then split the token stream into fixed [[ContextLen]] windows.
+    * Emits, per document, its window span (`start_bin`..`end_bin`) and
+    * offset inside the first window — the index a packed-dataset writer
+    * needs to materialize examples.
+    *
+    * Packing runs PER LANGUAGE SHARD (window partitioned by `lang`), which
+    * is both what real pipelines do (shard-local packing, no global
+    * order) and what makes the running-sum window parallel: a single
+    * global cumsum would serialize on one partition at 100 TB, a
+    * per-shard one shuffles on `lang` and scans each shard once. All
+    * outputs are exact integers.
+    */
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import TextPrep.tokens
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer div, not double `/`: near-boundary doubles would misround
+      // once cumulative counts exceed 2^53 on a real corpus
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before div $ContextLen").as("start_bin"),
+        expr(s"(cum_before + n_tokens - 1) div $ContextLen").as("end_bin"),
+        (col("cum_before") % ContextLen).as("offset_in_bin"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Train-side document frequency above which a shingle is dropped from
+    * the decontamination join (same hot-key guard as d04's df cap — a
+    * boilerplate shingle shared by d train docs and e eval docs costs
+    * d·e join rows; corpus-ubiquitous shingles carry no contamination
+    * signal). */
+  val DecontamDfCap = 50
+
+  /** Eval-set decontamination — the audit a training pipeline runs before
+    * trusting its benchmarks: for every `test`-split document, how many of
+    * its shingles also occur in ANY `train`-split document. A test doc
+    * sharing a meaningful fraction of shingles with the train set is
+    * contaminated (its eval score measures memorization, not
+    * generalization).
+    *
+    * Shape at 100 TB: one equi-join on the shingle string between the
+    * (distinct-shingle) test postings and the df-capped DISTINCT train
+    * shingle set — never doc×doc. The train side aggregates to one row
+    * per distinct shingle before the join, so join width is bounded by
+    * test postings × 1.
+    */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    import TextPrep.shingles
+    val docs = Tables.spread(s, dir, "documents", "doc_id")
+      .join(splitAssign(s, dir), "doc_id")
+      .select(col("doc_id"), col("split"), shingles(col("text")).as("sh"))
+    val testDocs = docs.filter(col("split") === "test")
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+    val testPost = docs.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    // distinct train shingles with df <= cap (hot shingles excluded)
+    val trainSh = docs.filter(col("split") === "train")
+      .select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DecontamDfCap)
+      .select("s")
+    val shared = testPost.join(trainSh, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    // left join keeps zero-shingle / zero-overlap test docs in the audit;
+    // contaminated = >=10% shingle overlap (exact integer comparison)
+    testDocs.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_shingles"),
+        (col("n_shingles") > 0 &&
+          coalesce(col("n_shared"), lit(0L)) * 10 >= col("n_shingles"))
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Stratified deterministic sample: the k hash-smallest documents per
     * language — proportional-free, reproducible, and skew-proof (one
     * `WindowGroupLimit`-pruned top-k per stratum, never a full sort). */

@@ -168,6 +168,54 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  // --- curation filter funnel ----------------------------------------------
+  /** Per-stage survivor counts of a C4/Gopher-style quality cascade — the
+    * first report a corpus-curation run produces (how many documents each
+    * rule removes). Stages apply cumulatively:
+    *   0 total; 1 length ≥ 200 chars; 2 ≥ 50 tokens;
+    *   3 duplicate-token fraction ≤ 1/2; 4 top-token share ≤ 1/5.
+    * Every predicate is an exact integer comparison (`2·(n−d) ≤ n`, not a
+    * float ratio), so the oracle matches bit-for-bit. One token-stats
+    * aggregation + one conditional-sum pass; the 5-row funnel falls out of
+    * a `stack` unpivot — no per-stage rescan, which is what makes the same
+    * plan a single corpus pass at 100 TB.
+    */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tokStats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_c"),
+        count(lit(1)).as("n_distinct"))
+    val sig = docs.select(col("doc_id"), length(col("text")).as("n_chars"))
+      .join(tokStats, "doc_id")
+      .select(
+        (col("n_chars") >= 200).as("b1"),
+        (col("n_tokens") >= 50).as("b2"),
+        (lit(2) * (col("n_tokens") - col("n_distinct")) <= col("n_tokens"))
+          .as("b3"),
+        (lit(5) * col("top_c") <= col("n_tokens")).as("b4"))
+    val agg = sig.agg(
+      count(lit(1)).as("s0"),
+      sum(when(col("b1"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("b1") && col("b2"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("b1") && col("b2") && col("b3"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("b1") && col("b2") && col("b3") && col("b4"), 1L)
+        .otherwise(0L)).as("s4"))
+    agg.select(expr(
+      """stack(5,
+        |  0, 'total',           s0,
+        |  1, 'min_length',      s1,
+        |  2, 'min_tokens',      s2,
+        |  3, 'dup_token_frac',  s3,
+        |  4, 'top_token_share', s4) AS (stage, stage_name, docs_remaining)
+        |""".stripMargin))
+      .select(col("stage").cast("int").as("stage"), col("stage_name"),
+        col("docs_remaining"))
+      .orderBy("stage")
+  }
+
   // --- document fingerprinting --------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
