@@ -87,6 +87,7 @@ object SparkEntry {
     "p04_sequence_packing" -> Sampling.sequencePacking _,
     "p05_decontamination" -> Sampling.decontamination _,
     "t08_filter_funnel" -> TextAnalysis.filterFunnel _,
+    "t09_pii_scan" -> TextAnalysis.piiScan _,
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -853,6 +854,22 @@ object SparkEntry {
          |  UNION ALL SELECT 3, 'dup_token_frac', s3 FROM a
          |  UNION ALL SELECT 4, 'top_token_share', s4 FROM a)
          |ORDER BY stage""".stripMargin,
+    "t09_pii_scan" -> {
+      val (em, ip, ph) =
+        (TextAnalysis.EmailRe, TextAnalysis.IpRe, TextAnalysis.PhoneRe)
+      s"""WITH p AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+         |    CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones,
+         |    CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |      '$ph', '<PHONE>', 'g')) AS INT) AS redacted_len
+         |  FROM p)
+         |SELECT doc_id, n_emails, n_ips, n_phones, redacted_len,
+         |  (n_emails + n_ips + n_phones > 0) AS has_pii
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "m01_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

@@ -216,6 +216,47 @@ object TextAnalysis {
       .orderBy("stage")
   }
 
+  // --- PII scan / redaction ------------------------------------------------
+  /** C4-style PII pass over the corpus: count and redact email addresses,
+    * dotted-quad IPs, and dashed phone numbers. Patterns are deliberately
+    * plain POSIX-class regexes ([0-9], [a-z]) that Java regex and RE2
+    * (DuckDB) scan identically — no \\d, no lookaround, no word
+    * boundaries, so non-overlapping greedy matching agrees engine-to-
+    * engine. Redaction replaces in email→ip→phone order (an IP inside an
+    * already-redacted email cannot double-count). Pure per-row map work:
+    * no shuffle at any scale, the scan's the cost.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  val PhoneRe = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+  def piiScan(s: SparkSession, dir: String): DataFrame =
+    piiScanOf(Tables.table(s, dir, "documents"))
+
+  /** [[piiScan]] over an arbitrary (doc_id, text) corpus — the spec entry
+    * point (the synthetic corpus is digit-free, so the driver's oracle
+    * only proves plumbing; `PiiSpec` proves matching + redaction). */
+  private[graft] def piiScanOf(raw: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+    raw
+      .select(col("doc_id"),
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(t, lit(IpRe), lit(0))).cast("long")
+          .as("n_ips"),
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long")
+          .as("n_phones"),
+        length(red).as("redacted_len"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
   // --- document fingerprinting --------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
