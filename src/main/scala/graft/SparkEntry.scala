@@ -70,6 +70,7 @@ object SparkEntry {
     "s03_sim_ann_ivf" -> Similarity.annIvf _,
     "s04_sim_ann_ivf_trained" -> Similarity.annIvfTrained _,
     "s05_sim_quantized_topk" -> Similarity.quantizedTopK _,
+    "s06_ann_recall" -> Similarity.annRecall _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -156,6 +157,84 @@ object SparkEntry {
     """list_sum(list_transform(list_zip(a.embedding, b.embedding),
       |  z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6))))"""
       .stripMargin.replaceAll("\n", " ")
+
+  /** Full s01/s02/s03 oracle bodies — their own map entries, and composed
+    * as subqueries by the s06 recall oracle. */
+  private def s01Sql: String =
+    s"""WITH $embCte,
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+       |    CAST($dotAB AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+       |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < ${Similarity.NumQueries}),
+       |r AS (SELECT qid, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |      FROM scored)
+       |SELECT qid, rank, neighbor_id, cos_sim FROM r
+       |WHERE rank <= ${Similarity.TopK} ORDER BY qid, rank""".stripMargin
+
+  private def s02Sql: String = {
+    // same md5-derived hyperplanes as Similarity.planeWeights, inlined as
+    // literal weight vectors; the sign of a sequential double fold is
+    // engine-exact on both sides
+    val bitExprs = Similarity.planeWeights.map { ws =>
+      val l = ws.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $l::FLOAT[]), " +
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
+        "THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH $embCte,
+       |bk AS (SELECT vec_id, $bitExprs AS bucket FROM e),
+       |ee AS (SELECT e.*, bk.bucket FROM e JOIN bk USING (vec_id)),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+       |    CAST($dotAB AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+       |  FROM ee a JOIN ee b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < ${Similarity.NumQueries}),
+       |r AS (SELECT qid, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |      FROM scored)
+       |SELECT qid, rank, neighbor_id, cos_sim FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  private def s03Sql: String =
+    s"""WITH $embCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+       |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+       |            AND vec_id >= ${Similarity.NumQueries}),
+       |ac AS (SELECT a.vec_id, c.cid,
+       |    list_sum(list_transform(list_zip(a.embedding, c.cv),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+       |  FROM e a, cents c),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS rn
+       |    FROM ac WHERE vec_id < ${Similarity.NumQueries})
+       |  WHERE rn <= ${Similarity.NProbe}),
+       |scored AS (
+       |  SELECT p.qid, s.vec_id AS neighbor_id,
+       |    CAST($dotAB AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+       |  FROM probes p
+       |  JOIN assign s ON s.cid = p.cid AND s.vec_id <> p.qid
+       |  JOIN e a ON a.vec_id = p.qid
+       |  JOIN e b ON b.vec_id = s.vec_id),
+       |r AS (SELECT qid, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |      FROM scored)
+       |SELECT qid, rank, neighbor_id, cos_sim FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // DuckDB oracle equivalents. Notes:
   //  - DuckDB reads events.ts as TIMESTAMP_NS; epoch_us(CAST(ts AS
@@ -570,79 +649,9 @@ object SparkEntry {
          |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > ${Dedup.CosineThreshold}
          |ORDER BY va, vb""".stripMargin
     },
-    "s01_sim_bruteforce_topk" ->
-      s"""WITH $embCte,
-         |scored AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
-         |    CAST($dotAB AS DOUBLE)
-         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
-         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < ${Similarity.NumQueries}),
-         |r AS (SELECT qid, neighbor_id, cos_sim,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-         |      FROM scored)
-         |SELECT qid, rank, neighbor_id, cos_sim FROM r
-         |WHERE rank <= ${Similarity.TopK} ORDER BY qid, rank""".stripMargin,
-    "s02_sim_ann_lsh" -> {
-      // same md5-derived hyperplanes as Similarity.planeWeights, inlined as
-      // literal weight vectors; the sign of a sequential double fold is
-      // engine-exact on both sides
-      val bitExprs = Similarity.planeWeights.map { ws =>
-        val l = ws.mkString("[", ", ", "]")
-        s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $l::FLOAT[]), " +
-          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
-          "THEN '1' ELSE '0' END)"
-      }.mkString(" || ")
-      s"""WITH $embCte,
-         |bk AS (SELECT vec_id, $bitExprs AS bucket FROM e),
-         |ee AS (SELECT e.*, bk.bucket FROM e JOIN bk USING (vec_id)),
-         |scored AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
-         |    CAST($dotAB AS DOUBLE)
-         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
-         |  FROM ee a JOIN ee b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < ${Similarity.NumQueries}),
-         |r AS (SELECT qid, neighbor_id, cos_sim,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-         |      FROM scored)
-         |SELECT qid, rank, neighbor_id, cos_sim FROM r
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
-    },
-    "s03_sim_ann_ivf" ->
-      s"""WITH $embCte,
-         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
-         |            AND vec_id >= ${Similarity.NumQueries}),
-         |ac AS (SELECT a.vec_id, c.cid,
-         |    list_sum(list_transform(list_zip(a.embedding, c.cv),
-         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
-         |  FROM e a, cents c),
-         |assign AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
-         |  WHERE rn = 1),
-         |probes AS (SELECT vec_id AS qid, cid FROM (
-         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cid) AS rn
-         |    FROM ac WHERE vec_id < ${Similarity.NumQueries})
-         |  WHERE rn <= ${Similarity.NProbe}),
-         |scored AS (
-         |  SELECT p.qid, s.vec_id AS neighbor_id,
-         |    CAST($dotAB AS DOUBLE)
-         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
-         |  FROM probes p
-         |  JOIN assign s ON s.cid = p.cid AND s.vec_id <> p.qid
-         |  JOIN e a ON a.vec_id = p.qid
-         |  JOIN e b ON b.vec_id = s.vec_id),
-         |r AS (SELECT qid, neighbor_id, cos_sim,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-         |      FROM scored)
-         |SELECT qid, rank, neighbor_id, cos_sim FROM r
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "s01_sim_bruteforce_topk" -> s01Sql,
+    "s02_sim_ann_lsh" -> s02Sql,
+    "s03_sim_ann_ivf" -> s03Sql,
     // s04_sim_ann_ivf_trained: rows-only by design — k-means||-trained
     // centroid floats are engine-specific (like q12b's HLL sketch);
     // correctness is pinned by the clustered-corpus recall spec instead.
@@ -668,6 +677,18 @@ object SparkEntry {
          |      FROM scored)
          |SELECT qid, rank, neighbor_id, qcos FROM r
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "s06_ann_recall" ->
+      s"""WITH bf AS (SELECT qid, neighbor_id FROM ($s01Sql) WHERE rank <= 3),
+         |lsh AS (SELECT qid, neighbor_id FROM ($s02Sql)),
+         |ivf AS (SELECT qid, neighbor_id FROM ($s03Sql)),
+         |c AS (SELECT 'lsh' AS method, count(*) AS n_hits
+         |        FROM lsh JOIN bf USING (qid, neighbor_id)
+         |      UNION ALL
+         |      SELECT 'ivf', count(*) FROM ivf JOIN bf USING (qid, neighbor_id))
+         |SELECT method, n_hits,
+         |  CAST(${3 * Similarity.NumQueries} AS BIGINT) AS n_possible,
+         |  CAST(n_hits AS DOUBLE) / ${3 * Similarity.NumQueries} AS recall_at_3
+         |FROM c ORDER BY method""".stripMargin,
     "p01_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

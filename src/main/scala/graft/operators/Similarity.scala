@@ -241,6 +241,36 @@ object Similarity {
       .repartition(1).sortWithinPartitions("qid", "rank")
   }
 
+  // --- ANN recall evaluation ----------------------------------------------
+  /** Recall@3 of the two approximate indexes ([[annLsh]], [[annIvf]])
+    * against the exact baseline ([[bruteForceTopK]]) — the measurement a
+    * pipeline runs before trusting an ANN index at scale. One row per
+    * method: ground-truth hits, possible hits, recall. The three
+    * pipelines already exist; this composes them with two semi-join
+    * counts, so the eval costs one extra pass over tiny top-k outputs —
+    * at 100 TB you run it on a sampled query set exactly like this.
+    *
+    * On THIS corpus expect low numbers (sf0.1: lsh 0.00, ivf 0.27): the
+    * synthetic embeddings are uniform random, so near-neighbors sit just
+    * above the bulk and hash/probe locality barely helps — which is
+    * precisely the go/no-go signal the measurement exists to produce
+    * (see the s04 recall spec for the clustered-corpus counterpoint).
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopK(s, dir)
+      .filter(col("rank") <= 3).select("qid", "neighbor_id")
+    def hits(df: DataFrame, name: String): DataFrame =
+      df.select("qid", "neighbor_id")
+        .join(bf, Seq("qid", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_hits"))
+    hits(annLsh(s, dir), "lsh").unionByName(hits(annIvf(s, dir), "ivf"))
+      .select(col("method"), col("n_hits"),
+        lit(3L * NumQueries).as("n_possible"),
+        (col("n_hits").cast(DoubleType) / (3L * NumQueries)).as("recall_at_3"))
+      .repartition(1).sortWithinPartitions("method")
+  }
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).join(buckets(s, dir), "vec_id")
     val q = e.filter(col("vec_id") < NumQueries)
