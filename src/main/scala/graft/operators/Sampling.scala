@@ -119,9 +119,15 @@ object Sampling {
     */
   def decontamination(s: SparkSession, dir: String): DataFrame = {
     import TextPrep.shingles
+    // spread → shingle → repartition: the SECOND exchange is the branch
+    // materialization point — the three consumers below (test docs, test
+    // postings, train df) share it as a ReusedExchange, so the corpus is
+    // shingled ONCE instead of once per branch (the first exchange keeps
+    // the shingle pass itself parallel on a single-split scan)
     val docs = Tables.spread(s, dir, "documents", "doc_id")
       .join(splitAssign(s, dir), "doc_id")
       .select(col("doc_id"), col("split"), shingles(col("text")).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val testDocs = docs.filter(col("split") === "test")
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
     val testPost = docs.filter(col("split") === "test")
