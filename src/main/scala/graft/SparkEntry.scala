@@ -82,6 +82,7 @@ object SparkEntry {
     "m02_media_resize" -> Multimodal.resizeQuery _,
     "m03_frame_sample" -> Multimodal.frameSampleQuery _,
     "m04_media_histogram" -> Multimodal.histogramQuery _,
+    "m05_perceptual_hash" -> Multimodal.perceptualHashQuery _,
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> Sampling.splitLeakage _,
@@ -929,5 +930,18 @@ object SparkEntry {
          |SELECT doc_id, len, to_json($arr) AS hist_counts_json
          |FROM h ORDER BY doc_id""".stripMargin
     },
+    "m05_perceptual_hash" ->
+      """WITH px AS (SELECT doc_id,
+        |    list_transform(generate_series(0, 63),
+        |      i -> ord(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1)))
+        |      AS pixels
+        |  FROM documents),
+        |s AS (SELECT doc_id, pixels, list_sum(pixels) AS st FROM px),
+        |h AS (SELECT doc_id,
+        |    array_to_string(list_transform(pixels,
+        |      p -> CASE WHEN p * 64 > st THEN '1' ELSE '0' END), '') AS ahash
+        |  FROM s)
+        |SELECT min(doc_id) AS rep_id, count(*) AS n_assets, ahash
+        |FROM h GROUP BY ahash ORDER BY rep_id""".stripMargin,
   )
 }

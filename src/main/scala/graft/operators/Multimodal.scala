@@ -129,6 +129,28 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Perceptual-hash (aHash) visual dedup — the multimodal twin of d01:
+    * resample every payload to 64 "pixels" (the [[resize]] grid), set
+    * bit_i when pixel_i exceeds the mean, and group identical 64-bit
+    * fingerprints. The mean comparison is the exact integer form
+    * `pixel_i · 64 > Σ pixels` (a float mean would put boundary pixels at
+    * the mercy of rounding). Real aHash runs on decoded luma — the stub
+    * payload stands in, the dataflow (constant-size fingerprint per
+    * asset, hash-shuffle group) is the 100-TB shape. Near-dup variants
+    * band the 64 bits exactly like d05 bands its hyperplane signs. */
+  def perceptualHashQuery(s: SparkSession, dir: String): DataFrame = {
+    val px = resize(assets(s, dir), target = 64)
+    px.select(col("doc_id"), col("pixels"),
+        aggregate(col("pixels"), lit(0L), (a, x) => a + x).as("st"))
+      .select(col("doc_id"),
+        array_join(transform(col("pixels"),
+          p => when(p * 64 > col("st"), "1").otherwise("0")), "").as("ahash"))
+      .groupBy("ahash")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_assets"))
+      .select(col("rep_id"), col("n_assets"), col("ahash"))
+      .orderBy("rep_id")
+  }
+
   /** Oracle-checkable metadata query: byte length + stub-decoded dims via
     * pure column expressions (same formulas as [[DecodeStub.decode]]). */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
