@@ -58,6 +58,7 @@ object SparkEntry {
     "q35_json_extract" -> ExtendedQueries.q35JsonExtract _,
     "q36_correlated_subquery" -> ExtendedQueries.q36CorrelatedSubquery _,
     "q37_range_frame" -> ExtendedQueries.q37RangeFrame _,
+    "q38_window_distinct" -> ExtendedQueries.q38WindowDistinct _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLsh _,
@@ -88,6 +89,7 @@ object SparkEntry {
     "p03_split_leakage" -> Sampling.splitLeakage _,
     "p04_sequence_packing" -> Sampling.sequencePacking _,
     "p05_decontamination" -> Sampling.decontamination _,
+    "p06_token_budget_sample" -> Sampling.tokenBudgetSample _,
     "t08_filter_funnel" -> TextAnalysis.filterFunnel _,
     "t09_pii_scan" -> TextAnalysis.piiScan _,
   )
@@ -564,6 +566,19 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS spend_30d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q38_window_distinct" ->
+      """WITH f AS (SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CASE WHEN ROW_NUMBER() OVER (
+        |        PARTITION BY o_custkey, o_orderpriority
+        |        ORDER BY o_orderdate, o_orderkey) = 1
+        |      THEN 1 ELSE 0 END AS is_first
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(is_first) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_priorities_so_far
+        |FROM f ORDER BY o_orderkey""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->
@@ -760,6 +775,23 @@ object SparkEntry {
          |    AS contaminated
          |FROM testdocs t LEFT JOIN shared USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "p06_token_budget_sample" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM tk)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+         |  min(doc_id) AS first_doc
+         |FROM c WHERE cum_before < ${Sampling.TokenBudget}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "t01_text_langid" -> {
       val values = TextAnalysis.markers
         .map { case (l, w) => s"('$l','$w')" }.mkString(",")

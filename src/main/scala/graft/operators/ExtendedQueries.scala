@@ -317,6 +317,29 @@ object ExtendedQueries {
           AS DOUBLE)""").as("spend_30d"))
       .orderBy("o_orderkey")
 
+  // --- Q38: running distinct count over a window ----------------------------
+  // Spark (like most engines) rejects COUNT(DISTINCT) with an ORDER BY
+  // frame; the scalable exact form is the first-occurrence-flag technique:
+  // flag = [row is the first (custkey, priority) occurrence in time order],
+  // running distinct = running SUM(flag). Two windows, one shuffle (both
+  // partition by custkey), no distinct-state blowup — at 100 TB the flag
+  // rides the same sort the running sum needs.
+  def q38WindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    val first = Window.partitionBy(col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val running = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("is_first",
+        when(row_number().over(first) === 1, 1L).otherwise(0L))
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(col("is_first")).over(running).as("distinct_priorities_so_far"))
+      .orderBy("o_orderkey")
+  }
+
   // --- Q31: as-of join (merge-sorted, single shuffle) -----------------------
   // For each purchase event: the user's most recent strictly-earlier view
   // event. Implemented as the scalable as-of algorithm — union both sides,

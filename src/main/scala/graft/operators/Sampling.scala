@@ -151,6 +151,37 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Token budget per language for [[tokenBudgetSample]]. */
+  val TokenBudget = 20000L
+
+  /** Token-budget sampling — the data-mixing primitive: from each
+    * language, take documents in deterministic md5(doc_id) order until
+    * the running token count reaches the budget (the last document may
+    * overshoot; its successors are excluded). Pipelines use exactly this
+    * to hit a target language/domain mix by token mass, not doc count.
+    * One per-shard ordered running sum (same parallel window shape as
+    * [[sequencePacking]]); selection is a pure function of the data, so
+    * the same 100-TB corpus yields the same sample on every engine and
+    * every rerun. Emits the per-language realized totals alongside.
+    */
+  def tokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    import TextPrep.tokens
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < TokenBudget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
   /** Stratified deterministic sample: the k hash-smallest documents per
     * language — proportional-free, reproducible, and skew-proof (one
     * `WindowGroupLimit`-pruned top-k per stratum, never a full sort). */

@@ -39,11 +39,58 @@ object DlqSink {
       .json(dlqDir)
   }
 
-  /** All DLQ rows for one destination (partition-pruned scan). */
+  /** All DLQ rows for one destination (partition-pruned scan). An empty
+    * or fully-compacted queue reads as an empty frame, not a schema-
+    * inference error. */
   def read(spark: SparkSession, dlqDir: String, destination: String): DataFrame =
-    spark.read.json(dlqDir).filter(col("destination") === destination)
+    try spark.read.json(dlqDir).filter(col("destination") === destination)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+            e.getCondition == "PATH_NOT_FOUND" =>
+        spark.emptyDataFrame
+    }
 
   /** Count per destination (`writer.py:113-129`). */
   def count(spark: SparkSession, dlqDir: String, destination: String): Long =
     read(spark, dlqDir, destination).count()
+
+  /** Columns [[write]] attaches — stripped again on [[replay]]. */
+  private val MetaCols = Seq("dlq_id", "destination", "error_type",
+    "error_message", "stack_trace", "retry_count", "first_failure_at_micros",
+    "failed_at_micros", "failed_date", "batch_id")
+
+  final case class ReplayResult(destination: String, rows: Long,
+      succeeded: Boolean, error: Option[Throwable])
+
+  /** Replay one destination's dead letters — the recovery path after the
+    * destination heals (the reference tracks `retry_count` for exactly
+    * this; `data-model.md:233-244`). All queued rows re-attempt as ONE
+    * batch under the caller's `replayBatchId`: destination writes are
+    * batchId-idempotent, so a replay that crashes mid-write re-runs
+    * safely, and no driver loop over failed batches is needed (the plan
+    * stays fully distributed). On success the destination's DLQ partition
+    * is dropped — one directory delete, the same swap discipline as the
+    * versioned-sink compaction; on failure the letters stay untouched for
+    * the next attempt. */
+  def replay(spark: SparkSession, dlqDir: String, destination: String,
+      replayBatchId: Long, write: (DataFrame, Long) => Unit,
+      policy: RetryPolicy = RetryPolicy()): ReplayResult = {
+    val letters = read(spark, dlqDir, destination)
+    val rows = letters.count()
+    if (rows == 0) return ReplayResult(destination, 0, succeeded = true, None)
+    val payload = letters.drop(MetaCols: _*)
+    Retry.withRetry(policy)(write(payload, replayBatchId)) match {
+      case Retry.Succeeded(_, _) =>
+        val path = new org.apache.hadoop.fs.Path(
+          s"$dlqDir/destination=$destination")
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(path, true)
+        ReplayResult(destination, rows, succeeded = true, None)
+      case Retry.Permanent(err, _, _) =>
+        ReplayResult(destination, rows, succeeded = false, Some(err))
+      case Retry.Exhausted(err, _, _) =>
+        ReplayResult(destination, rows, succeeded = false, Some(err))
+    }
+  }
 }

@@ -63,4 +63,37 @@ class DlqSpec extends SparkSpec {
       row.getAs[Long]("failed_at_micros"))
     assert(row.getAs[Long]("batch_id") == 7L)
   }
+
+  test("replay re-delivers dead letters and compacts the queue") {
+    val dir = Files.createTempDirectory("dlq4").toString
+    val out = Files.createTempDirectory("dlq4out").toString
+    val batch = Seq(("e1", "users"), ("e2", "users")).toDF("event_id", "table_name")
+    // destination down -> both batches dead-letter
+    val flaky = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      if (flaky.get()) throw new java.net.ConnectException("still down")
+      df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+    }
+    val dest = graft.streaming.FanOut.Destination("pg",
+      graft.sinks.RetryPolicy(maxAttempts = 2, baseDelayMs = 1), write)
+    graft.streaming.FanOut.writeAll(batch, 1L, Seq(dest), dir)
+    graft.streaming.FanOut.writeAll(batch.limit(1), 2L, Seq(dest), dir)
+    assert(DlqSink.count(spark, dir, "pg") == 3)
+
+    // replay while STILL down: letters stay queued, result reports failure
+    val down = DlqSink.replay(spark, dir, "pg", replayBatchId = 100L,
+      write, graft.sinks.RetryPolicy(maxAttempts = 2, baseDelayMs = 1))
+    assert(!down.succeeded && down.rows == 3)
+    assert(DlqSink.count(spark, dir, "pg") == 3)
+
+    // destination heals: replay delivers payload columns only, queue empties
+    flaky.set(false)
+    val up = DlqSink.replay(spark, dir, "pg", replayBatchId = 101L,
+      write, graft.sinks.RetryPolicy(maxAttempts = 2, baseDelayMs = 1))
+    assert(up.succeeded && up.rows == 3)
+    assert(DlqSink.count(spark, dir, "pg") == 0)
+    val delivered = spark.read.parquet(s"$out/batch=101")
+    assert(delivered.count() == 3)
+    assert(delivered.columns.sorted.toSeq == Seq("event_id", "table_name"))
+  }
 }
