@@ -39,6 +39,7 @@ object SparkEntry {
     "q17_time_bucket" -> CoreQueries.q17TimeBucket _,
     "q18_topk" -> CoreQueries.q18TopK _,
     "q19_setops" -> CoreQueries.q19SetOps _,
+    "q19b_setops_all" -> CoreQueries.q19bSetOpsAll _,
     "q20_scalar" -> CoreQueries.q20Scalar _,
     "q21_array_json" -> CoreQueries.q21ArrayJson _,
     "q22_mask_hmac" -> CoreQueries.q22MaskHmac _,
@@ -388,6 +389,19 @@ object SparkEntry {
         |    EXCEPT
         |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |) ORDER BY tag, c_custkey""".stripMargin,
+    "q19b_setops_all" ->
+      """WITH jan AS (SELECT o_orderpriority FROM orders
+        |             WHERE month(o_orderdate) = 1),
+        |feb AS (SELECT o_orderpriority FROM orders
+        |        WHERE month(o_orderdate) = 2),
+        |c AS (SELECT 'common' AS tag, o_orderpriority FROM
+        |        (SELECT * FROM jan INTERSECT ALL SELECT * FROM feb)
+        |      UNION ALL
+        |      SELECT 'jan_extra' AS tag, o_orderpriority FROM
+        |        (SELECT * FROM jan EXCEPT ALL SELECT * FROM feb))
+        |SELECT tag, o_orderpriority, count(*) AS n
+        |FROM c GROUP BY tag, o_orderpriority
+        |ORDER BY tag, o_orderpriority""".stripMargin,
     "q20_scalar" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INTEGER) AS yr,

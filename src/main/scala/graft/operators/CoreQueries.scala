@@ -280,6 +280,25 @@ object CoreQueries {
       .orderBy("tag", "c_custkey")
   }
 
+  /** ALL-variant set ops (bag semantics — `intersectAll`/`exceptAll`
+    * preserve duplicate multiplicity, which DISTINCT-based q19 cannot):
+    * order priorities per clerk-month vs the previous month. Multiplicity
+    * matters exactly when the operand is a bag of events, the common case
+    * in CDC streams. */
+  def q19bSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+    val jan = o.filter(month(col("o_orderdate")) === 1)
+      .select(col("o_orderpriority"))
+    val feb = o.filter(month(col("o_orderdate")) === 2)
+      .select(col("o_orderpriority"))
+    val common = jan.intersectAll(feb).withColumn("tag", lit("common"))
+    val janOnly = jan.exceptAll(feb).withColumn("tag", lit("jan_extra"))
+    common.unionByName(janOnly)
+      .groupBy("tag", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tag", "o_orderpriority")
+  }
+
   // --- Q20: scalar string/date/math functions -------------------------------
   def q20Scalar(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "orders")
