@@ -45,6 +45,7 @@ object SparkEntry {
     "q22_mask_hmac" -> CoreQueries.q22MaskHmac _,
     "q23_cube" -> ExtendedQueries.q23Cube _,
     "q24_pivot" -> ExtendedQueries.q24Pivot _,
+    "q39_unpivot" -> ExtendedQueries.q39Unpivot _,
     "q25_window_family" -> ExtendedQueries.q25WindowFamily _,
     "q26_exists_subquery" -> ExtendedQueries.q26ExistsSubquery _,
     "q27_percentiles" -> ExtendedQueries.q27Percentiles _,
@@ -445,6 +446,21 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
+    "q39_unpivot" -> {
+      val plist = ExtendedQueries.Priorities.map(p => s"'$p'").mkString(", ")
+      s"""WITH j AS (SELECT n_name, o_orderpriority FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey),
+         |grid AS (SELECT n_name, p AS o_orderpriority
+         |  FROM (SELECT DISTINCT n_name FROM j),
+         |       (SELECT unnest([$plist]) AS p)),
+         |c AS (SELECT n_name, o_orderpriority, count(*) AS n
+         |      FROM j GROUP BY n_name, o_orderpriority)
+         |SELECT g.n_name, g.o_orderpriority, COALESCE(c.n, 0) AS n
+         |FROM grid g LEFT JOIN c
+         |  ON g.n_name = c.n_name AND g.o_orderpriority = c.o_orderpriority
+         |ORDER BY g.n_name, g.o_orderpriority""".stripMargin
     },
     "q25_window_family" ->
       """SELECT o_custkey, o_orderkey,

@@ -56,6 +56,19 @@ object ExtendedQueries {
       .orderBy("n_name")
   }
 
+  // --- Q39: unpivot (melt) — the inverse of q24 -----------------------------
+  /** `Dataset.unpivot` melts the per-priority count columns back into
+    * (nation, priority, n) rows — the wide→long reshape a reporting layer
+    * runs after a pivoted extract. Pure per-row reshaping: the only
+    * shuffle is q24's own aggregation; unpivot itself is a narrow
+    * `Expand`-style projection at any scale. */
+  def q39Unpivot(s: SparkSession, dir: String): DataFrame =
+    q24Pivot(s, dir)
+      .unpivot(Array(col("n_name")),
+        Priorities.map(p => col(s"`$p`")).toArray,
+        "o_orderpriority", "n")
+      .orderBy("n_name", "o_orderpriority")
+
   // --- Q25: analytic window family -----------------------------------------
   def q25WindowFamily(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -107,4 +107,31 @@ class WindowedAggSpec extends SparkSpec {
     assert(got.count(_._1 == "u1") == 1)
     assert(got.forall(_._1 != "u2")) // 20-minute delay is outside the band
   }
+
+  test("stream-stream LEFT join null-pads unmatched rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    val joined = WindowedAggs.streamStreamLeftJoin(
+      views.toDF().toDF("user", "view_ts"),
+      buys.toDF().toDF("r_user", "buy_ts"),
+      keyCol = "user", leftTime = "view_ts", rightTime = "buy_ts",
+      watermark = "10 minutes", maxDelay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssljoin")
+      .outputMode(OutputMode.Append).start()
+
+    views.addData(("u1", ts(1)), ("u2", ts(2)))
+    buys.addData(("u1", ts(4))) // only u1 converts
+    // push the watermark far enough that u2's join state provably closes
+    views.addData(("zz", ts(120)))
+    buys.addData(("zz", ts(120)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssljoin")
+      .select("user", "r_user")
+      .as[(String, Option[String])].collect()
+    // matched row carries the right side; unmatched u2 emits null-padded
+    assert(got.contains(("u1", Some("u1"))))
+    assert(got.contains(("u2", None)))
+  }
 }
