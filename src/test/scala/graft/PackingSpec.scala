@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Sampling
+
+/** Structural invariants of the sequence-packing and token-budget
+  * operators on the real corpus — properties the oracle hash can't
+  * express directly (it proves equality, not meaning). */
+class PackingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("packing spans are contiguous, in-bounds, and token-preserving") {
+    val rows = Sampling.sequencePacking(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val L = Sampling.ContextLen
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_.getAs[Long]("doc_id"))
+      var expectedStartTokens = 0L
+      sorted.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        val start = r.getAs[Long]("start_bin")
+        val end = r.getAs[Long]("end_bin")
+        val off = r.getAs[Long]("offset_in_bin")
+        // offset sits inside the first window; spans never run backwards
+        assert(off >= 0 && off < L)
+        assert(end >= start)
+        // the doc begins exactly where the previous doc's tokens ended
+        assert(expectedStartTokens == start * L + off)
+        // end_bin is the window holding the doc's LAST token
+        assert(end == (expectedStartTokens + n - 1) / L)
+        expectedStartTokens += n
+      }
+    }
+  }
+
+  test("token budget cuts each language at the boundary document") {
+    val rows = Sampling.tokenBudgetSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_tokens_total")
+      val nDocs = r.getAs[Long]("n_docs")
+      assert(nDocs > 0)
+      // every selected doc STARTED under budget, so the total overshoots
+      // by at most one document; with sf0.001 docs ~200 tokens the
+      // realized total stays within budget + max doc size
+      assert(total >= math.min(Sampling.TokenBudget, total))
+      assert(total < Sampling.TokenBudget + 10000,
+        s"total $total wildly exceeds budget")
+    }
+  }
+}
