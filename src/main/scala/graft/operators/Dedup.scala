@@ -110,16 +110,18 @@ object Dedup {
     while (changed > 0 && round < 50) {
       val nbrMin = edges.join(labels, col("eb") === col("doc_id"))
         .groupBy(col("ea")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("doc_id") === col("ea"), "left")
-        .select(col("doc_id"),
+      // keep the pre-update label alongside: `changed` then reads off this
+      // frame directly instead of re-joining next against labels (one
+      // fewer shuffle join per round)
+      val step = labels.join(nbrMin, col("doc_id") === col("ea"), "left")
+        .select(col("doc_id"), col("cluster").as("old_cluster"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      changed = step.filter(col("cluster") =!= col("old_cluster")).count()
+      val next = step.select("doc_id", "cluster")
       prev.foreach(_.unpersist())
-      prev = Some(next)
+      prev = Some(step)
       labels = next
       round += 1
     }
