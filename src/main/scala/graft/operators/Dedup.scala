@@ -287,10 +287,9 @@ object Dedup {
 
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.FloatVecDot.float_vec_dot
-    // width-normalize: one small parquet file = one split, which would run
-    // every exact-decimal norm/dot on a single core (see Similarity)
-    val e = Tables.table(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    // width-normalize (Tables.spread): one small parquet file = one split,
+    // which would run every exact-decimal norm/dot on a single core
+    val e = Tables.spread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), col("embedding"),
         normD(col("embedding")).as("nrm"))
     // candidate generation: banded sign-pattern buckets (zero-shuffle,

@@ -29,14 +29,11 @@ object Similarity {
   val NumPlanes = 8
   val Dim = 64
 
-  /** Width-normalized scan: the small corpus arrives as ONE parquet split,
-    * and every exact-decimal dot/norm downstream would run on a single
-    * core (the documents tables hit the same wall — see
-    * [[Dedup.ngramJaccardOf]]). At 100 TB the scan has ≥ this many splits
-    * and AQE coalesces the pass-through exchange away. */
+  /** Width-normalized scan ([[graft.Tables.spread]]): the small corpus
+    * arrives as ONE parquet split, and every exact-decimal dot/norm
+    * downstream would run on a single core. */
   private def embeddings(s: SparkSession, dir: String): DataFrame =
-    withNorm(Tables.table(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id")))
+    withNorm(Tables.spread(s, dir, "embeddings", "vec_id"))
 
   /** Attach the exact-decimal L2 norm to a (vec_id, embedding) frame. */
   private[graft] def withNorm(df: DataFrame): DataFrame =
@@ -212,8 +209,7 @@ object Similarity {
     * scores, exactly the s01 flow.
     */
   def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.table(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val base = Tables.spread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"),
       col("embedding"),
       array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))

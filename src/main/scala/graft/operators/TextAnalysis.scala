@@ -213,7 +213,9 @@ object TextAnalysis {
         |""".stripMargin))
       .select(col("stage").cast("int").as("stage"), col("stage_name"),
         col("docs_remaining"))
-      .orderBy("stage")
+      // 5-row output over a heavy pipeline — single-partition sort avoids
+      // orderBy's range-sampling re-execution of the whole funnel (d02 rule)
+      .repartition(1).sortWithinPartitions("stage")
   }
 
   // --- PII scan / redaction ------------------------------------------------

@@ -69,28 +69,45 @@ object DlqSink {
     * batch under the caller's `replayBatchId`: destination writes are
     * batchId-idempotent, so a replay that crashes mid-write re-runs
     * safely, and no driver loop over failed batches is needed (the plan
-    * stays fully distributed). On success the destination's DLQ partition
-    * is dropped — one directory delete, the same swap discipline as the
-    * versioned-sink compaction; on failure the letters stay untouched for
-    * the next attempt. */
+    * stays fully distributed).
+    *
+    * Compaction deletes exactly the FILES the replay read (via
+    * `input_file_name`), never the partition directory: letters appended
+    * concurrently while the replay is in flight land in new files and
+    * survive, and partition-name escaping can't desynchronize the path.
+    * The file list is driver-side METADATA bounded by file count (like
+    * any committer), not data. A file whose delete fails is reported as
+    * `succeeded = false` so the caller knows duplicates are possible on
+    * the next replay. */
   def replay(spark: SparkSession, dlqDir: String, destination: String,
       replayBatchId: Long, write: (DataFrame, Long) => Unit,
       policy: RetryPolicy = RetryPolicy()): ReplayResult = {
     val letters = read(spark, dlqDir, destination)
-    val rows = letters.count()
-    if (rows == 0) return ReplayResult(destination, 0, succeeded = true, None)
-    val payload = letters.drop(MetaCols: _*)
-    Retry.withRetry(policy)(write(payload, replayBatchId)) match {
-      case Retry.Succeeded(_, _) =>
-        val path = new org.apache.hadoop.fs.Path(
-          s"$dlqDir/destination=$destination")
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(path, true)
-        ReplayResult(destination, rows, succeeded = true, None)
-      case Retry.Permanent(err, _, _) =>
-        ReplayResult(destination, rows, succeeded = false, Some(err))
-      case Retry.Exhausted(err, _, _) =>
-        ReplayResult(destination, rows, succeeded = false, Some(err))
-    }
+      .withColumn("_src_file", input_file_name())
+      .persist()
+    try {
+      val rows = letters.count()
+      if (rows == 0) return ReplayResult(destination, 0, succeeded = true, None)
+      val files = letters.select("_src_file").distinct()
+        .collect().map(_.getString(0)) // bounded metadata: one row per file
+      val payload = letters.drop("_src_file" +: MetaCols: _*)
+      Retry.withRetry(policy)(write(payload, replayBatchId)) match {
+        case Retry.Succeeded(_, _) =>
+          val conf = spark.sparkContext.hadoopConfiguration
+          val allDeleted = files.forall { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(conf).delete(p, false)
+          }
+          ReplayResult(destination, rows, succeeded = allDeleted,
+            if (allDeleted) None
+            else Some(new java.io.IOException(
+              "replayed but some DLQ files could not be deleted; " +
+                "next replay may re-deliver")))
+        case Retry.Permanent(err, _, _) =>
+          ReplayResult(destination, rows, succeeded = false, Some(err))
+        case Retry.Exhausted(err, _, _) =>
+          ReplayResult(destination, rows, succeeded = false, Some(err))
+      }
+    } finally { letters.unpersist(); () }
   }
 }

@@ -51,30 +51,28 @@ object WindowedAggs {
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
       keyCol: String, leftTime: String, rightTime: String,
-      watermark: String, maxDelay: String): DataFrame =
-    left.withWatermark(leftTime, watermark)
-      .join(right.withWatermark(rightTime, watermark),
-        expr(s"""$keyCol = r_$keyCol AND
-                 $rightTime >= $leftTime AND
-                 $rightTime < $leftTime + interval $maxDelay"""))
-
-  /** Stream-stream LEFT OUTER band join — the "did a purchase follow
-    * this view?" shape. Outer stream-stream joins are semantically
-    * heavier than inner ones: an unmatched left row can only be emitted
-    * (null-padded) once the watermark proves no matching right row can
-    * still arrive, so results trail the watermark by design. Both sides
-    * watermarked + the time band bound the join state exactly as in
-    * [[streamStreamJoin]].
-    */
-  def streamStreamLeftJoin(left: DataFrame, right: DataFrame,
-      keyCol: String, leftTime: String, rightTime: String,
-      watermark: String, maxDelay: String): DataFrame =
+      watermark: String, maxDelay: String,
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTime, watermark)
       .join(right.withWatermark(rightTime, watermark),
         expr(s"""$keyCol = r_$keyCol AND
                  $rightTime >= $leftTime AND
                  $rightTime < $leftTime + interval $maxDelay"""),
-        "left_outer")
+        joinType)
+
+  /** Stream-stream LEFT OUTER band join — the "did a purchase follow
+    * this view?" shape. Outer stream-stream joins are semantically
+    * heavier than inner ones: an unmatched left row can only be emitted
+    * (null-padded) once the watermark proves no matching right row can
+    * still arrive, so results trail the watermark by design. Same
+    * builder as [[streamStreamJoin]] — watermarks + the time band bound
+    * the join state identically.
+    */
+  def streamStreamLeftJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTime: String, rightTime: String,
+      watermark: String, maxDelay: String): DataFrame =
+    streamStreamJoin(left, right, keyCol, leftTime, rightTime,
+      watermark, maxDelay, joinType = "left_outer")
 
   /** Stream enriched by a static dimension (broadcast per micro-batch) —
     * the streaming-enrichment shape: no state, no watermark needed. */

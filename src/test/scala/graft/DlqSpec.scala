@@ -96,4 +96,25 @@ class DlqSpec extends SparkSpec {
     assert(delivered.count() == 3)
     assert(delivered.columns.sorted.toSeq == Seq("event_id", "table_name"))
   }
+
+  test("letters appended during a replay survive its compaction") {
+    val dir = Files.createTempDirectory("dlq5").toString
+    val batch = Seq(("e1", "users")).toDF("event_id", "table_name")
+    DlqSink.write(batch, dir, "pg", "Timeout", "slow",
+      failedAtMicros = 1704067200000000L)
+    // the destination write itself dead-letters a NEW failure mid-replay
+    // (stands in for a concurrent streaming batch failing while the
+    // replay is in flight)
+    def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      DlqSink.write(batch, dir, "pg", "Timeout", "concurrent",
+        failedAtMicros = 1704067260000000L)
+      df.count(); ()
+    }
+    val res = DlqSink.replay(spark, dir, "pg", replayBatchId = 200L, write)
+    assert(res.succeeded && res.rows == 1)
+    // compaction removed only the replayed files; the mid-flight letter stays
+    val remaining = DlqSink.read(spark, dir, "pg")
+    assert(remaining.count() == 1)
+    assert(remaining.head().getAs[String]("error_message") == "concurrent")
+  }
 }

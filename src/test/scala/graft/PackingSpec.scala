@@ -34,16 +34,24 @@ class PackingSpec extends SparkSpec {
   }
 
   test("token budget cuts each language at the boundary document") {
+    import org.apache.spark.sql.functions._
+    val langDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("all_docs"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("all_docs"))
+      .toMap
     val rows = Sampling.tokenBudgetSample(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
       val total = r.getAs[Long]("n_tokens_total")
       val nDocs = r.getAs[Long]("n_docs")
       assert(nDocs > 0)
-      // every selected doc STARTED under budget, so the total overshoots
-      // by at most one document; with sf0.001 docs ~200 tokens the
-      // realized total stays within budget + max doc size
-      assert(total >= math.min(Sampling.TokenBudget, total))
+      // the cut rule keeps every doc that STARTS under budget, so either
+      // the realized total reached the budget (last kept doc crossed it)
+      // or the language ran out of documents entirely
+      assert(total >= Sampling.TokenBudget || nDocs == langDocs(lang),
+        s"$lang stopped at $total tokens / $nDocs docs without reaching " +
+          s"the ${Sampling.TokenBudget} budget or exhausting the corpus")
       assert(total < Sampling.TokenBudget + 10000,
         s"total $total wildly exceeds budget")
     }
