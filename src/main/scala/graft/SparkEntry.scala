@@ -38,6 +38,7 @@ object SparkEntry {
     "q16_window_analytic" -> CoreQueries.q16WindowAnalytic _,
     "q17_time_bucket" -> CoreQueries.q17TimeBucket _,
     "q18_topk" -> CoreQueries.q18TopK _,
+    "q18b_shipping_priority" -> CoreQueries.q18bShippingPriority _,
     "q19_setops" -> CoreQueries.q19SetOps _,
     "q19b_setops_all" -> CoreQueries.q19bSetOpsAll _,
     "q20_scalar" -> CoreQueries.q20Scalar _,
@@ -378,6 +379,19 @@ object SparkEntry {
     "q18_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q18b_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q19_setops" ->
       """SELECT tag, c_custkey FROM (
         |  SELECT 'both' AS tag, c_custkey FROM (

@@ -268,6 +268,34 @@ object CoreQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
 
+  /** TPC-H Q3 shape (shipping priority): selective filters on both fact
+    * sides + a broadcastable dimension filter, join, decimal-exact
+    * revenue aggregation, top-10. The classic benchmark pattern for
+    * "does the optimizer push filters below the join and take the top-k
+    * without a global sort": both date predicates reach the parquet
+    * scans, customer broadcasts, and the final 10 rows come from
+    * `TakeOrderedAndProject`. */
+  def q18bShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val cutoff = "1995-03-15"
+    val c = Tables.table(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.table(s, dir, "orders")
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
   // --- Q19: set operations --------------------------------------------------
   def q19SetOps(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.table(s, dir, "customer")
