@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Extended relational surface beyond SURVEY §2.14 — operators a user of a
   * full warehouse expects (cube, pivot, analytic-window family, quantifiers,
@@ -100,33 +100,53 @@ object ExtendedQueries {
   /** Exact type-7 percentiles WITHOUT the built-in `percentile`'s
     * ObjectHashAggregate, which buffers every value per group (~97%
     * distinct here — the per-group buffer IS the dataset, a 100-TB
-    * non-starter). Distributed counting instead: reduce to (group, value)
-    * counts, one windowed cumulative sum assigns each value its 0-indexed
-    * rank range, and the interpolation endpoints are picked by range
-    * membership — bounded memory at every stage, all codegen. The
-    * interpolation `lv·(h−pos) + hv·(pos−l)` with pos = q·(n−1) is
-    * bit-identical to `percentile()` and the oracle's quantile_cont.
+    * non-starter). Distributed ranking with a TWO-LEVEL prefix sum:
+    * bucket each value into a fixed-width range bucket (deterministic +
+    * monotone in v, so correctness never depends on the data distribution —
+    * skew only costs parallelism), rank rows per (group, bucket) — sort
+    * parallelism proportional to data, not to the number of groups — then
+    * broadcast the tiny per-bucket counts back as prefix offsets to make
+    * ranks global and keep only the interpolation-endpoint rows. A single
+    * `partition by group` running sum would pull every row of a group
+    * through ONE task's sort (3 groups ⇒ 3 tasks at any scale); this shape
+    * keeps every stage wide. The interpolation `lv·(h−pos) + hv·(pos−l)`
+    * with pos = q·(n−1) is bit-identical to `percentile()` and the
+    * oracle's quantile_cont.
     */
   def q27Percentiles(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.table(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val wAll = Window.partitionBy("l_returnflag")
-    val wBefore = wAll.orderBy("v")
+    // Bucket width 1000 on a [900, 105000] price domain ⇒ ~105 buckets per
+    // group. A shifted domain only changes bucket occupancy, never results.
+    val raw = Tables.table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("b", floor(col("v") / 1000).cast(LongType))
+    // Local rank within (group, bucket). row_number's tie order is
+    // arbitrary but harmless: tied rows carry equal v, so the value found
+    // at any given rank is unique.
+    val wLocal = Window.partitionBy("l_returnflag", "b").orderBy("v")
+    val local = raw
+      .withColumn("rn", row_number().over(wLocal).cast(LongType))
+    // Per-(group, bucket) counts are tiny (groups × buckets rows) and
+    // aggregate well (map-side combine); the branch is deterministic, so a
+    // re-execution cannot diverge from the main branch even without reuse.
+    val wOff = Window.partitionBy("l_returnflag").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = counts
-      .withColumn("n", sum(col("c")).over(wAll))
-      .withColumn("cb", coalesce(sum(col("c")).over(wBefore), lit(0L)))
+    val offsets = raw
+      .groupBy(col("l_returnflag"), col("b")).agg(count(lit(1)).as("pt"))
+      .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("pt")).over(Window.partitionBy("l_returnflag")))
+      .select("l_returnflag", "b", "off", "n")
     def pos(q: Double) = lit(q) * (col("n") - 1).cast(DoubleType)
-    def endpoints(q: Double, tag: String): Seq[Column] = {
-      val l = floor(pos(q))
-      val h = ceil(pos(q))
-      Seq(
-        max(when(col("cb") <= l && l < col("cb") + col("c"), col("v")))
-          .as(s"lv$tag"),
-        max(when(col("cb") <= h && h < col("cb") + col("c"), col("v")))
-          .as(s"hv$tag"))
-    }
+    // Global 0-indexed rank; keep only the ≤6 interpolation-endpoint rows
+    // per group, so the final aggregation sees a handful of rows.
+    val ranked = local
+      .join(broadcast(offsets), Seq("l_returnflag", "b"))
+      .withColumn("r", col("rn") - 1 + col("off"))
+      .filter(Seq(0.5, 0.95, 0.99).map { q =>
+        (col("r") === floor(pos(q))) || (col("r") === ceil(pos(q)))
+      }.reduce(_ || _))
+    def endpoints(q: Double, tag: String): Seq[Column] = Seq(
+      max(when(col("r") === floor(pos(q)), col("v"))).as(s"lv$tag"),
+      max(when(col("r") === ceil(pos(q)), col("v"))).as(s"hv$tag"))
     def interp(q: Double, tag: String): Column = {
       val p = pos(q)
       val l = floor(p)
