@@ -13,11 +13,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query seconds from the newest `BENCH_r{N}.json` in the repo root,
-    * so each round's JSON carries mechanical deltas vs the previous round
-    * (VERDICT r01 item 9). The driver's file wraps the engine's JSON line
-    * inside a `tail` field (with an sbt `[info] ` prefix), so parse the
-    * `parsed` field when present and fall back to extracting the line.
+  /** Per-query seconds from the previous round, so each round's JSON
+    * carries mechanical deltas (VERDICT r01 item 9, regressed r03).
+    * Preference order:
+    *
+    *   1. the newest committed `BENCH_LOCAL_r{N}.json` snapshot — the FULL
+    *      line Bench wrote at the end of that round (the workdir
+    *      `BENCH_LOCAL.json` is snapshotted+committed at the next round's
+    *      start, before any local re-run overwrites it);
+    *   2. the newest driver `BENCH_r{N}.json`: its `parsed` field, else the
+    *      JSON line inside its `tail`, else — because the driver FRONT-
+    *      truncates the tail to 2 kB, which is what silently emptied the
+    *      r03 deltas — scavenge every complete `"name":seconds` pair from
+    *      the surviving fragment (recovers ~90% of the map).
+    *
+    * An empty result warns loudly on stderr instead of passing `{}` off as
+    * a clean diff; main() also emits `prev_n` so the JSON is self-auditing.
     */
   private[graft] def previousBench(): (String, Map[String, Double]) = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
@@ -28,30 +39,52 @@ object Bench {
         n.get("queries").properties().asScala
           .map(e => e.getKey -> e.getValue.asDouble()).toMap
       else Map.empty
-    val candidates = Seq(new java.io.File("."), new java.io.File("/root/repo"))
-      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      .distinct.sortBy(_.getName)
-    candidates.lastOption.map { f =>
-      try {
-        val root = mapper.readTree(f)
-        val direct = queriesOf(root)
-        val viaParsed = queriesOf(root.get("parsed"))
-        val viaTail =
-          if (direct.nonEmpty || viaParsed.nonEmpty) Map.empty[String, Double]
-          else {
-            val tail = Option(root.get("tail")).map(_.asText("")).getOrElse("")
-            val i = tail.indexOf("{\"metric\"")
-            if (i < 0) Map.empty[String, Double]
+    def newest(pattern: String): Option[java.io.File] =
+      Seq(new java.io.File("."), new java.io.File("/root/repo"))
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .filter(_.getName.matches(pattern))
+        .distinct
+        .sortBy(f => "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+        .lastOption
+    def scavenge(tail: String): Map[String, Double] = {
+      val names = SparkEntry.queries.keySet
+      "\"([a-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(tail)
+        .collect { case m if names.contains(m.group(1)) =>
+          m.group(1) -> m.group(2).toDouble }
+        .toMap
+    }
+    val snapshot = newest("BENCH_LOCAL_r\\d+\\.json").flatMap { f =>
+      try Some((f.getName, queriesOf(mapper.readTree(f))))
+      catch { case _: Throwable => None }
+    }.filter(_._2.nonEmpty)
+    val driverFile = snapshot match {
+      case Some(s) => Some(s)
+      case None => newest("BENCH_r\\d+\\.json").map { f =>
+        try {
+          val root = mapper.readTree(f)
+          val direct = queriesOf(root) ++ queriesOf(root.get("parsed"))
+          val tail = Option(root.get("tail")).map(_.asText("")).getOrElse("")
+          val viaTail =
+            if (direct.nonEmpty) Map.empty[String, Double]
             else {
-              val j = tail.indexOf('\n', i)
-              val line = if (j < 0) tail.substring(i) else tail.substring(i, j)
-              queriesOf(mapper.readTree(line.trim))
+              val i = tail.indexOf("{\"metric\"")
+              if (i >= 0) {
+                val j = tail.indexOf('\n', i)
+                val line = if (j < 0) tail.substring(i) else tail.substring(i, j)
+                try queriesOf(mapper.readTree(line.trim))
+                catch { case _: Throwable => scavenge(tail) }
+              } else scavenge(tail) // front-truncated: recover the fragment
             }
-          }
-        (f.getName, direct ++ viaParsed ++ viaTail)
-      } catch { case _: Throwable => (f.getName, Map.empty[String, Double]) }
-    }.getOrElse(("", Map.empty))
+          (f.getName, direct ++ viaTail)
+        } catch { case _: Throwable => (f.getName, Map.empty[String, Double]) }
+      }
+    }
+    val (name, prev) = driverFile.getOrElse(("", Map.empty[String, Double]))
+    if (prev.isEmpty)
+      System.err.println(
+        "[bench] WARNING: no previous-round per-query times found " +
+          s"(source='$name') — prev_delta_sec will be empty")
+    (name, prev)
   }
 
   def main(args: Array[String]): Unit = {
@@ -142,7 +175,9 @@ object Bench {
       case (k, v) if v >= 0 && prevQ.contains(k) =>
         "\"" + k + "\":" + f"${v - prevQ(k)}%.3f"
     }.mkString("{", ",", "}")
-    val prevJson = s""","prev":"$prevName","prev_delta_sec":$deltas"""
+    val prevN = results.count { case (k, v) => v >= 0 && prevQ.contains(k) }
+    val prevJson =
+      s""","prev":"$prevName","prev_n":$prevN,"prev_delta_sec":$deltas"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
     println(line)
     // belt-and-braces: the driver's r01 record shows its stdout parse can

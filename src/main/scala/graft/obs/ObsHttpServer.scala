@@ -47,7 +47,17 @@ final class ObsHttpServer(health: HealthStatus, metrics: MetricsListener,
         metrics.prometheusText)
   })
 
+  // Without an executor every request serializes on the dispatcher thread,
+  // so a slow /metrics render would delay load-balancer health probes.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+    (r: Runnable) => {
+      val t = new Thread(r, "obs-http")
+      t.setDaemon(true)
+      t
+    })
+  server.setExecutor(pool)
+
   def start(): ObsHttpServer = { server.start(); this }
   def port: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

@@ -192,9 +192,13 @@ object CoreQueries {
         count(lit(1)).as("n_orders"))
 
   // --- Q12b: approximate distinct (HLL++; rows-only check, no oracle) -----
+  // rsd 2% (default 5% is one sigma, not a bound — a single draw exceeded
+  // 5% error on a 1.5k-key corpus): ~2^12 registers per group, still a
+  // constant-memory sketch with map-side partial merge at any scale, and
+  // the OperatorsSpec ≤5% tolerance gate sits 2.5 sigma out.
   def q12bApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "orders")
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
         count(lit(1)).as("n_orders"))
 
   // --- Q13: ROLLUP with GROUPING() disambiguation -------------------------

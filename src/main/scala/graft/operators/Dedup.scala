@@ -98,37 +98,58 @@ object Dedup {
     */
   def clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(s, dir).select(col("da"), col("db"))
-    val edges = pairs
-      .union(pairs.select(col("db").as("da"), col("da").as("db")))
-      .toDF("ea", "eb")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.table(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("cluster"))
-    var prev: Option[DataFrame] = None
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < 50) {
-      val nbrMin = edges.join(labels, col("eb") === col("doc_id"))
-        .groupBy(col("ea")).agg(min(col("cluster")).as("nbr_min"))
-      // keep the pre-update label alongside: `changed` then reads off this
-      // frame directly instead of re-joining next against labels (one
-      // fewer shuffle join per round)
-      val step = labels.join(nbrMin, col("doc_id") === col("ea"), "left")
-        .select(col("doc_id"), col("cluster").as("old_cluster"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = step.filter(col("cluster") =!= col("old_cluster")).count()
-      val next = step.select("doc_id", "cluster")
-      prev.foreach(_.unpersist())
-      prev = Some(step)
-      labels = next
-      round += 1
-    }
+    val nodes = Tables.table(s, dir, "documents").select("doc_id")
+    val (labels, rounds) = propagateMinLabels(nodes, pairs)
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"d06 cluster propagation converged in $rounds rounds")
     labels
       .select(col("doc_id"), col("cluster"),
         (col("cluster") === col("doc_id")).as("is_keeper"))
       .orderBy("doc_id")
+  }
+
+  /** Min-label propagation to a PROVEN fixpoint. `nodes` = (doc_id),
+    * `pairs` = undirected edges (da, db). Returns the converged labels and
+    * the number of rounds used. The round cap is a runaway guard, not an
+    * answer: hitting it without `changed == 0` throws rather than silently
+    * returning half-propagated clusters (an adversarial chain-of-near-dups
+    * component has diameter ≈ its length, one hop per round).
+    */
+  private[graft] def propagateMinLabels(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("ea", "eb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges.join(labels, col("eb") === col("doc_id"))
+        .groupBy(col("ea")).agg(min(col("cluster")).as("nbr_min"))
+      // keep the pre-update label alongside: `changed` then reads off this
+      // frame directly instead of re-joining next against labels (one
+      // fewer shuffle join per round). localCheckpoint (eager) BREAKS THE
+      // LINEAGE: `labels` feeds two operators per round, so without
+      // truncation the logical plan doubles every round — on a long-chain
+      // component the plan tree itself becomes the bottleneck long before
+      // the data does. Superseded checkpoint RDDs are dropped by the
+      // context cleaner once unreferenced.
+      val step = labels.join(nbrMin, col("doc_id") === col("ea"), "left")
+        .select(col("doc_id"), col("cluster").as("old_cluster"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      changed = step.filter(col("cluster") =!= col("old_cluster")).count()
+      labels = step.select("doc_id", "cluster")
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"cluster propagation did not converge within $maxRounds rounds " +
+          s"($changed labels still moving) — raise maxRounds or check for " +
+          "a pathological long-chain component")
+    (labels, round)
   }
 
   // --- SimHash fingerprint -------------------------------------------------

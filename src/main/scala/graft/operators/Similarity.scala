@@ -40,8 +40,10 @@ object Similarity {
     df.select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
 
   // --- exact top-k ---------------------------------------------------------
-  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopKFrom(embeddings(s, dir))
+
+  private[graft] def bruteForceTopKFrom(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -81,15 +83,20 @@ object Similarity {
     * pushed #vectors × Dim × NumPlanes rows through an aggregation). The
     * sequential double fold is bit-identical to the oracle's
     * list_sum-over-doubles, so the sign (and the bucket) match exactly. */
-  def buckets(s: SparkSession, dir: String): DataFrame = {
+  def buckets(s: SparkSession, dir: String): DataFrame =
+    bucketed(embeddings(s, dir)).select("vec_id", "bucket")
+
+  /** Attach the sign-pattern `bucket` column to a normed frame — pure
+    * map-side column work, so callers that already hold the frame pay no
+    * join and no extra scan. */
+  private[graft] def bucketed(e: DataFrame): DataFrame = {
     import graft.functions.FloatVecDot.float_vec_dot
     val bits = planeWeights.map { ws =>
       val wArr = array(ws.map(w => lit(w.toFloat)): _*)
       when(float_vec_dot(col("embedding"), wArr) >= 0, lit("1"))
         .otherwise(lit("0"))
     }
-    embeddings(s, dir)
-      .select(col("vec_id"), concat(bits: _*).as("bucket"))
+    e.withColumn("bucket", concat(bits: _*))
   }
 
   // --- IVF (inverted-file) ANN ---------------------------------------------
@@ -106,8 +113,10 @@ object Similarity {
   val CentroidStride = 50
   val NProbe = 3
 
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfFrom(embeddings(s, dir))
+
+  private[graft] def annIvfFrom(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
         col("vec_id") >= NumQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
@@ -253,22 +262,33 @@ object Similarity {
     * (see the s04 recall spec for the clustered-corpus counterpoint).
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val bf = bruteForceTopK(s, dir)
-      .filter(col("rank") <= 3).select("qid", "neighbor_id")
+    // One scan+norm for all three sub-pipelines (they used to recompute it
+    // independently — 4 scans, 12 shuffles); the frame is small relative to
+    // executor memory even per-partition at scale, and Spark's cache manager
+    // dedupes identical plans, so repeated calls reuse one cache entry.
+    val e = embeddings(s, dir).persist()
+    // bf ground truth feeds BOTH hit counts; it is Q·K rows — persist so the
+    // expensive exact-scoring DAG executes once, not per join.
+    val bf = bruteForceTopKFrom(e)
+      .filter(col("rank") <= 3).select("qid", "neighbor_id").persist()
     def hits(df: DataFrame, name: String): DataFrame =
       df.select("qid", "neighbor_id")
         .join(bf, Seq("qid", "neighbor_id"))
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"), col("n_hits"))
-    hits(annLsh(s, dir), "lsh").unionByName(hits(annIvf(s, dir), "ivf"))
+    hits(annLshFrom(e), "lsh").unionByName(hits(annIvfFrom(e), "ivf"))
       .select(col("method"), col("n_hits"),
         lit(3L * NumQueries).as("n_possible"),
         (col("n_hits").cast(DoubleType) / (3L * NumQueries)).as("recall_at_3"))
       .repartition(1).sortWithinPartitions("method")
   }
 
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).join(buckets(s, dir), "vec_id")
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    annLshFrom(embeddings(s, dir))
+
+  private[graft] def annLshFrom(e0: DataFrame): DataFrame = {
+    // bucket is a pure map-side column — no scan-vs-scan self-join needed
+    val e = bucketed(e0)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))

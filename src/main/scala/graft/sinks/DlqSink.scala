@@ -40,15 +40,19 @@ object DlqSink {
   }
 
   /** All DLQ rows for one destination (partition-pruned scan). An empty
-    * or fully-compacted queue reads as an empty frame, not a schema-
-    * inference error. */
+    * or fully-compacted queue reads as an empty frame WITH the DLQ meta
+    * schema (payload columns are caller-defined and unknowable when no
+    * letters exist), so downstream selects/filters on `destination`,
+    * `error_type`, … behave uniformly instead of throwing on a zero-column
+    * frame. */
   def read(spark: SparkSession, dlqDir: String, destination: String): DataFrame =
     try spark.read.json(dlqDir).filter(col("destination") === destination)
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
             e.getCondition == "PATH_NOT_FOUND" =>
-        spark.emptyDataFrame
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], MetaSchema)
     }
 
   /** Count per destination (`writer.py:113-129`). */
@@ -59,6 +63,22 @@ object DlqSink {
   private val MetaCols = Seq("dlq_id", "destination", "error_type",
     "error_message", "stack_trace", "retry_count", "first_failure_at_micros",
     "failed_at_micros", "failed_date", "batch_id")
+
+  /** Meta-column schema as the JSON scan infers it (integrals → LONG) —
+    * the shape an empty queue presents so projections never fail. */
+  private val MetaSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("dlq_id", StringType),
+      StructField("destination", StringType),
+      StructField("error_type", StringType),
+      StructField("error_message", StringType),
+      StructField("stack_trace", StringType),
+      StructField("retry_count", LongType),
+      StructField("first_failure_at_micros", LongType),
+      StructField("failed_at_micros", LongType),
+      StructField("failed_date", StringType)))
+  }
 
   final case class ReplayResult(destination: String, rows: Long,
       succeeded: Boolean, error: Option[Throwable])
@@ -94,10 +114,14 @@ object DlqSink {
       Retry.withRetry(policy)(write(payload, replayBatchId)) match {
         case Retry.Succeeded(_, _) =>
           val conf = spark.sparkContext.hadoopConfiguration
-          val allDeleted = files.forall { f =>
+          // eager map, THEN forall: one undeletable file must not
+          // short-circuit the rest of the compaction (each survivor is a
+          // duplicate delivery on the next replay)
+          val allDeleted = files.map { f =>
             val p = new org.apache.hadoop.fs.Path(f)
-            p.getFileSystem(conf).delete(p, false)
-          }
+            try p.getFileSystem(conf).delete(p, false)
+            catch { case _: java.io.IOException => false }
+          }.forall(identity)
           ReplayResult(destination, rows, succeeded = allDeleted,
             if (allDeleted) None
             else Some(new java.io.IOException(

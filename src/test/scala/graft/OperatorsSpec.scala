@@ -63,6 +63,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q12b approx distinct tracks exact distinct within 5% at two scales") {
+    import graft.operators.CoreQueries
+    // HLL++ with default rsd 5%: the sketch estimate must sit within 5% of
+    // the exact countDistinct at both test scales (the driver's check on
+    // q12b is rows-only — sketch values are engine-specific — so the error
+    // bound lives here, like q27b's tolerance spec)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val exact = CoreQueries.q12CountDistinct(spark, dir)
+        .head().getLong(0)
+      val approx = CoreQueries.q12bApproxDistinct(spark, dir)
+        .head().getLong(0)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"$dir: approx $approx vs exact $exact drifts beyond 5%")
+    }
+  }
+
+  test("d06 propagation converges on a chain, reports rounds, and the cap throws") {
+    import graft.operators.Dedup
+    // chain 0–1–…–11: diameter 11, one hop per round — the adversarial
+    // shape for min-label propagation (a silent cap would truncate it)
+    val n = 12
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("da", "db")
+    val (labels, rounds) = Dedup.propagateMinLabels(nodes, pairs)
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L),
+      "every chain member must reach label 0")
+    // n-1 propagation rounds + the final no-change round that proves it
+    assert(rounds == n, s"expected $n rounds on a diameter-${n - 1} chain, got $rounds")
+    // an insufficient cap must fail loudly, never return half-propagated labels
+    intercept[IllegalStateException] {
+      Dedup.propagateMinLabels(nodes, pairs, maxRounds = 3)
+    }
+  }
+
   test("s05: int8 quantization preserves cosine to ~1e-2 on overlapping pairs") {
     import graft.operators.Similarity
     val ex = Similarity.bruteForceTopK(spark, sf)

@@ -35,10 +35,17 @@ class PackingSpec extends SparkSpec {
 
   test("token budget cuts each language at the boundary document") {
     import org.apache.spark.sql.functions._
-    val langDocs = spark.read.parquet(s"$dir/documents.parquet")
+    import graft.operators.TextPrep
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val langDocs = docs
       .groupBy("lang").agg(count(lit(1)).as("all_docs"))
       .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("all_docs"))
       .toMap
+    // the overshoot is at most the boundary document's own token count —
+    // bound it by the corpus max, not a fixed constant (testdata is
+    // regenerated per round, so document lengths are not stable)
+    val maxDocTokens = docs
+      .agg(max(size(TextPrep.tokens(col("text")))).cast("long")).head.getLong(0)
     val rows = Sampling.tokenBudgetSample(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -52,8 +59,9 @@ class PackingSpec extends SparkSpec {
       assert(total >= Sampling.TokenBudget || nDocs == langDocs(lang),
         s"$lang stopped at $total tokens / $nDocs docs without reaching " +
           s"the ${Sampling.TokenBudget} budget or exhausting the corpus")
-      assert(total < Sampling.TokenBudget + 10000,
-        s"total $total wildly exceeds budget")
+      assert(total < Sampling.TokenBudget + maxDocTokens,
+        s"total $total exceeds budget by more than one document " +
+          s"(max doc = $maxDocTokens tokens)")
     }
   }
 }
