@@ -169,6 +169,18 @@ object Bench {
     // 3-destination fan-out, the reference's multi-dest benchmark shape
     val epsMulti =
       best("stream_eps_multi")(graft.streaming.ThroughputBench.runMulti(spark))
+    // events-per-trigger sweep (reference batch-size optimization analog)
+    val sweep =
+      try graft.streaming.ThroughputBench.batchSizeSweep(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] batch_size_sweep failed: ${e.getMessage}")
+        Nil
+      }
+    val sweepJson = sweep
+      .map { case (size, v) => "\"" + size + "\":" + f"$v%.0f" }
+      .mkString("{", ",", "}")
+    val sweepOptimal =
+      if (sweep.isEmpty) 0 else sweep.maxBy(_._2)._1
     // deltas vs previous round (positive = slower than last round)
     val (prevName, prevQ) = previousBench()
     val deltas = results.collect {
@@ -178,7 +190,7 @@ object Bench {
     val prevN = results.count { case (k, v) => v >= 0 && prevQ.contains(k) }
     val prevJson =
       s""","prev":"$prevName","prev_n":$prevN,"prev_delta_sec":$deltas"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
     println(line)
     // belt-and-braces: the driver's r01 record shows its stdout parse can
     // fail on sbt log prefixes ("parsed": null) — persist the same line.

@@ -35,23 +35,55 @@ object ThroughputBench {
     }
   }
 
-  /** Returns events/second over the full pipeline run. */
+  /** Returns events/second over the full pipeline run.
+    *
+    * `shufflePartitions` sizes the stateful operators (watermark dedup
+    * state, upsert merge window) to the per-micro-batch volume: Spark pins
+    * the state-store partition count at the first checkpoint and AQE never
+    * coalesces stateful streaming shuffles, so inheriting the session's
+    * batch-query setting (32 here) spends each 10k-row micro-batch on
+    * scheduling ~100 near-empty tasks plus 32 state-store delta files per
+    * operator per batch. 4 partitions ≈ the work one micro-batch actually
+    * has (worth ~20% eps on this bench); a real 100-TB ingest sizes this
+    * to events-per-trigger / target-partition-size, not to total cores. */
   def run(spark: SparkSession, nEvents: Int = 100000, nFiles: Int = 10,
       nUsers: Int = 10000,
-      extraSinks: Path => Seq[FanOut.Destination] = _ => Nil): Double = {
+      extraSinks: Path => Seq[FanOut.Destination] = _ => Nil,
+      shufflePartitions: Int = 4): Double = {
     val base = Files.createTempDirectory("graft-eps")
     val events = Files.createDirectories(base.resolve("events"))
     generate(events, nEvents, nFiles, nUsers)
-    val t0 = System.nanoTime()
-    val q = CdcPipeline.start(spark, events.toString,
-      base.resolve("state").toString, base.resolve("ckpt").toString,
-      base.resolve("dlq").toString,
-      maxFilesPerTrigger = 1, // nFiles micro-batches, like reference batching
-      extraSinks = extraSinks(base))
-    q.processAllAvailable()
-    q.stop()
-    nEvents / ((System.nanoTime() - t0) / 1e9)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+    try {
+      val t0 = System.nanoTime()
+      val q = CdcPipeline.start(spark, events.toString,
+        base.resolve("state").toString, base.resolve("ckpt").toString,
+        base.resolve("dlq").toString,
+        maxFilesPerTrigger = 1, // nFiles micro-batches, like reference batching
+        extraSinks = extraSinks(base))
+      q.processAllAvailable()
+      q.stop()
+      nEvents / ((System.nanoTime() - t0) / 1e9)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  /** Throughput at each events-per-trigger batch size, mirroring the
+    * reference's batch-size optimization sweep
+    * (`tests/performance/benchmark_throughput.py:308-360`: sizes 10, 50,
+    * 100, 500, 1000, pick the max). One file = one trigger = one batch of
+    * exactly `size` events; each size runs a fixed `batches` triggers (the
+    * reference fixes total events instead — at size 10 that is 500
+    * micro-batches, minutes of pure per-trigger overhead, so we fix
+    * trigger count to keep the sweep inside the round's bench budget).
+    * Returns (size, eps) in input order. */
+  def batchSizeSweep(spark: SparkSession,
+      sizes: Seq[Int] = Seq(10, 50, 100, 500, 1000),
+      batches: Int = 20): Seq[(Int, Double)] =
+    sizes.map { size =>
+      size -> run(spark, nEvents = size * batches, nFiles = batches,
+        nUsers = math.max(size * batches / 10, 50))
+    }
 
   /** Three-destination fan-out variant, comparable to the reference's
     * multi-destination benchmark (≥800 eps to 3 sinks,

@@ -88,6 +88,100 @@ class FanOutSpec extends SparkSpec {
       == "IllegalStateException")
   }
 
+  test("chaos: slow destination degrades health under bounded backpressure, then recovers") {
+    // End-to-end analog of the reference's tests/chaos/test_slow_destination.py
+    // (stubbed there): run the REAL streaming pipeline with a 3-way fan-out
+    // where one sink carries injected latency above the DEGRADED threshold.
+    // Phase 1 asserts: health DEGRADED (not UNHEALTHY), /health still 200,
+    // fast sinks unaffected, admission stays one-file-per-trigger (bounded
+    // backlog). Phase 2 heals the sink and asserts full recovery: health
+    // HEALTHY and every row landed everywhere exactly once.
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import graft.obs.{HealthStatus, MetricsListener, ObsHttpServer}
+    import graft.streaming.{CdcPipeline, ThroughputBench}
+
+    val tmp = Files.createTempDirectory("graft-chaos")
+    val eventsDir = JFiles.createDirectories(tmp.resolve("events"))
+    val staged = JFiles.createDirectories(tmp.resolve("staged"))
+    val nFiles = 6; val nEvents = 6000; val perFile = nEvents / nFiles
+    ThroughputBench.generate(eventsDir, nEvents, nFiles, nUsers = 500)
+    // hold back half the files for the recovery phase
+    (3 until nFiles).foreach { i =>
+      val name = f"events_$i%03d.json"
+      JFiles.move(eventsDir.resolve(name), staged.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    val health = new HealthStatus()
+    val versioned = new AppendVersionedSink(s"$tmp/versioned", Seq("event_key_cols"),
+      "timestamp_micros")
+    val slowSink = new AppendVersionedSink(s"$tmp/slowdest", Seq("event_key_cols"),
+      "timestamp_micros")
+    @volatile var injectedLatencyMs = 1200L // above HealthStatus.DegradedThresholdMs
+    val batchRows = new ConcurrentLinkedQueue[Long]()
+    val dests = Seq(
+      FanOut.Destination("versioned", write = (df, id) => {
+        batchRows.add(df.count()); versioned.append(df, id)
+      }),
+      FanOut.Destination("slow-sink", write = (df, id) => {
+        if (injectedLatencyMs > 0) Thread.sleep(injectedLatencyMs)
+        slowSink.append(df, id)
+      }))
+
+    val q = CdcPipeline.start(spark, eventsDir.toString,
+      s"$tmp/state", s"$tmp/ckpt", s"$tmp/dlq",
+      maxFilesPerTrigger = 1,
+      extraSinks = dests,
+      onBatch = rs => rs.foreach(r => health.update(r.destination,
+        up = r.outcome.isInstanceOf[Retry.Succeeded[_]],
+        latencyMs = r.durationMs.toDouble)))
+    try {
+      q.processAllAvailable()
+
+      // -- degraded, not down: the slow sink succeeds but over-threshold --
+      assert(health.dependencyState("slow-sink") == "DEGRADED")
+      assert(health.dependencyState("versioned") == "HEALTHY")
+      assert(health.overall == "degraded")
+      // load balancers keep routing while degraded: /health is still 200
+      val obs = new ObsHttpServer(health, new MetricsListener()).start()
+      try {
+        val conn = new java.net.URL(s"http://localhost:${obs.port}/health")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        val body = new String(conn.getInputStream.readAllBytes())
+        assert(body.contains("\"status\":\"degraded\""))
+      } finally obs.stop()
+      // fast destinations never waited on the slow one: all phase-1 rows in
+      assert(versioned.raw(spark).count() == nEvents / 2)
+      assert(slowSink.raw(spark).count() == nEvents / 2)
+      // bounded backlog: admission stayed at one file per trigger even
+      // though the slow sink stretched every batch past 1.2 s
+      val sizes = batchRows.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(sizes.filter(_ > 0).length == nFiles / 2)
+      assert(sizes.max <= perFile,
+        s"a batch admitted ${sizes.max} rows > one file's $perFile under backpressure")
+
+      // -- heal the sink, release the held-back files --
+      injectedLatencyMs = 0L
+      (3 until nFiles).foreach { i =>
+        val name = f"events_$i%03d.json"
+        JFiles.move(staged.resolve(name), eventsDir.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      q.processAllAvailable()
+
+      assert(health.dependencyState("slow-sink") == "HEALTHY")
+      assert(health.overall == "healthy")
+      // full drain, no loss, no duplicates anywhere
+      assert(versioned.raw(spark).count() == nEvents)
+      assert(slowSink.raw(spark).count() == nEvents)
+      val sizes2 = batchRows.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(sizes2.filter(_ > 0).length == nFiles)
+      assert(sizes2.max <= perFile)
+    } finally q.stop()
+  }
+
   test("replay after partial failure re-writes only idempotently") {
     val tmp = Files.createTempDirectory("graft-fanout2")
     val store = new UpsertStateStore(s"$tmp/state", Seq("user_id"),
