@@ -19,6 +19,7 @@ object PlanAudit {
   private case class Audit(
       name: String,
       shuffles: Int,
+      cachedShuffles: Int,
       broadcasts: Int,
       codegenSpans: Int,
       nonCodegenOps: Seq[String],
@@ -36,19 +37,43 @@ object PlanAudit {
     new String(buf.toByteArray, StandardCharsets.UTF_8)
   }
 
-  private val opLine = """^\(\d+\)\s+(\S.*?)(\s+\[codegen id : (\d+)\])?\s*$""".r
+  private val opLine = """^\((\d+)\)\s+(\S.*?)(\s+\[codegen id : (\d+)\])?\s*$""".r
+
+  /** Exchange node ids sitting INSIDE an InMemoryRelation's cached plan in
+    * the explain tree: they execute once, when the cache materializes, and
+    * every further use of the persisted frame is an InMemoryTableScan —
+    * counting them as per-run shuffles would overstate steady-state cost.
+    * Parsed from the tree section by indentation: any node printed deeper
+    * than an InMemoryRelation belongs to its cached plan. */
+  private def cachedExchangeIds(lines: Seq[String]): Set[String] = {
+    val node = """.*?[+:]- (\S[^(]*)\((\d+)\).*""".r
+    def depth(l: String): Int = l.indexOf("- ")
+    var cacheDepths = List.empty[Int]
+    val ids = scala.collection.mutable.Set.empty[String]
+    lines.takeWhile(!_.startsWith("(")).foreach {
+      case l @ node(op, id) =>
+        val d = depth(l)
+        cacheDepths = cacheDepths.dropWhile(_ >= d)
+        if (cacheDepths.nonEmpty && op.trim.startsWith("Exchange")) ids += id
+        if (op.trim.startsWith("InMemoryRelation")) cacheDepths ::= d
+      case _ =>
+    }
+    ids.toSet
+  }
 
   private def audit(name: String, text: String): Audit = {
     val lines = text.linesIterator.toSeq
-    var shuffles = 0
-    var broadcasts = 0
+    val cachedIds = cachedExchangeIds(lines)
+    val shuffleIds = scala.collection.mutable.Set.empty[String]
+    val broadcastIds = scala.collection.mutable.Set.empty[String]
     val codegenIds = scala.collection.mutable.Set.empty[String]
     val nonCodegen = scala.collection.mutable.ListBuffer.empty[String]
     lines.foreach {
-      case opLine(op, cg, id) =>
+      case opLine(nodeId, op, cg, id) =>
         val opName = op.trim
-        if (opName.startsWith("Exchange") && !opName.contains("Broadcast")) shuffles += 1
-        if (opName.startsWith("BroadcastExchange")) broadcasts += 1
+        if (opName.startsWith("Exchange") && !opName.contains("Broadcast"))
+          shuffleIds += nodeId
+        if (opName.startsWith("BroadcastExchange")) broadcastIds += nodeId
         if (id != null) codegenIds += id
         else if (!opName.startsWith("Scan") && !opName.startsWith("Exchange") &&
           !opName.startsWith("BroadcastExchange") &&
@@ -59,6 +84,9 @@ object PlanAudit {
           nonCodegen += opName.takeWhile(_ != '[').trim
       case _ =>
     }
+    val shuffles = (shuffleIds -- cachedIds).size
+    val cachedShuffles = (shuffleIds & cachedIds).size
+    val broadcasts = broadcastIds.size
     // scan details live in the per-operator detail section
     val scans = scala.collection.mutable.ListBuffer.empty[ScanInfo]
     var i = 0
@@ -84,8 +112,8 @@ object PlanAudit {
         i = j
       } else i += 1
     }
-    Audit(name, shuffles, broadcasts, codegenIds.size, nonCodegen.distinct.toSeq,
-      scans.toSeq)
+    Audit(name, shuffles, cachedShuffles, broadcasts, codegenIds.size,
+      nonCodegen.distinct.toSeq, scans.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,8 +135,9 @@ object PlanAudit {
 
     val audits = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val a = audit(name, explainText(fn(spark, sfDir)))
-      println(s"[planaudit] $name: shuffles=${a.shuffles} " +
-        s"broadcasts=${a.broadcasts} codegen=${a.codegenSpans}")
+      println(s"[planaudit] $name: shuffles=${a.shuffles}" +
+        (if (a.cachedShuffles > 0) s"+${a.cachedShuffles}cached" else "") +
+        s" broadcasts=${a.broadcasts} codegen=${a.codegenSpans}")
       a
     }
 
@@ -120,6 +149,10 @@ object PlanAudit {
       "split skewed partitions).\n\n"
     sb ++= "Columns: **shuffles** = non-broadcast Exchange nodes (each is a " +
       "full network repartition of its input — the scarce resource at 100 TB); " +
+      "a `+N cached` suffix counts Exchanges inside a persisted frame's " +
+      "InMemoryRelation, which execute once at cache materialization and are " +
+      "amortized across every reuse (s06 shares one scan+norm across its " +
+      "three sub-pipelines this way); " +
       "**bcast** = BroadcastExchange nodes (small side replicated, no fact " +
       "shuffle); **codegen** = distinct WholeStageCodegen spans; **scan columns** " +
       "= columns actually read per parquet scan (column pruning evidence); " +
@@ -133,7 +166,9 @@ object PlanAudit {
         s"${s.table}: ${if (s.readCols >= 0) s.readCols else "?"} cols$pf"
       }.mkString("; ")
       val nc = a.nonCodegenOps.take(4).mkString(", ")
-      sb ++= s"| ${a.name} | ${a.shuffles} | ${a.broadcasts} | ${a.codegenSpans} | $scans | $nc |\n"
+      val sh = a.shuffles +
+        (if (a.cachedShuffles > 0) s" (+${a.cachedShuffles} cached)" else "")
+      sb ++= s"| ${a.name} | $sh | ${a.broadcasts} | ${a.codegenSpans} | $scans | $nc |\n"
     }
     sb ++= "\n## Reading the table\n\n"
     sb ++= "- Joins against `region`/`nation`/`part`-sized dimensions show " +
