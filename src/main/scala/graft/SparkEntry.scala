@@ -62,6 +62,7 @@ object SparkEntry {
     "q36_correlated_subquery" -> ExtendedQueries.q36CorrelatedSubquery _,
     "q37_range_frame" -> ExtendedQueries.q37RangeFrame _,
     "q38_window_distinct" -> ExtendedQueries.q38WindowDistinct _,
+    "q40_join_full_outer" -> CoreQueries.q40JoinFullOuter _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> Dedup.minhashLsh _,
@@ -75,6 +76,7 @@ object SparkEntry {
     "s04_sim_ann_ivf_trained" -> Similarity.annIvfTrained _,
     "s05_sim_quantized_topk" -> Similarity.quantizedTopK _,
     "s06_ann_recall" -> Similarity.annRecall _,
+    "s07_sim_pq_topk" -> Similarity.pqTopK _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -93,8 +95,10 @@ object SparkEntry {
     "p04_sequence_packing" -> Sampling.sequencePacking _,
     "p05_decontamination" -> Sampling.decontamination _,
     "p06_token_budget_sample" -> Sampling.tokenBudgetSample _,
+    "p07_domain_mixture" -> Sampling.domainMixture _,
     "t08_filter_funnel" -> TextAnalysis.filterFunnel _,
     "t09_pii_scan" -> TextAnalysis.piiScan _,
+    "t10_vocab_zipf" -> TextAnalysis.vocab _,
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -623,6 +627,19 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS distinct_priorities_so_far
         |FROM f ORDER BY o_orderkey""".stripMargin,
+    "q40_join_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_custkey, COUNT(*) AS n_f_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS f_total
+        |      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  c_custkey IS NOT NULL AS in_building,
+        |  COALESCE(n_f_orders, 0) AS n_f_orders,
+        |  COALESCE(f_total, 0.0) AS f_total
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->
@@ -749,6 +766,53 @@ object SparkEntry {
          |  CAST(${3 * Similarity.NumQueries} AS BIGINT) AS n_possible,
          |  CAST(n_hits AS DOUBLE) / ${3 * Similarity.NumQueries} AS recall_at_3
          |FROM c ORDER BY method""".stripMargin,
+    // PQ/ADC: same decimal-exact per-element contract as embCte/dotAB;
+    // argmin replayed as ROW_NUMBER over (key, code) — identical semantics
+    // to the engine's filter-to-min (min key, then min code).
+    "s07_sim_pq_topk" -> {
+      def d(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(12,6))"
+      val nq = Similarity.NumQueries
+      val (m, sd, k) = (Similarity.PqM, Similarity.PqSubDim, Similarity.PqK)
+      s"""WITH $embCte,
+         |ms AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+         |cb AS (SELECT ms.m AS m, CAST(vec_id - $nq AS INT) AS c,
+         |         list_slice(embedding, ms.m*$sd+1, ms.m*$sd+$sd) AS csub
+         |       FROM e, ms WHERE vec_id >= $nq AND vec_id < ${nq + k}),
+         |cbn AS (SELECT m, c, csub,
+         |         list_sum(list_transform(csub, x -> ${d("x")} * ${d("x")}))
+         |           AS cn2 FROM cb),
+         |sub AS (SELECT vec_id, ms.m AS m,
+         |          list_slice(embedding, ms.m*$sd+1, ms.m*$sd+$sd) AS xsub
+         |        FROM e, ms),
+         |keys AS (SELECT vec_id, s.m, c,
+         |           cn2 - 2*list_sum(list_transform(list_zip(xsub, csub),
+         |             z -> ${d("z[1]")} * ${d("z[2]")})) AS kk
+         |         FROM sub s JOIN cbn ON s.m = cbn.m),
+         |codes AS (SELECT vec_id, m, c AS code FROM (
+         |            SELECT vec_id, m, c, ROW_NUMBER() OVER (
+         |              PARTITION BY vec_id, m ORDER BY kk, c) AS rn FROM keys)
+         |          WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS qid, cbn.m, cbn.c,
+         |          list_sum(list_transform(list_zip(
+         |            list_slice(q.embedding, cbn.m*$sd+1, cbn.m*$sd+$sd), csub),
+         |            z -> ${d("z[1]")} * ${d("z[2]")})) AS pdot
+         |        FROM e q, cbn WHERE q.vec_id < $nq),
+         |scored AS (SELECT qid, codes.vec_id AS neighbor_id, SUM(pdot) AS adc
+         |           FROM codes JOIN lut ON codes.m = lut.m
+         |             AND codes.code = lut.c AND codes.vec_id <> lut.qid
+         |           GROUP BY qid, codes.vec_id),
+         |fin AS (SELECT qid, neighbor_id,
+         |          CAST(adc AS DOUBLE) / (sqrt(CAST(qe.n2 AS DOUBLE))
+         |            * sqrt(CAST(ne.n2 AS DOUBLE))) AS pq_score
+         |        FROM scored JOIN e qe ON qid = qe.vec_id
+         |          JOIN e ne ON neighbor_id = ne.vec_id),
+         |r AS (SELECT qid, neighbor_id, pq_score,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
+         |      FROM fin)
+         |SELECT qid, rank, neighbor_id, pq_score FROM r
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
     "p01_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
@@ -836,6 +900,32 @@ object SparkEntry {
          |  min(doc_id) AS first_doc
          |FROM c WHERE cum_before < ${Sampling.TokenBudget}
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "p07_domain_mixture" -> {
+      val targets = Sampling.MixTargetsPpm
+        .map { case (l, p) => s"('$l', CAST($p AS BIGINT))" }.mkString(", ")
+      s"""WITH t(lang, t_ppm) AS (SELECT * FROM (VALUES $targets)),
+         |d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+         |      FROM documents),
+         |cnt AS (SELECT lang, COUNT(*) AS n_docs FROM d GROUP BY lang),
+         |ct AS (SELECT cnt.lang, n_docs, t_ppm
+         |       FROM cnt JOIN t ON cnt.lang = t.lang),
+         |sc AS (SELECT MIN(n_docs * 1000000 // t_ppm) AS scale FROM ct),
+         |want AS (SELECT lang, n_docs, t_ppm,
+         |           scale * t_ppm // 1000000 AS want FROM ct, sc),
+         |rk AS (SELECT doc_id, d.lang,
+         |         ROW_NUMBER() OVER (PARTITION BY d.lang
+         |           ORDER BY h, doc_id) AS rk
+         |       FROM d),
+         |kept AS (SELECT rk.lang, COUNT(*) AS n_kept,
+         |           MIN(doc_id) AS first_doc
+         |         FROM rk JOIN want ON rk.lang = want.lang
+         |         WHERE rk <= want GROUP BY rk.lang),
+         |tot AS (SELECT CAST(SUM(n_kept) AS BIGINT) AS total_kept FROM kept)
+         |SELECT want.lang, n_docs, t_ppm AS target_ppm, n_kept, first_doc,
+         |  n_kept * 1000000 // total_kept AS achieved_ppm
+         |FROM want JOIN kept ON want.lang = kept.lang, tot
+         |ORDER BY want.lang""".stripMargin
+    },
     "t01_text_langid" -> {
       val values = TextAnalysis.markers
         .map { case (l, w) => s"('$l','$w')" }.mkString(",")
@@ -968,6 +1058,25 @@ object SparkEntry {
          |  (n_emails + n_ips + n_phones > 0) AS has_pii
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    "t10_vocab_zipf" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |counts AS (SELECT tok, COUNT(*) AS freq,
+         |             COUNT(DISTINCT doc_id) AS df
+         |           FROM tok GROUP BY tok),
+         |total AS (SELECT COUNT(*) AS n_total FROM tok),
+         |top AS (SELECT tok, freq, df FROM counts
+         |        ORDER BY freq DESC, tok LIMIT ${TextAnalysis.VocabTopK}),
+         |r AS (SELECT tok, freq, df,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS INT)
+         |          AS rank,
+         |        SUM(freq) OVER (ORDER BY freq DESC, tok
+         |          ROWS UNBOUNDED PRECEDING) AS cum_freq
+         |      FROM top)
+         |SELECT rank, tok AS token, freq, df,
+         |  CAST(freq AS DOUBLE) / n_total AS corpus_share,
+         |  CAST(cum_freq AS DOUBLE) / n_total AS cum_share
+         |FROM r, total ORDER BY rank""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

@@ -357,6 +357,31 @@ object CoreQueries {
           lit(graft.functions.MaskRules.DefaultKey)).as("hmac_token"))
       .orderBy("c_custkey")
 
+  // --- Q40: full-outer join -------------------------------------------------
+  // Completes the join family (inner/left/anti/semi/broadcast/as-of/range):
+  // BUILDING-segment customers FULL OUTER their finished-order totals.
+  // Both filters are deliberately asymmetric so each side contributes
+  // unmatched rows — non-BUILDING customers with F orders survive on the
+  // right, BUILDING customers without F orders on the left. Same shuffle
+  // shape as q08 (one exchange per side on custkey); at scale the
+  // pre-aggregated order side is the smaller input, exactly what a
+  // full-outer sort-merge wants.
+  def q40JoinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.table(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_f_orders"), money(col("o_totalprice")).as("f_total"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("in_building"),
+        coalesce(col("n_f_orders"), lit(0L)).as("n_f_orders"),
+        coalesce(col("f_total"), lit(0.0)).as("f_total"))
+      .orderBy("custkey")
+  }
+
   // --- Q21: array / map / json ----------------------------------------------
   def q21ArrayJson(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.table(s, dir, "customer")

@@ -182,6 +182,58 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** Target language mixture for [[domainMixture]], in parts-per-million
+    * (sums to 1,000,000). The shares are intentionally far from the
+    * corpus's natural ~45% English skew so the operator demonstrably
+    * reshapes the distribution. */
+  val MixTargetsPpm: Seq[(String, Long)] = Seq(
+    "en" -> 300000L, "de" -> 200000L, "es" -> 200000L,
+    "fr" -> 200000L, "zh" -> 100000L)
+
+  /** Domain-mixture resampling — the data-mixing step that turns a raw
+    * corpus into a training mix with declared domain weights (the Pile /
+    * Dolma recipe): given target shares per language, keep the largest
+    * deterministic subset whose realized mix matches them. Feasible scale
+    * is bounded by the scarcest language (`scale = min_s n_s·10⁶/t_s`, all
+    * integer arithmetic — no float thresholds to misround at 2^53); each
+    * language then keeps its `want_s = scale·t_s div 10⁶` hash-smallest
+    * documents, so membership is a pure function of the data (same corpus
+    * → same mix on every engine, rerun, and partition layout).
+    *
+    * Shape at 100 TB: one tiny per-language count aggregate (≤ #languages
+    * rows, broadcast back), one per-shard `WindowGroupLimit`-style ranked
+    * filter — the same parallel window as [[stratifiedSample]] — and a
+    * per-language summary aggregate. No global sort, no driver loop.
+    */
+  def domainMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = MixTargetsPpm.toDF("lang", "t_ppm")
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(t), "lang")
+    // scale = min over languages of n_s·10⁶ div t_s (integer div: exact)
+    val scale = counts
+      .select(expr("min(n_docs * 1000000 div t_ppm)").as("scale"))
+    val want = counts.crossJoin(broadcast(scale))
+      .select(col("lang"), col("n_docs"), col("t_ppm"),
+        expr("scale * t_ppm div 1000000").as("want"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val kept = docs.withColumn("rk", row_number().over(w))
+      .join(broadcast(want), "lang")
+      .filter(col("rk") <= col("want"))
+    val perLang = kept.groupBy("lang").agg(
+      count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+    val totalKept = perLang.agg(sum(col("n_kept")).as("total_kept"))
+    want.join(perLang, "lang").crossJoin(broadcast(totalKept))
+      .select(col("lang"), col("n_docs"), col("t_ppm").as("target_ppm"),
+        col("n_kept"), col("first_doc"),
+        expr("n_kept * 1000000 div total_kept").as("achieved_ppm"))
+      .repartition(1).sortWithinPartitions("lang")
+  }
+
   /** Stratified deterministic sample: the k hash-smallest documents per
     * language — proportional-free, reproducible, and skew-proof (one
     * `WindowGroupLimit`-pruned top-k per stratum, never a full sort). */

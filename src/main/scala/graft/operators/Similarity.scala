@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -250,6 +250,112 @@ object Similarity {
       .select("qid", "rank", "neighbor_id", "qcos")
       // tiny output — avoid orderBy's range-sampling re-execution (d02 pattern)
       .repartition(1).sortWithinPartitions("qid", "rank")
+  }
+
+  // --- product-quantization (PQ) ADC top-k ---------------------------------
+  /** Product quantization — the memory layout a 100-TB ANN index actually
+    * ships: each 64-dim float vector compresses to [[PqM]] one-byte codes
+    * (64× smaller than floats, 4× smaller than the s05 int8 codes) by
+    * splitting it into [[PqM]] subvectors of [[PqSubDim]] dims and
+    * snapping each to the nearest of [[PqK]] codebook entries. Queries
+    * score against codes with the classic ADC (asymmetric distance
+    * computation) trick: precompute the Q×M×K table of
+    * query-subvector·codebook-entry dots, then a vector's approximate dot
+    * is M table lookups — no float math per candidate at all.
+    *
+    * Codebook entries are the subvectors of a deterministic data sample
+    * (vec_id ∈ [NumQueries, NumQueries+PqK)) standing in for offline
+    * k-means training, exactly as [[annIvf]]'s coarse centroids do — which
+    * keeps every assignment DuckDB-replayable. All argmin keys and ADC
+    * sums are exact decimals (assignment key = ‖c‖² − 2·x·c, the ‖x‖²
+    * term is constant per (vector, subspace) and cannot change the
+    * argmin); doubles appear only in the final cosine-style boundary.
+    *
+    * Shape at 100 TB: the codebook is M·K tiny rows (broadcast), encoding
+    * is one map-side pass per subvector (the per-m explode is ×M on the
+    * narrow (vec_id, subvector) projection, not the corpus), the ADC table
+    * is Q·M·K rows (broadcast), and the only corpus-scale shuffle is the
+    * map-side-combined (qid, vec_id) score aggregation followed by the
+    * per-query top-k window.
+    */
+  val PqM = 8
+  val PqSubDim = 8 // PqM · PqSubDim = Dim
+  val PqK = 16
+
+  /** DECIMAL(12,6)-per-element dot product as an explicit fold — the same
+    * numeric contract as [[Dedup.dotDec]], usable on lambda-bound slices
+    * inside higher-order functions (where the codegen'd expression cannot
+    * be spliced). */
+  private def dec6(c: Column): Column =
+    c.cast(DoubleType).cast(DecimalType(12, 6))
+
+  private def dotDecFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dec6(x) * dec6(y)),
+      lit(BigDecimal(0)).cast(DecimalType(30, 12)),
+      (acc, p) => (acc + p).cast(DecimalType(30, 12)))
+
+  def pqTopK(s: SparkSession, dir: String): DataFrame =
+    presentSorted(pqRanked(embeddings(s, dir)))
+
+  private def subM = explode(sequence(lit(0), lit(PqM - 1)))
+  private def sliceM(v: Column) = slice(v, col("m") * PqSubDim + 1, lit(PqSubDim))
+
+  /** Codebook: (m, c, csub, ‖csub‖²) — PqM·PqK rows, broadcast everywhere. */
+  private[graft] def pqCodebook(e: DataFrame): DataFrame = e
+    .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + PqK)
+    .select((col("vec_id") - NumQueries).cast("int").as("c"),
+      subM.as("m"), col("embedding"))
+    .select(col("m"), col("c"), sliceM(col("embedding")).as("csub"))
+    .withColumn("cn2", dotDecFold(col("csub"), col("csub")))
+
+  /** Encode: nearest codebook entry per (vector, subspace) → (vec_id, nrm,
+    * m, code). The argmin key is exact decimal; ties break to the smallest
+    * code via filter-to-min (the null-free argmin both engines express
+    * identically). */
+  private[graft] def pqCodes(e: DataFrame): DataFrame = {
+    val cb = pqCodebook(e)
+    // per-subspace candidate arrays (PqM rows) so encoding is map-side argmin
+    val cbm = cb.groupBy("m").agg(
+      sort_array(collect_list(struct(col("c"), col("csub"), col("cn2"))))
+        .as("cands"))
+    val sub = e.select(col("vec_id"), col("nrm"), subM.as("m"), col("embedding"))
+      .select(col("vec_id"), col("nrm"), col("m"),
+        sliceM(col("embedding")).as("xsub"))
+    sub.join(broadcast(cbm), "m")
+      .withColumn("keys", transform(col("cands"),
+        p => p.getField("cn2") - lit(2) * dotDecFold(col("xsub"), p.getField("csub"))))
+      .withColumn("mk", array_min(col("keys")))
+      .withColumn("code", array_min(
+        zip_with(col("keys"), col("cands"), (k, p) =>
+          when(k === col("mk"), p.getField("c")))))
+      .select(col("vec_id"), col("nrm"), col("m"), col("code"))
+  }
+
+  private[graft] def pqRanked(e: DataFrame): DataFrame = {
+    val codes = pqCodes(e)
+    // ADC table: query-subvector · codebook-entry exact dots (Q·M·K rows)
+    val lut = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
+        subM.as("m"), col("embedding"))
+      .select(col("qid"), col("qn"), col("m"), sliceM(col("embedding")).as("qsub"))
+      .join(broadcast(pqCodebook(e).select(col("m"), col("c"), col("csub"))), "m")
+      .select(col("qid"), col("qn"), col("m"), col("c"),
+        dotDecFold(col("qsub"), col("csub")).as("pdot"))
+    // score: M lookups per (query, vector); partial aggregation collapses
+    // the ×M·Q join fan-out back to Q rows per vector before the shuffle
+    val scored = codes.join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("c") &&
+          codes("vec_id") =!= lut("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adc"), max(col("nrm")).as("nrm"),
+        max(col("qn")).as("qn"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        (col("adc").cast(DoubleType) / (col("qn") * col("nrm"))).as("pq_score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("pq_score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "neighbor_id", "pq_score")
   }
 
   // --- ANN recall evaluation ----------------------------------------------

@@ -144,6 +144,41 @@ object TextAnalysis {
       .limit(BoilerplateTopK)
   }
 
+  // --- corpus vocabulary / Zipf profile ------------------------------------
+  /** Top-K corpus vocabulary with frequency rank, document frequency, and
+    * cumulative token share — the Zipf profile a corpus report leads with
+    * (head-token concentration is a tokenizer-health and dedup-health
+    * signal: a natural corpus puts roughly constant mass per rank decade;
+    * a templated one front-loads it). Shape at 100 TB: one (token)
+    * aggregation, a `TakeOrderedAndProject` top-K (never a global sort),
+    * and the running share is a window over K=50 rows — driver-scale by
+    * construction. All counts exact integers; shares are single divisions
+    * of exact integers at the boundary.
+    */
+  val VocabTopK = 50
+
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(
+      count(lit(1)).as("freq"),
+      countDistinct(col("doc_id")).as("df"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val top = counts.orderBy(col("freq").desc, col("tok").asc).limit(VocabTopK)
+    // K rows: the no-partition window is a deliberate single-task pass over
+    // the already-limited frame, not a scale hazard
+    val w = Window.orderBy(col("freq").desc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok").asc)))
+      .withColumn("cum_freq", sum(col("freq")).over(w))
+      .select(col("rank"), col("tok").as("token"), col("freq"), col("df"),
+        (col("freq").cast(DoubleType) / col("n_total")).as("corpus_share"),
+        (col("cum_freq").cast(DoubleType) / col("n_total")).as("cum_share"))
+      .repartition(1).sortWithinPartitions("rank")
+  }
+
   // --- distinctive-keyword extraction --------------------------------------
   /** Top-3 most distinctive tokens per document, ranked by (term frequency
     * desc, document frequency asc, token asc) — tf-idf's ordering without

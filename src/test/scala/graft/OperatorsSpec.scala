@@ -244,4 +244,70 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(0).isEmpty)
     assert(rows(1) == Seq("a b c", "b c d"))
   }
+
+  test("s07 PQ: codebook vectors encode to their own index; codes in range") {
+    import graft.operators.Similarity
+    val e = Similarity.withNorm(Tables.spread(spark, sf, "embeddings", "vec_id"))
+    val codes = Similarity.pqCodes(e).cache()
+    // a codebook-source vector is distance-0 to itself in every subspace,
+    // so its code MUST be its own index — exactness proof for the argmin
+    val self = codes
+      .filter(col("vec_id") >= Similarity.NumQueries &&
+        col("vec_id") < Similarity.NumQueries + Similarity.PqK)
+    assert(self.filter(
+      col("code") =!= (col("vec_id") - Similarity.NumQueries)).count() == 0)
+    // every (vector, subspace) gets exactly one in-range code
+    assert(codes.count() == e.count() * Similarity.PqM)
+    assert(codes.filter(col("code").isNull || col("code") < 0 ||
+      col("code") >= Similarity.PqK).count() == 0)
+  }
+
+  test("q40 full outer join keeps unmatched rows from both sides") {
+    import graft.operators.CoreQueries
+    val r = CoreQueries.q40JoinFullOuter(spark, sf).cache()
+    // non-BUILDING customers with finished orders survive on the right
+    assert(r.filter(!col("in_building") && col("n_f_orders") > 0).count() > 0)
+    // exact union cardinalities: left side contributes every BUILDING
+    // customer, right side every F-order customer outside the segment
+    // (left-unmatched rows are additionally hash-checked by the oracle at
+    // sf0.01 — at this SF every BUILDING customer happens to have one)
+    val c = Tables.table(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val oCust = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    assert(r.filter(col("in_building")).count() == c.count())
+    assert(r.filter(!col("in_building")).count() ==
+      oCust.join(c, oCust("o_custkey") === c("c_custkey"), "left_anti").count())
+  }
+
+  test("p07 domain mixture lands on target shares within count granularity") {
+    import graft.operators.Sampling
+    val rows = Sampling.domainMixture(spark, sf).collect()
+    assert(rows.length == Sampling.MixTargetsPpm.length)
+    val totalKept = rows.map(_.getAs[Long]("n_kept")).sum
+    // achieved share can only be off by the ppm weight of ±2 documents
+    // (one from `want`'s floor, one from achieved_ppm's floor)
+    val tol = 2L * 1000000L / totalKept + 1
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(math.abs(r.getAs[Long]("achieved_ppm") -
+        r.getAs[Long]("target_ppm")) <= tol,
+        s"${r.getAs[String]("lang")}: achieved ${r.getAs[Long]("achieved_ppm")}" +
+          s" vs target ${r.getAs[Long]("target_ppm")} (tol $tol)")
+    }
+  }
+
+  test("t10 vocab: ranks dense, frequencies non-increasing, shares monotone") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.vocab(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.VocabTopK)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last <= 1.0 + 1e-12)
+    rows.foreach(r => assert(r.getAs[Long]("df") >= 1 &&
+      r.getAs[Long]("freq") >= r.getAs[Long]("df")))
+  }
 }
