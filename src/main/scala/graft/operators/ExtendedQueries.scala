@@ -100,18 +100,22 @@ object ExtendedQueries {
   /** Exact type-7 percentiles WITHOUT the built-in `percentile`'s
     * ObjectHashAggregate, which buffers every value per group (~97%
     * distinct here — the per-group buffer IS the dataset, a 100-TB
-    * non-starter). Distributed ranking with a TWO-LEVEL prefix sum:
-    * bucket each value into a fixed-width range bucket (deterministic +
-    * monotone in v, so correctness never depends on the data distribution —
-    * skew only costs parallelism), rank rows per (group, bucket) — sort
-    * parallelism proportional to data, not to the number of groups — then
-    * broadcast the tiny per-bucket counts back as prefix offsets to make
-    * ranks global and keep only the interpolation-endpoint rows. A single
-    * `partition by group` running sum would pull every row of a group
-    * through ONE task's sort (3 groups ⇒ 3 tasks at any scale); this shape
-    * keeps every stage wide. The interpolation `lv·(h−pos) + hv·(pos−l)`
-    * with pos = q·(n−1) is bit-identical to `percentile()` and the
-    * oracle's quantile_cont.
+    * non-starter). Distributed ranking with a TWO-LEVEL prefix sum where
+    * the FULL data is never sorted at all: bucket each value into a
+    * fixed-width range bucket (deterministic + monotone in v, so
+    * correctness never depends on the data distribution — skew only costs
+    * balance), aggregate tiny per-(group, bucket) counts (map-side
+    * combine: the only full-data shuffle carries groups × buckets rows),
+    * turn them into prefix offsets, and — since the offsets table alone
+    * pins WHICH buckets contain the ≤6 interpolation-endpoint ranks per
+    * group — broadcast-semi-join the raw rows down to just those buckets
+    * (~1/#buckets of the data) before the per-bucket ranking sort. A
+    * single `partition by group` running sum would pull every row of a
+    * group through ONE task's sort (3 groups ⇒ 3 tasks at any scale);
+    * here every full-data stage is a scan or a partial aggregation, and
+    * the only sort touches the endpoint buckets. The interpolation
+    * `lv·(h−pos) + hv·(pos−l)` with pos = q·(n−1) is bit-identical to
+    * `percentile()` and the oracle's quantile_cont.
     */
   def q27Percentiles(s: SparkSession, dir: String): DataFrame = {
     // Bucket width 1000 on a [900, 105000] price domain ⇒ ~105 buckets per
@@ -119,12 +123,6 @@ object ExtendedQueries {
     val raw = Tables.table(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
       .withColumn("b", floor(col("v") / 1000).cast(LongType))
-    // Local rank within (group, bucket). row_number's tie order is
-    // arbitrary but harmless: tied rows carry equal v, so the value found
-    // at any given rank is unique.
-    val wLocal = Window.partitionBy("l_returnflag", "b").orderBy("v")
-    val local = raw
-      .withColumn("rn", row_number().over(wLocal).cast(LongType))
     // Per-(group, bucket) counts are tiny (groups × buckets rows) and
     // aggregate well (map-side combine); the branch is deterministic, so a
     // re-execution cannot diverge from the main branch even without reuse.
@@ -134,14 +132,25 @@ object ExtendedQueries {
       .groupBy(col("l_returnflag"), col("b")).agg(count(lit(1)).as("pt"))
       .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
       .withColumn("n", sum(col("pt")).over(Window.partitionBy("l_returnflag")))
-      .select("l_returnflag", "b", "off", "n")
     def pos(q: Double) = lit(q) * (col("n") - 1).cast(DoubleType)
-    // Global 0-indexed rank; keep only the ≤6 interpolation-endpoint rows
-    // per group, so the final aggregation sees a handful of rows.
-    val ranked = local
-      .join(broadcast(offsets), Seq("l_returnflag", "b"))
+    val qs = Seq(0.5, 0.95, 0.99)
+    // buckets whose global-rank span [off, off+pt) contains an endpoint —
+    // decidable from the tiny counts table alone, before touching the data
+    val isEndpointBucket = qs
+      .flatMap(q => Seq(floor(pos(q)), ceil(pos(q))))
+      .map(r => r >= col("off") && r < col("off") + col("pt"))
+      .reduce(_ || _)
+    val targets = offsets.filter(isEndpointBucket)
+      .select("l_returnflag", "b", "off", "n")
+    // Local rank within (group, bucket), on endpoint buckets only.
+    // row_number's tie order is arbitrary but harmless: tied rows carry
+    // equal v, so the value found at any given rank is unique.
+    val wLocal = Window.partitionBy("l_returnflag", "b").orderBy("v")
+    val ranked = raw
+      .join(broadcast(targets), Seq("l_returnflag", "b"))
+      .withColumn("rn", row_number().over(wLocal).cast(LongType))
       .withColumn("r", col("rn") - 1 + col("off"))
-      .filter(Seq(0.5, 0.95, 0.99).map { q =>
+      .filter(qs.map { q =>
         (col("r") === floor(pos(q))) || (col("r") === ceil(pos(q)))
       }.reduce(_ || _))
     def endpoints(q: Double, tag: String): Seq[Column] = Seq(
