@@ -70,6 +70,7 @@ object SparkEntry {
     "d04_dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "d05_dedup_embedding" -> Dedup.embeddingCosine _,
     "d06_dedup_clusters" -> Dedup.clusters _,
+    "d07_dedup_incremental" -> Dedup.incremental _,
     "s01_sim_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "s02_sim_ann_lsh" -> Similarity.annLsh _,
     "s03_sim_ann_ivf" -> Similarity.annIvf _,
@@ -648,6 +649,30 @@ object SparkEntry {
     "d02_dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
          |SELECT da, db, jaccard FROM pairs ORDER BY da, db""".stripMargin,
+    // incremental ingest = the straddling subset of the all-pairs result:
+    // a (new, index) pair collides in a band iff the same unordered pair
+    // does, so `pairs` restricted to one-endpoint-new replays the
+    // asymmetric probe exactly.
+    "d07_dedup_incremental" -> {
+      val m = Dedup.IncrementalMod
+      s"""WITH $minhashPairCtes,
+         |straddle AS (
+         |  SELECT CASE WHEN da % $m = 0 THEN da ELSE db END AS nid,
+         |         CASE WHEN da % $m = 0 THEN db ELSE da END AS iid, jaccard
+         |  FROM pairs WHERE (da % $m = 0) <> (db % $m = 0)),
+         |best AS (SELECT nid, iid, jaccard FROM (
+         |  SELECT nid, iid, jaccard, ROW_NUMBER() OVER (PARTITION BY nid
+         |    ORDER BY jaccard DESC, iid) AS rn FROM straddle) WHERE rn = 1),
+         |cnt AS (SELECT nid, COUNT(*) AS n FROM straddle GROUP BY nid)
+         |SELECT d.doc_id,
+         |  cnt.nid IS NOT NULL AS matched,
+         |  COALESCE(cnt.n, 0) AS n_index_matches,
+         |  COALESCE(best.iid, -1) AS best_match_id,
+         |  COALESCE(best.jaccard, 0.0) AS best_jaccard
+         |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.nid
+         |  LEFT JOIN best ON d.doc_id = best.nid
+         |WHERE d.doc_id % $m = 0 ORDER BY d.doc_id""".stripMargin
+    },
     "d06_dedup_clusters" ->
       // transitive closure over the d02 near-dup pairs (components are
       // tiny, so the closure is small); cluster = min reachable doc_id

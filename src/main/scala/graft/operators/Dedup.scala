@@ -35,27 +35,35 @@ object Dedup {
   val RowsPerBand = 4
   val JaccardThreshold = 0.8
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // width-normalize before shingling (see ngramJaccard: one small file =
-    // one partition, and every branch recompute would serialize otherwise)
-    val docs = Tables.table(s, dir, "documents")
+  /** Shingled corpus, width-normalized before shingling (one small file =
+    * one partition, and every branch recompute would serialize otherwise —
+    * see ngramJaccard). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
 
+  /** LSH band keys per document: K minhash signatures folded into
+    * [[Bands]] md5 band keys — the (doc_id, band, bkey) index both the
+    * all-pairs pass and the incremental pass probe. */
+  private def bandKeys(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // one md5 per shingle; K universal-hash mixes derive the K signatures
     val sigExprs = (0 until K).map(j => minhashAgg(col("hb"), j).as(s"h$j"))
     val sigs = ex.withColumn("hb", shingleBase(col("s")))
       .groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
-
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)).as("bkey"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
 
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val bands = bandKeys(docs)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -79,6 +87,61 @@ object Dedup {
       // tiny expected output — single-partition sort avoids orderBy's
       // range-sampling re-execution of the whole pipeline
       .repartition(1).sortWithinPartitions("da", "db")
+  }
+
+  // --- incremental dedup: new batch vs existing index ----------------------
+  /** Every 1/[[IncrementalMod]]-th document plays the incoming batch; the
+    * rest are the already-indexed corpus. */
+  val IncrementalMod = 5
+
+  /** Incremental near-dup ingest — what a 100-TB pipeline actually runs
+    * per arriving batch: probe the NEW documents' LSH band keys against
+    * the EXISTING index only, never re-pairing index×index (that work
+    * happened when those documents arrived) and never batch×batch (a
+    * separate, much smaller within-batch pass). Candidates = band-key
+    * collisions between the two sides; verification = exact shingle
+    * jaccard on candidates, as [[minhashLsh]]. One row per new document:
+    * its index-match count and its best match (highest jaccard, smallest
+    * index doc_id on ties), `matched = false` ⇒ the document is genuinely
+    * new and enters the index.
+    *
+    * At scale the index side's band keys are a precomputed table the
+    * batch probes with an equi-join on (band, bkey) — the probe cost is
+    * proportional to the BATCH, not the corpus.
+    */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val isNew = col("doc_id") % IncrementalMod === 0
+    val bands = bandKeys(docs)
+    val cands = bands.filter(isNew).as("x")
+      .join(bands.filter(!isNew).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("nid"), col("y.doc_id").as("iid"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("nid"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("iid"), col("sh").as("shb"))
+    val verified = cands.join(a, "nid").join(b, "iid")
+      .select(col("nid"), col("iid"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .select(col("nid"), col("iid"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+    // best match per new doc: max jaccard, ties to the smallest index id
+    // (min over (−jaccard, iid) — exact because both engines compare the
+    // identical doubles); counts ride the same aggregation
+    val matches = verified.groupBy("nid").agg(
+      count(lit(1)).as("n_index_matches"),
+      min(struct((-col("jaccard")).as("nj"), col("iid").as("iid"))).as("best"))
+    docs.filter(isNew).select(col("doc_id"))
+      .join(matches, col("doc_id") === col("nid"), "left")
+      .select(col("doc_id"),
+        col("nid").isNotNull.as("matched"),
+        coalesce(col("n_index_matches"), lit(0L)).as("n_index_matches"),
+        coalesce(col("best.iid"), lit(-1L)).as("best_match_id"),
+        coalesce(-col("best.nj"), lit(0.0)).as("best_jaccard"))
+      .repartition(1).sortWithinPartitions("doc_id")
   }
 
   // --- near-dup cluster assignment (connected components) ------------------

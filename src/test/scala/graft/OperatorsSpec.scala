@@ -245,6 +245,28 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(1) == Seq("a b c", "b c d"))
   }
 
+  test("d07 incremental matches are exactly the straddling all-pairs hits") {
+    import graft.operators.Dedup
+    val mod = Dedup.IncrementalMod
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect()
+    val straddle = pairs.filter { case (a, b) => (a % mod == 0) != (b % mod == 0) }
+      .map { case (a, b) => if (a % mod == 0) (a, b) else (b, a) }
+    val inc = Dedup.incremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // row per new doc, matched ⇔ it has a straddling near-dup pair
+    assert(inc.keySet.forall(_ % mod == 0))
+    val expected = straddle.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    expected.foreach { case (nid, iids) =>
+      val (matched, n, best) = inc(nid)
+      assert(matched && n == iids.length && iids.contains(best))
+    }
+    inc.foreach { case (nid, (matched, n, best)) =>
+      if (!matched) assert(n == 0 && best == -1L && !expected.contains(nid))
+    }
+  }
+
   test("s07 PQ: codebook vectors encode to their own index; codes in range") {
     import graft.operators.Similarity
     val e = Similarity.withNorm(Tables.spread(spark, sf, "embeddings", "vec_id"))
