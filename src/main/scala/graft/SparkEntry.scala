@@ -78,6 +78,7 @@ object SparkEntry {
     "s05_sim_quantized_topk" -> Similarity.quantizedTopK _,
     "s06_ann_recall" -> Similarity.annRecall _,
     "s07_sim_pq_topk" -> Similarity.pqTopK _,
+    "s08_sim_filtered_topk" -> Similarity.filteredTopK _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -97,6 +98,7 @@ object SparkEntry {
     "p05_decontamination" -> Sampling.decontamination _,
     "p06_token_budget_sample" -> Sampling.tokenBudgetSample _,
     "p07_domain_mixture" -> Sampling.domainMixture _,
+    "p08_cluster_split" -> Sampling.clusterSplit _,
     "t08_filter_funnel" -> TextAnalysis.filterFunnel _,
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> TextAnalysis.vocab _,
@@ -156,6 +158,19 @@ object SparkEntry {
        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
        |    >= ${Dedup.JaccardThreshold})""".stripMargin
   }
+
+  /** The d06 connected-component closure over the d02 pairs, ending in a
+    * `cl(doc_id, cluster)` CTE — shared by the d06 and p08 oracles. Must
+    * run under WITH RECURSIVE. */
+  private def closureCtes: String =
+    s"""$minhashPairCtes,
+       |edges AS (SELECT da AS ea, db AS eb FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs),
+       |reach AS (SELECT ea, eb FROM edges
+       |          UNION
+       |          SELECT r.ea, e.eb FROM reach r JOIN edges e ON r.eb = e.ea),
+       |cl AS (SELECT ea AS doc_id, least(ea, min(eb)) AS cluster
+       |       FROM reach GROUP BY ea)""".stripMargin
 
   /** exact-decimal self-dot (norm²) over embeddings — matches Dedup.dotDec. */
   private val embCte =
@@ -676,14 +691,7 @@ object SparkEntry {
     "d06_dedup_clusters" ->
       // transitive closure over the d02 near-dup pairs (components are
       // tiny, so the closure is small); cluster = min reachable doc_id
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |edges AS (SELECT da AS ea, db AS eb FROM pairs
-         |          UNION ALL SELECT db, da FROM pairs),
-         |reach AS (SELECT ea, eb FROM edges
-         |          UNION
-         |          SELECT r.ea, e.eb FROM reach r JOIN edges e ON r.eb = e.ea),
-         |cl AS (SELECT ea AS doc_id, least(ea, min(eb)) AS cluster
-         |       FROM reach GROUP BY ea)
+      s"""WITH RECURSIVE $closureCtes
          |SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster,
          |  coalesce(cl.cluster, d.doc_id) = d.doc_id AS is_keeper
          |FROM documents d LEFT JOIN cl USING (doc_id)
@@ -838,6 +846,25 @@ object SparkEntry {
          |SELECT qid, rank, neighbor_id, pq_score FROM r
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     },
+    "s08_sim_filtered_topk" ->
+      s"""WITH el AS (SELECT vec_id, label, embedding,
+         |        list_sum(list_transform(embedding,
+         |          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))
+         |            * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS neighbor_id,
+         |    CAST($dotAB AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |      AS cos_sim
+         |  FROM el a JOIN el b ON b.label = a.label AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < ${Similarity.NumQueries}),
+         |r AS (SELECT qid, qlabel, neighbor_id, cos_sim,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |      FROM scored)
+         |SELECT qid, qlabel, rank, neighbor_id, cos_sim FROM r
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "p01_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
@@ -951,6 +978,19 @@ object SparkEntry {
          |FROM want JOIN kept ON want.lang = kept.lang, tot
          |ORDER BY want.lang""".stripMargin
     },
+    "p08_cluster_split" ->
+      s"""WITH RECURSIVE $closureCtes,
+         |lab AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN cl USING (doc_id)),
+         |b AS (SELECT doc_id, cluster,
+         |        CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+         |          AS BIGINT) % 100 AS bucket
+         |      FROM lab)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, COUNT(DISTINCT cluster) AS n_clusters,
+         |  MIN(doc_id) AS first_doc
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "t01_text_langid" -> {
       val values = TextAnalysis.markers
         .map { case (l, w) => s"('$l','$w')" }.mkString(",")

@@ -217,42 +217,35 @@ object Dedup {
 
   // --- SimHash fingerprint -------------------------------------------------
   // 128-bit fingerprint as 32 hex nibbles: per-nibble-bit majority vote over
-  // md5(token) of the distinct tokens. ONE explode + ONE doc-keyed
-  // aggregation: the 128 bit-majority counters (32 nibbles × 4 bits) ride
-  // as conditional-sum columns of a single codegen'd HashAggregate, and
-  // the hex string is assembled map-side from the 128 finals. The earlier
-  // shape exploded every token ×32 positions (1.7M rows at sf0.1) through
-  // a (doc, pos) aggregation and then a second collect_list aggregation
-  // (ObjectHashAggregate — outside codegen); this one moves only the
-  // token rows through one exchange with a wide-but-flat buffer.
+  // md5(token) of the distinct tokens. One explode + two aggregations —
+  // linear in corpus size, shuffle keyed by doc. (A measured dead end: a
+  // single doc-keyed aggregation carrying all 128 bit counters as columns
+  // benched 1.8× SLOWER at sf0.1 — the generated update method for a
+  // 65-column buffer blows past the JIT's method-size budget and runs
+  // interpreted; the narrow two-level shape stays compiled.)
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    // spread: a single-split scan would run the whole explode on one core
+    // spread: the token explode fans 5k docs into 1.7M contrib rows — from
+    // a single-split scan that generation would run on one core
     val toks = Tables.spread(s, dir, "documents", "doc_id")
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    // per-row nibble values v0..v31, then one-counter-per-bit aggregation.
-    // Two 32-bit ones-counts pack into each long (low = bit b, high =
-    // bit b+1, safe to 2^31 distinct tokens per doc), so the buffer is
-    // 64 counters + 1 row count = 65 columns — under the codegen field
-    // limit (128 separate counters would push HashAggregate out of
-    // whole-stage codegen). Majority: ±1-sum > 0 ⇔ 2·ones > n, exactly.
-    val withV = toks.select(col("doc_id") +: (0 to 31).map(pos =>
-      expr(s"instr('0123456789abcdef', substring(h, ${pos + 1}, 1)) - 1")
-        .as(s"v$pos")): _*)
-    val sums = (for { pos <- 0 to 31; b <- Seq(0, 2) } yield
-      sum(expr(s"(shiftright(v$pos, $b) % 2) + " +
-        s"(shiftright(v$pos, ${b + 1}) % 2) * 4294967296"))
-        .as(s"c${pos}_$b")) :+ count(lit(1)).as("nt")
-    val agg = withV.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val hexcs = (0 to 31).map { pos =>
-      val ones = Seq(
-        s"(c${pos}_0 % 4294967296)" -> 1, s"(c${pos}_0 div 4294967296)" -> 2,
-        s"(c${pos}_2 % 4294967296)" -> 4, s"(c${pos}_2 div 4294967296)" -> 8)
-      val nib = ones.map { case (o, w) =>
-        s"(CASE WHEN 2 * $o > nt THEN $w ELSE 0 END)" }.mkString(" + ")
-      expr(s"substring('0123456789abcdef', CAST($nib AS INT) + 1, 1)")
-    }
-    agg.select(col("doc_id"), concat(hexcs: _*).as("simhash128"))
+    // one row per (doc, token, nibble-position); the four bit-majority
+    // sums ride as aggregate columns instead of a ×4 row explode — 1.7M
+    // rows through one aggregation rather than 7M through two.
+    val contrib = toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("pos"))
+      .withColumn("v", expr("instr('0123456789abcdef', substring(h, pos + 1, 1)) - 1"))
+    val bitSums = (0 to 3).map(b =>
+      sum(expr(s"(shiftright(v, $b) % 2) * 2 - 1")).as(s"s$b"))
+    val nibbles = contrib.groupBy("doc_id", "pos")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("nib", expr(
+        "(CASE WHEN s0 > 0 THEN 1 ELSE 0 END) + 2 * (CASE WHEN s1 > 0 THEN 1 ELSE 0 END)" +
+          " + 4 * (CASE WHEN s2 > 0 THEN 1 ELSE 0 END) + 8 * (CASE WHEN s3 > 0 THEN 1 ELSE 0 END)"))
+      .withColumn("hexc", expr("substring('0123456789abcdef', CAST(nib AS INT) + 1, 1)"))
+    nibbles.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("hexc")))),
+        x => x.getField("hexc")), "").as("simhash128"))
       .orderBy("doc_id")
   }
 

@@ -18,9 +18,11 @@ object Sampling {
 
   /** Percent bucket 0–99 from the md5 of the id: the standard
     * hash-mod-100 split key. */
-  private def hashBucket(idCol: String) =
-    (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+  private def hashBucketOf(id: org.apache.spark.sql.Column) =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % 100).as("bucket")
+
+  private def hashBucket(idCol: String) = hashBucketOf(col(idCol))
 
   /** Per-document split name (train/val/test, 80/10/10) — the assignment
     * behind [[hashSplit]]'s rollup, reusable by other operators. */
@@ -181,6 +183,34 @@ object Sampling {
         min(col("doc_id")).as("first_doc"))
       .orderBy("lang")
   }
+
+  /** Per-document cluster-aware split assignment behind [[clusterSplit]]:
+    * every document inherits its near-dup cluster's hash bucket, so the
+    * whole cluster lands in ONE split. */
+  private[graft] def clusterSplitAssign(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(s, dir)
+      .select(col("doc_id"), col("cluster"), hashBucketOf(col("cluster")))
+      .select(col("doc_id"), col("cluster"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+
+  /** Cluster-aware train/val/test split — the production fix for the
+    * leakage [[splitLeakage]] audits: hash near-dup CLUSTERS (d06), not
+    * documents, into splits, so a test document can never have a train-set
+    * near-copy BY CONSTRUCTION (every near-dup pair is intra-cluster and
+    * every cluster is intra-split). Same 80/10/10 bucketing as
+    * [[hashSplit]]; the summary reports per-split document and cluster
+    * counts. At 100 TB this is the d06 labels (already computed by the
+    * dedup pass) plus one map-side bucket expression and a tiny rollup —
+    * the split stays a pure function of the corpus.
+    */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame =
+    clusterSplitAssign(s, dir)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        min(col("doc_id")).as("first_doc"))
+      .repartition(1).sortWithinPartitions("split")
 
   /** Target language mixture for [[domainMixture]], in parts-per-million
     * (sums to 1,000,000). The shares are intentionally far from the

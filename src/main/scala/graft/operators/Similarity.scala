@@ -282,53 +282,43 @@ object Similarity {
   val PqSubDim = 8 // PqM · PqSubDim = Dim
   val PqK = 16
 
-  /** DECIMAL(12,6)-per-element dot product as an explicit fold — the same
-    * numeric contract as [[Dedup.dotDec]], usable on lambda-bound slices
-    * inside higher-order functions (where the codegen'd expression cannot
-    * be spliced). */
-  private def dec6(c: Column): Column =
-    c.cast(DoubleType).cast(DecimalType(12, 6))
-
-  private def dotDecFold(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => dec6(x) * dec6(y)),
-      lit(BigDecimal(0)).cast(DecimalType(30, 12)),
-      (acc, p) => (acc + p).cast(DecimalType(30, 12)))
-
   def pqTopK(s: SparkSession, dir: String): DataFrame =
     presentSorted(pqRanked(embeddings(s, dir)))
 
   private def subM = explode(sequence(lit(0), lit(PqM - 1)))
   private def sliceM(v: Column) = slice(v, col("m") * PqSubDim + 1, lit(PqSubDim))
 
-  /** Codebook: (m, c, csub, ‖csub‖²) — PqM·PqK rows, broadcast everywhere. */
+  /** Codebook: (m, c, csub, ‖csub‖²) — PqM·PqK rows, broadcast everywhere.
+    * All dots ride the codegen'd [[Dedup.dotDec]] (a lambda-fold variant
+    * benched 2.5× slower end-to-end: higher-order functions interpret
+    * their lambdas per element). */
   private[graft] def pqCodebook(e: DataFrame): DataFrame = e
     .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + PqK)
     .select((col("vec_id") - NumQueries).cast("int").as("c"),
       subM.as("m"), col("embedding"))
     .select(col("m"), col("c"), sliceM(col("embedding")).as("csub"))
-    .withColumn("cn2", dotDecFold(col("csub"), col("csub")))
+    .withColumn("cn2", dotDec(col("csub"), col("csub")))
 
   /** Encode: nearest codebook entry per (vector, subspace) → (vec_id, nrm,
-    * m, code). The argmin key is exact decimal; ties break to the smallest
-    * code via filter-to-min (the null-free argmin both engines express
-    * identically). */
+    * m, code). One (vector, subspace, candidate) row per comparison — all
+    * map-side from a broadcast join, with the codegen'd decimal dot as a
+    * plain column — then an argmin aggregation whose partial step
+    * collapses the ×K fan-out before the exchange (the shuffle carries
+    * N·M rows, not N·M·K). `min(struct(key, c))` is lexicographic: min
+    * key, ties to the smallest code — identical to the oracle's
+    * ROW_NUMBER ORDER BY key, c.  */
   private[graft] def pqCodes(e: DataFrame): DataFrame = {
     val cb = pqCodebook(e)
-    // per-subspace candidate arrays (PqM rows) so encoding is map-side argmin
-    val cbm = cb.groupBy("m").agg(
-      sort_array(collect_list(struct(col("c"), col("csub"), col("cn2"))))
-        .as("cands"))
     val sub = e.select(col("vec_id"), col("nrm"), subM.as("m"), col("embedding"))
       .select(col("vec_id"), col("nrm"), col("m"),
         sliceM(col("embedding")).as("xsub"))
-    sub.join(broadcast(cbm), "m")
-      .withColumn("keys", transform(col("cands"),
-        p => p.getField("cn2") - lit(2) * dotDecFold(col("xsub"), p.getField("csub"))))
-      .withColumn("mk", array_min(col("keys")))
-      .withColumn("code", array_min(
-        zip_with(col("keys"), col("cands"), (k, p) =>
-          when(k === col("mk"), p.getField("c")))))
-      .select(col("vec_id"), col("nrm"), col("m"), col("code"))
+    sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("nrm"), col("m"),
+        struct((col("cn2") - lit(2) * dotDec(col("xsub"), col("csub")))
+          .as("k"), col("c")).as("kc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("kc")).as("best"), max(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("nrm"), col("m"), col("best.c").as("code"))
   }
 
   private[graft] def pqRanked(e: DataFrame): DataFrame = {
@@ -340,7 +330,7 @@ object Similarity {
       .select(col("qid"), col("qn"), col("m"), sliceM(col("embedding")).as("qsub"))
       .join(broadcast(pqCodebook(e).select(col("m"), col("c"), col("csub"))), "m")
       .select(col("qid"), col("qn"), col("m"), col("c"),
-        dotDecFold(col("qsub"), col("csub")).as("pdot"))
+        dotDec(col("qsub"), col("csub")).as("pdot"))
     // score: M lookups per (query, vector); partial aggregation collapses
     // the ×M·Q join fan-out back to Q rows per vector before the shuffle
     val scored = codes.join(broadcast(lut),
@@ -356,6 +346,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "neighbor_id", "pq_score")
+  }
+
+  // --- filtered (predicated) vector search ---------------------------------
+  /** Filtered top-k — the "hybrid search" every production vector store
+    * exposes: nearest neighbors AMONG vectors satisfying a metadata
+    * predicate, here `label = query.label` (the first use of the
+    * embeddings table's label column). Post-filtering a plain top-k is
+    * wrong (k survivors are not the k nearest survivors), so the
+    * predicate joins INTO candidate generation: the label equi-join both
+    * enforces the filter and partitions the search space — at 100 TB this
+    * is a broadcast of the query set keyed by label, candidates shrink to
+    * the label's partition, and exact re-scoring runs only there. Scoring
+    * is the s01 exact-decimal contract.
+    */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normD(col("embedding")).as("nrm"))
+    val q = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = base.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("neighbor_id"),
+        (dotDec(col("qv"), col("embedding")).cast(DoubleType) /
+          (col("qn") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "qlabel", "rank", "neighbor_id", "cos_sim")
+      .repartition(1).sortWithinPartitions("qid", "rank")
   }
 
   // --- ANN recall evaluation ----------------------------------------------

@@ -245,6 +245,36 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(1) == Seq("a b c", "b c d"))
   }
 
+  test("p08 cluster split: near-dup pairs never straddle splits") {
+    import graft.operators.{Dedup, Sampling}
+    val assign = Sampling.clusterSplitAssign(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // leakage-free BY CONSTRUCTION — the property p03 can only audit
+    pairs.foreach { case (a, b) => assert(assign(a) == assign(b)) }
+    val total = Sampling.clusterSplit(spark, sf).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.table(spark, sf, "documents").count())
+  }
+
+  test("s08 filtered top-k: neighbors satisfy the predicate, ranks dense") {
+    import graft.operators.Similarity
+    val labels = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val rows = Similarity.filteredTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("qid"))
+      assert(labels(r.getAs[Long]("qid")) == r.getAs[Int]("qlabel"))
+      assert(labels(r.getAs[Long]("neighbor_id")) == r.getAs[Int]("qlabel"))
+    }
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { qr =>
+      assert(qr.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to qr.length))
+    }
+  }
+
   test("d07 incremental matches are exactly the straddling all-pairs hits") {
     import graft.operators.Dedup
     val mod = Dedup.IncrementalMod
