@@ -102,6 +102,7 @@ object SparkEntry {
     "t08_filter_funnel" -> TextAnalysis.filterFunnel _,
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> TextAnalysis.vocab _,
+    "t11_bigram_novelty" -> TextAnalysis.bigramNovelty _,
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -1142,6 +1143,26 @@ object SparkEntry {
          |  CAST(freq AS DOUBLE) / n_total AS corpus_share,
          |  CAST(cum_freq AS DOUBLE) / n_total AS cum_share
          |FROM r, total ORDER BY rank""".stripMargin,
+    "t11_bigram_novelty" ->
+      s"""WITH $toksCte,
+         |bgs AS (SELECT doc_id,
+         |          CASE WHEN len(t) >= 2
+         |            THEN list_transform(generate_series(1, len(t) - 1),
+         |                 i -> concat_ws(' ', t[i], t[i+1]))
+         |            ELSE CAST([] AS VARCHAR[]) END AS bg
+         |        FROM toks),
+         |ex AS (SELECT doc_id, unnest(bg) AS g FROM bgs),
+         |top AS (SELECT g FROM (SELECT g, count(*) AS cnt FROM ex GROUP BY g)
+         |        ORDER BY cnt DESC, g LIMIT ${TextAnalysis.BigramTopK}),
+         |common AS (SELECT doc_id, count(*) AS n_common
+         |           FROM ex JOIN top USING (g) GROUP BY doc_id),
+         |sz AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams FROM bgs)
+         |SELECT sz.doc_id, n_bigrams,
+         |  COALESCE(n_common, 0) AS n_common,
+         |  CASE WHEN n_bigrams > 0
+         |    THEN 1.0 - CAST(COALESCE(n_common, 0) AS DOUBLE) / n_bigrams
+         |    ELSE 0.0 END AS novelty
+         |FROM sz LEFT JOIN common USING (doc_id) ORDER BY sz.doc_id""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,

@@ -203,6 +203,42 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  // --- bigram novelty ------------------------------------------------------
+  /** Per-document bigram novelty: the fraction of a document's token
+    * bigrams NOT among the corpus's [[BigramTopK]] most frequent — low
+    * novelty flags template/boilerplate-dominated text (the complement of
+    * [[boilerplate]]'s corpus view, scored per document so the curation
+    * funnel can gate on it). Counts are occurrence-level exact integers;
+    * the single double division sits at the boundary. Shape at 100 TB:
+    * one bigram aggregation + top-K (`TakeOrderedAndProject`), the top
+    * set broadcast into a semi-join — per-document work never sees the
+    * corpus vocabulary.
+    */
+  val BigramTopK = 50
+
+  def bigramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val g2 = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val docs = Tables.spread(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), g2.as("bg"))
+    val ex = docs.select(col("doc_id"), explode(col("bg")).as("g"))
+    val top = ex.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g").asc).limit(BigramTopK)
+      .select("g")
+    val common = ex.join(broadcast(top), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    docs.select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"))
+      .join(common, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("novelty",
+        when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_common").cast(DoubleType) / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
   // --- curation filter funnel ----------------------------------------------
   /** Per-stage survivor counts of a C4/Gopher-style quality cascade — the
     * first report a corpus-curation run produces (how many documents each

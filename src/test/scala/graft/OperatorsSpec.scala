@@ -245,6 +245,20 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(1) == Seq("a b c", "b c d"))
   }
 
+  test("t11 bigram novelty: bounded, consistent, one row per document") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.bigramNovelty(spark, sf).collect()
+    assert(rows.length == Tables.table(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_common"))
+      val nov = r.getAs[Double]("novelty")
+      assert(c <= n)
+      assert(nov >= 0.0 && nov <= 1.0)
+      if (n > 0) assert(math.abs(nov - (1.0 - c.toDouble / n)) < 1e-12)
+      else assert(nov == 0.0)
+    }
+  }
+
   test("p08 cluster split: near-dup pairs never straddle splits") {
     import graft.operators.{Dedup, Sampling}
     val assign = Sampling.clusterSplitAssign(spark, sf)
