@@ -289,6 +289,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s07 PQ: ADC ranking keeps neighbors inside the query's planted cluster") {
+    import graft.operators.Similarity
+    // 16 near-orthogonal centers in 64 dims, planted EXACTLY at the
+    // codebook-source ids (10..25); members are tight jitters. Quantized
+    // scores cannot separate same-code members (that is the compression),
+    // but they MUST preserve coarse geometry: every ADC top-3 neighbor
+    // belongs to the query's cluster.
+    val rnd = new scala.util.Random(77)
+    val k = Similarity.PqK
+    val dim = Similarity.Dim
+    val per = 30
+    val centers = Array.fill(k)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    def jit(c: Array[Float]) = c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.04f)
+    val rows =
+      (0 until 10).map(q => (q.toLong, jit(centers(q)))) ++
+      (0 until k).map(c => ((10 + c).toLong, centers(c))) ++
+      (for (c <- 0 until k; i <- 0 until per)
+        yield ((26 + c * per + i).toLong, jit(centers(c))))
+    val e = Similarity.withNorm(rows.toDF("vec_id", "embedding")).cache()
+    def cluster(id: Long): Long =
+      if (id < 10) id else if (id < 26) id - 10 else (id - 26) / per
+    val got = Similarity.pqRanked(e)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.length == 30)
+    got.foreach { case (q, n) =>
+      assert(cluster(n) == cluster(q), s"query $q got cross-cluster $n") }
+  }
+
   test("d07 incremental matches are exactly the straddling all-pairs hits") {
     import graft.operators.Dedup
     val mod = Dedup.IncrementalMod
