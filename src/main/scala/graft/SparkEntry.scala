@@ -79,6 +79,7 @@ object SparkEntry {
     "s06_ann_recall" -> Similarity.annRecall _,
     "s07_sim_pq_topk" -> Similarity.pqTopK _,
     "s08_sim_filtered_topk" -> Similarity.filteredTopK _,
+    "s09_quantization_recall" -> Similarity.quantizationRecall _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -185,8 +186,79 @@ object SparkEntry {
       |  z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6))))"""
       .stripMargin.replaceAll("\n", " ")
 
-  /** Full s01/s02/s03 oracle bodies — their own map entries, and composed
-    * as subqueries by the s06 recall oracle. */
+  /** Full s01/s02/s03/s05/s07 oracle bodies — their own map entries, and
+    * composed as subqueries by the s06 and s09 recall oracles. */
+  private def s05Sql: String =
+    s"""WITH qa AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS amax
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)) AS qv
+       |  FROM qa),
+       |e AS (SELECT vec_id, qv,
+       |    sqrt(CAST(list_sum(list_transform(qv, v -> v * v)) AS DOUBLE)) AS qn
+       |  FROM q),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+       |      z -> z[1] * z[2])) AS DOUBLE) / (a.qn * b.qn) AS qcos
+       |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < ${Similarity.NumQueries}),
+       |r AS (SELECT qid, neighbor_id, qcos,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY qcos DESC, neighbor_id) AS INT) AS rank
+       |      FROM scored)
+       |SELECT qid, rank, neighbor_id, qcos FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  // PQ/ADC: same decimal-exact per-element contract as embCte/dotAB;
+  // argmin replayed as ROW_NUMBER over (key, code) — identical semantics
+  // to the engine's min(struct(key, code)).
+  private def s07Sql: String = {
+    def d(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(12,6))"
+    val nq = Similarity.NumQueries
+    val (m, sd, k) = (Similarity.PqM, Similarity.PqSubDim, Similarity.PqK)
+    s"""WITH $embCte,
+       |ms AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |cb AS (SELECT ms.m AS m, CAST(vec_id - $nq AS INT) AS c,
+       |         list_slice(embedding, ms.m*$sd+1, ms.m*$sd+$sd) AS csub
+       |       FROM e, ms WHERE vec_id >= $nq AND vec_id < ${nq + k}),
+       |cbn AS (SELECT m, c, csub,
+       |         list_sum(list_transform(csub, x -> ${d("x")} * ${d("x")}))
+       |           AS cn2 FROM cb),
+       |sub AS (SELECT vec_id, ms.m AS m,
+       |          list_slice(embedding, ms.m*$sd+1, ms.m*$sd+$sd) AS xsub
+       |        FROM e, ms),
+       |keys AS (SELECT vec_id, s.m, c,
+       |           cn2 - 2*list_sum(list_transform(list_zip(xsub, csub),
+       |             z -> ${d("z[1]")} * ${d("z[2]")})) AS kk
+       |         FROM sub s JOIN cbn ON s.m = cbn.m),
+       |codes AS (SELECT vec_id, m, c AS code FROM (
+       |            SELECT vec_id, m, c, ROW_NUMBER() OVER (
+       |              PARTITION BY vec_id, m ORDER BY kk, c) AS rn FROM keys)
+       |          WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS qid, cbn.m, cbn.c,
+       |          list_sum(list_transform(list_zip(
+       |            list_slice(q.embedding, cbn.m*$sd+1, cbn.m*$sd+$sd), csub),
+       |            z -> ${d("z[1]")} * ${d("z[2]")})) AS pdot
+       |        FROM e q, cbn WHERE q.vec_id < $nq),
+       |scored AS (SELECT qid, codes.vec_id AS neighbor_id, SUM(pdot) AS adc
+       |           FROM codes JOIN lut ON codes.m = lut.m
+       |             AND codes.code = lut.c AND codes.vec_id <> lut.qid
+       |           GROUP BY qid, codes.vec_id),
+       |fin AS (SELECT qid, neighbor_id,
+       |          CAST(adc AS DOUBLE) / (sqrt(CAST(qe.n2 AS DOUBLE))
+       |            * sqrt(CAST(ne.n2 AS DOUBLE))) AS pq_score
+       |        FROM scored JOIN e qe ON qid = qe.vec_id
+       |          JOIN e ne ON neighbor_id = ne.vec_id),
+       |r AS (SELECT qid, neighbor_id, pq_score,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
+       |      FROM fin)
+       |SELECT qid, rank, neighbor_id, pq_score FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   private def s01Sql: String =
     s"""WITH $embCte,
        |scored AS (
@@ -766,28 +838,23 @@ object SparkEntry {
     // s04_sim_ann_ivf_trained: rows-only by design — k-means||-trained
     // centroid floats are engine-specific (like q12b's HLL sketch);
     // correctness is pinned by the clustered-corpus recall spec instead.
-    "s05_sim_quantized_topk" ->
-      s"""WITH qa AS (SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS amax
-         |  FROM embeddings),
-         |q AS (SELECT vec_id, list_transform(embedding, x ->
-         |    CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT)) AS qv
-         |  FROM qa),
-         |e AS (SELECT vec_id, qv,
-         |    sqrt(CAST(list_sum(list_transform(qv, v -> v * v)) AS DOUBLE)) AS qn
-         |  FROM q),
-         |scored AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
-         |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
-         |      z -> z[1] * z[2])) AS DOUBLE) / (a.qn * b.qn) AS qcos
-         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < ${Similarity.NumQueries}),
-         |r AS (SELECT qid, neighbor_id, qcos,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |          ORDER BY qcos DESC, neighbor_id) AS INT) AS rank
-         |      FROM scored)
-         |SELECT qid, rank, neighbor_id, qcos FROM r
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "s05_sim_quantized_topk" -> s05Sql,
+    // PQ/ADC: same decimal-exact per-element contract as embCte/dotAB;
+    // argmin replayed as ROW_NUMBER over (key, code) — identical semantics
+    // to the engine's min(struct(key, code)).
+    "s07_sim_pq_topk" -> s07Sql,
+    "s09_quantization_recall" ->
+      s"""WITH bf AS (SELECT qid, neighbor_id FROM ($s01Sql) WHERE rank <= 3),
+         |q8 AS (SELECT qid, neighbor_id FROM ($s05Sql)),
+         |pq AS (SELECT qid, neighbor_id FROM ($s07Sql)),
+         |c AS (SELECT 'int8' AS method, count(*) AS n_hits
+         |        FROM q8 JOIN bf USING (qid, neighbor_id)
+         |      UNION ALL
+         |      SELECT 'pq', count(*) FROM pq JOIN bf USING (qid, neighbor_id))
+         |SELECT method, n_hits,
+         |  CAST(${3 * Similarity.NumQueries} AS BIGINT) AS n_possible,
+         |  CAST(n_hits AS DOUBLE) / ${3 * Similarity.NumQueries} AS recall_at_3
+         |FROM c ORDER BY method""".stripMargin,
     "s06_ann_recall" ->
       s"""WITH bf AS (SELECT qid, neighbor_id FROM ($s01Sql) WHERE rank <= 3),
          |lsh AS (SELECT qid, neighbor_id FROM ($s02Sql)),
@@ -800,53 +867,6 @@ object SparkEntry {
          |  CAST(${3 * Similarity.NumQueries} AS BIGINT) AS n_possible,
          |  CAST(n_hits AS DOUBLE) / ${3 * Similarity.NumQueries} AS recall_at_3
          |FROM c ORDER BY method""".stripMargin,
-    // PQ/ADC: same decimal-exact per-element contract as embCte/dotAB;
-    // argmin replayed as ROW_NUMBER over (key, code) — identical semantics
-    // to the engine's filter-to-min (min key, then min code).
-    "s07_sim_pq_topk" -> {
-      def d(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(12,6))"
-      val nq = Similarity.NumQueries
-      val (m, sd, k) = (Similarity.PqM, Similarity.PqSubDim, Similarity.PqK)
-      s"""WITH $embCte,
-         |ms AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
-         |cb AS (SELECT ms.m AS m, CAST(vec_id - $nq AS INT) AS c,
-         |         list_slice(embedding, ms.m*$sd+1, ms.m*$sd+$sd) AS csub
-         |       FROM e, ms WHERE vec_id >= $nq AND vec_id < ${nq + k}),
-         |cbn AS (SELECT m, c, csub,
-         |         list_sum(list_transform(csub, x -> ${d("x")} * ${d("x")}))
-         |           AS cn2 FROM cb),
-         |sub AS (SELECT vec_id, ms.m AS m,
-         |          list_slice(embedding, ms.m*$sd+1, ms.m*$sd+$sd) AS xsub
-         |        FROM e, ms),
-         |keys AS (SELECT vec_id, s.m, c,
-         |           cn2 - 2*list_sum(list_transform(list_zip(xsub, csub),
-         |             z -> ${d("z[1]")} * ${d("z[2]")})) AS kk
-         |         FROM sub s JOIN cbn ON s.m = cbn.m),
-         |codes AS (SELECT vec_id, m, c AS code FROM (
-         |            SELECT vec_id, m, c, ROW_NUMBER() OVER (
-         |              PARTITION BY vec_id, m ORDER BY kk, c) AS rn FROM keys)
-         |          WHERE rn = 1),
-         |lut AS (SELECT q.vec_id AS qid, cbn.m, cbn.c,
-         |          list_sum(list_transform(list_zip(
-         |            list_slice(q.embedding, cbn.m*$sd+1, cbn.m*$sd+$sd), csub),
-         |            z -> ${d("z[1]")} * ${d("z[2]")})) AS pdot
-         |        FROM e q, cbn WHERE q.vec_id < $nq),
-         |scored AS (SELECT qid, codes.vec_id AS neighbor_id, SUM(pdot) AS adc
-         |           FROM codes JOIN lut ON codes.m = lut.m
-         |             AND codes.code = lut.c AND codes.vec_id <> lut.qid
-         |           GROUP BY qid, codes.vec_id),
-         |fin AS (SELECT qid, neighbor_id,
-         |          CAST(adc AS DOUBLE) / (sqrt(CAST(qe.n2 AS DOUBLE))
-         |            * sqrt(CAST(ne.n2 AS DOUBLE))) AS pq_score
-         |        FROM scored JOIN e qe ON qid = qe.vec_id
-         |          JOIN e ne ON neighbor_id = ne.vec_id),
-         |r AS (SELECT qid, neighbor_id, pq_score,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |          ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
-         |      FROM fin)
-         |SELECT qid, rank, neighbor_id, pq_score FROM r
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
-    },
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,
          |        list_sum(list_transform(embedding,

@@ -223,8 +223,15 @@ object Similarity {
     * only at the cosine boundary. Top-k per query over the quantized
     * scores, exactly the s01 flow.
     */
-  def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.spread(s, dir, "embeddings", "vec_id")
+  def quantizedTopK(s: SparkSession, dir: String): DataFrame =
+    quantizedRanked(Tables.spread(s, dir, "embeddings", "vec_id"))
+      // tiny output — avoid orderBy's range-sampling re-execution (d02 pattern)
+      .repartition(1).sortWithinPartitions("qid", "rank")
+
+  /** [[quantizedTopK]] over an arbitrary (vec_id, embedding) frame —
+    * shared with the compression-recall eval. */
+  private[graft] def quantizedRanked(raw: DataFrame): DataFrame = {
+    val base = raw
       .select(col("vec_id"),
       col("embedding"),
       array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
@@ -248,8 +255,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "neighbor_id", "qcos")
-      // tiny output — avoid orderBy's range-sampling re-execution (d02 pattern)
-      .repartition(1).sortWithinPartitions("qid", "rank")
   }
 
   // --- product-quantization (PQ) ADC top-k ---------------------------------
@@ -413,6 +418,33 @@ object Similarity {
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"), col("n_hits"))
     hits(annLshRanked(e), "lsh").unionByName(hits(annIvfRanked(e), "ivf"))
+      .select(col("method"), col("n_hits"),
+        lit(3L * NumQueries).as("n_possible"),
+        (col("n_hits").cast(DoubleType) / (3L * NumQueries)).as("recall_at_3"))
+      .repartition(1).sortWithinPartitions("method")
+  }
+
+  // --- compression-quality evaluation --------------------------------------
+  /** Recall@3 of the two LOSSY-SCORING paths — int8 symmetric quantization
+    * ([[quantizedTopK]]) and product quantization ([[pqTopK]]) — against
+    * the exact baseline: the go/no-go measurement before shipping a
+    * compressed 100-TB index, composing the existing rankings with two
+    * tiny semi-join counts exactly as [[annRecall]] does for the ANN
+    * indexes. Expect int8 ≈ 1.0 (≤0.8% per-element error) and PQ well
+    * below it (whole-subvector codes) — the size/recall trade the eval
+    * exists to quantify.
+    */
+  def quantizationRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).persist()
+    val bf = bruteForceRanked(e)
+      .filter(col("rank") <= 3).select("qid", "neighbor_id").persist()
+    def hits(df: DataFrame, name: String): DataFrame =
+      df.select("qid", "neighbor_id")
+        .join(broadcast(bf), Seq("qid", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_hits"))
+    val int8 = quantizedRanked(Tables.spread(s, dir, "embeddings", "vec_id"))
+    hits(int8, "int8").unionByName(hits(pqRanked(e), "pq"))
       .select(col("method"), col("n_hits"),
         lit(3L * NumQueries).as("n_possible"),
         (col("n_hits").cast(DoubleType) / (3L * NumQueries)).as("recall_at_3"))
