@@ -117,11 +117,17 @@ object ExtendedQueries {
     * `lv·(h−pos) + hv·(pos−l)` with pos = q·(n−1) is bit-identical to
     * `percentile()` and the oracle's quantile_cont.
     */
-  def q27Percentiles(s: SparkSession, dir: String): DataFrame = {
+  def q27Percentiles(s: SparkSession, dir: String): DataFrame =
+    percentilesOf(Tables.table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v")))
+
+  /** [[q27Percentiles]] over an arbitrary (l_returnflag, v) frame — the
+    * spec entry point for random/adversarial distributions (all-one-bucket,
+    * bucket-boundary ties, negatives, n=1 groups). */
+  private[graft] def percentilesOf(raw0: DataFrame): DataFrame = {
     // Bucket width 1000 on a [900, 105000] price domain ⇒ ~105 buckets per
     // group. A shifted domain only changes bucket occupancy, never results.
-    val raw = Tables.table(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val raw = raw0
       .withColumn("b", floor(col("v") / 1000).cast(LongType))
     // Per-(group, bucket) counts are tiny (groups × buckets rows) and
     // aggregate well (map-side combine); the branch is deterministic, so a

@@ -63,6 +63,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q27 endpoint-bucket percentiles match in-memory type-7 on adversarial data") {
+    import graft.operators.ExtendedQueries
+    def t7(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted
+      val pos = q * (s.length - 1)
+      val (l, h) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      if (l == h) s(l) else s(l) * (h - pos) + s(h) * (pos - l)
+    }
+    val rnd = new scala.util.Random(424242)
+    val modes: Seq[(String, () => Double)] = Seq(
+      "uniform" -> (() => rnd.nextDouble() * 100000),       // many buckets
+      "onebucket" -> (() => 500.0 + rnd.nextDouble()),      // all in bucket 0
+      "boundary" -> (() => 1000.0 * rnd.nextInt(5)),        // ties on edges
+      "negative" -> (() => rnd.nextGaussian() * 2000))      // negative buckets
+    for ((mode, gen) <- modes) {
+      val sizes = Seq(1, 2, 3, 57, 300) // incl. n=1 (every pos collapses to 0)
+      val data = sizes.zipWithIndex.flatMap { case (n, gi) =>
+        Seq.fill(n)((s"g$gi", gen())) }
+      val got = ExtendedQueries.percentilesOf(data.toDF("l_returnflag", "v"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+      sizes.indices.foreach { gi =>
+        val vs = data.filter(_._1 == s"g$gi").map(_._2)
+        val (p50, p95, p99, n) = got(s"g$gi")
+        assert(n == vs.length, s"$mode g$gi count")
+        for ((q, p) <- Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99))
+          assert(math.abs(p - t7(vs, q)) <= 1e-9 * math.max(1, math.abs(p)),
+            s"$mode g$gi q=$q: got $p want ${t7(vs, q)}")
+      }
+    }
+  }
+
   test("q12b approx distinct tracks exact distinct within 5% at two scales") {
     import graft.operators.CoreQueries
     // HLL++ with default rsd 5%: the sketch estimate must sit within 5% of
