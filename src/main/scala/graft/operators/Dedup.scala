@@ -37,11 +37,15 @@ object Dedup {
 
   /** Shingled corpus, width-normalized before shingling (one small file =
     * one partition, and every branch recompute would serialize otherwise —
-    * see ngramJaccard). */
+    * see ngramJaccard). The SECOND exchange sits after the shingle pass so
+    * every consumer branch (band keys, verify-join sides) shares it as a
+    * ReusedExchange instead of re-running the tokenize+shingle regexes per
+    * branch — the p05 materialization-point pattern. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** LSH band keys per document: K minhash signatures folded into
     * [[Bands]] md5 band keys — the (doc_id, band, bkey) index both the
@@ -275,10 +279,15 @@ object Dedup {
     // branch — serially, on one core, ~6 s of the sf0.1 runtime. Hashing
     // the raw text across the cluster makes every branch's recompute
     // parallel; at 100 TB the scan already has ≥ this many splits and the
-    // exchange is a cheap pass AQE coalesces away.
+    // exchange is a cheap pass AQE coalesces away. The SECOND exchange,
+    // after the shingle pass, is the branch materialization point (p05
+    // pattern): postings, cap, and both verify-join sides read the
+    // shingled rows from one ReusedExchange instead of re-running the
+    // regexes per branch.
     val docs = raw
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     // df cap as a broadcast scalar (no collect; the 1-row cross join is a
