@@ -385,10 +385,15 @@ object Dedup {
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.FloatVecDot.float_vec_dot
     // width-normalize (Tables.spread): one small parquet file = one split,
-    // which would run every exact-decimal norm/dot on a single core
+    // which would run every exact-decimal norm/dot on a single core. The
+    // second exchange AFTER the norm projection is the branch
+    // materialization point (p05 pattern): the band explode and both
+    // verify-join sides reuse one normed pass instead of re-running the
+    // exact-decimal self-dot per branch.
     val e = Tables.spread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), col("embedding"),
         normD(col("embedding")).as("nrm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     // candidate generation: banded sign-pattern buckets (zero-shuffle,
     // codegen'd dot per plane), then pairs via equi-join on (band, bucket)
     val bandStructs = (0 until EmbBands).map { b =>
