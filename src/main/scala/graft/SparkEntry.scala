@@ -92,6 +92,7 @@ object SparkEntry {
     "m03_frame_sample" -> Multimodal.frameSampleQuery _,
     "m04_media_histogram" -> Multimodal.histogramQuery _,
     "m05_perceptual_hash" -> Multimodal.perceptualHashQuery _,
+    "m06_still_segments" -> Multimodal.stillSegmentsQuery _,
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> Sampling.splitLeakage _,
@@ -1234,5 +1235,29 @@ object SparkEntry {
         |  FROM s)
         |SELECT min(doc_id) AS rep_id, count(*) AS n_assets, ahash
         |FROM h GROUP BY ahash ORDER BY rep_id""".stripMargin,
+    // gaps-and-islands: pos − per-(doc, byte) rank is constant within a
+    // run; argmax = longest run, ties to smallest byte then earliest pos
+    "m06_still_segments" ->
+      """WITH c AS (SELECT doc_id,
+        |    unnest(generate_series(1, length(text))) AS i, text
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |        ord(substr(text, CAST(i AS INT), 1)) AS v FROM c),
+        |g AS (SELECT doc_id, pos, v,
+        |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id, v
+        |          ORDER BY pos) AS grp
+        |      FROM b),
+        |runs AS (SELECT doc_id, v, grp, COUNT(*) AS run_len,
+        |           CAST(MIN(pos) AS INT) AS run_start
+        |         FROM g GROUP BY doc_id, v, grp),
+        |best AS (SELECT doc_id, run_len, v, run_start,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id
+        |             ORDER BY run_len DESC, v, run_start) AS rn
+        |         FROM runs),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_runs FROM runs GROUP BY doc_id)
+        |SELECT best.doc_id, n_runs, run_len AS max_run_len,
+        |  v AS max_run_byte, run_start AS max_run_start
+        |FROM best JOIN cnt USING (doc_id) WHERE rn = 1
+        |ORDER BY best.doc_id""".stripMargin,
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
@@ -164,4 +165,36 @@ object Multimodal {
         element_at(array(lit("jpeg"), lit("png"), lit("webp")),
           (col("doc_id") % 3 + 1).cast("int")).as("fmt"))
       .orderBy("doc_id")
+
+  /** Still-segment / silence detection — the media-curation pass that
+    * finds the longest constant-byte run per payload (static frames in
+    * video, silence in PCM audio; a long run means droppable or
+    * compressible content). Classic gaps-and-islands: position minus
+    * per-(doc, value) rank is constant within a run, one aggregation
+    * per run, then an argmax per asset (longest run; ties to the
+    * smallest byte, then earliest offset — fully deterministic). Runs
+    * shuffle keyed by (doc, byte): parallelism scales with assets ×
+    * byte diversity at any corpus size.
+    */
+  def stillSegmentsQuery(s: SparkSession, dir: String): DataFrame = {
+    val bytes = Tables.spread(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), posexplode(split(col("text"), "")))
+      // Java split keeps a trailing empty string — drop it
+      .filter(col("col") =!= "")
+      .select(col("doc_id"), col("pos"), ascii(col("col")).cast("int").as("v"))
+    val w = Window.partitionBy(col("doc_id"), col("v")).orderBy(col("pos"))
+    val runs = bytes
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("v"), col("grp"))
+      .agg(count(lit(1)).as("run_len"), min(col("pos")).as("run_start"))
+    runs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_runs"),
+      max(struct(col("run_len"), (-col("v")).as("nv"),
+        (-col("run_start")).as("ns"))).as("best"))
+      .select(col("doc_id"), col("n_runs"),
+        col("best.run_len").as("max_run_len"),
+        (-col("best.nv")).as("max_run_byte"),
+        (-col("best.ns")).as("max_run_start"))
+      .orderBy("doc_id")
+  }
 }

@@ -63,6 +63,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("m06 still segments match a direct scan of every payload") {
+    val texts = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def runsOf(t: String): Seq[(Int, Int, Int)] = { // (start, len, byte)
+      val rs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      var i = 0
+      while (i < t.length) {
+        var j = i
+        while (j < t.length && t(j) == t(i)) j += 1
+        rs += ((i, j - i, t(i).toInt)); i = j
+      }
+      rs.toSeq
+    }
+    val got = Multimodal.stillSegmentsQuery(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val rs = runsOf(texts(r.getLong(0)))
+      assert(r.getAs[Long]("n_runs") == rs.length)
+      val best = rs.minBy { case (start, len, b) => (-len, b, start) }
+      assert(r.getAs[Long]("max_run_len") == best._2)
+      assert(r.getAs[Int]("max_run_byte") == best._3)
+      assert(r.getAs[Int]("max_run_start") == best._1)
+    }
+  }
+
   test("q27 endpoint-bucket percentiles match in-memory type-7 on adversarial data") {
     import graft.operators.ExtendedQueries
     def t7(vs: Seq[Double], q: Double): Double = {
