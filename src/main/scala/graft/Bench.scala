@@ -46,18 +46,35 @@ object Bench {
         .distinct
         .sortBy(f => "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
         .lastOption
-    def scavenge(tail: String): Map[String, Double] = {
+    def scavenge(tail0: String): Map[String, Double] = {
+      // The bench line is queries-first, then stream_eps/sweep/deltas. The
+      // prev_delta_sec entries use the SAME query-name keys, so scavenging
+      // the whole fragment would overwrite real seconds with delta values
+      // (findAllMatchIn.toMap keeps the LAST occurrence). Cut at the first
+      // post-queries field before matching; a fragment that starts inside
+      // the deltas then yields nothing — a loud warning beats wrong data.
+      val cut = Seq("\"stream_eps\"", "\"batch_size_sweep\"", "\"prev\"",
+          "\"prev_delta_sec\"")
+        .map(tail0.indexOf).filter(_ >= 0)
+      val tail = if (cut.isEmpty) tail0 else tail0.take(cut.min)
       val names = SparkEntry.queries.keySet
       "\"([a-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(tail)
         .collect { case m if names.contains(m.group(1)) =>
           m.group(1) -> m.group(2).toDouble }
         .toMap
     }
+    def roundOf(name: String): Int =
+      "\\d+".r.findFirstIn(name).map(_.toInt).getOrElse(0)
     val snapshot = newest("BENCH_LOCAL_r\\d+\\.json").flatMap { f =>
       try Some((f.getName, queriesOf(mapper.readTree(f))))
       catch { case _: Throwable => None }
     }.filter(_._2.nonEmpty)
-    val driverFile = snapshot match {
+    // prefer the snapshot ONLY while it is at least as recent as the
+    // newest driver file — a missed snapshot commit must not silently
+    // produce two-rounds-old deltas presented as previous-round ones
+    val newestDriverRound =
+      newest("BENCH_r\\d+\\.json").map(f => roundOf(f.getName)).getOrElse(0)
+    val driverFile = snapshot.filter(s => roundOf(s._1) >= newestDriverRound) match {
       case Some(s) => Some(s)
       case None => newest("BENCH_r\\d+\\.json").map { f =>
         try {

@@ -403,8 +403,7 @@ object Similarity {
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     // One scan+norm for all three sub-pipelines (they used to recompute it
     // independently — 4 scans, 12 shuffles); the frame is small relative to
-    // executor memory even per-partition at scale, and Spark's cache manager
-    // dedupes identical plans, so repeated calls reuse one cache entry.
+    // executor memory even per-partition at scale.
     val e = embeddings(s, dir).persist()
     // bf ground truth feeds BOTH hit counts; it is Q·K rows — persist so the
     // expensive exact-scoring DAG executes once, not per join.
@@ -417,11 +416,24 @@ object Similarity {
         .join(broadcast(bf), Seq("qid", "neighbor_id"))
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"), col("n_hits"))
-    hits(annLshRanked(e), "lsh").unionByName(hits(annIvfRanked(e), "ivf"))
+    val out = hits(annLshRanked(e), "lsh").unionByName(hits(annIvfRanked(e), "ivf"))
       .select(col("method"), col("n_hits"),
         lit(3L * NumQueries).as("n_possible"),
         (col("n_hits").cast(DoubleType) / (3L * NumQueries)).as("recall_at_3"))
       .repartition(1).sortWithinPartitions("method")
+    evictAfter(out, e, bf)
+  }
+
+  /** Eagerly materialize a (tiny) eval result via localCheckpoint, then
+    * unpersist its cached inputs. Leaving them persisted leaks beyond the
+    * query: Spark's cache manager substitutes the cached plan into ANY
+    * later query over the same scan, so a standalone run of e.g. s07
+    * would silently depend on whether s06 ran first — wrong plans in the
+    * audit and cache-backed timings in the bench. */
+  private def evictAfter(out: DataFrame, cached: DataFrame*): DataFrame = {
+    val materialized = out.localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    materialized
   }
 
   // --- compression-quality evaluation --------------------------------------
@@ -444,11 +456,12 @@ object Similarity {
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"), col("n_hits"))
     val int8 = quantizedRanked(Tables.spread(s, dir, "embeddings", "vec_id"))
-    hits(int8, "int8").unionByName(hits(pqRanked(e), "pq"))
+    val out = hits(int8, "int8").unionByName(hits(pqRanked(e), "pq"))
       .select(col("method"), col("n_hits"),
         lit(3L * NumQueries).as("n_possible"),
         (col("n_hits").cast(DoubleType) / (3L * NumQueries)).as("recall_at_3"))
       .repartition(1).sortWithinPartitions("method")
+    evictAfter(out, e, bf)
   }
 
   def annLsh(s: SparkSession, dir: String): DataFrame =

@@ -163,7 +163,9 @@ object TextAnalysis {
     val counts = toks.groupBy("tok").agg(
       count(lit(1)).as("freq"),
       countDistinct(col("doc_id")).as("df"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // n_total from the already-reduced vocabulary frame — summing freq is
+    // exact and avoids re-tokenizing the corpus for one scalar
+    val total = counts.agg(sum(col("freq")).as("n_total"))
     val top = counts.orderBy(col("freq").desc, col("tok").asc).limit(VocabTopK)
     // K rows: the no-partition window is a deliberate single-task pass over
     // the already-limited frame, not a scale hazard

@@ -77,7 +77,8 @@ object DlqSink {
       StructField("retry_count", LongType),
       StructField("first_failure_at_micros", LongType),
       StructField("failed_at_micros", LongType),
-      StructField("failed_date", StringType)))
+      StructField("failed_date", StringType),
+      StructField("batch_id", LongType)))
   }
 
   final case class ReplayResult(destination: String, rows: Long,

@@ -151,8 +151,11 @@ object PlanAudit {
       "full network repartition of its input — the scarce resource at 100 TB); " +
       "a `+N cached` suffix counts Exchanges inside a persisted frame's " +
       "InMemoryRelation, which execute once at cache materialization and are " +
-      "amortized across every reuse (s06 shares one scan+norm across its " +
-      "three sub-pipelines this way); " +
+      "amortized across every reuse. The recall evals (s06/s09) materialize " +
+      "eagerly through their cached inputs and then evict them (a leaked " +
+      "cache would rewrite every later query's plan), so their rows show " +
+      "the 0-shuffle checkpoint scan, not the internal pipeline — see the " +
+      "Similarity scaladoc for their dataflow; " +
       "**bcast** = BroadcastExchange nodes (small side replicated, no fact " +
       "shuffle); **codegen** = distinct WholeStageCodegen spans; **scan columns** " +
       "= columns actually read per parquet scan (column pruning evidence); " +
