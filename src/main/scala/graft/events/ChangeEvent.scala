@@ -27,10 +27,15 @@ final case class ChangeEvent(
     captured_at_micros: Long) {
 
   /** Natural dedup key `keyspace.table:pk:ck:writetime`
-    * (`src/models/event.py:124-129`). */
+    * (`src/models/event.py:124-129`). Key-map keys/values are
+    * percent-escaped for the rendering's own delimiters, in parity with
+    * [[ChangeEvent.eventKeyCol]] — see `mapCanonical` for why. */
   def eventKey: String = {
+    def esc(s: String) = s.replace("%", "%25").replace("=", "%3D")
+      .replace(",", "%2C").replace(":", "%3A")
     def flat(m: Map[String, String]) =
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"${esc(k)}=${esc(v)}" }
+        .mkString(",")
     s"$keyspace.$table_name:${flat(partition_key)}:${flat(clustering_key)}:$timestamp_micros"
   }
 }
@@ -68,11 +73,21 @@ object ChangeEvent {
     coalesce(mapCanonical(col("clustering_key")), lit("")),
     col("timestamp_micros").cast("string"))
 
-  /** Deterministic `k=v,...` rendering of a map column (sorted by key). */
+  /** Deterministic `k=v,...` rendering of a map column (sorted by key).
+    * Keys and values are percent-escaped for the rendering's own
+    * delimiters ('%' first, then '=', ',', ':') — without escaping,
+    * a value containing a delimiter collides with a structurally
+    * different key map (e.g. {u→"a:v=1"} vs {u→"a", v→"1"}), and the
+    * upsert identity would silently merge distinct rows. Plain
+    * alphanumeric values render unchanged. */
+  private def esc(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      "%", "%25"), "=", "%3D"), ",", "%2C"), ":", "%3A")
+
   private def mapCanonical(m: Column): Column =
     array_join(
       transform(array_sort(map_keys(m)),
-        k => concat(k, lit("="), element_at(m, k))),
+        k => concat(esc(k), lit("="), esc(element_at(m, k)))),
       ",")
 
   /** Envelope-level validation (`src/transform/validator.py:66-106`):

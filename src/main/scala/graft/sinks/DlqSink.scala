@@ -19,10 +19,19 @@ object DlqSink {
     * context is attached as columns (spec `data-model.md:233-244`):
     * `dlq_id`, `error_type/_message`, `stack_trace`, `retry_count`,
     * `first_failure_at_micros`, and `failed_at_micros` (= dlq_written_at). */
+  /** Serializes concurrent appends into one DLQ root: two destinations
+    * failing in the same fan-out batch would otherwise append
+    * simultaneously and share the Hadoop committer's `_temporary` staging
+    * dir — the first job's cleanup deletes the second's staged files
+    * (exactly the corruption FanOut's no-shared-paths rule exists for;
+    * the DLQ root is the one deliberately shared path). Driver-level lock:
+    * appends are small and rare, contention is not a concern. */
+  private val appendLock = new Object
+
   def write(df: DataFrame, dlqDir: String, destination: String,
       errorType: String, errorMessage: String, failedAtMicros: Long,
       retryCount: Int = 0, firstFailureAtMicros: Long = 0L,
-      stackTrace: String = ""): Unit = {
+      stackTrace: String = ""): Unit = appendLock.synchronized {
     df.withColumn("dlq_id", expr("uuid()"))
       .withColumn("destination", lit(destination))
       .withColumn("error_type", lit(errorType))

@@ -32,8 +32,11 @@ object CdcPipeline {
   /** Mask PII/PHI values inside the envelope's `columns` map by key name —
     * plan-level `transform_values`, classification compiled from rules. */
   def maskEnvelope(rules: MaskRules)(df: DataFrame): DataFrame = {
+    // foldLeft, not reduce: an empty field list (a rules file with only
+    // pii_fields or only phi_fields) must compile to `false`, not throw
     def anyMatch(k: Column, fields: Seq[String]): Column =
-      fields.map(f => lower(k).contains(lit(f))).reduce(_ || _)
+      fields.foldLeft(lit(false))((acc, f) =>
+        acc || lower(k).contains(lit(f)))
     df.withColumn("columns", transform_values(col("columns"), (k, v) =>
       when(anyMatch(k, rules.phiFields),
         HmacSha256.hmac_sha256(v, lit(rules.hmacKey)))
@@ -84,12 +87,20 @@ object CdcPipeline {
         batch.persist()
         try {
           val (valid, invalid) = ChangeEvent.validate(batch)
-          if (!invalid.isEmpty)
+          // batchId marker makes the crash-replay path a no-op (the append
+          // itself is not idempotent); batch_id rides along so any residual
+          // duplicate from a crash INSIDE the append window is identifiable
+          val vMarker = new java.io.File(s"$dlqDir/_validation_batch_$batchId")
+          if (!invalid.isEmpty && !vMarker.exists) {
             DlqSink.write(
-              invalid.withColumnRenamed("_invalid_reason", "validation_reason"),
+              invalid.withColumnRenamed("_invalid_reason", "validation_reason")
+                .withColumn("batch_id", lit(batchId)),
               dlqDir, destination = "state-store",
               errorType = "ValidationError", errorMessage = "validation failed",
               failedAtMicros = System.currentTimeMillis() * 1000)
+            vMarker.getParentFile.mkdirs()
+            vMarker.createNewFile()
+          }
           // per-destination retry + failure isolation + DLQ handoff
           // (reference main.py:123-155 semantics; see FanOut)
           val results = FanOut.writeAll(valid, batchId,

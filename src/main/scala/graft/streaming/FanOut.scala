@@ -30,12 +30,20 @@ import graft.sinks.{DlqSink, Retry, RetryPolicy}
   */
 object FanOut {
 
-  /** One destination: a name (DLQ partition key), a retry policy, and a
-    * batchId-idempotent write. */
+  /** One destination: a name (DLQ partition key), a retry policy, a
+    * batchId-idempotent write, and a wall-clock bound on the whole
+    * retried write. `timeoutMs` guards against a destination that HANGS
+    * rather than fails (half-open TCP, a driver with no socket timeout):
+    * retries only isolate destinations that throw, and an unbounded
+    * await on a hung one would stall every other destination's next
+    * batch. On timeout the batch goes to this destination's DLQ and the
+    * others proceed; a late success from the abandoned attempt is
+    * harmless because writes are batchId-idempotent by contract. */
   final case class Destination(
       name: String,
       policy: RetryPolicy = RetryPolicy(),
-      write: (DataFrame, Long) => Unit)
+      write: (DataFrame, Long) => Unit,
+      timeoutMs: Long = Long.MaxValue)
 
   /** Outcome per destination for metrics/health bookkeeping;
     * `durationMs` covers the whole retried write (the sink-health latency
@@ -45,15 +53,44 @@ object FanOut {
 
   /** Write `batch` to every destination concurrently; isolate failures.
     * Returns per-destination outcomes (order of `dests`). */
+  /** Timer for destination write timeouts — one daemon thread, shared. */
+  private lazy val timeoutTimer = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val th = new Thread(r, "fanout-timeout")
+      th.setDaemon(true)
+      th
+    })
+    t.setRemoveOnCancelPolicy(true)
+    t
+  }
+
   def writeAll(batch: DataFrame, batchId: Long, dests: Seq[Destination],
       dlqDir: String)(implicit ec: ExecutionContext = ExecutionContext.global)
       : Seq[FanOutResult] = {
     batch.persist()
     try {
       val futures = dests.map { d =>
-        Future {
-          val t0 = System.currentTimeMillis()
-          val out = Retry.withRetry(d.policy)(d.write(batch, batchId))
+        val t0 = System.currentTimeMillis()
+        val attempt = Future(Retry.withRetry(d.policy)(d.write(batch, batchId)))
+        // bound the whole retried write: a destination that HANGS (vs
+        // fails) must not stall the other destinations' next batch
+        val bounded: Future[Retry.Outcome[Unit]] =
+          if (d.timeoutMs == Long.MaxValue) attempt
+          else {
+            val p = scala.concurrent.Promise[Retry.Outcome[Unit]]()
+            val task = timeoutTimer.schedule(new Runnable {
+              def run(): Unit = {
+                p.trySuccess(Retry.Exhausted(
+                  new java.util.concurrent.TimeoutException(
+                    s"${d.name} write exceeded ${d.timeoutMs} ms"),
+                  attempts = 1, firstFailureAtMillis = t0))
+                ()
+              }
+            }, d.timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+            attempt.onComplete { r => task.cancel(false); p.tryComplete(r) }
+            p.future
+          }
+        bounded.map { out =>
           val dlqRows = out match {
             case Retry.Succeeded(_, _) => 0L
             case Retry.Permanent(err, attempts, firstAt) =>

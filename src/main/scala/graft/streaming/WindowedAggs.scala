@@ -48,17 +48,31 @@ object WindowedAggs {
     * without the time-range condition the state store would grow without
     * bound. `maxDelay` is the band: right events join left events with
     * |t_r − t_l| inside [0, maxDelay).
+    *
+    * CONTRACT: `right` arrives with every column prefixed `r_` (e.g.
+    * `right.toDF(right.columns.map("r_" + _): _*)`) so the two sides
+    * never collide; `keyCol`/`leftTime` are LEFT names, `rightTime` is
+    * the PREFIXED right-side name (it is referenced verbatim in the band
+    * condition, which is why the builder cannot rename internally). The
+    * requires turn a missed prefix into an immediate, named error
+    * instead of an unresolved-column AnalysisException downstream.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
       keyCol: String, leftTime: String, rightTime: String,
       watermark: String, maxDelay: String,
-      joinType: String = "inner"): DataFrame =
+      joinType: String = "inner"): DataFrame = {
+    require(right.columns.contains(s"r_$keyCol"),
+      s"right side must be pre-prefixed: expected column r_$keyCol in " +
+        right.columns.mkString("[", ", ", "]"))
+    require(right.columns.contains(rightTime),
+      s"rightTime '$rightTime' must name a (prefixed) right-side column")
     left.withWatermark(leftTime, watermark)
       .join(right.withWatermark(rightTime, watermark),
         expr(s"""$keyCol = r_$keyCol AND
                  $rightTime >= $leftTime AND
                  $rightTime < $leftTime + interval $maxDelay"""),
         joinType)
+  }
 
   /** Stream-stream LEFT OUTER band join — the "did a purchase follow
     * this view?" shape. Outer stream-stream joins are semantically

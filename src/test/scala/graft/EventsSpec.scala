@@ -35,6 +35,22 @@ class EventsSpec extends SparkSpec {
     assert(key == "ecommerce.users:user_id=u1::1000")
   }
 
+  test("delimiter characters in key values cannot collide distinct keys") {
+    // {u -> "a:v=1"} vs {u -> "a", v -> "1"} rendered unescaped would both
+    // be "...:u=a:v=1..." — structurally different rows merged silently
+    val a = ev("e1", "INSERT", Map("u" -> "a:v=1"), Map.empty, 1000)
+    val b = ev("e2", "INSERT", Map("u" -> "a", "v" -> "1"), Map.empty, 1000)
+    assert(a.eventKey != b.eventKey)
+    // and {a -> "1,b=2"} vs {a -> "1", b -> "2"}
+    val c = ev("e3", "INSERT", Map("a" -> "1,b=2"), Map.empty, 1000)
+    val d = ev("e4", "INSERT", Map("a" -> "1", "b" -> "2"), Map.empty, 1000)
+    assert(c.eventKey != d.eventKey)
+    // Catalyst column stays in parity on the escaped forms
+    val df = Seq(a, c).toDS().toDF()
+    val viaCol = df.select(ChangeEvent.eventKeyCol).as[String].collect().toSet
+    assert(viaCol == Set(a.eventKey, c.eventKey))
+  }
+
   test("JSON envelope round-trips through from_json") {
     val json = """{"event_id":"e1","event_type":"INSERT","table_name":"users",
       "keyspace":"ecommerce","partition_key":{"user_id":"u1"},

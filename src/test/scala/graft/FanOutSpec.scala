@@ -88,6 +88,32 @@ class FanOutSpec extends SparkSpec {
       == "IllegalStateException")
   }
 
+  test("a HUNG destination times out to its DLQ; the others are unaffected") {
+    val tmp = Files.createTempDirectory("graft-hang")
+    val dlqDir = s"$tmp/dlq"
+    val store = new UpsertStateStore(s"$tmp/state", Seq("user_id"),
+      Seq("timestamp_micros"))
+    val batch = Seq(("u1", "INSERT", 100L), ("u2", "INSERT", 110L))
+      .toDF("user_id", "event_type", "timestamp_micros")
+    val hung = new java.util.concurrent.CountDownLatch(1)
+    val results = FanOut.writeAll(batch, batchId = 3L, dests = Seq(
+      FanOut.Destination("state-store", RetryPolicy(), store.upsert),
+      FanOut.Destination("hung", RetryPolicy(),
+        (_, _) => hung.await(), // blocks forever — no exception thrown
+        timeoutMs = 500)),
+      dlqDir)
+    val byName = results.map(r => r.destination -> r).toMap
+    assert(byName("state-store").outcome == Retry.Succeeded((), 1))
+    byName("hung").outcome match {
+      case Retry.Exhausted(err, _, _) =>
+        assert(err.isInstanceOf[java.util.concurrent.TimeoutException])
+      case other => fail(s"expected timeout Exhausted, got $other")
+    }
+    assert(byName("hung").dlqRows == 2) // batch dead-lettered for the hung sink
+    assert(store.current(spark).get.count() == 2) // healthy sink landed it
+    hung.countDown() // release the abandoned thread
+  }
+
   test("chaos: slow destination degrades health under bounded backpressure, then recovers") {
     // End-to-end analog of the reference's tests/chaos/test_slow_destination.py
     // (stubbed there): run the REAL streaming pipeline with a 3-way fan-out

@@ -85,4 +85,61 @@ class StreamingSpec extends SparkSpec {
     store.upsert(replay, batchId = 999) // committed marker short-circuits
     assert(store.current(spark).get.collect().toSet == before)
   }
+
+  private def kvBatch(rows: (String, String, Long)*) =
+    rows.toDF("k", "event_type", "ts")
+
+  test("upsert store: a late event older than a DELETE cannot resurrect the row") {
+    val dir = Files.createTempDirectory("graft-tomb").toString
+    val store = new UpsertStateStore(dir, Seq("k"), Seq("ts"))
+    store.upsert(kvBatch(("k1", "INSERT", 100L), ("k2", "INSERT", 100L)), 1)
+    store.upsert(kvBatch(("k1", "DELETE", 300L)), 2)
+    assert(store.current(spark).get.select("k").as[String].collect()
+      .toSet == Set("k2"))
+    // the late straggler: older than the delete, arriving after it
+    store.upsert(kvBatch(("k1", "UPDATE", 200L)), 3)
+    assert(store.current(spark).get.select("k").as[String].collect()
+      .toSet == Set("k2"), "tombstone must outrank the older late event")
+    // but a genuinely NEWER write revives the key (last-write-wins)
+    store.upsert(kvBatch(("k1", "INSERT", 400L)), 4)
+    assert(store.current(spark).get.select("k").as[String].collect()
+      .toSet == Set("k1", "k2"))
+  }
+
+  test("upsert store: replay after a crash between pointer swap and marker") {
+    val dir = Files.createTempDirectory("graft-crash")
+    val store = new UpsertStateStore(dir.toString, Seq("k"), Seq("ts"))
+    store.upsert(kvBatch(("k1", "INSERT", 100L)), 1)
+    store.upsert(kvBatch(("k1", "UPDATE", 200L)), 2)
+    val state = store.current(spark).get.collect().toSet
+    // simulate the crash window: pointer already at v2, marker missing
+    Files.delete(dir.resolve("_committed_2"))
+    store.upsert(kvBatch(("k1", "UPDATE", 200L)), 2) // replay must be a no-op
+    assert(store.current(spark).get.collect().toSet == state)
+    assert(Files.exists(dir.resolve("_committed_2")), "marker backfilled")
+  }
+
+  test("upsert store: prunes versions older than the previous batch") {
+    val dir = Files.createTempDirectory("graft-prune")
+    val store = new UpsertStateStore(dir.toString, Seq("k"), Seq("ts"))
+    (1L to 5L).foreach(b => store.upsert(kvBatch(("k1", "INSERT", b * 100)), b))
+    val names = Files.list(dir).map[String](_.getFileName.toString)
+      .toArray.map(_.toString).toSet
+    assert(!names.exists(n => n == "v1" || n == "v2" || n == "v3"))
+    assert(names.contains("v4") && names.contains("v5"))
+    assert(store.current(spark).get.select("ts").as[Long].head() == 500L)
+  }
+
+  test("maskEnvelope compiles with an empty PHI or PII field list") {
+    val rules = graft.functions.MaskRules(
+      piiFields = Seq("email"), phiFields = Nil)
+    val df = Seq(("e1", Map("email" -> "a@x.com", "age" -> "30")))
+      .toDF("event_id", "columns")
+    val out = CdcPipeline.maskEnvelope(rules)(df)
+      .select(element_at(col("columns"), "email"),
+        element_at(col("columns"), "age"))
+      .as[(String, String)].head()
+    assert(out._1.length == 64) // sha2 applied
+    assert(out._2 == "30")      // passthrough untouched
+  }
 }
