@@ -29,38 +29,59 @@ final class AppendVersionedSink(val tableDir: String, keyNames: Seq[String],
   /** Raw appended rows (may contain duplicates + tombstones). */
   def raw(spark: SparkSession): DataFrame = spark.read.parquet(tableDir)
 
-  /** The exact read view: latest version per key (ties broken by highest
-    * `_batch_id` — redeliveries are byte-identical so either wins), with
-    * delete tombstones dropped. */
-  def view(spark: SparkSession): DataFrame = {
+  /** Winner row per key INCLUDING delete tombstones — compaction's unit
+    * of retention. A null delete-marker (e.g. a payload that lost the
+    * field round-tripping through the JSON DLQ) counts as NOT-a-delete:
+    * `null =!= "DELETE"` is null and a bare filter would silently drop
+    * the live row. */
+  private def winners(spark: SparkSession): DataFrame = {
     val w = Window.partitionBy(keyNames.map(col): _*)
       .orderBy(col(versionCol).desc, col("_batch_id").desc)
     raw(spark)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(isDeleteCol) =!= deleteValue)
-      .drop("__rn", "_batch_id")
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
+  /** The exact read view: latest version per key (ties broken by highest
+    * `_batch_id` — redeliveries are byte-identical so either wins), with
+    * delete tombstones dropped. */
+  def view(spark: SparkSession): DataFrame =
+    winners(spark)
+      .filter(coalesce(col(isDeleteCol) =!= deleteValue, lit(true)))
+      .drop("_batch_id")
+
   /** Compaction — the ReplacingMergeTree background merge, run explicitly
-    * (ClickHouse `OPTIMIZE FINAL` analog): rewrite the table as its dedup
-    * view so reads stop paying the per-query collapse and storage drops to
-    * one row per live key. Tombstones are aged out with everything they
-    * shadow. Write-temp-then-swap keeps a crash from destroying the table
-    * (parquet dirs move atomically on a posix fs); readers racing the swap
-    * re-list and retry, exactly like a ClickHouse part swap. */
+    * (ClickHouse `OPTIMIZE FINAL` analog): rewrite the table as one
+    * winner row per key so reads stop paying the per-query collapse.
+    * Delete TOMBSTONES ARE RETAINED (one row each): dropping them would
+    * let a DLQ replay of an older failed batch resurrect a deleted key —
+    * the tombstone must stay to outrank it (a production deploy ages
+    * tombstones out past the replay horizon). Write-temp-then-swap with
+    * every rename/delete CHECKED: a failed swap aborts loudly rather
+    * than deleting the only full copy. */
   def compact(spark: SparkSession): Unit = {
-    val compacted = view(spark)
+    val compacted = winners(spark)
       .withColumn("_batch_id", lit(-1L)) // compacted rows predate any batch
     val tmp = tableDir + ".compact-tmp"
     val old = tableDir + ".compact-old"
     compacted.write.mode("overwrite").parquet(tmp)
+    def delRecursive(f: java.io.File): Boolean = {
+      Option(f.listFiles()).toSeq.flatten.foreach(delRecursive)
+      !f.exists() || f.delete()
+    }
     val dir = new java.io.File(tableDir)
     val oldDir = new java.io.File(old)
-    if (oldDir.exists()) {
-      oldDir.listFiles().foreach(_.delete()); oldDir.delete()
+    if (oldDir.exists() && !delRecursive(oldDir))
+      throw new java.io.IOException(s"compact: cannot clear stale $old")
+    if (!dir.renameTo(oldDir))
+      throw new java.io.IOException(s"compact: cannot move $tableDir aside")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      // restore the backup before failing — the table must never vanish
+      oldDir.renameTo(dir)
+      throw new java.io.IOException(s"compact: cannot install $tmp")
     }
-    dir.renameTo(oldDir)
-    new java.io.File(tmp).renameTo(dir)
-    oldDir.listFiles().foreach(_.delete()); oldDir.delete()
+    delRecursive(oldDir)
+    ()
   }
 }

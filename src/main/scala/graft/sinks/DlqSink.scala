@@ -32,6 +32,15 @@ object DlqSink {
       errorType: String, errorMessage: String, failedAtMicros: Long,
       retryCount: Int = 0, firstFailureAtMicros: Long = 0L,
       stackTrace: String = ""): Unit = appendLock.synchronized {
+    // fail fast on payload/meta name collisions: withColumn would silently
+    // REPLACE a payload column named e.g. `destination`, and replay's
+    // drop(MetaCols) would then delete the original data permanently (the
+    // meta names are the reference's spec fields, data-model.md:233-244,
+    // so they cannot be renamed — the payload must)
+    val clash = df.columns.toSet.intersect(MetaCols.toSet - "batch_id")
+    require(clash.isEmpty,
+      s"DLQ payload columns ${clash.mkString(", ")} collide with DLQ meta " +
+        "columns; rename them before dead-lettering")
     df.withColumn("dlq_id", expr("uuid()"))
       .withColumn("destination", lit(destination))
       .withColumn("error_type", lit(errorType))
@@ -112,15 +121,22 @@ object DlqSink {
   def replay(spark: SparkSession, dlqDir: String, destination: String,
       replayBatchId: Long, write: (DataFrame, Long) => Unit,
       policy: RetryPolicy = RetryPolicy()): ReplayResult = {
-    val letters = read(spark, dlqDir, destination)
+    // Pin the file list FIRST, then re-read exactly those files: a replay
+    // built on the directory read could silently diverge from `files` if
+    // a cached block is lost mid-write and the recomputation re-lists the
+    // path — rows from letters appended mid-replay would be delivered but
+    // their files would survive compaction and re-deliver next replay.
+    val files = read(spark, dlqDir, destination)
       .withColumn("_src_file", input_file_name())
-      .persist()
+      .select("_src_file").distinct()
+      .collect().map(_.getString(0)) // bounded metadata: one row per file
+    if (files.isEmpty) return ReplayResult(destination, 0, succeeded = true, None)
+    val letters = spark.read.json(files: _*).persist()
     try {
       val rows = letters.count()
-      if (rows == 0) return ReplayResult(destination, 0, succeeded = true, None)
-      val files = letters.select("_src_file").distinct()
-        .collect().map(_.getString(0)) // bounded metadata: one row per file
-      val payload = letters.drop("_src_file" +: MetaCols: _*)
+      // partition columns (destination, failed_date) are dir-derived and
+      // absent from the leaf-file read; drop ignores missing names
+      val payload = letters.drop(MetaCols: _*)
       Retry.withRetry(policy)(write(payload, replayBatchId)) match {
         case Retry.Succeeded(_, _) =>
           val conf = spark.sparkContext.hadoopConfiguration

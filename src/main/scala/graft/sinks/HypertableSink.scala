@@ -20,13 +20,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object HypertableSink {
 
-  /** Derive the bucket column. `granularity` is any `date_trunc` unit
-    * ("day", "hour", "week"); micros-typed time columns should be passed
-    * through `timestamp_micros` first by the caller.
-    */
-  def bucketCol(timeCol: String, granularity: String) =
-    date_format(date_trunc(granularity, col(timeCol)),
-      "yyyy-MM-dd'T'HH").as("time_bucket")
+  /** Partition-label format per supported granularity. The label must
+    * carry exactly the truncation's resolution: a coarser format would
+    * silently collapse distinct buckets into one partition value (a
+    * "minute" request rendered at hour resolution IS an hourly layout),
+    * a finer one would be all-zeros noise. */
+  private val LabelFormats = Map(
+    "week" -> "yyyy-MM-dd", "day" -> "yyyy-MM-dd",
+    "hour" -> "yyyy-MM-dd'T'HH", "minute" -> "yyyy-MM-dd'T'HH:mm")
+
+  /** Derive the bucket column. `granularity` ∈ week/day/hour/minute;
+    * micros-typed time columns should be passed through
+    * `timestamp_micros` first by the caller. */
+  def bucketCol(timeCol: String, granularity: String) = {
+    val fmt = LabelFormats.getOrElse(granularity,
+      throw new IllegalArgumentException(
+        s"unsupported hypertable granularity '$granularity' " +
+          s"(supported: ${LabelFormats.keys.mkString(", ")})"))
+    date_format(date_trunc(granularity, col(timeCol)), fmt).as("time_bucket")
+  }
 
   /** Batch append, one directory per time bucket. */
   def write(df: DataFrame, path: String, timeCol: String,

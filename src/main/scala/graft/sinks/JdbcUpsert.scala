@@ -70,7 +70,13 @@ object JdbcUpsert {
       stmt.executeBatch()
       conn.commit() // single commit: postgres.py:198
     } catch {
-      case t: Throwable => conn.rollback(); throw t // postgres.py:145,204
+      case t: Throwable => // postgres.py:145,204
+        // guarded rollback: on a dead connection rollback() throws too,
+        // and an unguarded call would REPLACE the original error with
+        // "connection closed" — keep the real failure, attach the other
+        try conn.rollback()
+        catch { case r: Throwable => t.addSuppressed(r) }
+        throw t
     } finally conn.close()
   }
 }

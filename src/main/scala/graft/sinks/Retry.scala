@@ -75,7 +75,11 @@ object Retry {
     while (true) {
       try return Succeeded(op, attempt)
       catch {
-        case t: Throwable =>
+        // NonFatal only: an OOM or interrupt must propagate, not become a
+        // Permanent outcome that sends the stream off to run a DLQ write
+        // on a JVM that just died (and swallowing an interrupt defeats
+        // shutdown cancellation)
+        case scala.util.control.NonFatal(t) =>
           if (firstFailureAt == 0L) firstFailureAt = System.currentTimeMillis()
           if (!isRetryable(t)) return Permanent(t, attempt, firstFailureAt)
           if (attempt >= policy.maxAttempts)

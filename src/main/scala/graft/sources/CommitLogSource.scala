@@ -228,11 +228,24 @@ class CommitLogMicroBatchStream(dir: String,
       else CommitLogOffset(files.last.getName, alignedEnd(files.last, 0L)))
   }
 
+  // Last reported (file, aligned end): reportLatestOffset runs once per
+  // trigger for progress metrics, and re-walking a large active segment's
+  // frame headers from byte 0 every batch is O(file) driver I/O — resume
+  // from the previous aligned end instead (positions only grow).
+  @volatile private var lastReported: Option[(String, Long)] = None
+
   override def reportLatestOffset(): Offset =
     availableNowCap.getOrElse {
       val files = listFiles(dir)
       if (files.isEmpty) CommitLogOffset.Initial
-      else CommitLogOffset(files.last.getName, alignedEnd(files.last, 0L))
+      else {
+        val f = files.last
+        val from = lastReported
+          .collect { case (n, p) if n == f.getName => p }.getOrElse(0L)
+        val end = alignedEnd(f, from)
+        lastReported = Some((f.getName, end))
+        CommitLogOffset(f.getName, end)
+      }
     }
 
   override def initialOffset(): Offset = CommitLogOffset.Initial
@@ -264,9 +277,13 @@ class CommitLogMicroBatchStream(dir: String,
       val from = if (f.getName == s.file) s.pos else 0L
       val (end, n) = alignedEndLimited(f, from, remaining)
       remaining -= n
-      if (end > from || CommitLogFormat.fileCompare(f.getName, result.file) > 0 ||
-        (f.getName == result.file && end > result.pos) || result.file.isEmpty)
-        result = CommitLogOffset(f.getName, end)
+      // advance ONLY past files that contributed entries: moving the
+      // offset to a newer still-empty file (a pre-allocated next segment)
+      // would permanently skip whatever the OLDER active segment appends
+      // afterwards — a zero-entry file costs a trivial re-scan next
+      // trigger instead. A newer file yielding entries implies the older
+      // segments are sealed (commitlog segments activate in order).
+      if (end > from) result = CommitLogOffset(f.getName, end)
       i += 1
     }
     // under Trigger.AvailableNow never admit past the pinned cap

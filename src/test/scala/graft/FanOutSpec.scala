@@ -24,13 +24,19 @@ class FanOutSpec extends SparkSpec {
     val before = sink.view(spark).collect()
 
     sink.compact(spark)
-    // storage collapsed to live keys only; the view is unchanged
-    assert(sink.raw(spark).count() == 1) // u1 latest; u2 tombstoned away
+    // storage collapsed to one winner row per key — u1's latest plus u2's
+    // DELETE tombstone (retained: see compact scaladoc); view unchanged
+    assert(sink.raw(spark).count() == 2)
     assert(sink.view(spark).collect().toSeq == before.toSeq)
+    // a replayed OLDER insert for the deleted key must NOT resurrect it:
+    // the retained tombstone (ts 300) outranks the replay (ts 110)
+    sink.append(Seq(("u2", "INSERT", 110L))
+      .toDF("user_id", "event_type", "timestamp_micros"), batchId = 1L)
+    assert(sink.view(spark).filter($"user_id" === "u2").isEmpty)
     // post-compaction appends still merge correctly
     sink.append(Seq(("u1", "UPDATE", 400L))
       .toDF("user_id", "event_type", "timestamp_micros"), batchId = 3L)
-    val after = sink.view(spark)
+    val after = sink.view(spark).filter($"user_id" === "u1")
     assert(after.count() == 1)
     assert(after.head().getLong(2) == 400L)
   }

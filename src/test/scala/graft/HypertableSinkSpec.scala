@@ -16,16 +16,18 @@ class HypertableSinkSpec extends SparkSpec {
     val all = HypertableSink.read(spark, out)
     assert(all.count() == events.count())
 
-    // pick a real bucket and query just it
-    val someBucket = all.select("time_bucket").distinct().orderBy("time_bucket")
-      .head().getString(0)
-    val oneDay = all.where(col("time_bucket") === someBucket)
+    // pick a real bucket and query just it (day labels are plain dates
+    // now, so the read-back partition column infers as DateType — keep
+    // the native type so the equality stays a PartitionFilter)
+    val someBucket = all.select("time_bucket").distinct()
+      .orderBy("time_bucket").head().get(0)
+    val oneDay = all.where(col("time_bucket") === lit(someBucket))
     assert(HypertableSink.prunesPartitions(oneDay),
       "bucket predicate must become a PartitionFilter:\n" +
         oneDay.queryExecution.executedPlan.toString)
     val expected = events
       .where(date_format(date_trunc("day", col("event_time")),
-        "yyyy-MM-dd'T'HH") === someBucket).count()
+        "yyyy-MM-dd") === someBucket.toString).count()
     assert(oneDay.count() == expected)
 
     // appending a second batch never rewrites existing buckets
