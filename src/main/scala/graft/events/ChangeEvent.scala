@@ -31,8 +31,10 @@ final case class ChangeEvent(
     * percent-escaped for the rendering's own delimiters, in parity with
     * [[ChangeEvent.eventKeyCol]] — see `mapCanonical` for why. */
   def eventKey: String = {
-    def esc(s: String) = s.replace("%", "%25").replace("=", "%3D")
-      .replace(",", "%2C").replace(":", "%3A")
+    def esc(s: String) =
+      if (s == null) "%null%" // parity with mapCanonical's NULL sentinel
+      else s.replace("%", "%25").replace("=", "%3D")
+        .replace(",", "%2C").replace(":", "%3A")
     def flat(m: Map[String, String]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"${esc(k)}=${esc(v)}" }
         .mkString(",")
@@ -84,10 +86,15 @@ object ChangeEvent {
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
       "%", "%25"), "=", "%3D"), ",", "%2C"), ":", "%3A")
 
+  /** NULL map values render as the unforgeable sentinel `%null%` (a real
+    * value "%null%" escapes to "%25null%25"): a raw NULL would turn the
+    * whole `k=v` element NULL, array_join would silently drop it, and
+    * {u→"a", v→NULL} would collide with {u→"a"}. */
   private def mapCanonical(m: Column): Column =
     array_join(
       transform(array_sort(map_keys(m)),
-        k => concat(esc(k), lit("="), esc(element_at(m, k)))),
+        k => concat(esc(k), lit("="),
+          coalesce(esc(element_at(m, k)), lit("%null%")))),
       ",")
 
   /** Envelope-level validation (`src/transform/validator.py:66-106`):
@@ -95,10 +102,17 @@ object ChangeEvent {
     * DELETE must carry no regular columns (contract
     * `event-schema.json:73-89`). Returns (valid, invalid-with-reason). */
   def validate(df: DataFrame): (DataFrame, DataFrame) = {
-    val reason = when(!col("event_type").isInCollection(EventTypes),
+    // every predicate is explicitly null-safe: from_json yields NULL for
+    // missing fields regardless of nullable=false, and a bare
+    // `!isInCollection` evaluates to NULL on a NULL input — the `when`
+    // would fall through and wave the broken event into the VALID output
+    val reason = when(col("event_type").isNull ||
+        !col("event_type").isInCollection(EventTypes),
         lit("unknown event_type"))
       .when(col("keyspace").isNull || col("table_name").isNull,
         lit("missing table identity"))
+      .when(col("timestamp_micros").isNull || col("event_id").isNull,
+        lit("missing event identity"))
       .when(col("partition_key").isNull || size(map_keys(col("partition_key"))) === 0,
         lit("empty partition_key"))
       .when(col("event_type") === "DELETE" &&

@@ -67,10 +67,20 @@ object HmacSha256 {
       cache.put(key, mac)
     }
     val out = mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(out.length * 2)
-    out.foreach(b => sb.append(String.format("%02x", Byte.box(b))))
-    sb.toString
+    // hex via lookup table: String.format allocates a Formatter and boxes
+    // per BYTE — 32 allocations per masked value on the codegen hot path
+    val chars = new Array[Char](out.length * 2)
+    var i = 0
+    while (i < out.length) {
+      val v = out(i) & 0xff
+      chars(i * 2) = HexDigits(v >>> 4)
+      chars(i * 2 + 1) = HexDigits(v & 0x0f)
+      i += 1
+    }
+    new String(chars)
   }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
 
   /** Column-API entry point. */
   def hmac_sha256(data: Column, key: Column): Column =

@@ -83,8 +83,17 @@ object MaskRules {
           }
         case _ =>
       }
-      MaskRules(pii.result(), phi.result(),
-        env("CDC_PHI_KEY").getOrElse(DefaultKey))
+      val (p, h) = (pii.result(), phi.result())
+      // fail LOUDLY when nothing parsed: a rules file whose shape falls
+      // outside the restricted grammar (unindented items, renamed
+      // sections) would otherwise silently disable ALL masking — a
+      // security config must not fail open. A deployment that truly
+      // wants no masking passes no rules file at all.
+      require(p.nonEmpty || h.nonEmpty,
+        s"masking rules file '$path' yielded no pii_fields/phi_fields — " +
+          "check its shape (expected 'pii_fields:'/'phi_fields:' sections " +
+          "with indented '- item' entries)")
+      MaskRules(p, h, env("CDC_PHI_KEY").getOrElse(DefaultKey))
     } finally lines.close()
   }
 }

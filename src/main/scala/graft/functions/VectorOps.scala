@@ -47,9 +47,28 @@ case class FloatVecDot(a: Expression, b: Expression) extends BinaryExpression {
 }
 
 object FloatVecDot {
+  /** Inputs must be dense, equal-length vectors; a corrupt row (length
+    * mismatch from a truncated embedding, a null element) FAILS LOUDLY
+    * instead of silently truncating to the shorter prefix or reading a
+    * null slot as 0.0 — either would quietly skew every similarity score
+    * downstream. */
+  private[functions] def checkDense(a: ArrayData, b: ArrayData, op: String): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$op: vector length mismatch (${a.numElements()} vs ${b.numElements()})")
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"$op: null element at index $i")
+      i += 1
+    }
+    n
+  }
+
   /** Sequential-order double accumulation — deterministic per pair. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDense(a, b, "float_vec_dot")
     var i = 0
     var s = 0.0
     while (i < n) {
@@ -105,7 +124,7 @@ case class DecimalVecDot(a: Expression, b: Expression) extends BinaryExpression 
 
 object DecimalVecDot {
   def dot(a: ArrayData, b: ArrayData): Decimal = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = FloatVecDot.checkDense(a, b, "decimal_vec_dot")
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {

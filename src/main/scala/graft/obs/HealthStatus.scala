@@ -53,7 +53,7 @@ final class HealthStatus(version: String = "1.0.0") {
 
   /** The `/health` response body (`health.py:66-84`). */
   def toJson: String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mapper = HealthStatus.SharedMapper
     val root = mapper.createObjectNode()
     root.put("status", overall)
     root.put("uptime_seconds", math.round(uptimeSeconds * 100) / 100.0)
@@ -69,4 +69,12 @@ final class HealthStatus(version: String = "1.0.0") {
     }
     mapper.writeValueAsString(root)
   }
+}
+
+object HealthStatus {
+  /** One shared mapper: construction is heavyweight and the instance is
+    * thread-safe for this usage — building one per `/health` request put
+    * avoidable latency on exactly the probe path. */
+  private[obs] val SharedMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
 }

@@ -31,11 +31,15 @@ final class MetricsListener extends StreamingQueryListener {
   private val batches = new AtomicLong(0)
   @volatile private var lastEventsPerSecond: Double = 0.0
   @volatile private var lastBacklog: Long = 0
-  @volatile private var health: Health = Unknown
+  // health PER QUERY: a single shared field let any healthy query's next
+  // progress event erase another query's Unhealthy (and a supervised
+  // restart wiped the failure before anyone observed it)
+  private val healthByQuery = new ConcurrentHashMap[String, Health]()
   private val byQuery = new ConcurrentHashMap[String, Long]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = {
-    health = Unknown
+    healthByQuery.put(event.id.toString, Unknown)
+    ()
   }
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
@@ -52,14 +56,21 @@ final class MetricsListener extends StreamingQueryListener {
     // backlog analog: rows available but not yet processed this trigger
     lastBacklog = math.max(0L,
       (p.inputRowsPerSecond - p.processedRowsPerSecond).toLong)
-    health = if (batchMs > DegradedThresholdMs) Degraded else Healthy
+    healthByQuery.put(p.id.toString,
+      if (batchMs > DegradedThresholdMs) Degraded else Healthy)
+    ()
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
     if (event.exception.isDefined) {
       errorsTotal.incrementAndGet()
-      health = Unhealthy
+      healthByQuery.put(event.id.toString, Unhealthy)
     }
+    // clean termination keeps the query's last observed health: erasing it
+    // would flip the aggregate back to Unknown the moment a healthy query
+    // stops, and a failure must stay visible until a NEW listener is
+    // installed for the recovered deployment
+    ()
   }
 
   /** Prometheus-style snapshot (names from metrics.py:10-43). */
@@ -83,6 +94,17 @@ final class MetricsListener extends StreamingQueryListener {
       s"# TYPE $name $typ\n$name $v"
     }.mkString("", "\n", "\n")
 
-  def currentHealth: Health = health
+  /** Worst health across live queries (Unhealthy > Degraded > Unknown >
+    * Healthy); Unknown when no query has reported yet. */
+  def currentHealth: Health = {
+    import scala.jdk.CollectionConverters._
+    def sev(h: Health): Int = h match {
+      case Unhealthy => 3; case Degraded => 2; case Unknown => 1
+      case Healthy => 0
+    }
+    val hs = healthByQuery.values().asScala
+    if (hs.isEmpty) Unknown else hs.maxBy(sev)
+  }
+
   def processedFor(queryName: String): Long = byQuery.getOrDefault(queryName, 0L)
 }

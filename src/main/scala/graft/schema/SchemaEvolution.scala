@@ -56,8 +56,11 @@ object SchemaEvolution {
       .map(_.name)
     if (unsupported.isEmpty) (batch, batch.limit(0))
     else {
+      // null-safe: a NULL columns map (legal on DELETEs) must count as
+      // "no bad columns" — a bare map_contains_key(NULL, c) is NULL and
+      // the row would vanish from BOTH outputs
       val hasBad = unsupported
-        .map(c => map_contains_key(col("columns"), lit(c)))
+        .map(c => coalesce(map_contains_key(col("columns"), lit(c)), lit(false)))
         .reduce(_ || _)
       (batch.filter(!hasBad), batch.filter(hasBad))
     }

@@ -70,10 +70,18 @@ object SchemaDiff {
     val dropped = prev.fields.collect {
       case f if !nextByName.contains(f.name) => DropColumn(f.name)
     }
+    // a type change is visible through EITHER the declared CQL type or the
+    // Spark DataType: schemas built by plain inference carry no cqlType
+    // metadata, and comparing only the (empty) metadata strings would wave
+    // an int→string flip through as a no-change compatible evolution
+    def typeTag(f: org.apache.spark.sql.types.StructField): String = {
+      val cql = SchemaMeta.cqlTypeOf(f)
+      if (cql.nonEmpty) cql else f.dataType.catalogString
+    }
     val altered = next.fields.flatMap { f =>
       prevByName.get(f.name).collect {
-        case p if SchemaMeta.cqlTypeOf(p) != SchemaMeta.cqlTypeOf(f) =>
-          AlterType(f.name, SchemaMeta.cqlTypeOf(p), SchemaMeta.cqlTypeOf(f),
+        case p if typeTag(p) != typeTag(f) =>
+          AlterType(f.name, typeTag(p), typeTag(f),
             keyRole = SchemaMeta.isPartitionKey(p) || SchemaMeta.isClusteringKey(p) ||
               SchemaMeta.isPartitionKey(f) || SchemaMeta.isClusteringKey(f))
       }
@@ -82,15 +90,15 @@ object SchemaDiff {
   }
 
   /** Key-role changes are always incompatible (schema.py:331-356): a column
-    * may not gain or lose partition/clustering-key status between versions. */
+    * may not gain or lose partition/clustering-key status between versions —
+    * which includes ADDING a key column or DROPPING one (the upsert
+    * identity would change mid-stream), so the key-column SETS must be
+    * identical, not merely agree on the intersection. */
   def keyRolesStable(prev: StructType, next: StructType): Boolean = {
-    val prevByName = prev.fields.map(f => f.name -> f).toMap
-    next.fields.forall { f =>
-      prevByName.get(f.name).forall { p =>
-        SchemaMeta.isPartitionKey(p) == SchemaMeta.isPartitionKey(f) &&
-          SchemaMeta.isClusteringKey(p) == SchemaMeta.isClusteringKey(f)
-      }
-    }
+    def keySets(s: StructType) = (
+      s.fields.filter(SchemaMeta.isPartitionKey).map(_.name).toSet,
+      s.fields.filter(SchemaMeta.isClusteringKey).map(_.name).toSet)
+    keySets(prev) == keySets(next)
   }
 
   def isCompatible(prev: StructType, next: StructType): Boolean =
