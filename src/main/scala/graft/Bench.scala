@@ -19,8 +19,8 @@ object Bench {
     *
     *   1. the newest committed `BENCH_LOCAL_r{N}.json` snapshot — the FULL
     *      line Bench wrote at the end of that round (the workdir
-    *      `BENCH_LOCAL.json` is snapshotted+committed at the next round's
-    *      start, before any local re-run overwrites it);
+    *      `BENCH_LOCAL.json` is snapshotted+committed at the END of round
+    *      N, so the snapshot round matches the driver file round);
     *   2. the newest driver `BENCH_r{N}.json`: its `parsed` field, else the
     *      JSON line inside its `tail`, else — because the driver FRONT-
     *      truncates the tail to 2 kB, which is what silently emptied the
@@ -30,7 +30,10 @@ object Bench {
     * An empty result warns loudly on stderr instead of passing `{}` off as
     * a clean diff; main() also emits `prev_n` so the JSON is self-auditing.
     */
-  private[graft] def previousBench(): (String, Map[String, Double]) = {
+  private[graft] def previousBench(
+      searchDirs: Seq[java.io.File] =
+        Seq(new java.io.File("."), new java.io.File("/root/repo"))
+  ): (String, Map[String, Double]) = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     import scala.jdk.CollectionConverters._
     val mapper = new ObjectMapper()
@@ -40,7 +43,7 @@ object Bench {
           .map(e => e.getKey -> e.getValue.asDouble()).toMap
       else Map.empty
     def newest(pattern: String): Option[java.io.File] =
-      Seq(new java.io.File("."), new java.io.File("/root/repo"))
+      searchDirs
         .flatMap(d => Option(d.listFiles()).toSeq.flatten)
         .filter(_.getName.matches(pattern))
         .distinct
@@ -69,34 +72,39 @@ object Bench {
       try Some((f.getName, queriesOf(mapper.readTree(f))))
       catch { case _: Throwable => None }
     }.filter(_._2.nonEmpty)
-    // prefer the snapshot ONLY while it is at least as recent as the
-    // newest driver file — a missed snapshot commit must not silently
-    // produce two-rounds-old deltas presented as previous-round ones
+    // prefer the snapshot while it is at least as recent as the newest
+    // driver file — a missed snapshot commit must not silently produce
+    // two-rounds-old deltas presented as previous-round ones. BUT (r04
+    // lesson, VERDICT r04 item 1): when the driver file's per-query times
+    // are unrecoverable (its tail is front-truncated past the queries
+    // section), a round-(N−1) snapshot is still the best available data —
+    // stale-but-correctly-labeled beats empty. `prev` always carries the
+    // real source file name, so a stale fallback is self-describing.
     val newestDriverRound =
       newest("BENCH_r\\d+\\.json").map(f => roundOf(f.getName)).getOrElse(0)
-    val driverFile = snapshot.filter(s => roundOf(s._1) >= newestDriverRound) match {
-      case Some(s) => Some(s)
-      case None => newest("BENCH_r\\d+\\.json").map { f =>
-        try {
-          val root = mapper.readTree(f)
-          val direct = queriesOf(root) ++ queriesOf(root.get("parsed"))
-          val tail = Option(root.get("tail")).map(_.asText("")).getOrElse("")
-          val viaTail =
-            if (direct.nonEmpty) Map.empty[String, Double]
-            else {
-              val i = tail.indexOf("{\"metric\"")
-              if (i >= 0) {
-                val j = tail.indexOf('\n', i)
-                val line = if (j < 0) tail.substring(i) else tail.substring(i, j)
-                try queriesOf(mapper.readTree(line.trim))
-                catch { case _: Throwable => scavenge(tail) }
-              } else scavenge(tail) // front-truncated: recover the fragment
-            }
-          (f.getName, direct ++ viaTail)
-        } catch { case _: Throwable => (f.getName, Map.empty[String, Double]) }
-      }
+    val fromDriver = newest("BENCH_r\\d+\\.json").map { f =>
+      try {
+        val root = mapper.readTree(f)
+        val direct = queriesOf(root) ++ queriesOf(root.get("parsed"))
+        val tail = Option(root.get("tail")).map(_.asText("")).getOrElse("")
+        val viaTail =
+          if (direct.nonEmpty) Map.empty[String, Double]
+          else {
+            val i = tail.indexOf("{\"metric\"")
+            if (i >= 0) {
+              val j = tail.indexOf('\n', i)
+              val line = if (j < 0) tail.substring(i) else tail.substring(i, j)
+              try queriesOf(mapper.readTree(line.trim))
+              catch { case _: Throwable => scavenge(tail) }
+            } else scavenge(tail) // front-truncated: recover the fragment
+          }
+        (f.getName, direct ++ viaTail)
+      } catch { case _: Throwable => (f.getName, Map.empty[String, Double]) }
     }
-    val (name, prev) = driverFile.getOrElse(("", Map.empty[String, Double]))
+    val (name, prev) = snapshot.filter(s => roundOf(s._1) >= newestDriverRound)
+      .orElse(fromDriver.filter(_._2.nonEmpty))
+      .orElse(snapshot) // stale snapshot: last resort, labeled by file name
+      .getOrElse(("", Map.empty[String, Double]))
     if (prev.isEmpty)
       System.err.println(
         "[bench] WARNING: no previous-round per-query times found " +

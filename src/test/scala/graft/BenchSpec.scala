@@ -19,4 +19,42 @@ class BenchSpec extends AnyFunSuite {
       s"only ${prev.size} of ${SparkEntry.queries.size} queries recovered")
     prev.values.foreach(v => assert(v > 0 && v < 600))
   }
+
+  test("end-of-round state: truncated driver file + stale snapshot still yields deltas") {
+    // Reproduce the exact repo state r04 ended in (VERDICT r04 item 1):
+    // the newest driver BENCH_r{N}.json has a tail front-truncated PAST
+    // the per-query section, and the only snapshot is round N−1. The
+    // stale snapshot must win over an empty map, labeled by its real name.
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    try {
+      val q = SparkEntry.queries.keySet.take(3)
+        .map(k => "\"" + k + "\":0.500").mkString("{", ",", "}")
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_LOCAL_r3.json"),
+        s"""{"metric":"total","value":1.5,"queries":$q}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_r4.json"),
+        """{"n":4,"parsed":null,"tail":"data/sf0.1\",\"warmup\":null,\"prev\":\"x\",\"prev_delta_sec\":{}}"}""".getBytes("UTF-8"))
+      val (name, prev) = Bench.previousBench(Seq(dir))
+      assert(name == "BENCH_LOCAL_r3.json", s"expected stale snapshot, got '$name'")
+      assert(prev.size == 3 && prev.values.forall(_ == 0.5))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("same-round snapshot preferred over driver file") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec2").toFile
+    try {
+      val q = SparkEntry.queries.keySet.take(3)
+        .map(k => "\"" + k + "\":0.250").mkString("{", ",", "}")
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_LOCAL_r4.json"),
+        s"""{"metric":"total","value":0.75,"queries":$q}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_r4.json"),
+        """{"n":4,"parsed":null,"tail":""}""".getBytes("UTF-8"))
+      val (name, prev) = Bench.previousBench(Seq(dir))
+      assert(name == "BENCH_LOCAL_r4.json")
+      assert(prev.size == 3 && prev.values.forall(_ == 0.25))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
