@@ -328,9 +328,6 @@ object CoreQueries {
     common.unionByName(janOnly)
       .groupBy("tag", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
-      // ~10 rows after a full set-op pipeline — avoid orderBy's
-      // range-sampling re-execution (d02 rule)
-      .repartition(1).sortWithinPartitions("tag", "o_orderpriority")
   }
 
   // --- Q20: scalar string/date/math functions -------------------------------

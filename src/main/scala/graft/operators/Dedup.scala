@@ -88,9 +88,6 @@ object Dedup {
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      // tiny expected output — single-partition sort avoids orderBy's
-      // range-sampling re-execution of the whole pipeline
-      .repartition(1).sortWithinPartitions("da", "db")
   }
 
   // --- incremental dedup: new batch vs existing index ----------------------
@@ -145,7 +142,6 @@ object Dedup {
         coalesce(col("n_index_matches"), lit(0L)).as("n_index_matches"),
         coalesce(col("best.iid"), lit(-1L)).as("best_match_id"),
         coalesce(-col("best.nj"), lit(0.0)).as("best_jaccard"))
-      .repartition(1).sortWithinPartitions("doc_id")
   }
 
   // --- near-dup cluster assignment (connected components) ------------------
@@ -339,10 +335,6 @@ object Dedup {
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      // tiny expected output: a single-partition sort gives a total order
-      // WITHOUT orderBy's range-bound sampling pass, which re-executes the
-      // whole candidate pipeline a second time (~2× the query at sf0.1)
-      .repartition(1).sortWithinPartitions("da", "db")
   }
 
   // --- embedding-cosine near-dup ------------------------------------------

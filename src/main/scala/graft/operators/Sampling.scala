@@ -50,7 +50,6 @@ object Sampling {
       .join(sp.select(col("doc_id").as("db"), col("split").as("split_b")), "db")
       .filter(col("split_a") =!= col("split_b"))
       .select("da", "db", "split_a", "split_b", "jaccard")
-      .repartition(1).sortWithinPartitions("da", "db")
   }
 
   /** Train/val/test assignment (80/10/10) by id-hash bucket, with the
@@ -210,7 +209,6 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cluster")).as("n_clusters"),
         min(col("doc_id")).as("first_doc"))
-      .repartition(1).sortWithinPartitions("split")
 
   /** Target language mixture for [[domainMixture]], in parts-per-million
     * (sums to 1,000,000). The shares are intentionally far from the
@@ -261,7 +259,6 @@ object Sampling {
       .select(col("lang"), col("n_docs"), col("t_ppm").as("target_ppm"),
         col("n_kept"), col("first_doc"),
         expr("n_kept * 1000000 div total_kept").as("achieved_ppm"))
-      .repartition(1).sortWithinPartitions("lang")
   }
 
   /** Stratified deterministic sample: the k hash-smallest documents per

@@ -39,16 +39,14 @@ object Similarity {
   private[graft] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
 
-  /** Q·K rows — single-partition sort; a global orderBy would range-sample
-    * and re-execute the whole scoring pipeline a second time (d02 pattern).
-    * Only the PUBLIC query outputs pay this presentation sort; the recall
-    * eval consumes the unsorted ranked frames (counts don't need order). */
-  private def presentSorted(df: DataFrame): DataFrame =
-    df.repartition(1).sortWithinPartitions("qid", "rank")
+  // Outputs are UNSORTED distributed frames: the oracle's canonical row
+  // order is a harness concern, applied per-query by SparkEntry.canon
+  // (VERDICT r04 item 2) — a production caller composing these operators
+  // must never inherit a single-partition presentation sort.
 
   // --- exact top-k ---------------------------------------------------------
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame =
-    presentSorted(bruteForceRanked(embeddings(s, dir)))
+    bruteForceRanked(embeddings(s, dir))
 
   private[graft] def bruteForceRanked(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
@@ -118,14 +116,14 @@ object Similarity {
   val NProbe = 3
 
   def annIvf(s: SparkSession, dir: String): DataFrame =
-    presentSorted(annIvfRanked(embeddings(s, dir)))
+    annIvfRanked(embeddings(s, dir))
 
   private[graft] def annIvfRanked(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
         col("vec_id") >= NumQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
-    ivfSearchRanked(e, cents, numQueries = NumQueries, nProbe = NProbe, topK = 3)
+    ivfSearch(e, cents, numQueries = NumQueries, nProbe = NProbe, topK = 3)
   }
 
   /** The IVF search data flow, shared by the oracle-pinned [[annIvf]] and the
@@ -133,10 +131,6 @@ object Similarity {
     * (cid, cv, cn), K ≪ N so always broadcast.
     */
   private[graft] def ivfSearch(e: DataFrame, cents: DataFrame,
-      numQueries: Int, nProbe: Int, topK: Int): DataFrame =
-    presentSorted(ivfSearchRanked(e, cents, numQueries, nProbe, topK))
-
-  private def ivfSearchRanked(e: DataFrame, cents: DataFrame,
       numQueries: Int, nProbe: Int, topK: Int): DataFrame = {
     // Assignment/probing only needs an ARGMAX over centroids, so it runs on
     // the codegen'd double dot (sequential fold — bit-identical to the
@@ -225,8 +219,6 @@ object Similarity {
     */
   def quantizedTopK(s: SparkSession, dir: String): DataFrame =
     quantizedRanked(Tables.spread(s, dir, "embeddings", "vec_id"))
-      // tiny output — avoid orderBy's range-sampling re-execution (d02 pattern)
-      .repartition(1).sortWithinPartitions("qid", "rank")
 
   /** [[quantizedTopK]] over an arbitrary (vec_id, embedding) frame —
     * shared with the compression-recall eval. */
@@ -288,7 +280,7 @@ object Similarity {
   val PqK = 16
 
   def pqTopK(s: SparkSession, dir: String): DataFrame =
-    presentSorted(pqRanked(embeddings(s, dir)))
+    pqRanked(embeddings(s, dir))
 
   private def subM = explode(sequence(lit(0), lit(PqM - 1)))
   private def sliceM(v: Column) = slice(v, col("m") * PqSubDim + 1, lit(PqSubDim))
@@ -382,7 +374,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("qid", "qlabel", "rank", "neighbor_id", "cos_sim")
-      .repartition(1).sortWithinPartitions("qid", "rank")
   }
 
   // --- ANN recall evaluation ----------------------------------------------
@@ -420,7 +411,6 @@ object Similarity {
       .select(col("method"), col("n_hits"),
         lit(3L * NumQueries).as("n_possible"),
         (col("n_hits").cast(DoubleType) / (3L * NumQueries)).as("recall_at_3"))
-      .repartition(1).sortWithinPartitions("method")
     evictAfter(out, e, bf)
   }
 
@@ -460,12 +450,11 @@ object Similarity {
       .select(col("method"), col("n_hits"),
         lit(3L * NumQueries).as("n_possible"),
         (col("n_hits").cast(DoubleType) / (3L * NumQueries)).as("recall_at_3"))
-      .repartition(1).sortWithinPartitions("method")
     evictAfter(out, e, bf)
   }
 
   def annLsh(s: SparkSession, dir: String): DataFrame =
-    presentSorted(annLshRanked(embeddings(s, dir)))
+    annLshRanked(embeddings(s, dir))
 
   private[graft] def annLshRanked(e0: DataFrame): DataFrame = {
     // bucket is a pure map-side column — no scan-vs-scan self-join needed

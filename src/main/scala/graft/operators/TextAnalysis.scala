@@ -178,7 +178,6 @@ object TextAnalysis {
       .select(col("rank"), col("tok").as("token"), col("freq"), col("df"),
         (col("freq").cast(DoubleType) / col("n_total")).as("corpus_share"),
         (col("cum_freq").cast(DoubleType) / col("n_total")).as("cum_share"))
-      .repartition(1).sortWithinPartitions("rank")
   }
 
   // --- distinctive-keyword extraction --------------------------------------
@@ -286,9 +285,6 @@ object TextAnalysis {
         |""".stripMargin))
       .select(col("stage").cast("int").as("stage"), col("stage_name"),
         col("docs_remaining"))
-      // 5-row output over a heavy pipeline — single-partition sort avoids
-      // orderBy's range-sampling re-execution of the whole funnel (d02 rule)
-      .repartition(1).sortWithinPartitions("stage")
   }
 
   // --- PII scan / redaction ------------------------------------------------

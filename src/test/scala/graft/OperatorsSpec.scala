@@ -451,7 +451,9 @@ class OperatorsSpec extends SparkSpec {
 
   test("t10 vocab: ranks dense, frequencies non-increasing, shares monotone") {
     import graft.operators.TextAnalysis
+    // operator output is unsorted (canonical order is SparkEntry.canon's job)
     val rows = TextAnalysis.vocab(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
     assert(rows.nonEmpty && rows.length <= TextAnalysis.VocabTopK)
     assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
     val freqs = rows.map(_.getAs[Long]("freq"))
