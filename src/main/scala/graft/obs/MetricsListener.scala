@@ -38,7 +38,11 @@ final class MetricsListener extends StreamingQueryListener {
   private val byQuery = new ConcurrentHashMap[String, Long]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = {
-    healthByQuery.put(event.id.toString, Unknown)
+    // putIfAbsent, not put: a checkpoint-based supervised restart reuses
+    // the same query id, and a prior Unhealthy must stay visible until the
+    // restarted query actually reports healthy progress — a plain put would
+    // wipe the failure on restart before anyone observed it
+    healthByQuery.putIfAbsent(event.id.toString, Unknown)
     ()
   }
 

@@ -117,10 +117,21 @@ object DlqSink {
     * The file list is driver-side METADATA bounded by file count (like
     * any committer), not data. A file whose delete fails is reported as
     * `succeeded = false` so the caller knows duplicates are possible on
-    * the next replay. */
+    * the next replay.
+    *
+    * `preserveBatchIds = true` re-drives each letter group under its
+    * ORIGINAL `batch_id` (one write per failed batch — a bounded driver
+    * loop) instead of one write under `replayBatchId`. Use it for
+    * batchId-idempotent destinations: a false-positive timeout whose
+    * abandoned attempt later SUCCEEDS has then already committed under
+    * the same id the replay reuses, so the destination dedupes the double
+    * delivery — under a fresh `replayBatchId` it cannot (idempotence
+    * holds per batchId, not across ids). Letters with a null `batch_id`
+    * (foreign/legacy producers) fall back to `replayBatchId`. */
   def replay(spark: SparkSession, dlqDir: String, destination: String,
       replayBatchId: Long, write: (DataFrame, Long) => Unit,
-      policy: RetryPolicy = RetryPolicy()): ReplayResult = {
+      policy: RetryPolicy = RetryPolicy(),
+      preserveBatchIds: Boolean = false): ReplayResult = {
     // Pin the file list FIRST, then re-read exactly those files: a replay
     // built on the directory read could silently diverge from `files` if
     // a cached block is lost mid-write and the recomputation re-lists the
@@ -137,7 +148,22 @@ object DlqSink {
       // partition columns (destination, failed_date) are dir-derived and
       // absent from the leaf-file read; drop ignores missing names
       val payload = letters.drop(MetaCols: _*)
-      Retry.withRetry(policy)(write(payload, replayBatchId)) match {
+      def drive(): Unit =
+        if (preserveBatchIds) {
+          // one row per FAILED BATCH — bounded metadata, not data; the
+          // whole loop is idempotent under retry because each group
+          // re-writes under the same stable id every attempt
+          val ids = letters.select("batch_id").distinct().collect()
+            .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+          ids.foreach {
+            case Some(b) =>
+              write(letters.filter(col("batch_id") === b).drop(MetaCols: _*), b)
+            case None =>
+              write(letters.filter(col("batch_id").isNull).drop(MetaCols: _*),
+                replayBatchId)
+          }
+        } else write(payload, replayBatchId)
+      Retry.withRetry(policy)(drive()) match {
         case Retry.Succeeded(_, _) =>
           val conf = spark.sparkContext.hadoopConfiguration
           // eager map, THEN forall: one undeletable file must not

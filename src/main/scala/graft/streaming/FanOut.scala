@@ -37,8 +37,12 @@ object FanOut {
     * retries only isolate destinations that throw, and an unbounded
     * await on a hung one would stall every other destination's next
     * batch. On timeout the batch goes to this destination's DLQ and the
-    * others proceed; a late success from the abandoned attempt is
-    * harmless because writes are batchId-idempotent by contract. */
+    * others proceed. A late success from the abandoned attempt commits
+    * under THIS batchId — idempotence holds per batchId, not across ids,
+    * so the later DLQ replay dedupes it only when driven with
+    * `DlqSink.replay(..., preserveBatchIds = true)` (re-writes under the
+    * original batch_id recorded in the letters); a replay under a fresh
+    * replayBatchId double-delivers to append-style destinations. */
   final case class Destination(
       name: String,
       policy: RetryPolicy = RetryPolicy(),

@@ -52,9 +52,14 @@ final class UpsertStateStore(
   private def raw(spark: SparkSession): Option[DataFrame] =
     latestVersion.map(v => spark.read.parquet(root.resolve(v).toString))
 
-  /** Live rows (tombstones filtered) — the read surface. */
+  /** Live rows (tombstones filtered) — the read surface. Null-safe: a row
+    * whose delete-marker column is null (e.g. a payload that lost the field
+    * round-tripping through the JSON DLQ and was replayed here) is LIVE —
+    * a bare `=!=` would evaluate to null and silently drop it (same
+    * coalesce guard as AppendVersionedSink.view). */
   def current(spark: SparkSession): Option[DataFrame] =
-    raw(spark).map(_.filter(col(isDeleteCol) =!= deleteValue))
+    raw(spark).map(_.filter(
+      coalesce(col(isDeleteCol) =!= deleteValue, lit(true))))
 
   def committed(batchId: Long): Boolean =
     Files.exists(root.resolve(s"_committed_$batchId"))
@@ -96,19 +101,26 @@ final class UpsertStateStore(
   private def prune(batchId: Long): Unit = {
     val vPat = "v(\\d+)".r
     val mPat = "_committed_(\\d+)".r
+    // Files.list streams hold a directory fd until closed; prune runs once
+    // per committed micro-batch on a long-lived driver, so leaking them to
+    // GC would exhaust fds on exactly the deployments that matter
+    def listed[A](p: java.nio.file.Path)(f: java.util.stream.Stream[java.nio.file.Path] => A): A = {
+      val st = Files.list(p)
+      try f(st) finally st.close()
+    }
     def delRecursive(p: java.nio.file.Path): Unit = {
       if (Files.isDirectory(p))
-        Files.list(p).forEach(c => delRecursive(c))
+        listed(p)(_.forEach(c => delRecursive(c)))
       Files.deleteIfExists(p)
       ()
     }
-    Files.list(root).forEach { p =>
+    listed(root)(_.forEach { p =>
       val drop = p.getFileName.toString match {
         case vPat(n) => n.toLong < batchId - 1
         case mPat(n) => n.toLong < batchId - 1
         case _ => false
       }
       if (drop) delRecursive(p)
-    }
+    })
   }
 }

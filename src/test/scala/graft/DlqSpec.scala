@@ -97,6 +97,36 @@ class DlqSpec extends SparkSpec {
     assert(delivered.columns.sorted.toSeq == Seq("event_id", "table_name"))
   }
 
+  test("preserveBatchIds replay re-drives each group under its original batch_id") {
+    val dir = Files.createTempDirectory("dlq5").toString
+    val out = Files.createTempDirectory("dlq5out").toString
+    val batch = Seq(("e1", "users"), ("e2", "users")).toDF("event_id", "table_name")
+    val flaky = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      if (flaky.get()) throw new java.net.ConnectException("still down")
+      // overwrite per batchId = the batchId-idempotent destination shape;
+      // a replay reusing the ORIGINAL id lands on the same path a late
+      // success from an abandoned timeout attempt already wrote
+      df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+    }
+    val dest = graft.streaming.FanOut.Destination("pg",
+      graft.sinks.RetryPolicy(maxAttempts = 2, baseDelayMs = 1), write)
+    graft.streaming.FanOut.writeAll(batch, 7L, Seq(dest), dir)
+    graft.streaming.FanOut.writeAll(batch.limit(1), 8L, Seq(dest), dir)
+    assert(DlqSink.count(spark, dir, "pg") == 3)
+
+    flaky.set(false)
+    val up = DlqSink.replay(spark, dir, "pg", replayBatchId = 999L,
+      write, graft.sinks.RetryPolicy(maxAttempts = 2, baseDelayMs = 1),
+      preserveBatchIds = true)
+    assert(up.succeeded && up.rows == 3)
+    assert(DlqSink.count(spark, dir, "pg") == 0)
+    // delivered under the ORIGINAL ids — never under the replay id
+    assert(spark.read.parquet(s"$out/batch=7").count() == 2)
+    assert(spark.read.parquet(s"$out/batch=8").count() == 1)
+    assert(!new java.io.File(s"$out/batch=999").exists())
+  }
+
   test("letters appended during a replay survive its compaction") {
     val dir = Files.createTempDirectory("dlq5").toString
     val batch = Seq(("e1", "users")).toDF("event_id", "table_name")

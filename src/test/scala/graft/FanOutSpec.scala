@@ -214,6 +214,110 @@ class FanOutSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chaos: sink outage mid-stream exhausts to DLQ, others keep committing, heal + replay is loss-free") {
+    // End-to-end analog of the reference's tests/chaos/test_network_partition.py:15-109
+    // and test_database_restart.py (SC-003: a destination outage must not
+    // lose events and recovery completes promptly once the destination
+    // heals). Timeline: phase 1 both sinks commit; phase 2 one sink DIES
+    // mid-stream — its batches retry, exhaust into its DLQ partition, the
+    // healthy sink keeps committing and health reports UNHEALTHY for the
+    // dead sink only; phase 3 the sink heals, the stream keeps serving it,
+    // and a preserveBatchIds DLQ replay restores the outage window — end
+    // state loss-free and duplicate-free on BOTH sinks.
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    import graft.obs.HealthStatus
+    import graft.sinks.DlqSink
+    import graft.streaming.{CdcPipeline, ThroughputBench}
+
+    val tmp = Files.createTempDirectory("graft-chaos-outage")
+    val eventsDir = JFiles.createDirectories(tmp.resolve("events"))
+    val staged = JFiles.createDirectories(tmp.resolve("staged"))
+    val dlqDir = s"$tmp/dlq"
+    val nFiles = 6; val nEvents = 6000; val perFile = nEvents / nFiles
+    ThroughputBench.generate(eventsDir, nEvents, nFiles, nUsers = 500)
+    (2 until nFiles).foreach { i =>
+      val name = f"events_$i%03d.json"
+      JFiles.move(eventsDir.resolve(name), staged.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    def release(range: Range): Unit = range.foreach { i =>
+      val name = f"events_$i%03d.json"
+      JFiles.move(staged.resolve(name), eventsDir.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    val health = new HealthStatus()
+    val steady = new AppendVersionedSink(s"$tmp/steady", Seq("event_key_cols"),
+      "timestamp_micros")
+    val fragile = new AppendVersionedSink(s"$tmp/fragile", Seq("event_key_cols"),
+      "timestamp_micros")
+    // Destinations store a stable, JSON-safe projection (the columns the
+    // versioned sink keys/orders on): dead letters round-trip through the
+    // JSONL DLQ, so a replayed frame must re-append with the exact types
+    // the live appends wrote (timestamps/maps would come back as strings)
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_key_cols").cast("string").as("event_key_cols"),
+      col("timestamp_micros").cast("long").as("timestamp_micros"),
+      col("event_id").cast("string").as("event_id"))
+    @volatile var partitioned = false // the network partition switch
+    def fragileWrite(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      if (partitioned) throw new java.net.ConnectException("partitioned")
+      fragile.append(proj(df), id)
+    }
+    val fastRetry = RetryPolicy(maxAttempts = 3, baseDelayMs = 1, maxDelayMs = 2)
+    val dests = Seq(
+      FanOut.Destination("steady", fastRetry,
+        (df, id) => steady.append(proj(df), id)),
+      FanOut.Destination("fragile", fastRetry, fragileWrite))
+
+    val q = CdcPipeline.start(spark, eventsDir.toString,
+      s"$tmp/state", s"$tmp/ckpt", dlqDir,
+      maxFilesPerTrigger = 1,
+      extraSinks = dests,
+      onBatch = rs => rs.foreach(r => health.update(r.destination,
+        up = r.outcome.isInstanceOf[Retry.Succeeded[_]],
+        latencyMs = r.durationMs.toDouble)))
+    try {
+      // -- phase 1: both healthy --
+      q.processAllAvailable()
+      assert(steady.raw(spark).count() == 2L * perFile)
+      assert(fragile.raw(spark).count() == 2L * perFile)
+      assert(health.dependencyState("fragile") == "HEALTHY")
+
+      // -- phase 2: partition the fragile sink mid-stream --
+      partitioned = true
+      release(2 until 4)
+      q.processAllAvailable()
+      // retries exhausted into the DLQ, batch_id recorded per letter
+      assert(DlqSink.count(spark, dlqDir, "fragile") == 2L * perFile)
+      // the healthy sink never waited on the dead one
+      assert(steady.raw(spark).count() == 4L * perFile)
+      assert(fragile.raw(spark).count() == 2L * perFile)
+      // failure visible, isolated to the dead sink
+      assert(health.dependencyState("fragile") == "UNHEALTHY")
+      assert(health.dependencyState("steady") == "HEALTHY")
+      assert(health.overall == "unhealthy")
+
+      // -- phase 3: heal; stream keeps serving, replay restores the gap --
+      partitioned = false
+      release(4 until 6)
+      q.processAllAvailable()
+      assert(fragile.raw(spark).count() == 4L * perFile) // live traffic resumed
+      val rep = DlqSink.replay(spark, dlqDir, "fragile",
+        replayBatchId = 9999L, fragileWrite, fastRetry,
+        preserveBatchIds = true)
+      assert(rep.succeeded && rep.rows == 2L * perFile)
+      assert(DlqSink.count(spark, dlqDir, "fragile") == 0)
+      // loss-free AND duplicate-free end state on both destinations
+      assert(steady.raw(spark).count() == nEvents)
+      assert(fragile.raw(spark).count() == nEvents)
+      assert(fragile.raw(spark).select("event_key_cols").distinct().count() ==
+        steady.raw(spark).select("event_key_cols").distinct().count())
+      assert(health.dependencyState("fragile") == "HEALTHY")
+      assert(health.overall == "healthy")
+    } finally q.stop()
+  }
+
   test("replay after partial failure re-writes only idempotently") {
     val tmp = Files.createTempDirectory("graft-fanout2")
     val store = new UpsertStateStore(s"$tmp/state", Seq("user_id"),
