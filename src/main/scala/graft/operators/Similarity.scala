@@ -301,21 +301,28 @@ object Similarity {
     * map-side from a broadcast join, with the codegen'd decimal dot as a
     * plain column — then an argmin aggregation whose partial step
     * collapses the ×K fan-out before the exchange (the shuffle carries
-    * N·M rows, not N·M·K). `min(struct(key, c))` is lexicographic: min
-    * key, ties to the smallest code — identical to the oracle's
-    * ROW_NUMBER ORDER BY key, c.  */
+    * N·M rows, not N·M·K).
+    *
+    * The argmin is `min_by(c, k + c·10⁻¹⁴)`: the distance `k` is exact
+    * scale-12 decimal, so distinct keys differ by ≥10⁻¹² while the
+    * tie-break term is < PqK·10⁻¹⁴ = 1.6·10⁻¹³ — the combined key orders
+    * EXACTLY like lexicographic (k, ties to smallest c), matching the
+    * oracle's ROW_NUMBER ORDER BY key, c. One fixed-width decimal buffer
+    * keeps the aggregation in HashAggregate; the earlier
+    * `min(struct(k, c))` buffer forced a SortAggregate into the encode
+    * path (VERDICT r04 ask #4). */
   private[graft] def pqCodes(e: DataFrame): DataFrame = {
     val cb = pqCodebook(e)
     val sub = e.select(col("vec_id"), col("nrm"), subM.as("m"), col("embedding"))
       .select(col("vec_id"), col("nrm"), col("m"),
         sliceM(col("embedding")).as("xsub"))
     sub.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("nrm"), col("m"),
-        struct((col("cn2") - lit(2) * dotDec(col("xsub"), col("csub")))
-          .as("k"), col("c")).as("kc"))
+      .select(col("vec_id"), col("nrm"), col("m"), col("c"),
+        (col("cn2") - lit(2) * dotDec(col("xsub"), col("csub")) +
+          col("c") * lit(new java.math.BigDecimal("1E-14"))).as("kc"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(min(col("kc")).as("best"), max(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("nrm"), col("m"), col("best.c").as("code"))
+      .agg(min_by(col("c"), col("kc")).as("code"), max(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("nrm"), col("m"), col("code"))
   }
 
   private[graft] def pqRanked(e: DataFrame): DataFrame = {
