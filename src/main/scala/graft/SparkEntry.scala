@@ -99,12 +99,12 @@ object SparkEntry {
     "t05_text_repetition" -> TextAnalysis.repetition _,
     "t06_boilerplate_ngrams" -> TextAnalysis.boilerplate _,
     "t07_keywords_tfdf" -> TextAnalysis.keywords _,
-    "m01_media_meta" -> Multimodal.mediaMeta _,
-    "m02_media_resize" -> Multimodal.resizeQuery _,
-    "m03_frame_sample" -> Multimodal.frameSampleQuery _,
-    "m04_media_histogram" -> Multimodal.histogramQuery _,
-    "m05_perceptual_hash" -> Multimodal.perceptualHashQuery _,
-    "m06_still_segments" -> Multimodal.stillSegmentsQuery _,
+    "m01_media_meta" -> canon("doc_id")(Multimodal.mediaMeta),
+    "m02_media_resize" -> canon("doc_id")(Multimodal.resizeQuery),
+    "m03_frame_sample" -> canon("doc_id", "frame_offset")(Multimodal.frameSampleQuery),
+    "m04_media_histogram" -> canon("doc_id")(Multimodal.histogramQuery),
+    "m05_perceptual_hash" -> canon("rep_id")(Multimodal.perceptualHashQuery),
+    "m06_still_segments" -> canon("doc_id")(Multimodal.stillSegmentsQuery),
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> canon("da", "db")(Sampling.splitLeakage),
@@ -1196,25 +1196,53 @@ object SparkEntry {
          |    THEN 1.0 - CAST(COALESCE(n_common, 0) AS DOUBLE) / n_bigrams
          |    ELSE 0.0 END AS novelty
          |FROM sz LEFT JOIN common USING (doc_id) ORDER BY sz.doc_id""".stripMargin,
+    // Geometry contract with the asset synthesizer (Multimodal.assets):
+    // even doc_id -> 24-bpp BMP, w = 4*(len%3+1), h = len // (3w), decoded
+    // pixel array = first 3wh text bytes; odd doc_id -> 16-bit mono WAV,
+    // decoded sample bytes = first len - len%2 text bytes. The engine
+    // PARSES these fields back out of real container headers; the oracle
+    // recomputes them from the formulas -- `declen` is the decoded length.
     "m01_media_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
-        |  CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames,
-        |  (['jpeg','png','webp'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // ASCII corpus ⇒ payload byte i == ord of character i+1 on both sides
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS INT) AS len,
+        |    CAST(4 * (length(text) % 3 + 1) AS INT) AS w FROM documents),
+        |e AS (SELECT doc_id, len, w, CAST(len // (3*w) AS INT) AS h,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 3*w*(len // (3*w))
+        |         ELSE len - len % 2 END AS INT) AS declen FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END + declen AS INT)
+        |    AS byte_len,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN w ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN h ELSE 0 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE declen // 2 END AS INT)
+        |    AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS INT) AS channels
+        |FROM e ORDER BY doc_id""".stripMargin,
+    // ASCII corpus + truncate-not-pad geometry => decoded byte i == ord of
+    // text character i+1 on both sides, for the first `declen` bytes
     "m02_media_resize" ->
-      """SELECT doc_id, CAST(64 AS INT) AS size,
-        |  to_json(list_transform(generate_series(0, 63),
-        |    i -> ord(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1))))
-        |    AS pixels_json
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "m03_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text,
-        |    unnest(generate_series(0, length(text) - 1, 10)) AS off
+      """WITH e AS (SELECT doc_id, text,
+        |    CAST(CASE WHEN doc_id % 2 = 0
+        |      THEN 12*(length(text) % 3 + 1)
+        |        * (length(text) // (12*(length(text) % 3 + 1)))
+        |      ELSE length(text) - length(text) % 2 END AS INT) AS declen
         |  FROM documents)
+        |SELECT doc_id, CAST(64 AS INT) AS size,
+        |  to_json(list_transform(generate_series(0, 63),
+        |    i -> ord(substr(text, CAST((i * declen) // 64 AS INT) + 1, 1))))
+        |    AS pixels_json
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH e AS (SELECT doc_id, text,
+        |    CAST(CASE WHEN doc_id % 2 = 0
+        |      THEN 12*(length(text) % 3 + 1)
+        |        * (length(text) // (12*(length(text) % 3 + 1)))
+        |      ELSE length(text) - length(text) % 2 END AS INT) AS declen
+        |  FROM documents),
+        |f AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, declen - 1, 10)) AS off FROM e)
         |SELECT doc_id, CAST(off AS INT) AS frame_offset,
         |  ord(substr(text, CAST(off AS INT) + 1, 1)) AS frame_byte
         |FROM f ORDER BY doc_id, frame_offset""".stripMargin,
@@ -1223,9 +1251,14 @@ object SparkEntry {
         s"CAST(sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS BIGINT) AS b$b")
         .mkString(",\n  ")
       val arr = (0 until 16).map(b => s"b$b").mkString("[", ", ", "]")
-      s"""WITH c AS (SELECT doc_id, text, CAST(length(text) AS INT) AS len,
-         |    unnest(generate_series(1, length(text))) AS i
+      s"""WITH e AS (SELECT doc_id, text,
+         |    CAST(CASE WHEN doc_id % 2 = 0
+         |      THEN 12*(length(text) % 3 + 1)
+         |        * (length(text) // (12*(length(text) % 3 + 1)))
+         |      ELSE length(text) - length(text) % 2 END AS INT) AS declen
          |  FROM documents),
+         |c AS (SELECT doc_id, text, declen AS len,
+         |    unnest(generate_series(1, declen)) AS i FROM e),
          |b AS (SELECT doc_id, len,
          |    ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin FROM c),
          |h AS (SELECT doc_id, len,
@@ -1235,11 +1268,17 @@ object SparkEntry {
          |FROM h ORDER BY doc_id""".stripMargin
     },
     "m05_perceptual_hash" ->
-      """WITH px AS (SELECT doc_id,
-        |    list_transform(generate_series(0, 63),
-        |      i -> ord(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1)))
-        |      AS pixels
+      """WITH e AS (SELECT doc_id, text,
+        |    CAST(CASE WHEN doc_id % 2 = 0
+        |      THEN 12*(length(text) % 3 + 1)
+        |        * (length(text) // (12*(length(text) % 3 + 1)))
+        |      ELSE length(text) - length(text) % 2 END AS INT) AS declen
         |  FROM documents),
+        |px AS (SELECT doc_id,
+        |    list_transform(generate_series(0, 63),
+        |      i -> ord(substr(text, CAST((i * declen) // 64 AS INT) + 1, 1)))
+        |      AS pixels
+        |  FROM e),
         |s AS (SELECT doc_id, pixels, list_sum(pixels) AS st FROM px),
         |h AS (SELECT doc_id,
         |    array_to_string(list_transform(pixels,
@@ -1247,12 +1286,18 @@ object SparkEntry {
         |  FROM s)
         |SELECT min(doc_id) AS rep_id, count(*) AS n_assets, ahash
         |FROM h GROUP BY ahash ORDER BY rep_id""".stripMargin,
-    // gaps-and-islands: pos − per-(doc, byte) rank is constant within a
+    // gaps-and-islands: pos - per-(doc, byte) rank is constant within a
     // run; argmax = longest run, ties to smallest byte then earliest pos
     "m06_still_segments" ->
-      """WITH c AS (SELECT doc_id,
-        |    unnest(generate_series(1, length(text))) AS i, text
+      """WITH e AS (SELECT doc_id, text,
+        |    CAST(CASE WHEN doc_id % 2 = 0
+        |      THEN 12*(length(text) % 3 + 1)
+        |        * (length(text) // (12*(length(text) % 3 + 1)))
+        |      ELSE length(text) - length(text) % 2 END AS INT) AS declen
         |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(generate_series(1, declen)) AS i, text
+        |  FROM e),
         |b AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
         |        ord(substr(text, CAST(i AS INT), 1)) AS v FROM c),
         |g AS (SELECT doc_id, pos, v,

@@ -5,142 +5,248 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata, decoded/feature-extracted per partition (north-star surface).
+/** Multimodal-column pipeline: media as opaque `binary` columns with typed
+  * metadata, decoded per partition (north-star surface).
   *
-  * This container has no image/audio codecs, so [[DecodeStub.decode]] is a
-  * clearly-marked deterministic FAKE standing in for e.g. a JPEG decoder —
-  * everything around it (schema, Dataset encoders, mapPartitions batch
-  * shape, partition sizing) is the real distributed plumbing a decoder
-  * would plug into. In PySpark terms this is the `mapInPandas` slot; in
-  * Scala the idiomatic equivalent is `Dataset.mapPartitions` so decoder
-  * instances are reused per partition, not per row.
+  * The decode step is a REAL byte-level codec for two genuinely minimal
+  * container formats — uncompressed 24-bpp BMP (BITMAPINFOHEADER) and
+  * 16-bit PCM WAV (canonical 44-byte RIFF header) — parsed field-by-field
+  * with little-endian reads, magic/shape validation, and a pixel/sample
+  * array slice. Heavier codecs (JPEG, H.264) are not in this container,
+  * but they would occupy exactly this slot: [[MediaCodec.decode]] inside
+  * [[decodeAll]]'s `mapPartitions`, one decoder per PARTITION so codec
+  * state is reused across a batch of assets, never per row and never on
+  * the driver. In PySpark terms this is the `mapInPandas` slot.
+  *
+  * Determinism contract with the DuckDB oracle: the corpus has no binary
+  * media table, so [[assets]] synthesizes real containers whose payload
+  * embeds the document's ASCII text bytes as pixel/sample data (truncated
+  * to the container's geometry — no padding, so decoded byte i equals
+  * text byte i). The decoder sees only the container bytes; the oracle
+  * reproduces the same outputs from the generator's geometry formulas,
+  * so a header-parse bug on either side breaks the hash compare.
   */
 object Multimodal {
 
-  /** One media asset: id + opaque payload + envelope metadata. */
+  /** One media asset: id + opaque container bytes + envelope type. */
   final case class MediaAsset(doc_id: Long, payload: Array[Byte],
       media_type: String)
 
-  /** Typed decode output. */
-  final case class MediaFeatures(doc_id: Long, media_type: String,
-      byte_len: Int, width: Int, height: Int, n_frames: Int,
-      histogram: Array[Double])
+  /** Typed decode output: parsed header fields + the decoded byte stream
+    * (pixel array for BMP in file order, PCM sample bytes for WAV), each
+    * element 0–255. `byte_len` is the CONTAINER size; `data.length` is the
+    * decoded length. */
+  final case class Decoded(doc_id: Long, fmt: String, byte_len: Int,
+      width: Int, height: Int, n_frames: Int, sample_rate: Int,
+      channels: Int, data: Array[Int])
 
-  object DecodeStub {
-    /** FAKE decode — deterministic stand-in for a real codec.
-      * Real implementation would parse the container format; the stub
-      * derives "dimensions" from payload length and a 16-bin byte
-      * histogram as the "feature vector". */
-    def decode(a: MediaAsset): MediaFeatures = {
-      val len = a.payload.length
-      val hist = new Array[Double](16)
-      a.payload.foreach(b => hist((b & 0xff) >> 4) += 1)
-      val total = math.max(1, len).toDouble
-      MediaFeatures(a.doc_id, a.media_type, len,
-        width = len % 640, height = len % 480, n_frames = len % 30,
-        histogram = hist.map(_ / total))
+  /** Minimal real codecs. Encoders build spec-conformant containers (the
+    * corpus synthesizer); [[decode]] parses them back from bytes alone. */
+  object MediaCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** BMP width for a doc of `len` text bytes: 4·(len%3+1) ∈ {4,8,12},
+      * so the 24-bpp row stride 3·w is 4-byte aligned (no row padding)
+      * and ≤ 36 ≤ every corpus doc's length (height ≥ 1). */
+    def bmpWidth(len: Int): Int = 4 * (len % 3 + 1)
+
+    /** Uncompressed 24-bpp BMP: 14-byte file header + 40-byte
+      * BITMAPINFOHEADER + pixel array (first 3·w·h bytes of `pixels`). */
+    def encodeBmp(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val n = 3 * width * height
+      val out = ByteBuffer.allocate(54 + n).order(ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte)
+      out.putInt(54 + n)                  // file size
+      out.putInt(0)                       // reserved
+      out.putInt(54)                      // pixel-array offset
+      out.putInt(40)                      // DIB header size
+      out.putInt(width).putInt(height)
+      out.putShort(1)                     // color planes
+      out.putShort(24)                    // bits per pixel
+      out.putInt(0)                       // BI_RGB (uncompressed)
+      out.putInt(n)                       // image size
+      out.putInt(2835).putInt(2835)       // 72 dpi in px/metre
+      out.putInt(0).putInt(0)             // palette size / important colors
+      out.put(pixels, 0, n)
+      out.array()
+    }
+
+    /** Canonical 44-byte-header 16-bit mono PCM WAV at 8 kHz; sample data
+      * is `samples` truncated to a whole number of 2-byte frames. */
+    def encodeWav(samples: Array[Byte]): Array[Byte] = {
+      val n = samples.length - samples.length % 2
+      val out = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII"))
+      out.putInt(36 + n)                  // RIFF chunk size
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII"))
+      out.putInt(16)                      // fmt chunk size (PCM)
+      out.putShort(1)                     // audio format: PCM
+      out.putShort(1)                     // channels
+      out.putInt(8000)                    // sample rate
+      out.putInt(16000)                   // byte rate = rate · block align
+      out.putShort(2)                     // block align = channels · 2
+      out.putShort(16)                    // bits per sample
+      out.put("data".getBytes("US-ASCII"))
+      out.putInt(n)                       // data chunk size
+      out.put(samples, 0, n)
+      out.array()
+    }
+
+    /** Parse a container from its bytes alone: validate magic + shape,
+      * read the little-endian header fields, slice the data array. Throws
+      * on anything malformed — a real codec's contract, and what routes
+      * an asset to the DLQ in a pipeline deployment. */
+    def decode(a: MediaAsset): Decoded = {
+      val p = a.payload
+      require(p.length >= 2, s"doc ${a.doc_id}: empty payload")
+      val buf = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      def ascii(off: Int, n: Int) = new String(p, off, n, "US-ASCII")
+      if (p(0) == 'B' && p(1) == 'M') {
+        require(p.length >= 54, s"doc ${a.doc_id}: truncated BMP header")
+        val fileSize = buf.getInt(2)
+        val dataOffset = buf.getInt(10)
+        val width = buf.getInt(18)
+        val height = buf.getInt(22)
+        val bpp = buf.getShort(28).toInt
+        val compression = buf.getInt(30)
+        require(bpp == 24, s"doc ${a.doc_id}: unsupported bpp $bpp")
+        require(compression == 0, s"doc ${a.doc_id}: compressed BMP")
+        val rowBytes = (width * 3 + 3) / 4 * 4 // rows pad to 4-byte words
+        val n = rowBytes * height
+        require(dataOffset + n <= p.length && fileSize <= p.length,
+          s"doc ${a.doc_id}: truncated pixel array")
+        val px = new Array[Int](n)
+        var i = 0
+        while (i < n) { px(i) = p(dataOffset + i) & 0xff; i += 1 }
+        Decoded(a.doc_id, "bmp", p.length, width, height,
+          n_frames = 1, sample_rate = 0, channels = 0, data = px)
+      } else if (ascii(0, 4) == "RIFF" && p.length >= 44 &&
+          ascii(8, 4) == "WAVE") {
+        require(ascii(12, 4) == "fmt ", s"doc ${a.doc_id}: missing fmt chunk")
+        val audioFormat = buf.getShort(20).toInt
+        val channels = buf.getShort(22).toInt
+        val sampleRate = buf.getInt(24)
+        val bitsPerSample = buf.getShort(34).toInt
+        require(audioFormat == 1 && bitsPerSample == 16,
+          s"doc ${a.doc_id}: unsupported WAV encoding")
+        require(ascii(36, 4) == "data", s"doc ${a.doc_id}: missing data chunk")
+        val dataSize = buf.getInt(40)
+        require(44 + dataSize <= p.length,
+          s"doc ${a.doc_id}: truncated sample data")
+        val sm = new Array[Int](dataSize)
+        var i = 0
+        while (i < dataSize) { sm(i) = p(44 + i) & 0xff; i += 1 }
+        Decoded(a.doc_id, "wav", p.length, width = 0, height = 0,
+          n_frames = dataSize / (2 * channels), sample_rate = sampleRate,
+          channels = channels, data = sm)
+      } else throw new IllegalArgumentException(
+        s"doc ${a.doc_id}: unrecognized container magic")
     }
   }
 
-  /** The corpus has no binary media table, so assets are synthesized from
-    * document text bytes — the payload is opaque to everything downstream,
-    * exactly as real media bytes would be. */
+  /** Synthesize real containers from document text bytes — even doc_ids
+    * become BMPs (text as the pixel array), odd ones WAVs (text as PCM
+    * samples). The payload is opaque to everything downstream, exactly as
+    * real media bytes would be; [[Tables.spread]] width-normalizes the
+    * scan so encoding parallelizes across cores. */
   def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
-    Tables.table(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        concat(lit("fake/"),
-          element_at(array(lit("jpeg"), lit("png"), lit("webp")),
-            (col("doc_id") % 3 + 1).cast("int"))).as("media_type"))
-      .as[MediaAsset]
+    Tables.spread(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8") // ASCII corpus: byte i == char i
+        if (id % 2 == 0) {
+          val w = MediaCodec.bmpWidth(bytes.length)
+          val h = bytes.length / (3 * w)
+          MediaAsset(id, MediaCodec.encodeBmp(bytes, w, h), "image/bmp")
+        } else MediaAsset(id, MediaCodec.encodeWav(bytes), "audio/wav")
+      }
   }
 
-  /** Distributed decode: one decoder per partition (mapPartitions), typed
+  /** Distributed decode: one codec per partition (mapPartitions), typed
     * output, no driver involvement. */
-  def decodeAll(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+  def decodeAll(assets: Dataset[MediaAsset]): Dataset[Decoded] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition setup slot (real codec init would go here)
-      it.map(DecodeStub.decode)
+      // per-partition setup slot (heavier codec init would go here)
+      it.map(MediaCodec.decode)
     }
   }
 
-  /** Resize: nearest-neighbor resample of the opaque payload to a fixed
-    * target length — the partition shape (not the codec) of image resizing
-    * for model input: constant-size output vector per asset, computed
-    * executor-side with no driver involvement. A real implementation swaps
-    * the index arithmetic for a pixel-grid interpolation. */
-  def resize(assets: Dataset[MediaAsset], target: Int = 64): DataFrame = {
-    import assets.sparkSession.implicits._
-    assets.map { a =>
-      val len = a.payload.length
+  /** Resize: nearest-neighbor resample of the DECODED byte stream to a
+    * fixed target length — constant-size vector per asset for model
+    * input, computed executor-side. A full image resampler swaps the 1-D
+    * index arithmetic for a 2-D pixel-grid interpolation in the same
+    * slot. */
+  def resize(decoded: Dataset[Decoded], target: Int = 64): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val len = d.data.length
       val out = Array.tabulate(target)(i =>
-        if (len == 0) 0 else a.payload((i.toLong * len / target).toInt) & 0xff)
-      (a.doc_id, target, out)
+        if (len == 0) 0 else d.data((i.toLong * len / target).toInt))
+      (d.doc_id, target, out)
     }.toDF("doc_id", "size", "pixels")
   }
 
-  /** Frame sampling: every k-th byte as a "frame" marker — the partition
-    * and batch shape of real video frame extraction. */
-  def sampleFrames(assets: Dataset[MediaAsset], everyK: Int): DataFrame = {
-    import assets.sparkSession.implicits._
-    assets.flatMap { a =>
-      a.payload.indices.by(everyK).map(i =>
-        (a.doc_id, i, a.payload(i).toInt & 0xff))
+  /** Frame sampling: every k-th decoded byte — the batch shape of video
+    * frame extraction (every k-th frame of the decoded stream). */
+  def sampleFrames(decoded: Dataset[Decoded], everyK: Int): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.flatMap { d =>
+      d.data.indices.by(everyK).map(i => (d.doc_id, i, d.data(i)))
     }.toDF("doc_id", "frame_offset", "frame_byte")
   }
 
-  /** Driver-checkable resize: the [[resize]] plumbing with the pixel
-    * vector JSON-serialized (raw arrays are unhashable in the driver's
-    * compare — the q21 lesson). The corpus text is ASCII, so the oracle
-    * reproduces payload bytes with ord(substr(...)). */
+  /** Driver-checkable metadata query: REAL header decode via
+    * [[decodeAll]], one row per asset with the parsed container fields.
+    * The oracle recomputes them from the synthesizer's geometry. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    decodeAll(assets(s, dir)).toDF()
+      .select(col("doc_id"), col("fmt"), col("byte_len"), col("width"),
+        col("height"), col("n_frames"), col("sample_rate"), col("channels"))
+
+  /** Driver-checkable resize: the [[resize]] plumbing over decoded bytes
+    * with the vector JSON-serialized (raw arrays are unhashable in the
+    * driver's compare — the q21 lesson). */
   def resizeQuery(s: SparkSession, dir: String): DataFrame =
-    resize(assets(s, dir), target = 64)
+    resize(decodeAll(assets(s, dir)), target = 64)
       .select(col("doc_id"), col("size"),
         to_json(col("pixels")).as("pixels_json"))
-      .orderBy("doc_id")
 
-  /** Driver-checkable frame sampling: every 10th payload byte. */
+  /** Driver-checkable frame sampling: every 10th decoded byte. */
   def frameSampleQuery(s: SparkSession, dir: String): DataFrame =
-    sampleFrames(assets(s, dir), everyK = 10)
-      .orderBy("doc_id", "frame_offset")
+    sampleFrames(decodeAll(assets(s, dir)), everyK = 10)
 
-  /** Driver-checkable 16-bin byte histogram — the [[DecodeStub.decode]]
-    * feature vector as pure column expressions: explode payload bytes
-    * (ASCII corpus ⇒ ord == byte), bin by the high nibble, one conditional
-    * aggregation per doc. Counts (exact integers) ship as JSON with the
-    * length alongside — the normalized fractions are counts/len, but
-    * double JSON formatting is engine-specific while integer JSON is not. */
+  /** Driver-checkable 16-bin byte histogram over the DECODED stream,
+    * computed inside the per-partition decode pass (one linear scan per
+    * asset — the per-asset-feature shape at 100 TB, where an explode
+    * would multiply the shuffle by the byte count). Counts (exact
+    * integers) ship as JSON; normalized fractions are counts/len, but
+    * double JSON formatting is engine-specific while integer JSON is
+    * not. */
   def histogramQuery(s: SparkSession, dir: String): DataFrame = {
-    val bytes = Tables.table(s, dir, "documents")
-      .select(col("doc_id"), length(col("text")).as("len"),
-        explode(split(col("text"), "")).as("ch"))
-      // Java split(_, -1) keeps a trailing empty string — drop it
-      .filter(col("ch") =!= "")
+    val decoded = decodeAll(assets(s, dir))
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val hist = new Array[Long](16)
+      d.data.foreach(v => hist(v >> 4) += 1)
+      (d.doc_id, d.data.length, hist)
+    }.toDF("doc_id", "len", "hist")
       .select(col("doc_id"), col("len"),
-        (ascii(col("ch")).cast("int") / 16).cast("int").as("bin"))
-    val bins = (0 until 16).map(b =>
-      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"b$b"))
-    bytes.groupBy(col("doc_id"), col("len"))
-      .agg(bins.head, bins.tail: _*)
-      .select(col("doc_id"), col("len"),
-        to_json(array((0 until 16).map(b => col(s"b$b")): _*))
-          .as("hist_counts_json"))
-      .orderBy("doc_id")
+        to_json(col("hist")).as("hist_counts_json"))
   }
 
   /** Perceptual-hash (aHash) visual dedup — the multimodal twin of d01:
-    * resample every payload to 64 "pixels" (the [[resize]] grid), set
-    * bit_i when pixel_i exceeds the mean, and group identical 64-bit
+    * resample the decoded stream to 64 values (the [[resize]] grid), set
+    * bit_i when value_i exceeds the mean, and group identical 64-bit
     * fingerprints. The mean comparison is the exact integer form
-    * `pixel_i · 64 > Σ pixels` (a float mean would put boundary pixels at
-    * the mercy of rounding). Real aHash runs on decoded luma — the stub
-    * payload stands in, the dataflow (constant-size fingerprint per
-    * asset, hash-shuffle group) is the 100-TB shape. Near-dup variants
+    * `v_i · 64 > Σ v` (a float mean would put boundary values at the
+    * mercy of rounding). The dataflow (constant-size fingerprint per
+    * asset, hash-shuffle group) is the 100-TB shape; near-dup variants
     * band the 64 bits exactly like d05 bands its hyperplane signs. */
   def perceptualHashQuery(s: SparkSession, dir: String): DataFrame = {
-    val px = resize(assets(s, dir), target = 64)
+    val px = resize(decodeAll(assets(s, dir)), target = 64)
     px.select(col("doc_id"), col("pixels"),
         aggregate(col("pixels"), lit(0L), (a, x) => a + x).as("st"))
       .select(col("doc_id"),
@@ -149,39 +255,21 @@ object Multimodal {
       .groupBy("ahash")
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_assets"))
       .select(col("rep_id"), col("n_assets"), col("ahash"))
-      .orderBy("rep_id")
   }
 
-  /** Oracle-checkable metadata query: byte length + stub-decoded dims via
-    * pure column expressions (same formulas as [[DecodeStub.decode]]). */
-  def mediaMeta(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "documents")
-      .select(col("doc_id"),
-        length(col("text").cast("binary")).as("byte_len"))
-      .select(col("doc_id"), col("byte_len"),
-        (col("byte_len") % 640).as("width"),
-        (col("byte_len") % 480).as("height"),
-        (col("byte_len") % 30).as("n_frames"),
-        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
-          (col("doc_id") % 3 + 1).cast("int")).as("fmt"))
-      .orderBy("doc_id")
-
-  /** Still-segment / silence detection — the media-curation pass that
-    * finds the longest constant-byte run per payload (static frames in
-    * video, silence in PCM audio; a long run means droppable or
-    * compressible content). Classic gaps-and-islands: position minus
-    * per-(doc, value) rank is constant within a run, one aggregation
-    * per run, then an argmax per asset (longest run; ties to the
-    * smallest byte, then earliest offset — fully deterministic). Runs
-    * shuffle keyed by (doc, byte): parallelism scales with assets ×
-    * byte diversity at any corpus size.
-    */
+  /** Still-segment / silence detection over the DECODED stream — the
+    * media-curation pass that finds the longest constant-byte run per
+    * asset (static frames in video, silence in PCM audio; a long run
+    * means droppable or compressible content). Classic gaps-and-islands:
+    * position minus per-(doc, value) rank is constant within a run, one
+    * aggregation per run, then an argmax per asset (longest run; ties to
+    * the smallest byte, then earliest offset — fully deterministic).
+    * Runs shuffle keyed by (doc, byte): parallelism scales with assets ×
+    * byte diversity at any corpus size. */
   def stillSegmentsQuery(s: SparkSession, dir: String): DataFrame = {
-    val bytes = Tables.spread(s, dir, "documents", "doc_id")
-      .select(col("doc_id"), posexplode(split(col("text"), "")))
-      // Java split keeps a trailing empty string — drop it
-      .filter(col("col") =!= "")
-      .select(col("doc_id"), col("pos"), ascii(col("col")).cast("int").as("v"))
+    val bytes = decodeAll(assets(s, dir)).toDF()
+      .select(col("doc_id"), posexplode(col("data")))
+      .select(col("doc_id"), col("pos"), col("col").as("v"))
     val w = Window.partitionBy(col("doc_id"), col("v")).orderBy(col("pos"))
     val runs = bytes
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -195,6 +283,5 @@ object Multimodal {
         col("best.run_len").as("max_run_len"),
         (-col("best.nv")).as("max_run_byte"),
         (-col("best.ns")).as("max_run_start"))
-      .orderBy("doc_id")
   }
 }

@@ -9,41 +9,67 @@ class OperatorsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("multimodal: mapPartitions decode is deterministic, typed, batched") {
+  test("multimodal: real BMP/WAV header decode round-trips through mapPartitions") {
     val assets = Multimodal.assets(spark, sf)
-    val feats = Multimodal.decodeAll(assets).cache()
-    assert(feats.count() == assets.count())
-    val f = feats.filter(_.doc_id == 0).head()
-    // histogram is a probability distribution over 16 byte-buckets
-    assert(f.histogram.length == 16)
-    assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
-    assert(f.width == f.byte_len % 640 && f.height == f.byte_len % 480)
-    // deterministic across runs
-    val again = Multimodal.decodeAll(Multimodal.assets(spark, sf))
-      .filter(_.doc_id == 0).head()
-    assert(again.histogram.toSeq == f.histogram.toSeq)
+    val dec = Multimodal.decodeAll(assets).cache()
+    assert(dec.count() == assets.count())
+    val texts = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // even doc -> BMP: parsed header fields match the synthesizer geometry
+    // and the decoded pixel array is exactly the embedded text prefix
+    val bmp = dec.filter(_.doc_id == 0).head()
+    val t0 = texts(0L); val len0 = t0.length
+    val w = Multimodal.MediaCodec.bmpWidth(len0)
+    val npx = 3 * w * (len0 / (3 * w))
+    assert(bmp.fmt == "bmp" && bmp.width == w && bmp.height == len0 / (3 * w))
+    assert(bmp.byte_len == 54 + npx && bmp.n_frames == 1)
+    assert(bmp.data.toSeq == t0.take(npx).map(_.toInt))
+    // odd doc -> WAV: rate/channels/frame count parsed from the header
+    val wav = dec.filter(_.doc_id == 1).head()
+    val t1 = texts(1L); val dl = t1.length - t1.length % 2
+    assert(wav.fmt == "wav" && wav.sample_rate == 8000 && wav.channels == 1)
+    assert(wav.n_frames == dl / 2 && wav.byte_len == 44 + dl)
+    assert(wav.data.toSeq == t1.take(dl).map(_.toInt))
+  }
+
+  test("multimodal: golden BMP decodes; malformed containers are rejected") {
+    import Multimodal.{MediaAsset, MediaCodec}
+    val px = Array.tabulate(12)(i => (i + 1).toByte) // 4x1, 24 bpp
+    val bytes = MediaCodec.encodeBmp(px, 4, 1)
+    assert(bytes.length == 54 + 12 && bytes(0) == 'B' && bytes(1) == 'M')
+    val d = MediaCodec.decode(MediaAsset(9L, bytes, "image/bmp"))
+    assert(d.width == 4 && d.height == 1 && d.data.toSeq == (1 to 12))
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaAsset(9L, bad, "image/bmp"))
+    }
+    val truncated = bytes.take(40)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaAsset(9L, truncated, "image/bmp"))
+    }
   }
 
   test("multimodal: resize yields a constant-size vector via nearest-neighbor") {
-    val assets = Multimodal.assets(spark, sf)
-    val resized = Multimodal.resize(assets, target = 32).cache()
-    assert(resized.count() == assets.count())
+    val dec = Multimodal.decodeAll(Multimodal.assets(spark, sf)).cache()
+    val resized = Multimodal.resize(dec, target = 32).cache()
+    assert(resized.count() == dec.count())
     val r = resized.filter(col("doc_id") === 0).head()
     val pixels = r.getSeq[Int](2)
     assert(pixels.length == 32)
-    val payload = assets.filter(_.doc_id == 0).head().payload
-    // nearest-neighbor: out[i] = payload[floor(i*len/32)]
-    assert(pixels(0) == (payload(0) & 0xff))
-    assert(pixels(31) == (payload((31L * payload.length / 32).toInt) & 0xff))
+    val data = dec.filter(_.doc_id == 0).head().data
+    // nearest-neighbor over the DECODED stream: out[i] = data[floor(i*len/32)]
+    assert(pixels(0) == data(0))
+    assert(pixels(31) == data((31L * data.length / 32).toInt))
   }
 
-  test("multimodal: frame sampling yields every k-th byte") {
-    val one = Multimodal.assets(spark, sf).filter(_.doc_id == 0)
-    val bytes = one.head().payload
+  test("multimodal: frame sampling yields every k-th decoded byte") {
+    val one = Multimodal.decodeAll(Multimodal.assets(spark, sf))
+      .filter(_.doc_id == 0)
+    val data = one.head().data
     val frames = Multimodal.sampleFrames(one, everyK = 10)
       .orderBy("frame_offset").collect()
-    assert(frames.length == (bytes.length + 9) / 10)
-    assert(frames.head.getInt(2) == (bytes(0) & 0xff))
+    assert(frames.length == (data.length + 9) / 10)
+    assert(frames.head.getInt(2) == data(0))
   }
 
   test("q27b approx percentiles track exact percentiles within sketch error") {
@@ -79,7 +105,14 @@ class OperatorsSpec extends SparkSpec {
     val got = Multimodal.stillSegmentsQuery(spark, sf).collect()
     assert(got.length == texts.size)
     got.foreach { r =>
-      val rs = runsOf(texts(r.getLong(0)))
+      val id = r.getLong(0); val t = texts(id)
+      // runs are over the DECODED stream = the container-truncated prefix
+      val declen =
+        if (id % 2 == 0) {
+          val w = Multimodal.MediaCodec.bmpWidth(t.length)
+          3 * w * (t.length / (3 * w))
+        } else t.length - t.length % 2
+      val rs = runsOf(t.substring(0, declen))
       assert(r.getAs[Long]("n_runs") == rs.length)
       val best = rs.minBy { case (start, len, b) => (-len, b, start) }
       assert(r.getAs[Long]("max_run_len") == best._2)
