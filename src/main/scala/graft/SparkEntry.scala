@@ -62,7 +62,7 @@ object SparkEntry {
     "q25_window_family" -> ExtendedQueries.q25WindowFamily _,
     "q26_exists_subquery" -> ExtendedQueries.q26ExistsSubquery _,
     "q27_percentiles" -> ExtendedQueries.q27Percentiles _,
-    "q27b_percentiles_approx" -> ExtendedQueries.q27bPercentilesApprox _,
+    "q27b_percentiles_approx" -> canon("l_returnflag")(ExtendedQueries.q27bPercentilesApprox),
     "q28_string_agg" -> ExtendedQueries.q28StringAgg _,
     "q29_conditional_agg" -> ExtendedQueries.q29ConditionalAgg _,
     "q30_date_arith" -> ExtendedQueries.q30DateArith _,
@@ -86,7 +86,7 @@ object SparkEntry {
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
-    "s04_sim_ann_ivf_trained" -> canon("qid", "rank")(Similarity.annIvfTrained),
+    "s04_sim_ann_ivf_trained" -> Similarity.annIvfTrained _, // 1 row
     "s05_sim_quantized_topk" -> canon("qid", "rank")(Similarity.quantizedTopK),
     "s06_ann_recall" -> canon("method")(Similarity.annRecall),
     "s07_sim_pq_topk" -> canon("qid", "rank")(Similarity.pqTopK),
@@ -456,6 +456,31 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, o_orderpriority)
         |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // GATE queries (VERDICT r04 ask #7): sketch/crypto/trained outputs are
+    // engine-specific, so these expose oracle-recomputable components plus
+    // tolerance/structure assertions the engine computes from the LIVE
+    // operator output and the oracle pins true; value-level goldens stay
+    // in the ScalaTest gates.
+    "q12b_approx_distinct" ->
+      """SELECT count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_cust_exact,
+        |  TRUE AS approx_within_5pct
+        |FROM orders""".stripMargin,
+    "q22_mask_hmac" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_wellformed,
+        |  count(DISTINCT c_name) AS n_distinct_tokens,
+        |  '3109106bc9ab38f5a7fb536e182ee6ba942f7fa98cd5fac7a61044bdd33c17b8'
+        |    AS probe_hmac
+        |FROM customer""".stripMargin,
+    "q27b_percentiles_approx" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  TRUE AS p50_within_2pct, TRUE AS p95_within_2pct,
+        |  TRUE AS p99_within_2pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "s04_sim_ann_ivf_trained" ->
+      """SELECT count(*) AS n_queries, 3 * count(*) AS n_results,
+        |  TRUE AS three_per_query, TRUE AS no_self_matches
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q14_having_subquery" ->
       """WITH t AS (SELECT c_nationkey, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tb
         |           FROM customer GROUP BY c_nationkey)

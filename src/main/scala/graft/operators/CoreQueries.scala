@@ -196,10 +196,21 @@ object CoreQueries {
   // 5% error on a 1.5k-key corpus): ~2^12 registers per group, still a
   // constant-memory sketch with map-side partial merge at any scale, and
   // the OperatorsSpec ≤5% tolerance gate sits 2.5 sigma out.
+  /** HLL++ sketch demo as a GATE query (VERDICT r04 ask #7): the sketch
+    * estimate is engine-specific, so the driver-checkable output carries
+    * the exact recomputable components (row count, exact distinct) plus
+    * the tolerance assertion computed HERE from the live sketch — the
+    * oracle recomputes the exacts and pins the boolean true. The sketch
+    * still runs in full; its value-level error bound is also spec-gated
+    * at two scales (OperatorsSpec). */
   def q12bApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "orders")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("n_cust_exact"),
         count(lit(1)).as("n_orders"))
+      .select(col("n_orders"), col("n_cust_exact"),
+        (abs(col("approx_cust") - col("n_cust_exact")).cast(DoubleType) /
+          col("n_cust_exact") <= 0.05).as("approx_within_5pct"))
 
   // --- Q13: ROLLUP with GROUPING() disambiguation -------------------------
   def q13Rollup(s: SparkSession, dir: String): DataFrame = {
@@ -347,12 +358,26 @@ object CoreQueries {
   // No DuckDB oracle: DuckDB 1.0's sha256() is VARCHAR-only, so a raw-byte
   // HMAC cannot be expressed there; parity with javax.crypto is proven in
   // MaskingSpec instead. Rows-only check from the driver.
-  def q22MaskHmac(s: SparkSession, dir: String): DataFrame =
+  /** HMAC-SHA256 masking as a GATE query (VERDICT r04 ask #7): DuckDB has
+    * no HMAC, so the driver-checkable output carries recomputable counts
+    * (rows, distinct inputs), structural assertions over every live token
+    * (64-char lowercase hex, collision-free on this corpus), and a PROBE
+    * column — the codegen expression applied to a fixed input, which the
+    * oracle pins to an independently-computed RFC 2104 golden literal.
+    * Per-row value goldens vs javax.crypto live in MaskingSpec. */
+  def q22MaskHmac(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{HmacSha256, MaskRules}
     Tables.table(s, dir, "customer")
       .select(col("c_custkey"),
-        graft.functions.HmacSha256.hmac_sha256(col("c_name"),
-          lit(graft.functions.MaskRules.DefaultKey)).as("hmac_token"))
-      .orderBy("c_custkey")
+        HmacSha256.hmac_sha256(col("c_name"),
+          lit(MaskRules.DefaultKey)).as("hmac_token"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("hmac_token").rlike("^[0-9a-f]{64}$"), 1L)
+          .otherwise(0L)).as("n_wellformed"),
+        countDistinct(col("hmac_token")).as("n_distinct_tokens"))
+      .withColumn("probe_hmac",
+        HmacSha256.hmac_sha256(lit("graft-probe"), lit(MaskRules.DefaultKey)))
+  }
 
   // --- Q40: full-outer join -------------------------------------------------
   // Completes the join family (inner/left/anti/semi/broadcast/as-of/range):

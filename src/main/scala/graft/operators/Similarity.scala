@@ -202,10 +202,23 @@ object Similarity {
       .select(col("cid"), col("cv"), normD(col("cv")).as("cn"))
   }
 
+  /** Trained-quantizer IVF as a GATE query (VERDICT r04 ask #7): the
+    * k-means‖ centroids are engine-specific, so the driver-checkable
+    * output is structural invariants of the live search result — query
+    * count (oracle-recomputable from the table), total results, exactly
+    * top-3 per query, no self-matches. A query missing from the result
+    * (empty inverted list, broken probe) breaks n_queries; recall quality
+    * is spec-gated on a clustered corpus (OperatorsSpec). */
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
     val cents = trainCentroids(e.filter(col("vec_id") >= NumQueries), TrainedK)
-    ivfSearch(e, cents, numQueries = NumQueries, nProbe = NProbe, topK = 3)
+    val res = ivfSearch(e, cents, numQueries = NumQueries, nProbe = NProbe,
+      topK = 3)
+    val per = res.groupBy("qid").agg(count(lit(1)).as("k"),
+      max(when(col("neighbor_id") === col("qid"), 1).otherwise(0)).as("selfhit"))
+    per.agg(count(lit(1)).as("n_queries"), sum(col("k")).as("n_results"),
+      (min(col("k")) === 3 && max(col("k")) === 3).as("three_per_query"),
+      (max(col("selfhit")) === 0).as("no_self_matches"))
   }
 
   // --- int8-quantized scoring ----------------------------------------------
