@@ -105,6 +105,8 @@ object SparkEntry {
     "m04_media_histogram" -> canon("doc_id")(Multimodal.histogramQuery),
     "m05_perceptual_hash" -> canon("rep_id")(Multimodal.perceptualHashQuery),
     "m06_still_segments" -> canon("doc_id")(Multimodal.stillSegmentsQuery),
+    "m07_audio_stats" -> canon("doc_id")(Multimodal.audioStatsQuery),
+    "m08_image_patches" -> canon("doc_id")(Multimodal.imagePatchQuery),
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> canon("da", "db")(Sampling.splitLeakage),
@@ -1341,5 +1343,51 @@ object SparkEntry {
         |  v AS max_run_byte, run_start AS max_run_start
         |FROM best JOIN cnt USING (doc_id) WHERE rn = 1
         |ORDER BY best.doc_id""".stripMargin,
+    // m07: signed int16 reassembly from the decoded WAV byte stream; all
+    // outputs exact integers (sum of squares as BIGINT), so the compare
+    // is bit-exact. ASCII corpus => hi byte <= 127, samples never reach
+    // full scale: n_clipped = 0 is a REAL assertion of the clip detector.
+    "m07_audio_stats" ->
+      """WITH e AS (SELECT doc_id, text,
+        |    CAST(length(text) - length(text) % 2 AS INT) AS declen
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sm AS (SELECT doc_id, declen, text,
+        |    unnest(generate_series(0, declen // 2 - 1)) AS i FROM e),
+        |v AS (SELECT doc_id, declen,
+        |    ord(substr(text, CAST(2*i+1 AS INT), 1))
+        |      + 256 * ord(substr(text, CAST(2*i+2 AS INT), 1)) AS raw
+        |  FROM sm),
+        |w AS (SELECT doc_id, declen,
+        |    CASE WHEN raw > 32767 THEN raw - 65536 ELSE raw END AS s FROM v)
+        |SELECT doc_id, CAST(declen // 2 AS INT) AS n_samples,
+        |  CAST(max(abs(s)) AS INT) AS peak_abs,
+        |  CAST(sum(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped,
+        |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq
+        |FROM w GROUP BY doc_id, declen ORDER BY doc_id""".stripMargin,
+    // m08: 2x2 quadrant sums over the row-major decoded pixel array;
+    // quadrant = integer index arithmetic, sums exact BIGINTs
+    "m08_image_patches" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS len,
+        |    CAST(4 * (length(text) % 3 + 1) AS INT) AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |e AS (SELECT doc_id, text, w, CAST(len // (3*w) AS INT) AS h,
+        |    CAST(3*w*(len // (3*w)) AS INT) AS declen FROM d),
+        |px AS (SELECT doc_id, w, h, text,
+        |    unnest(generate_series(0, declen - 1)) AS i FROM e),
+        |q AS (SELECT doc_id, w, h,
+        |    CASE WHEN 2*(i // (3*w)) >= h THEN 2 ELSE 0 END
+        |      + CASE WHEN 2*(i % (3*w)) >= 3*w THEN 1 ELSE 0 END AS quad,
+        |    ord(substr(text, CAST(i + 1 AS INT), 1)) AS v
+        |  FROM px),
+        |g AS (SELECT doc_id, w, h,
+        |    CAST(sum(CASE WHEN quad = 0 THEN v ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN quad = 1 THEN v ELSE 0 END) AS BIGINT) AS q1,
+        |    CAST(sum(CASE WHEN quad = 2 THEN v ELSE 0 END) AS BIGINT) AS q2,
+        |    CAST(sum(CASE WHEN quad = 3 THEN v ELSE 0 END) AS BIGINT) AS q3
+        |  FROM q GROUP BY doc_id, w, h)
+        |SELECT doc_id, w AS width, h AS height,
+        |  to_json([q0, q1, q2, q3]) AS quadrant_sums_json
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

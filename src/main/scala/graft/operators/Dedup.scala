@@ -131,7 +131,12 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
     // best match per new doc: max jaccard, ties to the smallest index id
     // (min over (−jaccard, iid) — exact because both engines compare the
-    // identical doubles); counts ride the same aggregation
+    // identical doubles); counts ride the same aggregation. The struct
+    // buffer plans a SortAggregate; deliberate: it runs over the BOUNDED
+    // candidate frame (∝ batch, never corpus), and the s07-style packed-
+    // key rewrite is unavailable because a double's exact value can't be
+    // folded into one fixed-scale decimal without tie-break drift vs the
+    // oracle's double comparison
     val matches = verified.groupBy("nid").agg(
       count(lit(1)).as("n_index_matches"),
       min(struct((-col("jaccard")).as("nj"), col("iid").as("iid"))).as("best"))

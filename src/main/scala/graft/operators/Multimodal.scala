@@ -257,6 +257,62 @@ object Multimodal {
       .select(col("rep_id"), col("n_assets"), col("ahash"))
   }
 
+  /** Audio energy / clipping analysis over decoded 16-bit PCM — the audio
+    * curation pass that drops silent, quiet, or clipped assets before
+    * feature extraction. Reassembles signed int16 samples from the
+    * decoded little-endian byte stream (a REAL sample decode, not a byte
+    * heuristic) and reduces each asset in one linear scan to exact
+    * integers: sample count, peak amplitude, clipped-sample count
+    * (full-scale ±32767/−32768), and energy as a BIGINT sum of squares —
+    * doubles never appear, so the oracle matches bit-for-bit. Per-asset
+    * work inside the decode partition pass: the 100-TB shape (an explode
+    * would multiply the shuffle by the sample count). */
+  def audioStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val decoded = decodeAll(assets(s, dir))
+    import decoded.sparkSession.implicits._
+    decoded.filter(_.fmt == "wav").map { d =>
+      val n = d.data.length / 2
+      var i = 0; var sumSq = 0L; var peak = 0; var clipped = 0L
+      while (i < n) {
+        var v = d.data(2 * i) | (d.data(2 * i + 1) << 8)
+        if (v > 32767) v -= 65536 // sign wrap: little-endian int16
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        if (v == 32767 || v == -32768) clipped += 1
+        sumSq += v.toLong * v
+        i += 1
+      }
+      (d.doc_id, n, peak, clipped, sumSq)
+    }.toDF("doc_id", "n_samples", "peak_abs", "n_clipped", "sum_sq")
+  }
+
+  /** Image patchify over decoded BMP pixels — the ViT-style prepass that
+    * turns a pixel array into per-patch statistics (here a 2×2 quadrant
+    * grid of exact integer sums; a model-input pipeline widens the grid
+    * and normalizes later, the dataflow is identical). Quadrant
+    * membership is pure integer index arithmetic over the row-major
+    * pixel array (`2·y ≥ h`, `2·x ≥ rowBytes`), one linear scan per
+    * asset inside the decode pass — constant-size output per asset, no
+    * per-pixel shuffle. */
+  def imagePatchQuery(s: SparkSession, dir: String): DataFrame = {
+    val decoded = decodeAll(assets(s, dir))
+    import decoded.sparkSession.implicits._
+    decoded.filter(_.fmt == "bmp").map { d =>
+      val rb = 3 * d.width
+      val sums = new Array[Long](4)
+      var i = 0
+      while (i < d.data.length) {
+        val q = (if (2 * (i / rb) >= d.height) 2 else 0) +
+          (if (2 * (i % rb) >= rb) 1 else 0)
+        sums(q) += d.data(i)
+        i += 1
+      }
+      (d.doc_id, d.width, d.height, sums)
+    }.toDF("doc_id", "width", "height", "qsums")
+      .select(col("doc_id"), col("width"), col("height"),
+        to_json(col("qsums")).as("quadrant_sums_json"))
+  }
+
   /** Still-segment / silence detection over the DECODED stream — the
     * media-curation pass that finds the longest constant-byte run per
     * asset (static frames in video, silence in PCM audio; a long run

@@ -90,6 +90,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("m07 audio stats match a direct int16 decode of every WAV") {
+    val texts = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = Multimodal.audioStatsQuery(spark, sf).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) % 2 == 1))
+    got.foreach { r =>
+      val t = texts(r.getLong(0))
+      val samples = t.take(t.length - t.length % 2).grouped(2).map { p =>
+        val raw = p(0).toInt + 256 * p(1).toInt
+        if (raw > 32767) raw - 65536 else raw
+      }.toSeq
+      assert(r.getAs[Int]("n_samples") == samples.length)
+      assert(r.getAs[Int]("peak_abs") == samples.map(math.abs).max)
+      assert(r.getAs[Long]("sum_sq") ==
+        samples.map(v => v.toLong * v).sum)
+      assert(r.getAs[Long]("n_clipped") ==
+        samples.count(v => v == 32767 || v == -32768))
+    }
+  }
+
+  test("m08 image quadrant sums partition the total pixel sum") {
+    val texts = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = Multimodal.imagePatchQuery(spark, sf).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) % 2 == 0))
+    got.foreach { r =>
+      val t = texts(r.getLong(0))
+      val w = Multimodal.MediaCodec.bmpWidth(t.length)
+      val declen = 3 * w * (t.length / (3 * w))
+      assert(r.getAs[Int]("width") == w)
+      val sums = r.getAs[String]("quadrant_sums_json")
+        .stripPrefix("[").stripSuffix("]").split(",").map(_.toLong)
+      assert(sums.length == 4)
+      // the quadrants tile the pixel array exactly: sums partition the total
+      assert(sums.sum == t.take(declen).map(_.toLong).sum)
+    }
+  }
+
   test("m06 still segments match a direct scan of every payload") {
     val texts = Tables.table(spark, sf, "documents")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
