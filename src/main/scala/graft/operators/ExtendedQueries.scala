@@ -195,24 +195,29 @@ object ExtendedQueries {
   /** KLL/GK sketch percentiles as a GATE query (VERDICT r04 ask #7): the
     * sketch values are engine-specific, so the driver-checkable output is
     * the group key + exact row count (oracle-recomputable) plus per-
-    * percentile tolerance assertions computed HERE against Spark's exact
-    * percentile in the same aggregation — the oracle pins them true. The
-    * adversarial value-level spec (q27b vs q27) remains in OperatorsSpec. */
+    * percentile tolerance assertions computed HERE against the exact
+    * values — the oracle pins them true. The exact reference reuses
+    * [[q27Percentiles]]'s two-level distributed counting (bounded memory
+    * per stage), NOT `percentile()`, whose ObjectHashAggregate buffers
+    * every group value in memory — the 100-TB disqualifier q27's design
+    * exists to avoid. The adversarial value-level spec (q27b vs q27)
+    * remains in OperatorsSpec. */
   def q27bPercentilesApprox(s: SparkSession, dir: String): DataFrame = {
-    def ok(i: Int) =
-      abs(col("pcts").getItem(i) - col("ex").getItem(i)) /
-        col("ex").getItem(i) <= 0.02
-    Tables.table(s, dir, "lineitem")
+    val approx = Tables.table(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
           .as("pcts"),
-        expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ex"),
         count(lit(1)).as("n"))
+    val exact = q27Percentiles(s, dir)
+      .select(col("l_returnflag"), col("p50"), col("p95"), col("p99"))
+    def ok(i: Int, c: String) =
+      abs(col("pcts").getItem(i) - col(c)) / col(c) <= 0.02
+    approx.join(broadcast(exact), "l_returnflag")
       .select(col("l_returnflag"), col("n"),
-        ok(0).as("p50_within_2pct"),
-        ok(1).as("p95_within_2pct"),
-        ok(2).as("p99_within_2pct"))
+        ok(0, "p50").as("p50_within_2pct"),
+        ok(1, "p95").as("p95_within_2pct"),
+        ok(2, "p99").as("p99_within_2pct"))
   }
 
   // --- Q28: ordered string aggregation --------------------------------------
