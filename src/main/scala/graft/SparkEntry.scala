@@ -119,6 +119,7 @@ object SparkEntry {
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
     "t11_bigram_novelty" -> TextAnalysis.bigramNovelty _,
+    "t12_token_surprisal" -> canon("doc_id")(TextAnalysis.surprisal),
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -1223,6 +1224,24 @@ object SparkEntry {
          |    THEN 1.0 - CAST(COALESCE(n_common, 0) AS DOUBLE) / n_bigrams
          |    ELSE 0.0 END AS novelty
          |FROM sz LEFT JOIN common USING (doc_id) ORDER BY sz.doc_id""".stripMargin,
+    // t12: fixed power-of-4 frequency thresholds => rarity classes are
+    // exact-integer comparisons in both engines; mean is one division of
+    // exact integers (identical doubles both sides)
+    "t12_token_surprisal" ->
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |v AS (SELECT tok, count(*) AS freq FROM ex GROUP BY tok),
+         |r AS (SELECT tok,
+         |    CASE WHEN freq >= 1024 THEN 0 WHEN freq >= 256 THEN 1
+         |         WHEN freq >= 64 THEN 2 WHEN freq >= 16 THEN 3
+         |         WHEN freq >= 4 THEN 4 ELSE 5 END AS rarity FROM v)
+         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(rarity) AS BIGINT) AS rarity_sum,
+         |  CAST(sum(CASE WHEN rarity = 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rare,
+         |  CAST(sum(rarity) AS DOUBLE) / count(*) AS mean_rarity
+         |FROM ex e JOIN r USING (tok) GROUP BY e.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
     // Geometry contract with the asset synthesizer (Multimodal.assets):
     // even doc_id -> 24-bpp BMP, w = 4*(len%3+1), h = len // (3w), decoded
     // pixel array = first 3wh text bytes; odd doc_id -> 16-bit mono WAV,

@@ -189,6 +189,36 @@ object TextAnalysis {
     * side is the distinct-token table, small enough to broadcast at any
     * scale.
     */
+  /** Token-rarity surprisal profile (t12) — the curation signal a CCNet/
+    * Gopher-style LM perplexity filter approximates, in exact integers:
+    * every corpus token gets a rarity CLASS from fixed frequency
+    * thresholds (powers of 4, so class boundaries are literals both
+    * engines compare exactly — a float log would put boundary tokens at
+    * the mercy of rounding), and each document reduces to its token
+    * count, rarity sum, and rare-token count; the mean is one division of
+    * exact integers at the boundary. Low mean ⇒ boilerplate/stopword
+    * soup; high mean ⇒ unusual or noisy text — both tails are what a
+    * quality pipeline inspects. Shape at 100 TB: one vocab aggregation
+    * (map-side combine), a token-keyed equi-join (the Zipf head of the
+    * vocab is broadcastable; the long tail hash-partitions evenly by
+    * construction), one per-doc aggregation. */
+  def surprisal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, dir, "documents", "doc_id")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val rarity = vocab.select(col("tok"),
+      when(col("freq") >= 1024, 0).when(col("freq") >= 256, 1)
+        .when(col("freq") >= 64, 2).when(col("freq") >= 16, 3)
+        .when(col("freq") >= 4, 4).otherwise(5).as("rarity"))
+    toks.join(rarity, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rarity")).as("rarity_sum"),
+        sum(when(col("rarity") === 5, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum"), col("n_rare"),
+        (col("rarity_sum").cast(DoubleType) / col("n_tokens")).as("mean_rarity"))
+  }
+
   def keywords(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(s, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

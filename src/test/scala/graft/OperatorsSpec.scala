@@ -90,6 +90,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t12 surprisal matches a direct corpus-frequency recompute") {
+    import graft.operators.TextAnalysis
+    val texts = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def toksOf(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    val freq = texts.values.flatMap(toksOf).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    def rarity(f: Int) =
+      if (f >= 1024) 0 else if (f >= 256) 1 else if (f >= 64) 2
+      else if (f >= 16) 3 else if (f >= 4) 4 else 5
+    val got = TextAnalysis.surprisal(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val rs = toksOf(texts(r.getLong(0))).map(t => rarity(freq(t)))
+      assert(r.getAs[Long]("n_tokens") == rs.length)
+      assert(r.getAs[Long]("rarity_sum") == rs.sum.toLong)
+      assert(r.getAs[Long]("n_rare") == rs.count(_ == 5).toLong)
+      assert(math.abs(r.getAs[Double]("mean_rarity") -
+        rs.sum.toDouble / rs.length) < 1e-12)
+    }
+  }
+
   test("m07 audio stats match a direct int16 decode of every WAV") {
     val texts = Tables.table(spark, sf, "documents")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
