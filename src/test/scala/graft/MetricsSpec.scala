@@ -36,6 +36,23 @@ class MetricsSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("supervised restart reusing the query id keeps prior Unhealthy visible") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val listener = new MetricsListener
+    val id = java.util.UUID.randomUUID()
+    listener.onQueryStarted(
+      new QueryStartedEvent(id, java.util.UUID.randomUUID(), "q", "t0"))
+    listener.onQueryTerminated(
+      new QueryTerminatedEvent(id, java.util.UUID.randomUUID(), Some("boom")))
+    assert(listener.currentHealth == listener.Unhealthy)
+    // a checkpoint-based supervised restart reuses the SAME query id: the
+    // failure must stay visible until the restart reports healthy progress
+    listener.onQueryStarted(
+      new QueryStartedEvent(id, java.util.UUID.randomUUID(), "q", "t1"))
+    assert(listener.currentHealth == listener.Unhealthy,
+      "restart wiped an unobserved failure")
+  }
+
   test("unnamed queries do not kill the listener (progress.name is null)") {
     val listener = new MetricsListener
     spark.streams.addListener(listener)

@@ -106,6 +106,22 @@ class StreamingSpec extends SparkSpec {
       .toSet == Set("k1", "k2"))
   }
 
+  test("upsert store: a null delete-marker column is LIVE, not dropped") {
+    // a payload that lost the marker field round-tripping through the JSON
+    // DLQ and was replayed into the store: `col =!= deleteValue` evaluates
+    // to null on it, and a bare filter would silently drop the live row
+    val dir = Files.createTempDirectory("graft-nulltomb").toString
+    val store = new UpsertStateStore(dir, Seq("k"), Seq("ts"))
+    val batch = Seq(
+      ("k1", Some("INSERT"), 100L),
+      ("k2", Option.empty[String], 100L), // marker lost in replay round-trip
+      ("k3", Some("DELETE"), 100L)
+    ).toDF("k", "event_type", "ts")
+    store.upsert(batch, 1)
+    assert(store.current(spark).get.select("k").as[String].collect()
+      .toSet == Set("k1", "k2"), "null-marker row must survive the read")
+  }
+
   test("upsert store: replay after a crash between pointer swap and marker") {
     val dir = Files.createTempDirectory("graft-crash")
     val store = new UpsertStateStore(dir.toString, Seq("k"), Seq("ts"))
