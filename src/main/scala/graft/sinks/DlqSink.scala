@@ -149,7 +149,10 @@ object DlqSink {
       // absent from the leaf-file read; drop ignores missing names
       val payload = letters.drop(MetaCols: _*)
       def drive(): Unit =
-        if (preserveBatchIds) {
+        // batch_id is a caller-supplied payload column (FanOut attaches it;
+        // foreign producers may not) — a queue with no such column at all
+        // degrades to the single replayBatchId write instead of throwing
+        if (preserveBatchIds && letters.columns.contains("batch_id")) {
           // one row per FAILED BATCH — bounded metadata, not data; the
           // whole loop is idempotent under retry because each group
           // re-writes under the same stable id every attempt

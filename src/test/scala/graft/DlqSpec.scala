@@ -127,6 +127,23 @@ class DlqSpec extends SparkSpec {
     assert(!new java.io.File(s"$out/batch=999").exists())
   }
 
+  test("preserveBatchIds degrades gracefully when letters carry no batch_id") {
+    val dir = Files.createTempDirectory("dlq6").toString
+    val out = Files.createTempDirectory("dlq6out").toString
+    // foreign producer: dead-letters written WITHOUT a batch_id column
+    val failed = Seq(("e1", "users"), ("e2", "users")).toDF("event_id", "table_name")
+    DlqSink.write(failed, dir, "pg", "Timeout", "slow",
+      failedAtMicros = 1704067200000000L)
+    def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+    val up = DlqSink.replay(spark, dir, "pg", replayBatchId = 77L,
+      write, graft.sinks.RetryPolicy(maxAttempts = 2, baseDelayMs = 1),
+      preserveBatchIds = true)
+    assert(up.succeeded && up.rows == 2)
+    // no batch_id column at all -> one write under the replay id
+    assert(spark.read.parquet(s"$out/batch=77").count() == 2)
+  }
+
   test("letters appended during a replay survive its compaction") {
     val dir = Files.createTempDirectory("dlq5").toString
     val batch = Seq(("e1", "users")).toDF("event_id", "table_name")
