@@ -83,6 +83,7 @@ object SparkEntry {
     "d05_dedup_embedding" -> Dedup.embeddingCosine _,
     "d06_dedup_clusters" -> Dedup.clusters _,
     "d07_dedup_incremental" -> canon("doc_id")(Dedup.incremental),
+    "d08_dedup_containment" -> canon("inner_id", "outer_id")(Dedup.containment),
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -845,6 +846,30 @@ object SparkEntry {
          |FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold}
          |ORDER BY da, db""".stripMargin,
+    // d08: directional shingle containment — candidates from any shared
+    // df-capped shingle (a lossless superset of the engine's inner-side
+    // prefix index, so the verified ≥ τ outputs agree), exact re-score
+    // over full shingle sets
+    "d08_dedup_containment" ->
+      s"""WITH $shingleCtes,
+         |df AS (SELECT s, count(*) AS d FROM ex GROUP BY s),
+         |kept AS (SELECT s FROM df
+         |         WHERE d <= greatest(${Dedup.DfCapFloor},
+         |           CAST(floor(${Dedup.DfCapFraction} *
+         |             (SELECT count(*) FROM documents)) AS BIGINT))),
+         |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+         |cand AS (SELECT DISTINCT a.doc_id AS inner_id, b.doc_id AS outer_id
+         |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id != b.doc_id),
+         |i AS (SELECT inner_id, outer_id, count(*) AS inter
+         |      FROM cand JOIN ex a ON inner_id = a.doc_id
+         |      JOIN ex b ON outer_id = b.doc_id AND a.s = b.s
+         |      GROUP BY 1, 2)
+         |SELECT inner_id, outer_id, CAST(sa.n AS BIGINT) AS n_inner,
+         |  CAST(inter AS BIGINT) AS n_overlap,
+         |  CAST(inter AS DOUBLE) / sa.n AS containment
+         |FROM i JOIN sizes sa ON inner_id = sa.doc_id
+         |WHERE CAST(inter AS DOUBLE) / sa.n >= ${Dedup.ContainmentThreshold}
+         |ORDER BY inner_id, outer_id""".stripMargin,
     "d05_dedup_embedding" -> {
       // same banded md5-derived hyperplanes as Dedup.embPlaneWeights; the
       // sign of a sequential double fold is engine-exact on both sides

@@ -342,6 +342,70 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  // --- containment (doc-in-doc) dedup --------------------------------------
+  /** Shingle-containment threshold for [[containment]]: τ = 9/10. */
+  val ContainmentThreshold = 0.9
+
+  /** Asymmetric containment dedup (d08): flags INNER documents whose
+    * shingle set is ≥ τ contained in another document — the quoted
+    * article, the doc-embedded-in-boilerplate, the partial copy that
+    * symmetric jaccard (d04) misses because the big container dilutes
+    * the union. Directional output: one row per (inner, outer) pair with
+    * the exact containment |inner ∩ outer| / |inner|.
+    *
+    * Same candidate machinery as d04 with one asymmetry: the AllPairs
+    * prefix bound applies to the CONTAINED side only (containment ≥ τ
+    * forces a collision within inner's first n − ⌈τ·n⌉ + 1 rarest kept
+    * shingles — at most (1−τ)·n of inner's shingles can be absent from
+    * the container — while the container's prefix is unbounded, so its
+    * full df-capped postings are indexed). Prefix length in exact
+    * integer arithmetic (τ = 9/10); the df cap bounds the pair blowup at
+    * 100 TB exactly as in d04, and capping is df-global so it never
+    * drops a kept collision asymmetrically. Exact re-score over full
+    * shingle sets keeps surviving scores cap-independent. */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(s, Tables.table(s, dir, "documents"))
+
+  /** [[containment]] over an arbitrary (doc_id, text, …) corpus — the
+    * spec entry point for crafted doc-in-doc corpora. */
+  private[graft] def containmentOf(s: SparkSession, raw: DataFrame): DataFrame = {
+    val docs = raw
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val cap = docs.agg(greatest(lit(DfCapFloor.toLong),
+      floor(lit(DfCapFraction) * count(lit(1)))).as("cap"))
+    val wS = Window.partitionBy(col("s"))
+    val exKept = ex.withColumn("d", count(lit(1)).over(wS))
+      .crossJoin(broadcast(cap))
+      .filter(col("d") <= col("cap"))
+      .select(col("doc_id"), col("n"), col("s"), col("d"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("d").asc, col("s").asc)
+    // n − ⌈τ·n⌉ + 1 with τ = 9/10, exact (the double form drops a
+    // qualifying prefix slot whenever 10 | n — the d04 lesson)
+    val prefixLen = col("n") - expr("(9 * n + 9) div 10") + 1
+    val prefix = exKept.withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= prefixLen)
+      .select("doc_id", "s")
+    val cands = prefix.as("a").join(exKept.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("inner_id"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("outer_id"), col("sh").as("shb"))
+    cands.join(a, "inner_id").join(b, "outer_id")
+      .select(col("inner_id"), col("outer_id"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("n_inner"))
+      .select(col("inner_id"), col("outer_id"), col("n_inner"),
+        col("inter").as("n_overlap"),
+        (col("inter").cast(DoubleType) / col("n_inner")).as("containment"))
+      .filter(col("containment") >= ContainmentThreshold)
+  }
+
   // --- embedding-cosine near-dup ------------------------------------------
   // Exact-decimal dot products (order-independent → engine-exact doubles).
   // Threshold 0.5 is calibrated to this corpus (max cosine ≈ 0.6);

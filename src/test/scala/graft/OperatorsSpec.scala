@@ -90,6 +90,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d08 containment flags doc-in-doc that symmetric jaccard misses") {
+    import graft.operators.Dedup
+    // inner quoted verbatim inside a 4x-bigger container: jaccard is
+    // diluted far below 0.8, but containment(inner -> outer) is ~1.0
+    val inner = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val filler = (100 to 190).map(i => s"pad$i").mkString(" ")
+    val corpus = Seq(
+      (0L, inner),
+      (1L, s"$filler $inner"),
+      (2L, (200 to 260).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentOf(spark, corpus).collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"doc-in-doc pair missing from $pairs")
+    val row = got.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(row.getAs[Double]("containment") == 1.0)
+    // the symmetric d04 view of the same corpus misses it (union-diluted)
+    val jac = Dedup.ngramJaccardOf(spark, corpus).collect()
+    assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    // and no false positives against the unrelated doc
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("t12 surprisal matches a direct corpus-frequency recompute") {
     import graft.operators.TextAnalysis
     val texts = Tables.table(spark, sf, "documents")
