@@ -384,16 +384,37 @@ object Dedup {
       .select(col("doc_id"), col("n"), col("s"), col("d"))
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("d").asc, col("s").asc)
-    // n − ⌈τ·n⌉ + 1 with τ = 9/10, exact (the double form drops a
-    // qualifying prefix slot whenever 10 | n — the d04 lesson)
-    val prefixLen = col("n") - expr("(9 * n + 9) div 10") + 1
+    // Count-bounded prefix (the PPJoin count filter, containment form).
+    // missBudget = ⌊(1−τ)·n⌋ in exact integer arithmetic (the double form
+    // drops a slot whenever 10 | n — the d04 lesson): a container holding
+    // ≥ τ of inner's shingles misses at most missBudget of them, so among
+    // inner's first k indexed rarest shingles it must match ≥ k −
+    // missBudget. Indexing 2·missBudget + 1 (instead of the minimal
+    // missBudget + 1) raises that evidence requirement from ≥ 1 shared
+    // rare shingle to ≥ missBudget + 1 — which collapses the candidate
+    // set from every-pair-sharing-one-rare-shingle (~133k at sf0.1, each
+    // paying an array-intersect verify) to the genuinely overlapping
+    // pairs, at the price of a 2× wider posting index. The count bound is
+    // exact, so no qualifying pair is lost.
+    val missBudget = col("n") - expr("(9 * n + 9) div 10")
     val prefix = exKept.withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= prefixLen)
-      .select("doc_id", "s")
+      .filter(col("rn") <= lit(2) * missBudget + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+    // k_idx = rows actually indexed (short or heavily-capped docs index
+    // fewer than 2·missBudget + 1); the per-pair requirement adapts
+    val kIdx = prefix.groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("k_idx"))
+      .select(col("doc_id").as("inner_id"),
+        greatest(lit(1L),
+          col("k_idx") - (col("n") - expr("(9 * n + 9) div 10")))
+          .as("required"))
     val cands = prefix.as("a").join(exKept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .agg(count(lit(1)).as("hits"))
+      .join(kIdx, "inner_id")
+      .filter(col("hits") >= col("required"))
+      .select("inner_id", "outer_id")
     val a = docs.select(col("doc_id").as("inner_id"), col("sh").as("sha"))
     val b = docs.select(col("doc_id").as("outer_id"), col("sh").as("shb"))
     cands.join(a, "inner_id").join(b, "outer_id")
