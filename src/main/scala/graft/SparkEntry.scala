@@ -93,6 +93,7 @@ object SparkEntry {
     "s07_sim_pq_topk" -> canon("qid", "rank")(Similarity.pqTopK),
     "s08_sim_filtered_topk" -> canon("qid", "rank")(Similarity.filteredTopK),
     "s09_quantization_recall" -> canon("method")(Similarity.quantizationRecall),
+    "s10_index_stats" -> canon("index_name")(Similarity.indexStats),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -291,16 +292,19 @@ object SparkEntry {
        |SELECT qid, rank, neighbor_id, cos_sim FROM r
        |WHERE rank <= ${Similarity.TopK} ORDER BY qid, rank""".stripMargin
 
-  private def s02Sql: String = {
-    // same md5-derived hyperplanes as Similarity.planeWeights, inlined as
-    // literal weight vectors; the sign of a sequential double fold is
-    // engine-exact on both sides
-    val bitExprs = Similarity.planeWeights.map { ws =>
+  // same md5-derived hyperplanes as Similarity.planeWeights, inlined as
+  // literal weight vectors; the sign of a sequential double fold is
+  // engine-exact on both sides. Shared by s02 and the s10 balance audit.
+  private def lshBitExprs: String =
+    Similarity.planeWeights.map { ws =>
       val l = ws.mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $l::FLOAT[]), " +
         "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
         "THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  private def s02Sql: String = {
+    val bitExprs = lshBitExprs
     s"""WITH $embCte,
        |bk AS (SELECT vec_id, $bitExprs AS bucket FROM e),
        |ee AS (SELECT e.*, bk.bucket FROM e JOIN bk USING (vec_id)),
@@ -933,6 +937,36 @@ object SparkEntry {
          |  CAST(${3 * Similarity.NumQueries} AS BIGINT) AS n_possible,
          |  CAST(n_hits AS DOUBLE) / ${3 * Similarity.NumQueries} AS recall_at_3
          |FROM c ORDER BY method""".stripMargin,
+    // s10: occupancy stats over the same bucket/assignment CTEs as
+    // s02/s03; sums cast from DuckDB's HUGEINT to BIGINT to match Spark
+    "s10_index_stats" ->
+      s"""WITH $embCte,
+         |bk AS (SELECT vec_id, $lshBitExprs AS bucket FROM e),
+         |lg AS (SELECT bucket, count(*) AS sz FROM bk GROUP BY bucket),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |            AND vec_id >= ${Similarity.NumQueries}),
+         |ac AS (SELECT a.vec_id, c.cid,
+         |    list_sum(list_transform(list_zip(a.embedding, c.cv),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+         |  FROM e a, cents c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+         |  WHERE rn = 1),
+         |ig AS (SELECT cid, count(*) AS sz FROM assign GROUP BY cid),
+         |st AS (
+         |  SELECT 'lsh' AS index_name, count(*) AS n_groups,
+         |    CAST(sum(sz) AS BIGINT) AS n_vectors,
+         |    CAST(min(sz) AS BIGINT) AS min_size,
+         |    CAST(max(sz) AS BIGINT) AS max_size FROM lg
+         |  UNION ALL
+         |  SELECT 'ivf', count(*), CAST(sum(sz) AS BIGINT),
+         |    CAST(min(sz) AS BIGINT), CAST(max(sz) AS BIGINT) FROM ig)
+         |SELECT index_name, n_groups, n_vectors, min_size, max_size,
+         |  CAST(max_size AS DOUBLE) / n_vectors AS max_share
+         |FROM st ORDER BY index_name""".stripMargin,
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,
          |        list_sum(list_transform(embedding,

@@ -126,6 +126,46 @@ object Similarity {
     ivfSearch(e, cents, numQueries = NumQueries, nProbe = NProbe, topK = 3)
   }
 
+  /** Inverted-list assignment: every vector → its single nearest centroid
+    * (argmax cosine, ties to the smallest cid). Broadcast centroids, one
+    * map-side pass + a per-vector window — shared by [[ivfSearch]] and
+    * the [[indexStats]] balance audit. */
+  private[graft] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    def cosToCentroid =
+      (graft.functions.FloatVecDot.float_vec_dot(col("embedding"), col("cv")) /
+        (col("nrm") * col("cn"))).as("ccos")
+    val wNearest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cid"), cosToCentroid)
+      .withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") === 1).select("vec_id", "cid")
+  }
+
+  /** Index-balance audit (s10): per-partition occupancy of the LSH
+    * buckets and the IVF inverted lists — the operational diagnostic a
+    * 100-TB ANN deployment watches, because one hot bucket silently
+    * turns "ANN" into brute force over the hot partition (and starves
+    * the probe budget everywhere else). One row per index: group count,
+    * total vectors, min/max occupancy, and the hot partition's share
+    * (exact integers; the share is one boundary division). */
+  def indexStats(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    def statsOf(groups: DataFrame, name: String): DataFrame = groups
+      .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_vectors"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
+      .select(lit(name).as("index_name"), col("n_groups"), col("n_vectors"),
+        col("min_size"), col("max_size"),
+        (col("max_size").cast(DoubleType) / col("n_vectors")).as("max_share"))
+    val lsh = bucketed(e).groupBy("bucket").agg(count(lit(1)).as("sz"))
+    val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
+        col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val ivf = ivfAssign(e, cents).groupBy("cid").agg(count(lit(1)).as("sz"))
+    statsOf(lsh, "lsh").unionByName(statsOf(ivf, "ivf"))
+  }
+
   /** The IVF search data flow, shared by the oracle-pinned [[annIvf]] and the
     * trained [[annIvfTrained]]. `e` = (vec_id, embedding, nrm); `cents` =
     * (cid, cv, cn), K ≪ N so always broadcast.
@@ -142,10 +182,7 @@ object Similarity {
     val wNearest = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
     // inverted lists: every vector → its single nearest centroid
-    val assigned = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("cid"), cosToCentroid)
-      .withColumn("rn", row_number().over(wNearest))
-      .filter(col("rn") === 1).select("vec_id", "cid")
+    val assigned = ivfAssign(e, cents)
     // queries probe their nProbe nearest lists
     val probes = e.filter(col("vec_id") < numQueries)
       .join(broadcast(cents), lit(true))

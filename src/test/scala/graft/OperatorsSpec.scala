@@ -90,6 +90,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s10 index stats: occupancy partitions the corpus for both indexes") {
+    import graft.operators.Similarity
+    val n = Tables.table(spark, sf, "embeddings").count()
+    val rows = Similarity.indexStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("lsh", "ivf"))
+    rows.values.foreach { r =>
+      // every vector lands in exactly one bucket/list — occupancy conserves
+      assert(r.getAs[Long]("n_vectors") == n)
+      assert(r.getAs[Long]("min_size") >= 1)
+      assert(r.getAs[Long]("max_size") <= n)
+      val share = r.getAs[Double]("max_share")
+      assert(share > 0 && share <= 1.0)
+    }
+    assert(rows("lsh").getAs[Long]("n_groups") <= (1L << Similarity.NumPlanes))
+  }
+
   test("d08 containment flags doc-in-doc that symmetric jaccard misses") {
     import graft.operators.Dedup
     // inner quoted verbatim inside a 4x-bigger container: jaccard is
