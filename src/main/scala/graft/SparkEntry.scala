@@ -117,6 +117,7 @@ object SparkEntry {
     "p06_token_budget_sample" -> Sampling.tokenBudgetSample _,
     "p07_domain_mixture" -> canon("lang")(Sampling.domainMixture),
     "p08_cluster_split" -> canon("split")(Sampling.clusterSplit),
+    "p09_curriculum" -> canon("stage")(Sampling.curriculum),
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -1149,6 +1150,31 @@ object SparkEntry {
          |    + 0.2 * (CAST(stop_hits AS DOUBLE) / n_tokens) AS quality_score
          |FROM documents d JOIN st ON d.doc_id = st.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+    // p09: stage thresholds are double literals over t02's hash-proven
+    // identical quality doubles; token budget exact BIGINT, score range
+    // via min/max (order-independent), never a float sum
+    "p09_curriculum" -> {
+      val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(",")
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |st AS (SELECT doc_id, count(*) AS n_tokens,
+         |         count(DISTINCT tok) AS n_distinct,
+         |         CAST(sum(CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |       FROM tok GROUP BY doc_id),
+         |q AS (SELECT doc_id, n_tokens,
+         |        0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         |          + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |          + 0.2 * (CAST(stop_hits AS DOUBLE) / n_tokens) AS score
+         |      FROM st),
+         |b AS (SELECT n_tokens, score,
+         |        CASE WHEN score >= 0.43 THEN 's3_high'
+         |             WHEN score >= 0.41 THEN 's2_mid'
+         |             ELSE 's1_low' END AS stage FROM q)
+         |SELECT stage, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(score) AS min_score, max(score) AS max_score
+         |FROM b GROUP BY stage ORDER BY stage""".stripMargin
     },
     "t03_text_tokens" ->
       s"""WITH $toksCte

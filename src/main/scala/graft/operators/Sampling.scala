@@ -277,4 +277,27 @@ object Sampling {
       .select("lang", "rk", "doc_id")
       .orderBy("lang", "rk")
   }
+
+  /** Curriculum staging (p09): bucket the corpus into ordered training
+    * stages by quality score — the data-ordering primitive behind
+    * curriculum learning (train easy/clean first, hard/noisy later) and
+    * behind quality-tiered mixture weights. Stage thresholds are double
+    * LITERALS compared against t02's quality score, whose doubles are
+    * hash-proven bit-identical across engines (each is a single division
+    * or literal-weighted sum of exact integers), so the bucket boundaries
+    * cannot drift. Per stage: doc count, exact token budget (the number a
+    * mixture scheduler actually consumes), and the score range (min/max —
+    * order-independent selections, never a float sum). One pass over the
+    * t02 signals + one tiny aggregation; at 100 TB the stage column is a
+    * pure map and the rollup is three rows. */
+  def curriculum(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        when(col("quality_score") >= 0.43, "s3_high")
+          .when(col("quality_score") >= 0.41, "s2_mid")
+          .otherwise("s1_low").as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
 }

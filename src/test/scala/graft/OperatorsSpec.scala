@@ -90,6 +90,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("p09 curriculum stages partition the corpus with ordered score ranges") {
+    import graft.operators.Sampling
+    val rows = Sampling.curriculum(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet.subsetOf(Set("s1_low", "s2_mid", "s3_high")))
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // stages are score-disjoint and ordered: every doc in exactly one
+    rows.get("s1_low").foreach(r => assert(r.getAs[Double]("max_score") < 0.41))
+    rows.get("s2_mid").foreach { r =>
+      assert(r.getAs[Double]("min_score") >= 0.41 &&
+        r.getAs[Double]("max_score") < 0.43)
+    }
+    rows.get("s3_high").foreach(r => assert(r.getAs[Double]("min_score") >= 0.43))
+    rows.values.foreach(r => assert(r.getAs[Long]("n_tokens") > 0))
+  }
+
   test("s10 index stats: occupancy partitions the corpus for both indexes") {
     import graft.operators.Similarity
     val n = Tables.table(spark, sf, "embeddings").count()
