@@ -123,6 +123,7 @@ object SparkEntry {
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
     "t11_bigram_novelty" -> TextAnalysis.bigramNovelty _,
     "t12_token_surprisal" -> canon("doc_id")(TextAnalysis.surprisal),
+    "t13_source_profile" -> canon("source")(TextAnalysis.sourceProfile),
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -1327,6 +1328,52 @@ object SparkEntry {
          |  CAST(sum(rarity) AS DOUBLE) / count(*) AS mean_rarity
          |FROM ex e JOIN r USING (tok) GROUP BY e.doc_id
          |ORDER BY e.doc_id""".stripMargin,
+    // t13: composes the d02 pairs chain, t02 quality formula, and t01
+    // langid grid; rollup is integer-only (no float sums)
+    "t13_source_profile" -> {
+      val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(",")
+      val values = TextAnalysis.markers
+        .map { case (l, w) => s"('$l','$w')" }.mkString(",")
+      s"""WITH $minhashPairCtes,
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |st AS (SELECT doc_id, count(*) AS n_tokens,
+         |         count(DISTINCT tok) AS n_distinct,
+         |         CAST(sum(CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |       FROM tok GROUP BY doc_id),
+         |q AS (SELECT doc_id, n_tokens,
+         |        0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         |          + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |          + 0.2 * (CAST(stop_hits AS DOUBLE) / n_tokens) AS score
+         |      FROM st),
+         |m(lang, word) AS (VALUES $values),
+         |hits AS (SELECT doc_id, lang, count(*) AS score
+         |         FROM tok JOIN m ON tok = word GROUP BY doc_id, lang),
+         |grid AS (SELECT d.doc_id, l.lang FROM documents d
+         |         CROSS JOIN (SELECT DISTINCT lang FROM m) l),
+         |sc AS (SELECT g.doc_id, g.lang, coalesce(h.score, 0) AS score
+         |       FROM grid g LEFT JOIN hits h
+         |         ON g.doc_id = h.doc_id AND g.lang = h.lang),
+         |lr AS (SELECT doc_id, lang, score,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, lang) AS rn FROM sc),
+         |lid AS (SELECT doc_id, lang AS pred_lang FROM lr WHERE rn = 1),
+         |dup AS (SELECT DISTINCT doc_id FROM
+         |         (SELECT da AS doc_id FROM pairs
+         |          UNION ALL SELECT db FROM pairs)),
+         |j AS (SELECT d.source, d.lang, q.n_tokens, q.score, lid.pred_lang,
+         |        dup.doc_id AS dup_id
+         |      FROM documents d JOIN q USING (doc_id)
+         |        JOIN lid USING (doc_id) LEFT JOIN dup USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN score >= 0.43 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_high_quality,
+         |  CAST(sum(CASE WHEN pred_lang != lang THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lang_mismatch,
+         |  CAST(sum(CASE WHEN dup_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_near_dup
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
+    },
     // Geometry contract with the asset synthesizer (Multimodal.assets):
     // even doc_id -> 24-bpp BMP, w = 4*(len%3+1), h = len // (3w), decoded
     // pixel array = first 3wh text bytes; odd doc_id -> 16-bit mono WAV,

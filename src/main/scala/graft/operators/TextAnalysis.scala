@@ -219,6 +219,37 @@ object TextAnalysis {
         (col("rarity_sum").cast(DoubleType) / col("n_tokens")).as("mean_rarity"))
   }
 
+  /** Per-source provenance audit (t13) — the by-provenance data card a
+    * corpus owner reviews before mixing sources: for every `source`, doc
+    * and exact token counts, high-quality share (the p09 s3 threshold
+    * over t02's hash-identical quality doubles), declared-vs-detected
+    * language disagreements (t01), and near-duplicate exposure (docs in
+    * any d02 pair). A source with high mismatch or dup rates gets
+    * down-weighted or dropped; this query is where that decision comes
+    * from. Composes the already-bounded pipelines and ends in one tiny
+    * per-source rollup — integer aggregates only, no float sums. */
+  def sourceProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+    val q = quality(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val lid = langId(s, dir).select(col("doc_id"), col("pred_lang"))
+    val pairs = Dedup.minhashLsh(s, dir)
+    val dup = pairs.select(col("da").as("doc_id"))
+      .unionByName(pairs.select(col("db").as("doc_id")))
+      .distinct().withColumn("is_dup", lit(1L))
+    docs.join(q, "doc_id").join(lid, "doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("quality_score") >= 0.43, 1L).otherwise(0L))
+          .as("n_high_quality"),
+        sum(when(col("pred_lang") =!= col("lang"), 1L).otherwise(0L))
+          .as("n_lang_mismatch"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup"))
+  }
+
   def keywords(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(s, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

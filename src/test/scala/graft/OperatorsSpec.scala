@@ -90,6 +90,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t13 source profile conserves docs and counts dup exposure exactly") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val rows = TextAnalysis.sourceProfile(spark, sf).collect()
+    val docs = Tables.table(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    // near-dup exposure across sources == distinct docs in any d02 pair
+    val pairs = Dedup.minhashLsh(spark, sf).select("da", "db")
+      .as[(Long, Long)].collect()
+    val dupDocs = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(rows.map(_.getAs[Long]("n_near_dup")).sum == dupDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_high_quality") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_lang_mismatch") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
   test("p09 curriculum stages partition the corpus with ordered score ranges") {
     import graft.operators.Sampling
     val rows = Sampling.curriculum(spark, sf).collect()
