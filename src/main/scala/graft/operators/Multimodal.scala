@@ -112,6 +112,8 @@ object Multimodal {
         val compression = buf.getInt(30)
         require(bpp == 24, s"doc ${a.doc_id}: unsupported bpp $bpp")
         require(compression == 0, s"doc ${a.doc_id}: compressed BMP")
+        require(width > 0 && height > 0,
+          s"doc ${a.doc_id}: non-positive dimensions ${width}x$height")
         val rowBytes = (width * 3 + 3) / 4 * 4 // rows pad to 4-byte words
         val n = rowBytes * height
         require(dataOffset + n <= p.length && fileSize <= p.length,
@@ -121,7 +123,7 @@ object Multimodal {
         while (i < n) { px(i) = p(dataOffset + i) & 0xff; i += 1 }
         Decoded(a.doc_id, "bmp", p.length, width, height,
           n_frames = 1, sample_rate = 0, channels = 0, data = px)
-      } else if (ascii(0, 4) == "RIFF" && p.length >= 44 &&
+      } else if (p.length >= 44 && ascii(0, 4) == "RIFF" &&
           ascii(8, 4) == "WAVE") {
         require(ascii(12, 4) == "fmt ", s"doc ${a.doc_id}: missing fmt chunk")
         val audioFormat = buf.getShort(20).toInt
@@ -130,6 +132,7 @@ object Multimodal {
         val bitsPerSample = buf.getShort(34).toInt
         require(audioFormat == 1 && bitsPerSample == 16,
           s"doc ${a.doc_id}: unsupported WAV encoding")
+        require(channels > 0, s"doc ${a.doc_id}: zero-channel WAV")
         require(ascii(36, 4) == "data", s"doc ${a.doc_id}: missing data chunk")
         val dataSize = buf.getInt(40)
         require(44 + dataSize <= p.length,
@@ -156,6 +159,13 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8") // ASCII corpus: byte i == char i
+        // Invariant the oracle's geometry formulas depend on: every doc is
+        // long enough for at least one full BMP row at the widest stride
+        // (3·12 = 36 bytes), so decoded length is never 0 and the
+        // engine/oracle declen=0 conventions never get exercised.
+        require(bytes.length >= 36,
+          s"doc $id: corpus doc shorter than 36 bytes breaks the " +
+            "synthesizer geometry contract")
         if (id % 2 == 0) {
           val w = MediaCodec.bmpWidth(bytes.length)
           val h = bytes.length / (3 * w)
@@ -293,7 +303,13 @@ object Multimodal {
     * membership is pure integer index arithmetic over the row-major
     * pixel array (`2·y ≥ h`, `2·x ≥ rowBytes`), one linear scan per
     * asset inside the decode pass — constant-size output per asset, no
-    * per-pixel shuffle. */
+    * per-pixel shuffle.
+    *
+    * Row order caveat: uncompressed BMP stores pixel rows BOTTOM-UP, and
+    * this query indexes rows in FILE order, so quadrants 0/1 are the
+    * image's bottom half and 2/3 its top half (the oracle uses the same
+    * file-order convention, so parity holds). A consumer that needs
+    * image-space quadrants should flip with `height - 1 - y`. */
   def imagePatchQuery(s: SparkSession, dir: String): DataFrame = {
     val decoded = decodeAll(assets(s, dir))
     import decoded.sparkSession.implicits._

@@ -148,15 +148,26 @@ object DlqSink {
       // partition columns (destination, failed_date) are dir-derived and
       // absent from the leaf-file read; drop ignores missing names
       val payload = letters.drop(MetaCols: _*)
-      def drive(): Unit =
+      def drive(): Unit = {
         // batch_id is a caller-supplied payload column (FanOut attaches it;
-        // foreign producers may not) — a queue with no such column at all
+        // foreign producers may not) — a queue with no such column at all,
+        // or one whose batch_id round-tripped through JSONL as a
+        // non-integral type (string/double from a foreign producer),
         // degrades to the single replayBatchId write instead of throwing
-        if (preserveBatchIds && letters.columns.contains("batch_id")) {
+        val batchIdIsIntegral =
+          letters.columns.contains("batch_id") && (letters.schema("batch_id")
+            .dataType match {
+            case _: org.apache.spark.sql.types.LongType |
+                _: org.apache.spark.sql.types.IntegerType |
+                _: org.apache.spark.sql.types.ShortType => true
+            case _ => false
+          })
+        if (preserveBatchIds && batchIdIsIntegral) {
           // one row per FAILED BATCH — bounded metadata, not data; the
           // whole loop is idempotent under retry because each group
           // re-writes under the same stable id every attempt
-          val ids = letters.select("batch_id").distinct().collect()
+          val ids = letters.select(col("batch_id").cast("long")).distinct()
+            .collect()
             .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
           ids.foreach {
             case Some(b) =>
@@ -166,6 +177,7 @@ object DlqSink {
                 replayBatchId)
           }
         } else write(payload, replayBatchId)
+      }
       Retry.withRetry(policy)(drive()) match {
         case Retry.Succeeded(_, _) =>
           val conf = spark.sparkContext.hadoopConfiguration

@@ -144,6 +144,25 @@ class DlqSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=77").count() == 2)
   }
 
+  test("preserveBatchIds degrades gracefully when batch_id is non-integral") {
+    val dir = Files.createTempDirectory("dlq6s").toString
+    val out = Files.createTempDirectory("dlq6sout").toString
+    // foreign producer whose batch_id JSONL-round-trips as a STRING — the
+    // replay must fall back to the single replayBatchId write, not throw
+    // ClassCastException on getLong
+    val failed = Seq(("e1", "users", "b-7"), ("e2", "users", "b-8"))
+      .toDF("event_id", "table_name", "batch_id")
+    DlqSink.write(failed, dir, "pg", "Timeout", "slow",
+      failedAtMicros = 1704067200000000L)
+    def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+    val up = DlqSink.replay(spark, dir, "pg", replayBatchId = 88L,
+      write, graft.sinks.RetryPolicy(maxAttempts = 2, baseDelayMs = 1),
+      preserveBatchIds = true)
+    assert(up.succeeded && up.rows == 2)
+    assert(spark.read.parquet(s"$out/batch=88").count() == 2)
+  }
+
   test("letters appended during a replay survive its compaction") {
     val dir = Files.createTempDirectory("dlq5").toString
     val batch = Seq(("e1", "users")).toDF("event_id", "table_name")

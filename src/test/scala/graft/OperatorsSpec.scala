@@ -47,6 +47,24 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MediaCodec.decode(MediaAsset(9L, truncated, "image/bmp"))
     }
+    // every malformed shape surfaces as IllegalArgumentException — the
+    // DLQ-routing contract — never as an index/arithmetic error
+    intercept[IllegalArgumentException] { // 3-byte junk: too short for magic
+      MediaCodec.decode(MediaAsset(9L, Array[Byte]('R', 'I', 'F'), "x"))
+    }
+    val negH = bytes.clone() // negative height (top-down BMP marker): reject
+    java.nio.ByteBuffer.wrap(negH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -1)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaAsset(9L, negH, "image/bmp"))
+    }
+    val wav0 = MediaCodec.encodeWav(Array.tabulate(8)(_.toByte))
+    val zeroCh = wav0.clone() // channels=0 would divide by zero in n_frames
+    java.nio.ByteBuffer.wrap(zeroCh).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(22, 0)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaAsset(9L, zeroCh, "audio/wav"))
+    }
   }
 
   test("multimodal: resize yields a constant-size vector via nearest-neighbor") {
