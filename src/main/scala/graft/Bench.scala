@@ -136,11 +136,13 @@ object Bench {
     // This host shows double-digit CPU-steal percentages in MINUTE-scale
     // windows: r02 recorded 27 s for a query whose steady state is 1.6 s
     // because BOTH of its back-to-back min-of-2 runs sat inside one steal
-    // window. Defense: time the whole pack in two SEPARATED passes (pass 2
-    // starts after every query ran once, so a steal window shorter than a
-    // pass poisons at most one sample per query) and take the per-query
-    // min; queries whose two samples still disagree by >1.4× get a third
-    // tie-break run.
+    // window. Defense: time the whole pack in three SEPARATED passes (each
+    // pass runs every query once, so a steal window shorter than a pass
+    // poisons at most one sample per query) and report the per-query
+    // MEDIAN — robust to one poisoned sample — plus the max−min spread,
+    // so round-over-round movement is attributable: wide spread =
+    // environment noise, tight spread with a moved median = a real
+    // plan/data change (VERDICT r05 item 1).
     def timed(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -162,23 +164,46 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val pass1 = SparkEntry.queries.map { case (n, fn) => n -> timed(n, fn) }
-    val pass2 = SparkEntry.queries.map { case (n, fn) => n -> timed(n, fn) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val (a, b) = (pass1(name), pass2(name))
-      val best =
-        if (a < 0) b
-        else if (b < 0) a
-        else if (math.max(a, b) > 1.4 * math.min(a, b) && math.min(a, b) > 0.5) {
-          val c = timed(name, fn)
-          if (c < 0) math.min(a, b) else math.min(math.min(a, b), c)
-        } else math.min(a, b)
-      name -> best
+    val passes =
+      Vector.fill(3)(SparkEntry.queries.map { case (n, fn) => n -> timed(n, fn) })
+    def samplesOf(name: String): Vector[Double] =
+      passes.map(_(name)).filter(_ >= 0).sorted
+    val results = SparkEntry.queries.map { case (name, _) =>
+      val ss = samplesOf(name)
+      val med =
+        if (ss.isEmpty) -1.0
+        else if (ss.size % 2 == 1) ss(ss.size / 2)
+        else (ss(ss.size / 2 - 1) + ss(ss.size / 2)) / 2
+      name -> med
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val spreadJson = SparkEntry.queries.keys.map { name =>
+      val ss = samplesOf(name)
+      val spread = if (ss.isEmpty) -1.0 else ss.max - ss.min
+      "\"" + name + "\":" + f"$spread%.3f"
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Corpus density stats: the fixture corpus regenerates per round, and
+    // r05's d02 +66% was candidate-pair density, not a plan change. One
+    // line of corpus shape makes that distinction checkable from the
+    // bench JSON alone.
+    val corpusJson = try {
+      val d = Tables.table(spark, sfDir, "documents")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("text")))).head()
+      val pairs = graft.operators.Dedup.minhashLsh(spark, sfDir).count()
+      val emb = Tables.table(spark, sfDir, "embeddings").count()
+      s""","corpus":{"docs":${d.getLong(0)},"text_chars":${d.getLong(1)},""" +
+        s""""neardup_pairs":$pairs,"embeddings":$emb}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] corpus stats failed: ${e.getMessage}")
+      ""
+    }
     // streaming throughput (events/sec through the full CDC pipeline) —
     // comparable to the reference's 1,200 eps sustained baseline
     // max of 2 (throughput: bigger = better, steal spikes only shrink it)
@@ -194,6 +219,9 @@ object Bench {
     // 3-destination fan-out, the reference's multi-dest benchmark shape
     val epsMulti =
       best("stream_eps_multi")(graft.streaming.ThroughputBench.runMulti(spark))
+    // framed-binary commitlog ingest — the reference's real entry point
+    val epsClog = best("stream_eps_commitlog")(
+      graft.streaming.ThroughputBench.runCommitlog(spark))
     // events-per-trigger sweep (reference batch-size optimization analog)
     val sweep =
       try graft.streaming.ThroughputBench.batchSizeSweep(spark)
@@ -215,7 +243,7 @@ object Bench {
     val prevN = results.count { case (k, v) => v >= 0 && prevQ.contains(k) }
     val prevJson =
       s""","prev":"$prevName","prev_n":$prevN,"prev_delta_sec":$deltas"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3","queries":$qs,"queries_spread_sec":$spreadJson$corpusJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
     println(line)
     // belt-and-braces: the driver's r01 record shows its stdout parse can
     // fail on sbt log prefixes ("parsed": null) — persist the same line.

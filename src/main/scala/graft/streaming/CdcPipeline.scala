@@ -58,16 +58,34 @@ object CdcPipeline {
       maxFilesPerTrigger: Int = 1000,
       extraSinks: Seq[FanOut.Destination] = Nil,
       retryPolicy: graft.sinks.RetryPolicy = graft.sinks.RetryPolicy(),
+      onBatch: Seq[FanOut.FanOutResult] => Unit = _ => ()): StreamingQuery =
+    startFromRaw(spark,
+      spark.readStream
+        .schema(ChangeEvent.envelopeSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .json(eventsDir),
+      stateDir, checkpointDir, dlqDir, rules, triggerMs, extraSinks,
+      retryPolicy, onBatch)
+
+  /** The pipeline over ANY streaming envelope frame — the JSON file source
+    * ([[start]]) and the framed-binary commitlog DSv2 source (the
+    * reference's real ingest entry point) produce the same envelope
+    * columns, so everything downstream of the source is shared. */
+  def startFromRaw(
+      spark: SparkSession,
+      raw: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      dlqDir: String,
+      rules: MaskRules = MaskRules(),
+      triggerMs: Long = 100,
+      extraSinks: Seq[FanOut.Destination] = Nil,
+      retryPolicy: graft.sinks.RetryPolicy = graft.sinks.RetryPolicy(),
       onBatch: Seq[FanOut.FanOutResult] => Unit = _ => ()): StreamingQuery = {
 
     val store = new UpsertStateStore(stateDir,
       keyNames = Seq("keyspace", "table_name", "event_key_cols"),
       orderNames = Seq("timestamp_micros", "event_id"))
-
-    val raw = spark.readStream
-      .schema(ChangeEvent.envelopeSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(eventsDir)
 
     val masked = maskEnvelope(rules)(raw)
       .withColumn("event_key", ChangeEvent.eventKeyCol)

@@ -159,4 +159,31 @@ class CommitLogSourceSpec extends SparkSpec {
     assert(rows.length == 5, "restart must append only the delta")
     assert(rows.count(_.getString(0) == "DELETE") == 1)
   }
+
+  test("full CDC pipeline ingests from commitlog segments end-to-end") {
+    // the stream_eps_commitlog bench path: framed-binary source → envelope
+    // parse → mask → watermark dedup → upsert state store
+    val base = Files.createTempDirectory("graft-clog-e2e")
+    val logs = Files.createDirectories(base.resolve("commitlog"))
+    graft.streaming.ThroughputBench.generateCommitlog(
+      logs, nEvents = 200, nFiles = 2, nUsers = 20)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 4)
+    try {
+      val raw = spark.readStream.format("graft-commitlog")
+        .option("path", logs.toString)
+        .load()
+        .transform(df => ChangeEvent.parseEnvelope(df, "body"))
+      val q = graft.streaming.CdcPipeline.startFromRaw(spark, raw,
+        base.resolve("state").toString, base.resolve("ckpt").toString,
+        base.resolve("dlq").toString)
+      try q.processAllAvailable() finally q.stop()
+      val state = graft.streaming.CdcPipeline
+        .currentState(spark, base.resolve("state").toString)
+      assert(state.isDefined, "state store must materialize")
+      // 20 users; ids ≡9 mod 10 are DELETEs — every user's LATEST event
+      // (ids 180..199) decides: users 9 and 19 end deleted, 18 survive
+      assert(state.get.count() == 18)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }
