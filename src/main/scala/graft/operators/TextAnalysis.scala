@@ -228,13 +228,20 @@ object TextAnalysis {
     * down-weighted or dropped; this query is where that decision comes
     * from. Composes the already-bounded pipelines and ends in one tiny
     * per-source rollup — integer aggregates only, no float sums. */
-  def sourceProfile(s: SparkSession, dir: String): DataFrame = {
+  def sourceProfile(s: SparkSession, dir: String): DataFrame =
+    sourceProfile(s, dir, Dedup.minhashLsh(s, dir))
+
+  /** [[sourceProfile]] over an already-materialized d02 pair table — the
+    * production shape: at 100 TB the pair table is computed once per
+    * corpus snapshot and every audit reads it, never re-running LSH
+    * inside the audit itself. */
+  def sourceProfile(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val docs = Tables.table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"))
     val q = quality(s, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val lid = langId(s, dir).select(col("doc_id"), col("pred_lang"))
-    val pairs = Dedup.minhashLsh(s, dir)
     val dup = pairs.select(col("da").as("doc_id"))
       .unionByName(pairs.select(col("db").as("doc_id")))
       .distinct().withColumn("is_dup", lit(1L))
