@@ -84,6 +84,7 @@ object SparkEntry {
     "d06_dedup_clusters" -> Dedup.clusters _,
     "d07_dedup_incremental" -> canon("doc_id")(Dedup.incremental),
     "d08_dedup_containment" -> canon("inner_id", "outer_id")(Dedup.containment),
+    "d09_shingle_audit_suite" -> canon("audit")(Sampling.shingleAuditSuite),
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -144,6 +145,77 @@ object SparkEntry {
       |       FROM toks),
       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)""".stripMargin
+
+  /** d04 oracle — lifted to a val so d09's suite oracle can embed it. */
+  private val d04OracleSql =
+    s"""WITH $shingleCtes,
+       |df AS (SELECT s, count(*) AS d FROM ex GROUP BY s),
+       |kept AS (SELECT s FROM df
+       |         WHERE d <= greatest(${Dedup.DfCapFloor},
+       |           CAST(floor(${Dedup.DfCapFraction} *
+       |             (SELECT count(*) FROM documents)) AS BIGINT))),
+       |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |i AS (SELECT da, db, count(*) AS inter
+       |      FROM cand JOIN ex a ON da = a.doc_id
+       |      JOIN ex b ON db = b.doc_id AND a.s = b.s
+       |      GROUP BY 1, 2)
+       |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold}
+       |ORDER BY da, db""".stripMargin
+
+  /** d08 oracle — lifted for the same reason. Candidates from any shared
+    * df-capped shingle (a lossless superset of the engine's inner-side
+    * prefix index, so the verified ≥ τ outputs agree), exact re-score
+    * over full shingle sets. */
+  private val d08OracleSql =
+    s"""WITH $shingleCtes,
+       |df AS (SELECT s, count(*) AS d FROM ex GROUP BY s),
+       |kept AS (SELECT s FROM df
+       |         WHERE d <= greatest(${Dedup.DfCapFloor},
+       |           CAST(floor(${Dedup.DfCapFraction} *
+       |             (SELECT count(*) FROM documents)) AS BIGINT))),
+       |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+       |cand AS (SELECT DISTINCT a.doc_id AS inner_id, b.doc_id AS outer_id
+       |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id != b.doc_id),
+       |i AS (SELECT inner_id, outer_id, count(*) AS inter
+       |      FROM cand JOIN ex a ON inner_id = a.doc_id
+       |      JOIN ex b ON outer_id = b.doc_id AND a.s = b.s
+       |      GROUP BY 1, 2)
+       |SELECT inner_id, outer_id, CAST(sa.n AS BIGINT) AS n_inner,
+       |  CAST(inter AS BIGINT) AS n_overlap,
+       |  CAST(inter AS DOUBLE) / sa.n AS containment
+       |FROM i JOIN sizes sa ON inner_id = sa.doc_id
+       |WHERE CAST(inter AS DOUBLE) / sa.n >= ${Dedup.ContainmentThreshold}
+       |ORDER BY inner_id, outer_id""".stripMargin
+
+  /** p05 oracle — lifted for the same reason. */
+  private val p05OracleSql =
+    s"""WITH $shingleCtes,
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |              AS BIGINT) % 100 < 80 THEN 'train'
+       |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |              AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |testdocs AS (SELECT sh.doc_id, CAST(len(shingles) AS BIGINT)
+       |      AS n_shingles
+       |  FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE split = 'test'),
+       |testpost AS (SELECT ex.doc_id, s FROM ex
+       |  JOIN sp ON ex.doc_id = sp.doc_id WHERE split = 'test'),
+       |trainsh AS (SELECT s FROM ex JOIN sp ON ex.doc_id = sp.doc_id
+       |  WHERE split = 'train'
+       |  GROUP BY s HAVING count(*) <= ${Sampling.DecontamDfCap}),
+       |shared AS (SELECT tp.doc_id, count(*) AS n_shared
+       |  FROM testpost tp JOIN trainsh USING (s) GROUP BY tp.doc_id)
+       |SELECT t.doc_id, n_shingles,
+       |  COALESCE(n_shared, 0) AS n_shared_shingles,
+       |  (n_shingles > 0 AND COALESCE(n_shared, 0) * 10 >= n_shingles)
+       |    AS contaminated
+       |FROM testdocs t LEFT JOIN shared USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** The d02 MinHash+LSH chain up to a `pairs(da, db, jaccard)` CTE —
     * shared by the d02 oracle and d06's connected-components closure.
@@ -834,48 +906,27 @@ object SparkEntry {
          |           substr('0123456789abcdef', CAST(nib AS INT) + 1, 1) AS c FROM nib)
          |SELECT doc_id, string_agg(c, '' ORDER BY pos) AS simhash128
          |FROM hexc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "d04_dedup_ngram_jaccard" ->
-      s"""WITH $shingleCtes,
-         |df AS (SELECT s, count(*) AS d FROM ex GROUP BY s),
-         |kept AS (SELECT s FROM df
-         |         WHERE d <= greatest(${Dedup.DfCapFloor},
-         |           CAST(floor(${Dedup.DfCapFraction} *
-         |             (SELECT count(*) FROM documents)) AS BIGINT))),
-         |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |i AS (SELECT da, db, count(*) AS inter
-         |      FROM cand JOIN ex a ON da = a.doc_id
-         |      JOIN ex b ON db = b.doc_id AND a.s = b.s
-         |      GROUP BY 1, 2)
-         |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-         |FROM i JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= ${Dedup.JaccardThreshold}
-         |ORDER BY da, db""".stripMargin,
+    "d04_dedup_ngram_jaccard" -> d04OracleSql,
     // d08: directional shingle containment — candidates from any shared
     // df-capped shingle (a lossless superset of the engine's inner-side
     // prefix index, so the verified ≥ τ outputs agree), exact re-score
     // over full shingle sets
-    "d08_dedup_containment" ->
-      s"""WITH $shingleCtes,
-         |df AS (SELECT s, count(*) AS d FROM ex GROUP BY s),
-         |kept AS (SELECT s FROM df
-         |         WHERE d <= greatest(${Dedup.DfCapFloor},
-         |           CAST(floor(${Dedup.DfCapFraction} *
-         |             (SELECT count(*) FROM documents)) AS BIGINT))),
-         |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
-         |cand AS (SELECT DISTINCT a.doc_id AS inner_id, b.doc_id AS outer_id
-         |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id != b.doc_id),
-         |i AS (SELECT inner_id, outer_id, count(*) AS inter
-         |      FROM cand JOIN ex a ON inner_id = a.doc_id
-         |      JOIN ex b ON outer_id = b.doc_id AND a.s = b.s
-         |      GROUP BY 1, 2)
-         |SELECT inner_id, outer_id, CAST(sa.n AS BIGINT) AS n_inner,
-         |  CAST(inter AS BIGINT) AS n_overlap,
-         |  CAST(inter AS DOUBLE) / sa.n AS containment
-         |FROM i JOIN sizes sa ON inner_id = sa.doc_id
-         |WHERE CAST(inter AS DOUBLE) / sa.n >= ${Dedup.ContainmentThreshold}
-         |ORDER BY inner_id, outer_id""".stripMargin,
+    "d08_dedup_containment" -> d08OracleSql,
+    "d09_shingle_audit_suite" ->
+      s"""SELECT * FROM (
+         |SELECT 'd04_jaccard_pairs' AS audit, count(*) AS n_rows,
+         |  count(DISTINCT da) AS n_a, count(DISTINCT db) AS n_b
+         |FROM ($d04OracleSql)
+         |UNION ALL
+         |SELECT 'd08_containment_pairs', count(*),
+         |  count(DISTINCT inner_id), count(DISTINCT outer_id)
+         |FROM ($d08OracleSql)
+         |UNION ALL
+         |SELECT 'p05_decontamination', count(*),
+         |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(sum(n_shared_shingles) AS BIGINT)
+         |FROM ($p05OracleSql)
+         |) ORDER BY audit""".stripMargin,
     "d05_dedup_embedding" -> {
       // same banded md5-derived hyperplanes as Dedup.embPlaneWeights; the
       // sign of a sequential double fold is engine-exact on both sides
@@ -1034,30 +1085,7 @@ object SparkEntry {
          |  (cum_before + n_tokens - 1) // ${Sampling.ContextLen} AS end_bin,
          |  cum_before % ${Sampling.ContextLen} AS offset_in_bin
          |FROM c ORDER BY lang, doc_id""".stripMargin,
-    "p05_decontamination" ->
-      s"""WITH $shingleCtes,
-         |sp AS (SELECT doc_id,
-         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-         |              AS BIGINT) % 100 < 80 THEN 'train'
-         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-         |              AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split
-         |  FROM documents),
-         |testdocs AS (SELECT sh.doc_id, CAST(len(shingles) AS BIGINT)
-         |      AS n_shingles
-         |  FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE split = 'test'),
-         |testpost AS (SELECT ex.doc_id, s FROM ex
-         |  JOIN sp ON ex.doc_id = sp.doc_id WHERE split = 'test'),
-         |trainsh AS (SELECT s FROM ex JOIN sp ON ex.doc_id = sp.doc_id
-         |  WHERE split = 'train'
-         |  GROUP BY s HAVING count(*) <= ${Sampling.DecontamDfCap}),
-         |shared AS (SELECT tp.doc_id, count(*) AS n_shared
-         |  FROM testpost tp JOIN trainsh USING (s) GROUP BY tp.doc_id)
-         |SELECT t.doc_id, n_shingles,
-         |  COALESCE(n_shared, 0) AS n_shared_shingles,
-         |  (n_shingles > 0 AND COALESCE(n_shared, 0) * 10 >= n_shingles)
-         |    AS contaminated
-         |FROM testdocs t LEFT JOIN shared USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "p05_decontamination" -> p05OracleSql,
     "p06_token_budget_sample" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)

@@ -35,17 +35,31 @@ object Dedup {
   val RowsPerBand = 4
   val JaccardThreshold = 0.8
 
-  /** Shingled corpus, width-normalized before shingling (one small file =
-    * one partition, and every branch recompute would serialize otherwise —
-    * see ngramJaccard). The SECOND exchange sits after the shingle pass so
-    * every consumer branch (band keys, verify-join sides) shares it as a
-    * ReusedExchange instead of re-running the tokenize+shingle regexes per
-    * branch — the p05 materialization-point pattern. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "documents")
+  /** Shingled corpus `(doc_id, sh)`, width-normalized before shingling
+    * (one small file = one partition, and every branch recompute would
+    * serialize otherwise — see ngramJaccard). The SECOND exchange sits
+    * after the shingle pass so every consumer branch (band keys,
+    * verify-join sides) shares it as a ReusedExchange instead of
+    * re-running the tokenize+shingle regexes per branch — the p05
+    * materialization-point pattern.
+    *
+    * PUBLIC because it is the one shingle materialization every
+    * shingle-based audit (d02/d04/d08/p05) starts from: an audit pipeline
+    * that runs several of them in one session persists THIS frame once
+    * and hands it to the `*Shingled` variants (see
+    * [[Sampling.shingleAuditSuite]]) — at 100 TB the shingle pass over
+    * the corpus is the dominant shared cost. */
+  def shingledDocs(s: SparkSession, dir: String): DataFrame =
+    shingleFrame(s, Tables.table(s, dir, "documents"))
+
+  /** The [[shingledDocs]] pipeline over an arbitrary `(doc_id, text, …)`
+    * corpus. */
+  private def shingleFrame(s: SparkSession, raw: DataFrame): DataFrame =
+    raw
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
 
   /** LSH band keys per document: K minhash signatures folded into
     * [[Bands]] md5 band keys — the (doc_id, band, bkey) index both the
@@ -66,7 +80,7 @@ object Dedup {
   }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(s, dir)
+    val docs = shingledDocs(s, dir)
     val bands = bandKeys(docs)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -111,7 +125,7 @@ object Dedup {
     * proportional to the BATCH, not the corpus.
     */
   def incremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(s, dir)
+    val docs = shingledDocs(s, dir)
     val isNew = col("doc_id") % IncrementalMod === 0
     val bands = bandKeys(docs)
     val cands = bands.filter(isNew).as("x")
@@ -164,8 +178,15 @@ object Dedup {
     * edges (small: near-dup hits only) persist across rounds instead of
     * re-running LSH per iteration.
     */
-  def clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select(col("da"), col("db"))
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir, minhashLsh(s, dir))
+
+  /** [[clusters]] over an already-materialized pair table — at 100 TB the
+    * d02 pairs are computed once per corpus snapshot and every consumer
+    * (this, the p08 split, the t13 audit) reads that table instead of
+    * re-running LSH. */
+  def clusters(s: SparkSession, dir: String, pairTable: DataFrame): DataFrame = {
+    val pairs = pairTable.select(col("da"), col("db"))
     val nodes = Tables.table(s, dir, "documents").select("doc_id")
     val (labels, rounds) = propagateMinLabels(nodes, pairs)
     org.slf4j.LoggerFactory.getLogger(getClass)
@@ -273,22 +294,21 @@ object Dedup {
     ngramJaccardOf(s, Tables.table(s, dir, "documents"))
 
   /** [[ngramJaccard]] over an arbitrary (doc_id, text, …) corpus — the
-    * spec entry point for adversarial corpora. */
-  private[graft] def ngramJaccardOf(s: SparkSession, raw: DataFrame): DataFrame = {
-    // Width-normalize BEFORE shingling: a small corpus arrives as one file
-    // = one partition, and this 5-branch DAG recomputes scan+shingle per
-    // branch — serially, on one core, ~6 s of the sf0.1 runtime. Hashing
-    // the raw text across the cluster makes every branch's recompute
-    // parallel; at 100 TB the scan already has ≥ this many splits and the
-    // exchange is a cheap pass AQE coalesces away. The SECOND exchange,
-    // after the shingle pass, is the branch materialization point (p05
-    // pattern): postings, cap, and both verify-join sides read the
-    // shingled rows from one ReusedExchange instead of re-running the
-    // regexes per branch.
-    val docs = raw
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    * spec entry point for adversarial corpora. Width-normalizes BEFORE
+    * shingling (see [[shingledDocs]]): a small corpus arrives as one file
+    * = one partition, and this 5-branch DAG recomputes scan+shingle per
+    * branch — serially, on one core, ~6 s of the sf0.1 runtime. The
+    * SECOND exchange, after the shingle pass, is the branch
+    * materialization point (p05 pattern): postings, cap, and both
+    * verify-join sides read the shingled rows from one ReusedExchange
+    * instead of re-running the regexes per branch. */
+  private[graft] def ngramJaccardOf(s: SparkSession, raw: DataFrame): DataFrame =
+    ngramJaccardShingled(s, shingleFrame(s, raw))
+
+  /** [[ngramJaccard]] over an already-shingled `(doc_id, sh)` frame —
+    * hand it a persisted [[shingledDocs]] to share the shingle pass with
+    * other audits in the same session ([[Sampling.shingleAuditSuite]]). */
+  def ngramJaccardShingled(s: SparkSession, docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     // df cap as a broadcast scalar (no collect; the 1-row cross join is a
@@ -368,11 +388,12 @@ object Dedup {
 
   /** [[containment]] over an arbitrary (doc_id, text, …) corpus — the
     * spec entry point for crafted doc-in-doc corpora. */
-  private[graft] def containmentOf(s: SparkSession, raw: DataFrame): DataFrame = {
-    val docs = raw
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  private[graft] def containmentOf(s: SparkSession, raw: DataFrame): DataFrame =
+    containmentShingled(s, shingleFrame(s, raw))
+
+  /** [[containment]] over an already-shingled `(doc_id, sh)` frame (see
+    * [[ngramJaccardShingled]]). */
+  def containmentShingled(s: SparkSession, docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     val cap = docs.agg(greatest(lit(DfCapFloor.toLong),

@@ -42,8 +42,14 @@ object Sampling {
     * cluster-level splitting (route d06 clusters, not documents); this
     * operator is the audit that proves whether it's needed.
     */
-  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLsh(s, dir).select("da", "db", "jaccard")
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakage(s, dir, Dedup.minhashLsh(s, dir))
+
+  /** [[splitLeakage]] over an already-materialized d02 pair table (the
+    * 100-TB audit shape — see [[TextAnalysis.sourceProfile]]). */
+  def splitLeakage(s: SparkSession, dir: String,
+      pairTable: DataFrame): DataFrame = {
+    val pairs = pairTable.select("da", "db", "jaccard")
     val sp = splitAssign(s, dir)
     pairs
       .join(sp.select(col("doc_id").as("da"), col("split").as("split_a")), "da")
@@ -118,17 +124,20 @@ object Sampling {
     * per distinct shingle before the join, so join width is bounded by
     * test postings × 1.
     */
-  def decontamination(s: SparkSession, dir: String): DataFrame = {
-    import TextPrep.shingles
-    // spread → shingle → repartition: the SECOND exchange is the branch
-    // materialization point — the three consumers below (test docs, test
-    // postings, train df) share it as a ReusedExchange, so the corpus is
-    // shingled ONCE instead of once per branch (the first exchange keeps
-    // the shingle pass itself parallel on a single-split scan)
-    val docs = Tables.spread(s, dir, "documents", "doc_id")
-      .join(splitAssign(s, dir), "doc_id")
-      .select(col("doc_id"), col("split"), shingles(col("text")).as("sh"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  def decontamination(s: SparkSession, dir: String): DataFrame =
+    decontaminationShingled(s, dir, Dedup.shingledDocs(s, dir))
+
+  /** [[decontamination]] over an already-shingled `(doc_id, sh)` frame —
+    * hand it a persisted [[Dedup.shingledDocs]] to share the shingle pass
+    * with other audits in the same session ([[shingleAuditSuite]]). The
+    * shingled frame is the branch materialization point — the three
+    * consumers below (test docs, test postings, train df) share it as a
+    * ReusedExchange (or one InMemoryTableScan when persisted), so the
+    * corpus is shingled ONCE instead of once per branch. */
+  def decontaminationShingled(s: SparkSession, dir: String,
+      shingledFrame: DataFrame): DataFrame = {
+    val docs = shingledFrame.join(splitAssign(s, dir), "doc_id")
+      .select(col("doc_id"), col("split"), col("sh"))
     val testDocs = docs.filter(col("split") === "test")
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
     val testPost = docs.filter(col("split") === "test")
@@ -186,8 +195,9 @@ object Sampling {
   /** Per-document cluster-aware split assignment behind [[clusterSplit]]:
     * every document inherits its near-dup cluster's hash bucket, so the
     * whole cluster lands in ONE split. */
-  private[graft] def clusterSplitAssign(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusters(s, dir)
+  private[graft] def clusterSplitAssign(s: SparkSession, dir: String,
+      clusterTable: DataFrame): DataFrame =
+    clusterTable
       .select(col("doc_id"), col("cluster"), hashBucketOf(col("cluster")))
       .select(col("doc_id"), col("cluster"),
         when(col("bucket") < 80, "train")
@@ -204,7 +214,14 @@ object Sampling {
     * the split stays a pure function of the corpus.
     */
   def clusterSplit(s: SparkSession, dir: String): DataFrame =
-    clusterSplitAssign(s, dir)
+    clusterSplit(s, dir, Dedup.clusters(s, dir))
+
+  /** [[clusterSplit]] over an already-materialized d06 cluster-label
+    * table (the 100-TB shape: the dedup pass already produced the labels;
+    * the split is a map-side bucket expression plus a tiny rollup). */
+  def clusterSplit(s: SparkSession, dir: String,
+      clusterTable: DataFrame): DataFrame =
+    clusterSplitAssign(s, dir, clusterTable)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cluster")).as("n_clusters"),
@@ -300,4 +317,47 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("quality_score")).as("min_score"),
         max(col("quality_score")).as("max_score"))
+
+  /** The three shingle-based audit aggregates (d04, d08, p05) over ONE
+    * shared shingled frame — the building block [[shingleAuditSuite]]
+    * unions, exposed so the plan spec can audit exchange sharing. */
+  private[graft] def shingleAuditFrames(s: SparkSession, dir: String,
+      sh: DataFrame): Seq[DataFrame] = Seq(
+    Dedup.ngramJaccardShingled(s, sh)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("da")).as("n_a"),
+        countDistinct(col("db")).as("n_b"))
+      .select(lit("d04_jaccard_pairs").as("audit"),
+        col("n_rows"), col("n_a"), col("n_b")),
+    Dedup.containmentShingled(s, sh)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("inner_id")).as("n_a"),
+        countDistinct(col("outer_id")).as("n_b"))
+      .select(lit("d08_containment_pairs").as("audit"),
+        col("n_rows"), col("n_a"), col("n_b")),
+    decontaminationShingled(s, dir, sh)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_a"),
+        sum(col("n_shared_shingles")).as("n_b"))
+      .select(lit("p05_decontamination").as("audit"),
+        col("n_rows"), col("n_a"), col("n_b")))
+
+  /** One-session shingle audit suite — d04 (jaccard pairs), d08
+    * (containment pairs), and p05 (decontamination) over ONE persisted
+    * shingle materialization instead of three independent shingle passes.
+    * This is the audit-pipeline reality at 100 TB: the corpus shingle
+    * pass dominates all three audits' shared cost, so it is computed
+    * once (a persisted/materialized table) and every audit reads it. One
+    * summary row per audit, integer aggregates only. The persisted frame
+    * is evicted after eager materialization (the s06 pattern — a leaked
+    * cache would rewrite later queries' plans). */
+  def shingleAuditSuite(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingledDocs(s, dir).persist()
+    val out = shingleAuditFrames(s, dir, sh)
+      .reduce(_.unionByName(_))
+      .orderBy("audit")
+    val materialized = out.localCheckpoint(true)
+    sh.unpersist()
+    materialized
+  }
 }

@@ -16,7 +16,7 @@ import graft.SparkEntry
   */
 object PlanAudit {
 
-  private case class Audit(
+  private[graft] case class Audit(
       name: String,
       shuffles: Int,
       cachedShuffles: Int,
@@ -25,11 +25,11 @@ object PlanAudit {
       nonCodegenOps: Seq[String],
       scans: Seq[ScanInfo])
 
-  private case class ScanInfo(table: String, readCols: Int,
+  private[graft] case class ScanInfo(table: String, readCols: Int,
       pushedFilters: String)
 
   /** Capture df.explain("formatted") output. */
-  private def explainText(df: org.apache.spark.sql.DataFrame): String = {
+  private[graft] def explainText(df: org.apache.spark.sql.DataFrame): String = {
     val buf = new ByteArrayOutputStream()
     Console.withOut(new PrintStream(buf, true, "UTF-8")) {
       df.explain("formatted")
@@ -61,7 +61,7 @@ object PlanAudit {
     ids.toSet
   }
 
-  private def audit(name: String, text: String): Audit = {
+  private[graft] def audit(name: String, text: String): Audit = {
     val lines = text.linesIterator.toSeq
     val cachedIds = cachedExchangeIds(lines)
     val shuffleIds = scala.collection.mutable.Set.empty[String]

@@ -503,9 +503,74 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d09 suite: one shared shingle pass, fewer exchanges than three audits") {
+    import graft.operators.Sampling
+    import graft.tools.PlanAudit
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      PlanAudit.audit("x", PlanAudit.explainText(df)).shuffles
+    // the three standalone audits each pay their own shingle pass
+    val separate = shuffles(Dedup.ngramJaccard(spark, sf)) +
+      shuffles(Dedup.containment(spark, sf)) +
+      shuffles(Sampling.decontamination(spark, sf))
+    // the suite's frames read ONE persisted shingle materialization: its
+    // exchanges sit inside the InMemoryRelation (counted once, at cache
+    // build) and every audit branch scans the cache
+    val sh = Dedup.shingledDocs(spark, sf).persist()
+    try {
+      val frames = Sampling.shingleAuditFrames(spark, sf, sh)
+      val union = frames.reduce(_.unionByName(_))
+      val text = PlanAudit.explainText(union)
+      assert(text.contains("InMemoryTableScan"),
+        "suite branches must scan the shared cached shingle frame")
+      val combined = shuffles(union)
+      assert(combined < separate,
+        s"suite ($combined shuffles) must beat separate audits ($separate)")
+      // and the suite output itself matches the three standalone rollups
+      val got = Sampling.shingleAuditSuite(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val d04 = Dedup.ngramJaccard(spark, sf).persist()
+      val d08 = Dedup.containment(spark, sf).persist()
+      val p05 = Sampling.decontamination(spark, sf).persist()
+      try {
+        assert(got("d04_jaccard_pairs") == ((d04.count(),
+          d04.select("da").distinct().count(),
+          d04.select("db").distinct().count())))
+        assert(got("d08_containment_pairs") == ((d08.count(),
+          d08.select("inner_id").distinct().count(),
+          d08.select("outer_id").distinct().count())))
+        assert(got("p05_decontamination") == ((p05.count(),
+          p05.filter(col("contaminated")).count(),
+          p05.agg(sum("n_shared_shingles")).head().getLong(0))))
+      } finally { Seq(d04, d08, p05).foreach(_.unpersist()); () }
+    } finally { sh.unpersist(); () }
+  }
+
+  test("materialized pair/cluster tables yield identical audit output") {
+    // the 100-TB shape: d02 pairs / d06 labels are computed once per
+    // corpus snapshot; every consumer reading the materialized table must
+    // agree exactly with the self-computing oracle entries
+    import graft.operators.{Sampling, TextAnalysis}
+    val pairs = Dedup.minhashLsh(spark, sf).persist()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq.sortBy(_.mkString("|"))
+    try {
+      assert(rows(TextAnalysis.sourceProfile(spark, sf, pairs)) ==
+        rows(TextAnalysis.sourceProfile(spark, sf)))
+      assert(rows(Sampling.splitLeakage(spark, sf, pairs)) ==
+        rows(Sampling.splitLeakage(spark, sf)))
+      val cl = Dedup.clusters(spark, sf, pairs).persist()
+      try {
+        assert(rows(cl) == rows(Dedup.clusters(spark, sf)))
+        assert(rows(Sampling.clusterSplit(spark, sf, cl)) ==
+          rows(Sampling.clusterSplit(spark, sf)))
+      } finally { cl.unpersist(); () }
+    } finally { pairs.unpersist(); () }
+  }
+
   test("p08 cluster split: near-dup pairs never straddle splits") {
     import graft.operators.{Dedup, Sampling}
-    val assign = Sampling.clusterSplitAssign(spark, sf)
+    val assign = Sampling.clusterSplitAssign(spark, sf, Dedup.clusters(spark, sf))
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     val pairs = Dedup.minhashLsh(spark, sf)
       .select("da", "db").as[(Long, Long)].collect()
