@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
+import scala.util.chaining._
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -81,6 +82,8 @@ object SparkEntry {
     "d03_dedup_simhash" -> Dedup.simhash _,
     "d04_dedup_ngram_jaccard" -> canon("da", "db")(Dedup.ngramJaccard),
     "d05_dedup_embedding" -> Dedup.embeddingCosine _,
+    "d05b_dedup_embedding_salted" ->
+      ((s: SparkSession, dir: String) => Dedup.embeddingCosineSalted(s, dir)),
     "d06_dedup_clusters" -> Dedup.clusters _,
     "d07_dedup_incremental" -> canon("doc_id")(Dedup.incremental),
     "d08_dedup_containment" -> canon("inner_id", "outer_id")(Dedup.containment),
@@ -1568,5 +1571,9 @@ object SparkEntry {
         |SELECT doc_id, w AS width, h AS height,
         |  to_json([q0, q1, q2, q3]) AS quadrant_sums_json
         |FROM g ORDER BY doc_id""".stripMargin,
-  )
+  ).pipe(m =>
+    // d05b is BIT-IDENTICAL to d05 by construction (the salt grid meets
+    // each candidate pair exactly once; verification is unchanged), so
+    // the two entries share one oracle query.
+    m + ("d05b_dedup_embedding_salted" -> m("d05_dedup_embedding")))
 }

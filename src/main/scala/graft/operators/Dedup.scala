@@ -485,20 +485,22 @@ object Dedup {
   private[operators] def normD(v: Column): Column =
     sqrt(dotDec(v, v).cast(DoubleType))
 
-  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.FloatVecDot.float_vec_dot
-    // width-normalize (Tables.spread): one small parquet file = one split,
-    // which would run every exact-decimal norm/dot on a single core. The
-    // second exchange AFTER the norm projection is the branch
-    // materialization point (p05 pattern): the band explode and both
-    // verify-join sides reuse one normed pass instead of re-running the
-    // exact-decimal self-dot per branch.
-    val e = Tables.spread(s, dir, "embeddings", "vec_id")
+  /** Normed embedding frame, width-normalized (Tables.spread): one small
+    * parquet file = one split, which would run every exact-decimal
+    * norm/dot on a single core. The second exchange AFTER the norm
+    * projection is the branch materialization point (p05 pattern): the
+    * band explode and both verify-join sides reuse one normed pass
+    * instead of re-running the exact-decimal self-dot per branch. */
+  private def embNormed(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), col("embedding"),
         normD(col("embedding")).as("nrm"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    // candidate generation: banded sign-pattern buckets (zero-shuffle,
-    // codegen'd dot per plane), then pairs via equi-join on (band, bucket)
+
+  /** Banded sign-pattern band keys `(vec_id, band, bucket)` — zero
+    * shuffle, one codegen'd dot per plane. */
+  private[graft] def embBandKeys(e: DataFrame): DataFrame = {
+    import graft.functions.FloatVecDot.float_vec_dot
     val bandStructs = (0 until EmbBands).map { b =>
       val bits = (0 until EmbPlanesPerBand).map { p =>
         val ws = embPlaneWeights(b * EmbPlanesPerBand + p)
@@ -508,18 +510,18 @@ object Dedup {
       }
       struct(lit(b).as("band"), concat(bits: _*).as("bucket"))
     }
-    val bb = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+    e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"),
         col("bk.bucket").as("bucket"))
-    val cands = bb.as("x").join(bb.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-      .distinct() // a pair colliding in several bands must score once
-    // two-phase scoring of candidates only: a codegen'd double dot prunes
-    // (|double − exact| ≪ 1e-9 here, margin 1e-6 is generous), then the
-    // surviving handful is re-scored with exact decimals — identical
-    // output to scoring every candidate exactly, ~100× cheaper.
+  }
+
+  /** Two-phase exact verification of candidate pairs `(va, vb)`: a
+    * codegen'd double dot prunes (|double − exact| ≪ 1e-9 here, margin
+    * 1e-6 is generous), then the surviving handful is re-scored with
+    * exact decimals — identical output to scoring every candidate
+    * exactly, ~100× cheaper. */
+  private def embVerify(e: DataFrame, cands: DataFrame): DataFrame = {
+    import graft.functions.FloatVecDot.float_vec_dot
     cands
       .join(e.as("a"), col("va") === col("a.vec_id"))
       .join(e.as("b"), col("vb") === col("b.vec_id"))
@@ -532,5 +534,50 @@ object Dedup {
           (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") > CosineThreshold)
       .orderBy("va", "vb")
+  }
+
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embNormed(s, dir)
+    val bb = embBandKeys(e)
+    // candidate generation: pairs via equi-join on (band, bucket)
+    val cands = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct() // a pair colliding in several bands must score once
+    embVerify(e, cands)
+  }
+
+  /** Hot-band occupancy threshold for [[embeddingCosineSalted]]: a
+    * (band, bucket) group holding more vectors than this gets its
+    * candidate self-join grid-decomposed. The default is sized so the
+    * fixture corpora stay on the plain path (their max occupancy is well
+    * below it) while a skewed corpus — the s10 audit's alarm condition —
+    * triggers decomposition. */
+  val EmbHotBucketThreshold = 1000L
+
+  /** d05 with skew handling driven by the same per-bucket occupancy
+    * evidence the s10 index-balance audit reports: (band, bucket) groups
+    * above `hotThreshold` vectors have their candidate self-join
+    * decomposed over a salts×salts grid ([[graft.ops.SaltedJoin
+    * .selfPairsSalted]]) so one hot LSH band no longer serializes the
+    * stage — the n² pair workload of a hot bucket spreads over salts²
+    * shuffle cells. Output is bit-identical to [[embeddingCosine]] (the
+    * grid meets each pair exactly once; verification is unchanged), so
+    * the two share one oracle. At 100 TB this is the re-bucketing path
+    * an operator turns on when s10's max_share alarm fires — or leaves
+    * on permanently, since cold groups pay only a broadcast probe. */
+  def embeddingCosineSalted(s: SparkSession, dir: String,
+      hotThreshold: Long = EmbHotBucketThreshold, salts: Int = 8): DataFrame = {
+    val e = embNormed(s, dir)
+    val bb = embBandKeys(e)
+    // the s10 evidence, computed on the index itself: per-group occupancy
+    val hot = bb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > hotThreshold)
+    val cands = graft.ops.SaltedJoin
+      .selfPairsSalted(bb, Seq("band", "bucket"), "vec_id", hot, salts)
+      .select(col("a").as("va"), col("b").as("vb"))
+      .distinct()
+    embVerify(e, cands)
   }
 }

@@ -34,6 +34,51 @@ object SaltedJoin {
     saltedFact.join(explodedDim, Seq(key, SaltCol)).drop(SaltCol)
   }
 
+  /** Skew-proof within-group self-pairing: all (a, b) pairs with
+    * `a.idCol < b.idCol` inside each `keys` group — the LSH candidate
+    * join shape — with the groups listed in `hotKeys` decomposed over a
+    * `salts`×`salts` grid so one hot group no longer lands its entire
+    * n² pair workload on one shuffle partition.
+    *
+    * Grid decomposition: each row gets a deterministic cell
+    * `c = hash(id) mod salts`; the left side emits one copy per grid
+    * column (cell(x), j), the right side one copy per grid row
+    * (i, cell(y)), and the join key extends to (keys, i, j) — each pair
+    * meets in EXACTLY one grid cell, so the output is bit-identical to
+    * the plain self-join while the hot group's work spreads over salts²
+    * join-key cells (n²/salts² comparisons each). Replication factor is
+    * `salts` per side, applied ONLY to hot-group rows; cold groups join
+    * plainly. `hotKeys` must be small (it is broadcast): by construction
+    * it holds groups above an occupancy threshold, and there can only be
+    * total/threshold of those.
+    */
+  def selfPairsSalted(df: DataFrame, keys: Seq[String], idCol: String,
+      hotKeys: DataFrame, salts: Int): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    val HotCol = "__graft_hot"
+    val flagged = df.join(
+      broadcast(hotKeys.select(keys.map(col): _*).distinct()
+        .withColumn(HotCol, lit(true))),
+      keys, "left")
+    val cold = flagged.filter(col(HotCol).isNull).drop(HotCol)
+    val hot = flagged.filter(col(HotCol)).drop(HotCol)
+    def pairCond(keyCols: Seq[String]) = keyCols
+      .map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
+    val coldPairs = cold.as("x").join(cold.as("y"), pairCond(keys))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    // deterministic cell from the id, not monotonically_increasing_id:
+    // both sides must agree on a row's cell for the grid to cover pairs
+    val cell = pmod(xxhash64(col(idCol)), lit(salts.toLong)).cast("int")
+    val grid = array((0 until salts).map(lit): _*)
+    val xs = hot.withColumn("__gi", cell).withColumn("__gj", explode(grid))
+    val ys = hot.withColumn("__gi", explode(grid)).withColumn("__gj", cell)
+    val hotPairs = xs.as("x").join(ys.as("y"),
+        pairCond(keys :+ "__gi" :+ "__gj"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    coldPairs.unionByName(hotPairs)
+  }
+
   /** Skew-proof count/sum aggregation: partial agg on (key, salt) — which
     * distributes the hot key across `salts` partitions — then final agg on
     * key. Spark's own partial aggregation already does this for algebraic

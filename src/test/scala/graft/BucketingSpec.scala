@@ -68,6 +68,33 @@ class BucketingSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("selfPairsSalted: grid decomposition is pair-exact and spreads the hot group") {
+    // one hot group (k=1, 60 rows — the LSH hot-bucket shape) + cold groups
+    val df = spark.range(100).select(
+      when($"id" < 60, lit(1L)).otherwise($"id" % 5 + 2).as("k"),
+      $"id".as("v"))
+    val hot = df.groupBy("k").agg(count(lit(1)).as("sz")).filter($"sz" > 20)
+    assert(hot.count() == 1)
+    val plain = df.as("x").join(df.as("y"),
+        $"x.k" === $"y.k" && $"x.v" < $"y.v")
+      .select($"x.v".as("a"), $"y.v".as("b"))
+    val salted = SaltedJoin.selfPairsSalted(df, Seq("k"), "v", hot, salts = 4)
+    val plainSet = plain.as[(Long, Long)].collect().toSet
+    assert(salted.as[(Long, Long)].collect().toSet == plainSet)
+    // each pair meets in EXACTLY one grid cell — no duplicate emission
+    assert(salted.count() == plainSet.size)
+    // the hot group's join-key cells each hold a fraction of its rows: the
+    // largest single cell on either replicated side stays well under the
+    // undecomposed group size (60 rows in ONE shuffle partition before)
+    val cell = pmod(xxhash64($"v"), lit(4L)).cast("int")
+    val maxCell = df.filter($"k" === 1).withColumn("c", cell)
+      .groupBy("c").count().agg(max("count")).head().getLong(0)
+    assert(maxCell < 60 / 2, s"grid cell of $maxCell rows is not a spread")
+    val nCells = df.filter($"k" === 1).withColumn("c", cell)
+      .select("c").distinct().count()
+    assert(nCells == 4, "hot rows must occupy every grid cell")
+  }
+
   test("salted count spreads the hot key and matches exact counts") {
     val fact = spark.range(10000)
       .select(when($"id" % 10 === 0, $"id" % 7).otherwise(1L).as("k"))

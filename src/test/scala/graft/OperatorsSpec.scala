@@ -503,6 +503,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d05b salted path: identical output on a skewed corpus, hot band decomposed") {
+    // 50 identical vectors = one hot (band, bucket) group in EVERY band —
+    // the s10 max_share alarm condition; 30 varied vectors stay cold
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    (0 until 80).map { i =>
+      val emb =
+        if (i < 50) Array.tabulate(64)(j => ((j % 7) + 1).toFloat)
+        else Array.tabulate(64)(j => (((i * 31 + j * 17) % 13) - 6).toFloat)
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = rows(Dedup.embeddingCosine(spark, dir))
+    val salted = rows(
+      Dedup.embeddingCosineSalted(spark, dir, hotThreshold = 20, salts = 4))
+    assert(plain.nonEmpty && salted == plain)
+    // the hot detection fires: at least one (band, bucket) group over 20
+    val bb = Dedup.embBandKeys(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+    val plainMax = bb.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(plainMax >= 50, "skew fixture must produce a hot bucket")
+    // and the grid spreads it: largest per-cell slice ≪ the hot group
+    val maxCell = bb
+      .withColumn("c", pmod(xxhash64(col("vec_id")), lit(4L)).cast("int"))
+      .groupBy("band", "bucket", "c").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCell < plainMax / 2,
+      s"largest grid cell $maxCell vs hot group $plainMax — not a spread")
+  }
+
   test("d09 suite: one shared shingle pass, fewer exchanges than three audits") {
     import graft.operators.Sampling
     import graft.tools.PlanAudit
