@@ -158,4 +158,109 @@ class StreamingSpec extends SparkSpec {
     assert(out._1.length == 64) // sha2 applied
     assert(out._2 == "30")      // passthrough untouched
   }
+
+  test("schema evolution through the live pipeline: ADD_COLUMN generations + incompatibles DLQ") {
+    // the reference's test_add_column/test_alter_type shape run end-to-end:
+    // deliver a generation-1 batch, register an ADD_COLUMN version at the
+    // restart boundary (SURVEY §7.6 restart-on-schema-change), deliver
+    // generation-2 events, and assert both generations land typed while
+    // events carrying unsupported-typed columns route to the DLQ
+    import graft.schema._
+    import graft.types.CqlTypes
+    import graft.streaming.FanOut
+    import graft.sinks.DlqSink
+    val base = Files.createTempDirectory("cdc-evo")
+    val events = Files.createDirectories(base.resolve("events"))
+    val typedOut = base.resolve("typed").toString
+    val dlqDir = base.resolve("dlq").toString
+    val registry = new SchemaRegistry
+
+    // typed-warehouse destination: per batch, project against the
+    // registry's LATEST schema; unsupported-typed columns → DLQ
+    def typedWrite(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val v = registry.latest("ecommerce", "users").get
+      val (ok, bad) = SchemaEvolution.gateUnsupported(df, v.schema)
+      if (!bad.isEmpty)
+        DlqSink.write(bad, dlqDir, "typed-warehouse", "UnsupportedType",
+          "column with DLQ-routed CQL type", failedAtMicros = 1L)
+      val typedSchema = org.apache.spark.sql.types.StructType(v.schema.fields
+        .filterNot(f => CqlTypes.isUnsupported(SchemaMeta.cqlTypeOf(f))))
+      SchemaEvolution.applyTyped(ok, typedSchema)
+        .write.mode("append").parquet(s"$typedOut/gen=${v.version}")
+    }
+    def runEvo(): Unit = {
+      val q = CdcPipeline.start(spark, events.toString,
+        base.resolve("state").toString, base.resolve("ckpt").toString,
+        dlqDir, extraSinks = Seq(
+          FanOut.Destination("typed-warehouse", write = typedWrite)))
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    // generation 1: (user_id PK, email)
+    val v1 = org.apache.spark.sql.types.StructType(Seq(
+      SchemaMeta.field("user_id", "TEXT", partitionKey = true),
+      SchemaMeta.field("email", "TEXT")))
+    assert(SchemaEvolution.evolve(registry, "ecommerce", "users", v1)
+      == SchemaEvolution.Discovered(1))
+    writeFile(events, "g1.json",
+      Seq(eventJson("e1", "INSERT", "u1", "a@x.com", 1000)))
+    runEvo()
+
+    // restart boundary: ADD_COLUMN phone (compatible, applied) + a legacy
+    // COUNTER column (lands in the registry, but its events DLQ-route);
+    // an ALTER narrowing email to INT is REJECTED, never applied
+    val v2 = org.apache.spark.sql.types.StructType(v1.fields ++ Seq(
+      SchemaMeta.field("phone", "TEXT"),
+      SchemaMeta.field("legacy_ctr", "COUNTER")))
+    SchemaEvolution.evolve(registry, "ecommerce", "users", v2) match {
+      case SchemaEvolution.Applied(2, changes) =>
+        assert(changes.collect { case AddColumn(c, _) => c }.toSet
+          == Set("phone", "legacy_ctr"))
+      case other => fail(s"expected Applied(2, _), got $other")
+    }
+    val narrowed = org.apache.spark.sql.types.StructType(Seq(
+      SchemaMeta.field("user_id", "TEXT", partitionKey = true),
+      SchemaMeta.field("email", "INT"),
+      SchemaMeta.field("phone", "TEXT"),
+      SchemaMeta.field("legacy_ctr", "COUNTER")))
+    assert(SchemaEvolution.evolve(registry, "ecommerce", "users", narrowed)
+      .isInstanceOf[SchemaEvolution.Rejected])
+
+    // generation 2: e2 uses the new phone column; e3 carries the
+    // unsupported-typed legacy_ctr and must DLQ-route
+    writeFile(events, "g2.json", Seq(
+      s"""{"event_id":"e2","event_type":"INSERT","table_name":"users",""" +
+        s""""keyspace":"ecommerce","partition_key":{"user_id":"u2"},""" +
+        s""""clustering_key":{},"columns":{"email":"b@x.com","phone":"555"},""" +
+        s""""timestamp_micros":2000,"captured_at_micros":2000}""",
+      s"""{"event_id":"e3","event_type":"INSERT","table_name":"users",""" +
+        s""""keyspace":"ecommerce","partition_key":{"user_id":"u3"},""" +
+        s""""clustering_key":{},"columns":{"email":"c@x.com","legacy_ctr":"7"},""" +
+        s""""timestamp_micros":2000,"captured_at_micros":2000}"""))
+    runEvo() // fresh query, same checkpoint — the §7.6 restart
+
+    // both generations landed typed, each under its own schema version
+    val g1 = spark.read.parquet(s"$typedOut/gen=1")
+    assert(g1.columns.toSeq ==
+      Seq("event_id", "event_type", "timestamp_micros", "user_id", "email"))
+    assert(g1.select("user_id").as[String].collect().toSeq == Seq("u1"))
+    val g2 = spark.read.parquet(s"$typedOut/gen=2")
+    assert(g2.columns.contains("phone"))
+    assert(g2.select("user_id").as[String].collect().toSeq == Seq("u2"))
+    // the evolved column is PII — masking applies to it from its first
+    // post-evolution batch (sha-256, not the raw phone number)
+    val phone = g2.select("phone").as[String].head()
+    assert(phone.length == 64 && phone != "555")
+    // the unsupported-typed event went to the DLQ, not the warehouse
+    assert(DlqSink.count(spark, dlqDir, "typed-warehouse") == 1)
+    // the state store (schema-generation-agnostic) holds all three users
+    val store = new UpsertStateStore(base.resolve("state").toString,
+      Seq("event_key_cols"), Seq("timestamp_micros"))
+    assert(store.current(spark).get.count() == 3)
+    // registry history records the lineage: v1 → v2, hashes distinct
+    val hist = registry.history("ecommerce", "users")
+    assert(hist.map(_.version) == List(1, 2))
+    assert(hist.map(_.hash).distinct.size == 2)
+  }
 }
