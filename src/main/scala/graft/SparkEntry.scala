@@ -88,6 +88,7 @@ object SparkEntry {
     "d07_dedup_incremental" -> canon("doc_id")(Dedup.incremental),
     "d08_dedup_containment" -> canon("inner_id", "outer_id")(Dedup.containment),
     "d09_shingle_audit_suite" -> canon("audit")(Sampling.shingleAuditSuite),
+    "d10_substring_dup_rate" -> Dedup.substringDupRate _,
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -128,6 +129,8 @@ object SparkEntry {
     "t11_bigram_novelty" -> TextAnalysis.bigramNovelty _,
     "t12_token_surprisal" -> canon("doc_id")(TextAnalysis.surprisal),
     "t13_source_profile" -> canon("source")(TextAnalysis.sourceProfile),
+    "t14_source_overlap" ->
+      ((s: SparkSession, dir: String) => TextAnalysis.sourceOverlap(s, dir)),
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -930,6 +933,18 @@ object SparkEntry {
          |  CAST(sum(n_shared_shingles) AS BIGINT)
          |FROM ($p05OracleSql)
          |) ORDER BY audit""".stripMargin,
+    // d10: docs-per-shingle from the same distinct-shingle postings; the
+    // dup_rate division is two exact integers, bit-identical across engines
+    "d10_substring_dup_rate" ->
+      s"""WITH $shingleCtes,
+         |dfx AS (SELECT s, count(*) AS d FROM ex GROUP BY s)
+         |SELECT ex.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_shingles,
+         |  CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS dup_rate
+         |FROM ex JOIN dfx USING (s)
+         |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin,
     "d05_dedup_embedding" -> {
       // same banded md5-derived hyperplanes as Dedup.embPlaneWeights; the
       // sign of a sequential double fold is engine-exact on both sides
@@ -1405,6 +1420,15 @@ object SparkEntry {
          |    AS n_near_dup
          |FROM j GROUP BY source ORDER BY source""".stripMargin
     },
+    "t14_source_overlap" ->
+      s"""WITH $minhashPairCtes,
+         |lab AS (SELECT least(a.source, b.source) AS source_a,
+         |         greatest(a.source, b.source) AS source_b, p.jaccard
+         |        FROM pairs p JOIN documents a ON p.da = a.doc_id
+         |        JOIN documents b ON p.db = b.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  max(jaccard) AS max_jaccard
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Geometry contract with the asset synthesizer (Multimodal.assets):
     // even doc_id -> 24-bpp BMP, w = 4*(len%3+1), h = len // (3w), decoded
     // pixel array = first 3wh text bytes; odd doc_id -> 16-bit mono WAV,

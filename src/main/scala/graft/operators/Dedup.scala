@@ -485,6 +485,34 @@ object Dedup {
   private[operators] def normD(v: Column): Column =
     sqrt(dotDec(v, v).cast(DoubleType))
 
+  /** Per-document substring-duplication exposure (d10) — the corpus-level
+    * duplication metric a curation pipeline reports before and after
+    * dedup (the Lee et al. "Deduplicating Training Data" measurement
+    * family): for each document, how many of its distinct n-gram
+    * shingles also occur in at least one OTHER document, and the exposed
+    * fraction. A doc with high dup_rate but no ≥τ near-dup pair is
+    * boilerplate-assembled — exactly what d02/d04 miss by design — so
+    * this is the audit that decides whether span-level dedup is needed.
+    * One shingle-keyed window (docs-per-shingle) + one doc-keyed rollup
+    * over the shared [[shingledDocs]] pass; both shuffles key on
+    * high-cardinality columns, so the shape holds at any corpus size.
+    * dup_rate is one division of two exact integers — engine-exact. */
+  def substringDupRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(s, dir)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val wS = Window.partitionBy(col("s"))
+    // shingles are per-doc distinct, so rows-per-shingle = docs-per-shingle
+    ex.withColumn("docs_with", count(lit(1)).over(wS))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L))
+          .as("n_dup_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
+        (col("n_dup_shingles").cast(DoubleType) / col("n_shingles"))
+          .as("dup_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Normed embedding frame, width-normalized (Tables.spread): one small
     * parquet file = one split, which would run every exact-decimal
     * norm/dot on a single core. The second exchange AFTER the norm

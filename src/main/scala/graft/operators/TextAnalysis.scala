@@ -257,6 +257,33 @@ object TextAnalysis {
         sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup"))
   }
 
+  /** Cross-source near-dup overlap matrix (t14) — which source pairs
+    * leak into each other: every verified d02 pair labeled with its two
+    * documents' sources (unordered, so (a,b) and (b,a) collapse), rolled
+    * up to pair counts per source pair. High off-diagonal counts mean two
+    * crawls overlap and one should be dropped or down-weighted; the
+    * diagonal is within-source duplication. Consumes the materialized
+    * pair table in production (the t13 pattern); the oracle entry
+    * self-computes. Shape: pairs ≪ docs, two doc_id equi-joins + a tiny
+    * rollup. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(s, dir, Dedup.minhashLsh(s, dir))
+
+  /** [[sourceOverlap]] over an already-materialized d02 pair table. */
+  def sourceOverlap(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val src = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   def keywords(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(s, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

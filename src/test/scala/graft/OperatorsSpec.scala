@@ -590,6 +590,8 @@ class OperatorsSpec extends SparkSpec {
         rows(TextAnalysis.sourceProfile(spark, sf)))
       assert(rows(Sampling.splitLeakage(spark, sf, pairs)) ==
         rows(Sampling.splitLeakage(spark, sf)))
+      assert(rows(TextAnalysis.sourceOverlap(spark, sf, pairs)) ==
+        rows(TextAnalysis.sourceOverlap(spark, sf)))
       val cl = Dedup.clusters(spark, sf, pairs).persist()
       try {
         assert(rows(cl) == rows(Dedup.clusters(spark, sf)))
