@@ -89,6 +89,8 @@ object SparkEntry {
     "d08_dedup_containment" -> canon("inner_id", "outer_id")(Dedup.containment),
     "d09_shingle_audit_suite" -> canon("audit")(Sampling.shingleAuditSuite),
     "d10_substring_dup_rate" -> Dedup.substringDupRate _,
+    "d11_cluster_size_histogram" ->
+      ((s: SparkSession, dir: String) => Dedup.clusterSizeHistogram(s, dir)),
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -118,6 +120,7 @@ object SparkEntry {
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> canon("da", "db")(Sampling.splitLeakage),
     "p04_sequence_packing" -> Sampling.sequencePacking _,
+    "p10_packing_efficiency" -> Sampling.packingEfficiency _,
     "p05_decontamination" -> Sampling.decontamination _,
     "p06_token_budget_sample" -> Sampling.tokenBudgetSample _,
     "p07_domain_mixture" -> canon("lang")(Sampling.domainMixture),
@@ -196,6 +199,24 @@ object SparkEntry {
        |FROM i JOIN sizes sa ON inner_id = sa.doc_id
        |WHERE CAST(inter AS DOUBLE) / sa.n >= ${Dedup.ContainmentThreshold}
        |ORDER BY inner_id, outer_id""".stripMargin
+
+  /** p04 oracle — lifted so p10's efficiency rollup can embed it. */
+  private val p04OracleSql =
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM tk)
+       |SELECT doc_id, lang, n_tokens,
+       |  cum_before // ${Sampling.ContextLen} AS start_bin,
+       |  (cum_before + n_tokens - 1) // ${Sampling.ContextLen} AS end_bin,
+       |  cum_before % ${Sampling.ContextLen} AS offset_in_bin
+       |FROM c ORDER BY lang, doc_id""".stripMargin
 
   /** p05 oracle — lifted for the same reason. */
   private val p05OracleSql =
@@ -945,6 +966,17 @@ object SparkEntry {
          |    AS dup_rate
          |FROM ex JOIN dfx USING (s)
          |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin,
+    // d11: singleton clusters come from the documents LEFT JOIN (a doc in
+    // no pair is its own cluster), exactly as the engine's label table
+    "d11_cluster_size_histogram" ->
+      s"""WITH RECURSIVE $closureCtes,
+         |allc AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |         FROM documents d LEFT JOIN cl USING (doc_id)),
+         |cs AS (SELECT cluster, count(*) AS cluster_size
+         |       FROM allc GROUP BY cluster)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  min(cluster) AS first_cluster
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "d05_dedup_embedding" -> {
       // same banded md5-derived hyperplanes as Dedup.embPlaneWeights; the
       // sign of a sequential double fold is engine-exact on both sides
@@ -1087,22 +1119,16 @@ object SparkEntry {
          |FROM pairs JOIN sp a ON da = a.doc_id JOIN sp b ON db = b.doc_id
          |WHERE a.split <> b.split
          |ORDER BY da, db""".stripMargin,
-    "p04_sequence_packing" ->
-      s"""WITH tk AS (SELECT doc_id, lang,
-         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
-         |      AS n_tokens
-         |  FROM documents),
-         |c AS (SELECT doc_id, lang, n_tokens,
-         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
-         |      ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS cum_before
-         |  FROM tk)
-         |SELECT doc_id, lang, n_tokens,
-         |  cum_before // ${Sampling.ContextLen} AS start_bin,
-         |  (cum_before + n_tokens - 1) // ${Sampling.ContextLen} AS end_bin,
-         |  cum_before % ${Sampling.ContextLen} AS offset_in_bin
-         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "p04_sequence_packing" -> p04OracleSql,
+    "p10_packing_efficiency" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(max(end_bin) + 1 AS BIGINT) AS n_bins,
+         |  CAST(sum(CASE WHEN start_bin != end_bin THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_straddling,
+         |  CAST((max(end_bin) + 1) * ${Sampling.ContextLen} - sum(n_tokens)
+         |    AS BIGINT) AS tail_waste_tokens
+         |FROM ($p04OracleSql) GROUP BY lang ORDER BY lang""".stripMargin,
     "p05_decontamination" -> p05OracleSql,
     "p06_token_budget_sample" ->
       s"""WITH tk AS (SELECT doc_id, lang,

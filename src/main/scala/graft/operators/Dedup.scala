@@ -197,6 +197,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cluster-size histogram (d11) — the dedup-quality audit over the d06
+    * labels: how many clusters exist at each size. A healthy near-dup
+    * graph is dominated by singletons and small clusters; one giant
+    * component means boilerplate or a degenerate shingle space is
+    * chaining unrelated documents together (and the p08 cluster-routed
+    * split would dump a whole corpus slice into one split). This is the
+    * evidence for tuning [[JaccardThreshold]] before trusting d06
+    * downstream. Integer-only double rollup over the label table —
+    * scale-free. Consumes a materialized cluster table in production;
+    * the oracle entry self-computes. */
+  def clusterSizeHistogram(s: SparkSession, dir: String): DataFrame =
+    clusterSizeHistogram(s, dir, clusters(s, dir))
+
+  /** [[clusterSizeHistogram]] over an already-materialized d06 cluster
+    * label table. */
+  def clusterSizeHistogram(s: SparkSession, dir: String,
+      clusterTable: DataFrame): DataFrame =
+    clusterTable.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), min("cluster").as("first_cluster"))
+      .orderBy("cluster_size")
+
   /** Min-label propagation to a PROVEN fixpoint. `nodes` = (doc_id),
     * `pairs` = undirected edges (da, db). Returns the converged labels and
     * the number of rounds used. The round cap is a runaway guard, not an

@@ -104,6 +104,28 @@ object Sampling {
       .orderBy("lang", "doc_id")
   }
 
+  /** Packing-efficiency audit (p10) over [[sequencePacking]]'s layout:
+    * per language — documents packed, token mass, windows consumed,
+    * boundary-straddling documents (split across two training windows:
+    * they train with truncated context, the quality cost of contiguous
+    * packing), and the tail waste in the final partially-filled window.
+    * These are the numbers a pipeline multiplies by GPU-hours before
+    * choosing a context length. All-integer aggregation over p04's
+    * already-computed layout — one tiny rollup per language. */
+  def packingEfficiency(s: SparkSession, dir: String): DataFrame =
+    sequencePacking(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("end_bin")) + 1).as("n_bins"),
+        sum(when(col("start_bin") =!= col("end_bin"), 1L).otherwise(0L))
+          .as("n_straddling"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_bins"),
+        col("n_straddling"),
+        (col("n_bins") * ContextLen - col("n_tokens"))
+          .as("tail_waste_tokens"))
+      .orderBy("lang")
+
   /** Train-side document frequency above which a shingle is dropped from
     * the decontamination join (same hot-key guard as d04's df cap — a
     * boilerplate shingle shared by d train docs and e eval docs costs
