@@ -50,13 +50,16 @@ object Bench {
         .sortBy(f => "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
         .lastOption
     def scavenge(tail0: String): Map[String, Double] = {
-      // The bench line is queries-first, then stream_eps/sweep/deltas. The
-      // prev_delta_sec entries use the SAME query-name keys, so scavenging
-      // the whole fragment would overwrite real seconds with delta values
+      // The bench line is queries-first, then spread/corpus/stream_eps/
+      // sweep/deltas. The queries_spread_sec and prev_delta_sec entries
+      // use the SAME query-name keys, so scavenging the whole fragment
+      // would overwrite real seconds with spread/delta values
       // (findAllMatchIn.toMap keeps the LAST occurrence). Cut at the first
       // post-queries field before matching; a fragment that starts inside
-      // the deltas then yields nothing — a loud warning beats wrong data.
-      val cut = Seq("\"stream_eps\"", "\"batch_size_sweep\"", "\"prev\"",
+      // the later maps then yields nothing — a loud warning beats wrong
+      // data.
+      val cut = Seq("\"queries_spread_sec\"", "\"corpus\"",
+          "\"stream_eps\"", "\"batch_size_sweep\"", "\"prev\"",
           "\"prev_delta_sec\"")
         .map(tail0.indexOf).filter(_ >= 0)
       val tail = if (cut.isEmpty) tail0 else tail0.take(cut.min)

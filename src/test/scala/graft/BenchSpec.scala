@@ -41,6 +41,32 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("scavenge cuts before queries_spread_sec so spreads never pose as seconds") {
+    // r6 bench lines carry a queries_spread_sec map re-using the query
+    // names; a front-truncated driver tail must recover only the REAL
+    // per-query seconds, never the spread values that follow them
+    val dir = java.nio.file.Files.createTempDirectory("benchspec3").toFile
+    try {
+      val names = SparkEntry.queries.keySet.toSeq.sorted.take(3)
+      val q = names.map(k => "\"" + k + "\":0.500").mkString(",")
+      val sp = names.map(k => "\"" + k + "\":9.999").mkString(",")
+      // FRONT-TRUNCATED tail: no {"metric" prefix, so only the scavenger
+      // can recover it — mid-queries fragment, then the spread map
+      val tail = s"""5,$q},""" +
+        s""""queries_spread_sec":{$sp},"corpus":{"docs":5},"stream_eps":1}"""
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_r4.json"),
+        s"""{"n":4,"parsed":null,"tail":${
+          com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+            .writeValueAsString(tail)}}""".getBytes("UTF-8"))
+      val (name, prev) = Bench.previousBench(Seq(dir))
+      assert(name == "BENCH_r4.json")
+      assert(prev.size == 3 && prev.values.forall(_ == 0.5),
+        s"scavenge picked up spread values: $prev")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("same-round snapshot preferred over driver file") {
     val dir = java.nio.file.Files.createTempDirectory("benchspec2").toFile
     try {
