@@ -91,6 +91,7 @@ object SparkEntry {
     "d10_substring_dup_rate" -> Dedup.substringDupRate _,
     "d11_cluster_size_histogram" ->
       ((s: SparkSession, dir: String) => Dedup.clusterSizeHistogram(s, dir)),
+    "d12_dedup_bag" -> Dedup.bagDedup _,
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -116,6 +117,7 @@ object SparkEntry {
     "m06_still_segments" -> canon("doc_id")(Multimodal.stillSegmentsQuery),
     "m07_audio_stats" -> canon("doc_id")(Multimodal.audioStatsQuery),
     "m08_image_patches" -> canon("doc_id")(Multimodal.imagePatchQuery),
+    "m09_channel_stats" -> canon("doc_id")(Multimodal.channelStatsQuery),
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> canon("da", "db")(Sampling.splitLeakage),
@@ -126,6 +128,7 @@ object SparkEntry {
     "p07_domain_mixture" -> canon("lang")(Sampling.domainMixture),
     "p08_cluster_split" -> canon("split")(Sampling.clusterSplit),
     "p09_curriculum" -> canon("stage")(Sampling.curriculum),
+    "p11_repeat_factor" -> Sampling.repeatFactor _,
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -134,6 +137,8 @@ object SparkEntry {
     "t13_source_profile" -> canon("source")(TextAnalysis.sourceProfile),
     "t14_source_overlap" ->
       ((s: SparkSession, dir: String) => TextAnalysis.sourceOverlap(s, dir)),
+    "t15_gopher_rules" -> TextAnalysis.gopherRules _,
+    "t16_code_detect" -> TextAnalysis.codeDetect _,
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -977,6 +982,14 @@ object SparkEntry {
          |SELECT cluster_size, count(*) AS n_clusters,
          |  min(cluster) AS first_cluster
          |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "d12_dedup_bag" ->
+      s"""WITH $toksCte,
+         |fp AS (SELECT d.doc_id, d.text,
+         |         md5(array_to_string(list_sort(t.t), ' ')) AS bag_fp
+         |       FROM documents d JOIN toks t USING (doc_id))
+         |SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
+         |  count(DISTINCT text) AS n_raw_variants
+         |FROM fp GROUP BY bag_fp ORDER BY rep_id""".stripMargin,
     "d05_dedup_embedding" -> {
       // same banded md5-derived hyperplanes as Dedup.embPlaneWeights; the
       // sign of a sequential double fold is engine-exact on both sides
@@ -1249,6 +1262,28 @@ object SparkEntry {
          |  min(score) AS min_score, max(score) AS max_score
          |FROM b GROUP BY stage ORDER BY stage""".stripMargin
     },
+    "p11_repeat_factor" ->
+      s"""WITH $toksCte,
+         |a AS (SELECT d.source,
+         |        CAST(sum(len(t.t)) AS BIGINT) AS avail_tokens
+         |      FROM documents d JOIN toks t USING (doc_id)
+         |      GROUP BY d.source),
+         |tt AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens,
+         |         count(*) AS n_sources FROM a),
+         |p AS (SELECT source, avail_tokens,
+         |        CAST(total_tokens * ${Sampling.RepeatBudgetMultiple}
+         |          // n_sources AS BIGINT) AS target_tokens
+         |      FROM a, tt),
+         |e AS (SELECT source, avail_tokens, target_tokens,
+         |        CAST(least((target_tokens + avail_tokens - 1) // avail_tokens,
+         |          ${Sampling.RepeatCap}) AS BIGINT) AS epochs
+         |      FROM p)
+         |SELECT source, avail_tokens, target_tokens, epochs,
+         |  CAST(least(target_tokens, epochs * avail_tokens) AS BIGINT)
+         |    AS effective_tokens,
+         |  CAST(target_tokens - least(target_tokens, epochs * avail_tokens)
+         |    AS BIGINT) AS deficit_tokens
+         |FROM e ORDER BY source""".stripMargin,
     "t03_text_tokens" ->
       s"""WITH $toksCte
          |SELECT d.doc_id,
@@ -1455,6 +1490,70 @@ object SparkEntry {
          |SELECT source_a, source_b, count(*) AS n_pairs,
          |  max(jaccard) AS max_jaccard
          |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t15_gopher_rules" -> {
+      val stops = TextAnalysis.stopwordsEn.map(w =>
+        s"(CASE WHEN list_contains(t.t, '$w') THEN 1 ELSE 0 END)")
+        .mkString("\n         + ")
+      s"""WITH $toksCte,
+         |sig AS (SELECT d.doc_id,
+         |    CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(t.t, x -> length(x))) AS BIGINT)
+         |      AS token_chars,
+         |    CAST(len(list_filter(t.t, x -> regexp_matches(x, '[a-z]')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    CAST(length(d.text) - length(replace(d.text, '#', ''))
+         |      + len(regexp_extract_all(d.text, '\\.\\.\\.')) AS BIGINT)
+         |      AS n_symbols,
+         |    CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(string_split(d.text, chr(10)),
+         |      l -> substr(ltrim(l), 1, 2) = '- '
+         |        OR substr(ltrim(l), 1, 2) = '* ')) AS BIGINT)
+         |      AS n_bullet_lines,
+         |    CAST(len(list_filter(string_split(d.text, chr(10)),
+         |      l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS BIGINT)
+         |      AS n_ellipsis_lines,
+         |    CAST($stops AS BIGINT) AS n_stop_hits
+         |  FROM documents d JOIN toks t USING (doc_id)),
+         |fl AS (SELECT *,
+         |    (n_tokens >= 50 AND n_tokens <= 100000) AS f_word_count,
+         |    (3*n_tokens <= token_chars AND token_chars <= 10*n_tokens)
+         |      AS f_mean_word_len,
+         |    (10*n_symbols <= n_tokens) AS f_symbol_ratio,
+         |    (10*n_bullet_lines <= 9*n_lines) AS f_bullet_ratio,
+         |    (10*n_ellipsis_lines <= 3*n_lines) AS f_ellipsis_ratio,
+         |    (5*n_alpha_words >= 4*n_tokens) AS f_alpha_ratio,
+         |    (n_stop_hits >= 2) AS f_stopwords
+         |  FROM sig)
+         |SELECT *, (f_word_count AND f_mean_word_len AND f_symbol_ratio
+         |    AND f_bullet_ratio AND f_ellipsis_ratio AND f_alpha_ratio
+         |    AND f_stopwords) AS pass_gopher
+         |FROM fl ORDER BY doc_id""".stripMargin
+    },
+    "t16_code_detect" -> {
+      val kws = TextAnalysis.CodeKeywords.map(k => s"'$k'").mkString(", ")
+      s"""WITH $toksCte,
+         |sig AS (SELECT d.doc_id,
+         |    CAST(length(d.text) AS BIGINT) AS n_chars,
+         |    CAST(length(d.text)
+         |      - length(translate(d.text, '{}()[];=', '')) AS BIGINT)
+         |      AS n_code_chars,
+         |    CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(string_split(d.text, chr(10)),
+         |      l -> regexp_matches(rtrim(l), '[;{]$$'))) AS BIGINT)
+         |      AS n_stmt_lines,
+         |    CAST(len(list_filter(string_split(d.text, chr(10)),
+         |      l -> regexp_matches(l, '^(\\t|  )'))) AS BIGINT)
+         |      AS n_indent_lines,
+         |    CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(t.t, x -> x IN ($kws))) AS BIGINT)
+         |      AS n_kw_hits
+         |  FROM documents d JOIN toks t USING (doc_id))
+         |SELECT *,
+         |  (20*n_code_chars >= n_chars
+         |    OR (n_lines >= 3 AND 2*n_stmt_lines >= n_lines)
+         |    OR (n_kw_hits >= 3 AND 10*n_kw_hits >= n_tokens)) AS is_code
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
     // Geometry contract with the asset synthesizer (Multimodal.assets):
     // even doc_id -> 24-bpp BMP, w = 4*(len%3+1), h = len // (3w), decoded
     // pixel array = first 3wh text bytes; odd doc_id -> 16-bit mono WAV,
@@ -1620,6 +1719,32 @@ object SparkEntry {
         |  FROM q GROUP BY doc_id, w, h)
         |SELECT doc_id, w AS width, h AS height,
         |  to_json([q0, q1, q2, q3]) AS quadrant_sums_json
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // m09: BMP pixels are interleaved B,G,R in file order -> channel is
+    // (i-1) % 3 over 1-based byte positions; all sums exact BIGINTs, the
+    // three means are single divisions of those sums at the boundary
+    "m09_channel_stats" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS len,
+        |    CAST(4 * (length(text) % 3 + 1) AS INT) AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |e AS (SELECT doc_id, text,
+        |    CAST(3*w*(len // (3*w)) AS INT) AS declen FROM d),
+        |c AS (SELECT doc_id, declen, text,
+        |    unnest(generate_series(1, declen)) AS i FROM e),
+        |v AS (SELECT doc_id, declen, (i - 1) % 3 AS ch,
+        |    ord(substr(text, CAST(i AS INT), 1)) AS v FROM c),
+        |g AS (SELECT doc_id, CAST(declen // 3 AS INT) AS n_px,
+        |    CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |    CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |    CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |    CAST(sum(CASE WHEN ch = 0 THEN v*v ELSE 0 END) AS BIGINT) AS sq_b,
+        |    CAST(sum(CASE WHEN ch = 1 THEN v*v ELSE 0 END) AS BIGINT) AS sq_g,
+        |    CAST(sum(CASE WHEN ch = 2 THEN v*v ELSE 0 END) AS BIGINT) AS sq_r
+        |  FROM v GROUP BY doc_id, declen)
+        |SELECT doc_id, n_px, sum_b, sum_g, sum_r, sq_b, sq_g, sq_r,
+        |  CAST(sum_b AS DOUBLE) / n_px AS mean_b,
+        |  CAST(sum_g AS DOUBLE) / n_px AS mean_g,
+        |  CAST(sum_r AS DOUBLE) / n_px AS mean_r
         |FROM g ORDER BY doc_id""".stripMargin,
   ).pipe(m =>
     // d05b is BIT-IDENTICAL to d05 by construction (the salt grid meets

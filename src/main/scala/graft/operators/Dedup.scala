@@ -27,6 +27,31 @@ object Dedup {
       .select(col("rep_id"), col("n_copies"))
       .orderBy("rep_id")
 
+  // --- canonical bag-fingerprint dedup -------------------------------------
+  /** Bag-of-words canonical dedup (d12) — exact dedup after an
+    * order-insensitive normal form: lowercase, collapse whitespace, SORT
+    * the token multiset, md5 the result. Catches the reorder-only
+    * near-copies (shuffled list pages, re-templated boilerplate) that
+    * [[exact]] misses but that don't need MinHash's probabilistic
+    * machinery — the standard middle rung of a dedup ladder (exact → bag
+    * → MinHash). Same 100-TB shape as d01: one constant-size fingerprint
+    * per doc, one hash-shuffle groupBy on it; `n_raw_variants` counts how
+    * many DISTINCT raw texts each bag coalesced (the coverage d01 lacks).
+    * Token sort order is binary; tokens are ASCII-lowercased, so Spark's
+    * UTF8 ordering and DuckDB's agree. */
+  def bagDedup(s: SparkSession, dir: String): DataFrame =
+    bagDedupOf(Tables.table(s, dir, "documents"))
+
+  private[graft] def bagDedupOf(raw: DataFrame): DataFrame =
+    raw
+      .select(col("doc_id"), col("text"),
+        md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("bag_fp"))
+      .groupBy(col("bag_fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_raw_variants"))
+      .select(col("rep_id"), col("n_copies"), col("n_raw_variants"))
+      .orderBy("rep_id")
+
   // --- MinHash + LSH banding ----------------------------------------------
   // K=16 signatures, 4 bands × 4 rows. Candidates = pairs sharing a band
   // key; verification = exact shingle jaccard on candidates only.

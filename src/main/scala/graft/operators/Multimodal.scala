@@ -329,6 +329,41 @@ object Multimodal {
         to_json(col("qsums")).as("quadrant_sums_json"))
   }
 
+  /** Per-channel image statistics (m09) — the normalization-constant pass
+    * a vision pipeline runs over decoded pixels (the per-channel mean/std
+    * every model input transform divides by). BMP pixels are interleaved
+    * B,G,R in file order, so channel membership is `i mod 3` — one linear
+    * scan per asset inside the decode pass reduces each image to exact
+    * BIGINT per-channel sums and sums-of-squares; the means are single
+    * divisions of exact integers at the boundary (std needs a sqrt, so
+    * the sum-of-squares ships instead — the consumer composes it, and
+    * the oracle compare stays bit-exact). Constant-size output per asset,
+    * no per-pixel shuffle: the m07/m08 shape. */
+  def channelStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val decoded = decodeAll(assets(s, dir))
+    import decoded.sparkSession.implicits._
+    decoded.filter(_.fmt == "bmp").map { d =>
+      val sums = new Array[Long](3)
+      val sqs = new Array[Long](3)
+      var i = 0
+      while (i < d.data.length) {
+        val v = d.data(i)
+        sums(i % 3) += v
+        sqs(i % 3) += v.toLong * v
+        i += 1
+      }
+      (d.doc_id, d.data.length / 3, sums(0), sums(1), sums(2),
+        sqs(0), sqs(1), sqs(2))
+    }.toDF("doc_id", "n_px", "sum_b", "sum_g", "sum_r",
+        "sq_b", "sq_g", "sq_r")
+      .select(col("doc_id"), col("n_px"),
+        col("sum_b"), col("sum_g"), col("sum_r"),
+        col("sq_b"), col("sq_g"), col("sq_r"),
+        (col("sum_b").cast("double") / col("n_px")).as("mean_b"),
+        (col("sum_g").cast("double") / col("n_px")).as("mean_g"),
+        (col("sum_r").cast("double") / col("n_px")).as("mean_r"))
+  }
+
   /** Still-segment / silence detection over the DECODED stream — the
     * media-curation pass that finds the longest constant-byte run per
     * asset (static frames in video, silence in PCM audio; a long run

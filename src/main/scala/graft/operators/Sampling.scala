@@ -300,6 +300,49 @@ object Sampling {
         expr("n_kept * 1000000 div total_kept").as("achieved_ppm"))
   }
 
+  /** Token-budget multiple and repeat-epoch cap for [[repeatFactor]]. The
+    * cap mirrors the published data-constrained-scaling finding that
+    * repeated data holds near-full value for ~4 epochs and decays after
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"). */
+  val RepeatBudgetMultiple = 3L
+  val RepeatCap = 4L
+
+  /** Repeat-factor epoch planning (p11) — the data-constrained budgeting
+    * step a training run does once the mixture wants more tokens than a
+    * source has: each source is assigned an equal share of a total budget
+    * of [[RepeatBudgetMultiple]]× the corpus's tokens; a source smaller
+    * than its share repeats for `ceil(target/available)` epochs, capped
+    * at [[RepeatCap]]; whatever the cap leaves unfilled is reported as
+    * the deficit the mixer must re-allocate. Every figure is exact BIGINT
+    * arithmetic (ceil as `(t + a - 1) div a` — no float rounding to
+    * disagree on). Shape at 100 TB: one per-source token aggregate
+    * (map-side combined), two one-row scalar aggregates broadcast back —
+    * the output is #sources rows, driver-scale by construction. */
+  def repeatFactor(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.table(s, dir, "documents")
+      .select(col("source"), size(TextPrep.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val avail = toks.groupBy("source")
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+    val totals = avail.agg(sum(col("avail_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    avail.crossJoin(broadcast(totals))
+      .select(col("source"), col("avail_tokens"),
+        expr(s"total_tokens * $RepeatBudgetMultiple div n_sources")
+          .as("target_tokens"))
+      .select(col("source"), col("avail_tokens"), col("target_tokens"),
+        least(expr("(target_tokens + avail_tokens - 1) div avail_tokens"),
+          lit(RepeatCap)).as("epochs"))
+      .select(col("source"), col("avail_tokens"), col("target_tokens"),
+        col("epochs"),
+        least(col("target_tokens"), col("epochs") * col("avail_tokens"))
+          .as("effective_tokens"))
+      .withColumn("deficit_tokens",
+        col("target_tokens") - col("effective_tokens"))
+      .orderBy("source")
+  }
+
   /** Stratified deterministic sample: the k hash-smallest documents per
     * language — proportional-free, reproducible, and skew-proof (one
     * `WindowGroupLimit`-pruned top-k per stratum, never a full sort). */

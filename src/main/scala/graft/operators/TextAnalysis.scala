@@ -423,6 +423,108 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --- Gopher rule-based quality filter ------------------------------------
+  /** Gopher-style rule filter (t15) — the published heuristic gate (Rae
+    * et al. 2021, "Scaling Language Models: ... Gopher", Appendix A1.1)
+    * every large text pipeline runs before model-based scoring: word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio (# and …),
+    * bullet-start and ellipsis-end line ratios, alphabetic-word fraction,
+    * and a minimum stopword-diversity requirement. Every ratio test is an
+    * exact integer cross-multiplication (`3·n ≤ chars`, never a float
+    * division), so the DuckDB oracle matches bit-for-bit. Pure per-row
+    * array/regex expressions — ZERO shuffles at any corpus size; the scan
+    * is the cost, which is what makes this the first gate in a 100-TB
+    * funnel (it prunes before anything that shuffles runs).
+    *
+    * The driver corpus is single-line and symbol-free, so the line/symbol
+    * rules pass trivially there (plumbing proof); `GopherRulesSpec` feeds
+    * a corpus that trips every rule individually (the t09 PII pattern). */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.table(s, dir, "documents"))
+
+  private[graft] def gopherRulesOf(raw: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEll = size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
+    val stopHits = stopwordsEn.map(w =>
+      when(array_contains(t, w), 1L).otherwise(0L)).reduce(_ + _)
+    raw.select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        aggregate(t, lit(0L), (a, x) => a + length(x)).as("token_chars"),
+        size(filter(t, x => x.rlike("[a-z]"))).cast("long").as("n_alpha_words"),
+        (nHash + nEll).cast("long").as("n_symbols"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l =>
+          substring(ltrim(l), 1, 2) === "- " ||
+            substring(ltrim(l), 1, 2) === "* ")).cast("long")
+          .as("n_bullet_lines"),
+        size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$"))).cast("long")
+          .as("n_ellipsis_lines"),
+        stopHits.as("n_stop_hits"))
+      .select(col("*"),
+        (col("n_tokens") >= 50 && col("n_tokens") <= 100000).as("f_word_count"),
+        (lit(3) * col("n_tokens") <= col("token_chars") &&
+          col("token_chars") <= lit(10) * col("n_tokens")).as("f_mean_word_len"),
+        (lit(10) * col("n_symbols") <= col("n_tokens")).as("f_symbol_ratio"),
+        (lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines"))
+          .as("f_bullet_ratio"),
+        (lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines"))
+          .as("f_ellipsis_ratio"),
+        (lit(5) * col("n_alpha_words") >= lit(4) * col("n_tokens"))
+          .as("f_alpha_ratio"),
+        (col("n_stop_hits") >= 2).as("f_stopwords"))
+      .withColumn("pass_gopher",
+        col("f_word_count") && col("f_mean_word_len") && col("f_symbol_ratio") &&
+          col("f_bullet_ratio") && col("f_ellipsis_ratio") &&
+          col("f_alpha_ratio") && col("f_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  // --- code-vs-prose detection ---------------------------------------------
+  /** Code-keyword tokens the detector counts (whitespace-token exact
+    * matches — a real detector adds per-language lexers; the dataflow is
+    * identical). */
+  val CodeKeywords: Seq[String] = Seq("def", "return", "import", "class",
+    "void", "function", "var", "let", "const", "if", "else", "for", "while")
+
+  /** Code-vs-prose detection (t16) — the source-routing signal a mixed
+    * crawl needs before tokenization (code gets a different tokenizer,
+    * different dedup granularity, different quality rules). Three
+    * independent per-row signals: code-punctuation density
+    * (`{}()[];=` chars per char), statement-terminated line ratio
+    * (lines ending `;`/`{`), indented-line ratio, and keyword-token
+    * density; the verdict ORs integer cross-multiplied thresholds. Pure
+    * map work — zero shuffles, scan-bound at 100 TB, same gate position
+    * as [[gopherRules]]. */
+  def codeDetect(s: SparkSession, dir: String): DataFrame =
+    codeDetectOf(Tables.table(s, dir, "documents"))
+
+  private[graft] def codeDetectOf(raw: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    raw.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) -
+          length(translate(col("text"), "{}()[];=", ""))).cast("long")
+          .as("n_code_chars"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => rtrim(l).rlike("[;{]$"))).cast("long")
+          .as("n_stmt_lines"),
+        size(filter(lines, l => l.rlike("^(\\t|  )"))).cast("long")
+          .as("n_indent_lines"),
+        size(t).cast("long").as("n_tokens"),
+        size(filter(t, x => x.isInCollection(CodeKeywords))).cast("long")
+          .as("n_kw_hits"))
+      .withColumn("is_code",
+        (lit(20) * col("n_code_chars") >= col("n_chars")) ||
+          (col("n_lines") >= 3 &&
+            lit(2) * col("n_stmt_lines") >= col("n_lines")) ||
+          (col("n_kw_hits") >= 3 &&
+            lit(10) * col("n_kw_hits") >= col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
   // --- document fingerprinting --------------------------------------------
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")

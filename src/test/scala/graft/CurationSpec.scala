@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.{Dedup, Multimodal, Sampling, TextAnalysis}
+
+/** Rule-filter / routing operators (t15 Gopher rules, t16 code detect,
+  * d12 bag dedup) on corpora that actually trip the rules — the driver's
+  * synthetic documents are single-line and symbol-free, so their oracle
+  * rows prove plumbing only (the t09 PII pattern). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gopherRow(text: String): Row = {
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    TextAnalysis.gopherRulesOf(docs).collect().head
+  }
+
+  private val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+
+  test("gopher rules: a clean prose doc passes every rule") {
+    val r = gopherRow(s"the cat sat of and is on $fifty")
+    assert(r.getAs[Boolean]("f_word_count"))
+    assert(r.getAs[Boolean]("f_mean_word_len"))
+    assert(r.getAs[Boolean]("f_symbol_ratio"))
+    assert(r.getAs[Boolean]("f_bullet_ratio"))
+    assert(r.getAs[Boolean]("f_ellipsis_ratio"))
+    assert(r.getAs[Boolean]("f_alpha_ratio"))
+    assert(r.getAs[Boolean]("f_stopwords"))
+    assert(r.getAs[Boolean]("pass_gopher"))
+  }
+
+  test("gopher rules: each rule trips independently") {
+    // too short
+    assert(!gopherRow("the cat is a pet of and").getAs[Boolean]("f_word_count"))
+    // mean word length < 3 (all 1-char tokens)
+    val short = (1 to 60).map(_ => "a").mkString(" ")
+    assert(!gopherRow(short).getAs[Boolean]("f_mean_word_len"))
+    // symbol-heavy: > 1 hash per 10 words
+    val hashy = s"$fifty ${"# # # # # # # #".trim}"
+    assert(!gopherRow(hashy).getAs[Boolean]("f_symbol_ratio"))
+    assert(gopherRow(fifty).getAs[Boolean]("f_symbol_ratio"))
+    // ellipsis occurrences count non-overlapping '...'
+    val dotty = s"$fifty ...... ... ... ... ... ..."
+    assert(gopherRow(dotty).getAs[Long]("n_symbols") == 7L)
+    // bullet lines: > 90% of lines start with '- ' or '* '
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val br = gopherRow(bullets)
+    assert(br.getAs[Long]("n_bullet_lines") == 10L &&
+      br.getAs[Long]("n_lines") == 10L && !br.getAs[Boolean]("f_bullet_ratio"))
+    // ellipsis-end lines: > 30% of lines end '...'
+    val trailing = "one two...\nthree four...\nfive six"
+    val tr = gopherRow(trailing)
+    assert(tr.getAs[Long]("n_ellipsis_lines") == 2L &&
+      !tr.getAs[Boolean]("f_ellipsis_ratio"))
+    // alphabetic-word fraction < 80%
+    val numeric = ((1 to 30).map(_.toString) ++ (1 to 30).map(i => s"w$i"))
+      .mkString(" ")
+    assert(!gopherRow(numeric).getAs[Boolean]("f_alpha_ratio"))
+    // stopword diversity: needs >= 2 DISTINCT stopwords present
+    val oneStop = s"the ${(1 to 60).map(i => s"word$i").mkString(" ")}"
+    assert(!gopherRow(oneStop).getAs[Boolean]("f_stopwords"))
+  }
+
+  test("code detect: source code flags, prose does not") {
+    val code = Seq(
+      (1L, "def main():\n    return 0;\nclass Foo {\n    void run();\n}"),
+      (2L, "the quick brown fox jumps over the lazy dog in the meadow today"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeDetectOf(code).collect()
+    assert(out(0).getAs[Boolean]("is_code"))
+    assert(out(0).getAs[Long]("n_kw_hits") >= 3L)
+    assert(out(0).getAs[Long]("n_indent_lines") == 2L)
+    assert(out(0).getAs[Long]("n_stmt_lines") >= 2L)
+    assert(!out(1).getAs[Boolean]("is_code"))
+    assert(out(1).getAs[Long]("n_code_chars") == 0L)
+  }
+
+  test("bag dedup coalesces word-order permutations exact dedup misses") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma  Beta alpha"), // reorder + case + double space
+      (3L, "alpha beta gamma"),  // raw-exact copy of 1
+      (4L, "totally different text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.bagDedupOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 2L), (4L, 1L, 1L)))
+    // raw-exact dedup would keep 1 and 2 apart: 2 raw variants in the bag
+  }
+
+  test("repeat factor: small sources repeat up to the cap, deficit is exact") {
+    val out = Sampling.repeatFactor(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("avail_tokens")).sum
+    out.foreach { r =>
+      val (a, t, ep, eff, d) = (r.getAs[Long]("avail_tokens"),
+        r.getAs[Long]("target_tokens"), r.getAs[Long]("epochs"),
+        r.getAs[Long]("effective_tokens"), r.getAs[Long]("deficit_tokens"))
+      assert(t == total * Sampling.RepeatBudgetMultiple / out.length)
+      assert(ep >= 1 && ep <= Sampling.RepeatCap)
+      assert(eff == math.min(t, ep * a) && d == t - eff && d >= 0)
+      // the cap is the only reason a target goes unmet
+      assert(d == 0 || ep == Sampling.RepeatCap)
+    }
+  }
+
+  test("channel stats match a hand-decoded BMP") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val r = Multimodal.channelStatsQuery(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .collect().head
+    val t = texts(0L)
+    val w = Multimodal.MediaCodec.bmpWidth(t.length)
+    val bytes = t.take(3 * w * (t.length / (3 * w))).map(_.toInt)
+    def chan(c: Int) = bytes.zipWithIndex.collect { case (v, i) if i % 3 == c => v }
+    assert(r.getAs[Int]("n_px") == bytes.length / 3)
+    assert(r.getAs[Long]("sum_b") == chan(0).map(_.toLong).sum)
+    assert(r.getAs[Long]("sum_r") == chan(2).map(_.toLong).sum)
+    assert(r.getAs[Long]("sq_g") == chan(1).map(v => v.toLong * v).sum)
+    assert(r.getAs[Double]("mean_b") ==
+      chan(0).map(_.toLong).sum.toDouble / (bytes.length / 3))
+  }
+}
