@@ -92,6 +92,7 @@ object SparkEntry {
     "d11_cluster_size_histogram" ->
       ((s: SparkSession, dir: String) => Dedup.clusterSizeHistogram(s, dir)),
     "d12_dedup_bag" -> Dedup.bagDedup _,
+    "d13_dedup_recall_eval" -> Dedup.dedupRecallEval _, // 1 row
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -129,6 +130,7 @@ object SparkEntry {
     "p08_cluster_split" -> canon("split")(Sampling.clusterSplit),
     "p09_curriculum" -> canon("stage")(Sampling.curriculum),
     "p11_repeat_factor" -> Sampling.repeatFactor _,
+    "p12_epoch_shuffle" -> Sampling.epochShuffle _,
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -990,6 +992,41 @@ object SparkEntry {
          |SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
          |  count(DISTINCT text) AS n_raw_variants
          |FROM fp GROUP BY bag_fp ORDER BY rep_id""".stripMargin,
+    // d13: the LSH chain's `pairs` CTE vs the d04 AllPairs chain (CTE
+    // names suffixed 2 to avoid clashing with the minhash chain's)
+    "d13_dedup_recall_eval" ->
+      s"""WITH $minhashPairCtes,
+         |df2 AS (SELECT s, count(*) AS d FROM ex GROUP BY s),
+         |kept2 AS (SELECT s FROM df2
+         |          WHERE d <= greatest(${Dedup.DfCapFloor},
+         |            CAST(floor(${Dedup.DfCapFraction} *
+         |              (SELECT count(*) FROM documents)) AS BIGINT))),
+         |exk2 AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept2 USING (s)),
+         |cand2 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |          FROM exk2 a JOIN exk2 b
+         |            ON a.s = b.s AND a.doc_id < b.doc_id),
+         |i2 AS (SELECT da, db, count(*) AS inter
+         |       FROM cand2 JOIN ex a ON da = a.doc_id
+         |       JOIN ex b ON db = b.doc_id AND a.s = b.s
+         |       GROUP BY 1, 2),
+         |truth AS (SELECT da, db FROM i2
+         |          JOIN sizes sa ON da = sa.doc_id
+         |          JOIN sizes sb ON db = sb.doc_id
+         |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+         |            >= ${Dedup.JaccardThreshold}),
+         |lshp AS (SELECT da, db FROM pairs),
+         |cmn AS (SELECT t.da, t.db FROM truth t
+         |        JOIN lshp l ON t.da = l.da AND t.db = l.db),
+         |c AS (SELECT (SELECT count(*) FROM truth) AS n_exact,
+         |             (SELECT count(*) FROM lshp) AS n_lsh,
+         |             (SELECT count(*) FROM cmn) AS n_common)
+         |SELECT 'minhash_lsh_vs_allpairs' AS method,
+         |  n_exact, n_lsh, n_common,
+         |  n_exact - n_common AS n_lsh_missed,
+         |  n_lsh - n_common AS n_cap_missed,
+         |  CASE WHEN n_exact > 0 THEN CAST(n_common AS DOUBLE) / n_exact
+         |       ELSE CAST(1.0 AS DOUBLE) END AS lsh_recall
+         |FROM c""".stripMargin,
     "d05_dedup_embedding" -> {
       // same banded md5-derived hyperplanes as Dedup.embPlaneWeights; the
       // sign of a sequential double fold is engine-exact on both sides
@@ -1284,6 +1321,21 @@ object SparkEntry {
          |  CAST(target_tokens - least(target_tokens, epochs * avail_tokens)
          |    AS BIGINT) AS deficit_tokens
          |FROM e ORDER BY source""".stripMargin,
+    "p12_epoch_shuffle" ->
+      s"""WITH g AS (SELECT doc_id, e.epoch,
+         |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+         |      AS h
+         |  FROM documents,
+         |    (SELECT unnest([${(0 until Sampling.EpochShuffleEpochs)
+        .mkString(",")}]) AS epoch) e),
+         |sd AS (SELECT doc_id, epoch, h,
+         |    CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT)
+         |      % ${Sampling.EpochShuffleShards} AS INT) AS shard FROM g)
+         |SELECT epoch, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+         |    ORDER BY h, doc_id) AS INT) AS pos,
+         |  doc_id
+         |FROM sd ORDER BY epoch, shard, pos""".stripMargin,
     "t03_text_tokens" ->
       s"""WITH $toksCte
          |SELECT d.doc_id,

@@ -104,8 +104,13 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingledDocs(s, dir)
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshShingled(s, shingledDocs(s, dir))
+
+  /** [[minhashLsh]] over an already-shingled `(doc_id, sh)` frame — hand
+    * it a persisted [[shingledDocs]] to share the shingle pass with the
+    * other shingle audits in one session (the d09 pattern). */
+  def minhashLshShingled(s: SparkSession, docs: DataFrame): DataFrame = {
     val bands = bandKeys(docs)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -127,6 +132,39 @@ object Dedup {
         (col("inter").cast(DoubleType) /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Dedup-sketch recall evaluation (d13) — the go/no-go measurement
+    * before trusting the MinHash sketch at scale (the dedup twin of
+    * s06's ANN recall eval): run the d02 LSH pipeline and the d04
+    * AllPairs exact pipeline over ONE persisted shingle materialization
+    * and compare the verified pair sets. Both sides verify exact
+    * jaccard ≥ τ, so every pair on either side is a true near-dup; the
+    * difference is coverage — `n_lsh_missed` counts true pairs whose
+    * minhash bands never collided (the sketch's false negatives, the
+    * number that says whether K/bands need raising), `n_cap_missed`
+    * counts pairs the AllPairs df-cap dropped but LSH still caught (the
+    * cap's blind spot). One summary row; inputs evicted after eager
+    * materialization (the s06 pattern — a leaked cache would rewrite
+    * later queries' plans). */
+  def dedupRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingledDocs(s, dir).persist()
+    val truth = ngramJaccardShingled(s, sh).select("da", "db").persist()
+    val lsh = minhashLshShingled(s, sh).select("da", "db").persist()
+    val common = truth.join(lsh, Seq("da", "db"))
+    val out = truth.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(lit("minhash_lsh_vs_allpairs").as("method"),
+        col("n_exact"), col("n_lsh"), col("n_common"),
+        (col("n_exact") - col("n_common")).as("n_lsh_missed"),
+        (col("n_lsh") - col("n_common")).as("n_cap_missed"),
+        when(col("n_exact") > 0,
+          col("n_common").cast(DoubleType) / col("n_exact"))
+          .otherwise(lit(1.0)).as("lsh_recall"))
+    val materialized = out.localCheckpoint(true)
+    Seq(sh, truth, lsh).foreach(_.unpersist())
+    materialized
   }
 
   // --- incremental dedup: new batch vs existing index ----------------------

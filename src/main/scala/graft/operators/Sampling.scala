@@ -383,6 +383,38 @@ object Sampling {
         min(col("quality_score")).as("min_score"),
         max(col("quality_score")).as("max_score"))
 
+  /** Shard count and epoch count for [[epochShuffle]]. */
+  val EpochShuffleShards = 8
+  val EpochShuffleEpochs = 2
+
+  /** Deterministic epoch shuffle (p12) — the dataloader's global shuffle
+    * as a pure function of the data: each (epoch, doc) gets an order
+    * hash `md5(epoch:doc_id)`, the hash assigns a shard (mod
+    * [[EpochShuffleShards]]), and the within-shard position is a ranked
+    * window over the hash — so every epoch is a fresh pseudo-random
+    * permutation that is identical on every engine, rerun, and partition
+    * layout (resumable training needs exactly this), and no two epochs
+    * present the data in correlated order. Shape at 100 TB: a pure map
+    * pass (epoch multiply is an array explode, not a join), then one
+    * shuffle keyed by (epoch, shard) with a per-shard sort — the
+    * standard bucketed-shuffle write; there is never a global sort, and
+    * shard balance is hash-uniform by construction. */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epochs = array((0 until EpochShuffleEpochs).map(lit): _*)
+    val g = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), explode(epochs).as("epoch"))
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long")
+          % EpochShuffleShards).cast("int"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    g.withColumn("pos", row_number().over(w).cast("int"))
+      .select("epoch", "shard", "pos", "doc_id")
+      .orderBy("epoch", "shard", "pos")
+  }
+
   /** The three shingle-based audit aggregates (d04, d08, p05) over ONE
     * shared shingled frame — the building block [[shingleAuditSuite]]
     * unions, exposed so the plan spec can audit exchange sharing. */

@@ -151,11 +151,12 @@ object PlanAudit {
       "full network repartition of its input — the scarce resource at 100 TB); " +
       "a `+N cached` suffix counts Exchanges inside a persisted frame's " +
       "InMemoryRelation, which execute once at cache materialization and are " +
-      "amortized across every reuse. The recall evals (s06/s09) materialize " +
-      "eagerly through their cached inputs and then evict them (a leaked " +
-      "cache would rewrite every later query's plan), so their rows show " +
-      "the 0-shuffle checkpoint scan, not the internal pipeline — see the " +
-      "Similarity scaladoc for their dataflow; " +
+      "amortized across every reuse. The recall evals and audit suites " +
+      "(s06/s09, d09, d13) materialize eagerly through their cached inputs " +
+      "and then evict them (a leaked cache would rewrite every later " +
+      "query's plan), so their rows show the 0-shuffle checkpoint scan, " +
+      "not the internal pipeline — see the Similarity/Dedup scaladocs for " +
+      "their dataflow; " +
       "**bcast** = BroadcastExchange nodes (small side replicated, no fact " +
       "shuffle); **codegen** = distinct WholeStageCodegen spans; **scan columns** " +
       "= columns actually read per parquet scan (column pruning evidence); " +

@@ -105,6 +105,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dedup recall eval: counts are consistent and caches are evicted") {
+    val sf = "/root/testdata/sf0.001"
+    // earlier suites may leave their own caches behind (shared session);
+    // start from a clean slate so the emptiness check below is OURS
+    spark.catalog.clearCache()
+    val r = Dedup.dedupRecallEval(spark, sf).collect().head
+    val (ne, nl, nc) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_lsh"),
+      r.getAs[Long]("n_common"))
+    assert(nc <= ne && nc <= nl)
+    assert(r.getAs[Long]("n_lsh_missed") == ne - nc)
+    assert(r.getAs[Long]("n_cap_missed") == nl - nc)
+    val rec = r.getAs[Double]("lsh_recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    // the s06 eviction contract: no cached plan may leak past the eval
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupRecallEval leaked a persisted frame")
+  }
+
+  test("epoch shuffle: deterministic permutation, balanced shards, decorrelated epochs") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Sampling.epochShuffle(spark, sf).collect()
+    val docs = Tables.table(spark, sf, "documents").count()
+    assert(out.length == docs * Sampling.EpochShuffleEpochs)
+    // every (epoch, shard) numbers its positions 1..n densely
+    out.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length))
+    }
+    // rerun is bit-identical (pure function of the data)
+    val again = Sampling.epochShuffle(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // epochs give different orders: doc->(shard,pos) maps must differ
+    val byEpoch = out.groupBy(_.getInt(0)).map { case (e, rows) =>
+      e -> rows.map(r => r.getLong(3) -> ((r.getInt(1), r.getInt(2)))).toMap
+    }
+    assert(byEpoch(0) != byEpoch(1))
+  }
+
   test("channel stats match a hand-decoded BMP") {
     val sf = "/root/testdata/sf0.001"
     val texts = Tables.table(spark, sf, "documents")
