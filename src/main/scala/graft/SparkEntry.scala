@@ -103,6 +103,7 @@ object SparkEntry {
     "s08_sim_filtered_topk" -> canon("qid", "rank")(Similarity.filteredTopK),
     "s09_quantization_recall" -> canon("method")(Similarity.quantizationRecall),
     "s10_index_stats" -> canon("index_name")(Similarity.indexStats),
+    "s11_embedding_stats" -> Similarity.embeddingStats _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -1120,6 +1121,19 @@ object SparkEntry {
          |SELECT index_name, n_groups, n_vectors, min_size, max_size,
          |  CAST(max_size AS DOUBLE) / n_vectors AS max_share
          |FROM st ORDER BY index_name""".stripMargin,
+    // s11: per-dim sums in exact DECIMAL(12,6) (the d05/s01 numeric
+    // contract), mean as one boundary division; dims indexed 0-based
+    "s11_embedding_stats" ->
+      s"""WITH d AS (SELECT CAST(i AS INT) AS dim,
+         |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+         |  FROM embeddings,
+         |    (SELECT unnest(generate_series(0, ${Similarity.Dim - 1})) AS i))
+         |SELECT dim, count(*) AS n_vecs,
+         |  CAST(sum(CAST(v AS DECIMAL(12,6))) AS DOUBLE) / count(*) AS mean_v,
+         |  min(v) AS min_v, max(v) AS max_v,
+         |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,
          |        list_sum(list_transform(embedding,

@@ -166,6 +166,32 @@ object Similarity {
     statsOf(lsh, "lsh").unionByName(statsOf(ivf, "ivf"))
   }
 
+  /** Embedding-health audit (s11) — the per-dimension profile an
+    * embedding pipeline checks before building any index on a new model
+    * or corpus snapshot: per dim, the mean (drift/offset detection),
+    * min/max (range sanity), zero count (dead dimensions — a collapsed
+    * encoder shows up here first), and positive count (sign balance).
+    * Sums run in exact DECIMAL(12,6) (order-independent — a float sum
+    * would hash-differ per partition layout); the mean is one division
+    * at the boundary, min/max/counts are order-free. Shape at 100 TB:
+    * one posexplode (rows = vectors × dims, narrow 2-column frame) into
+    * one dim-keyed aggregation with map-side combine — output is [[Dim]]
+    * rows. */
+  def embeddingStats(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "embeddings", "vec_id")
+      .select(posexplode(col("embedding")))
+      .select(col("pos").as("dim"), col("col").cast(DoubleType).as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(dec(col("v"))).as("sdec"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("v") > 0.0, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("dim"), col("n_vecs"),
+        (col("sdec").cast(DoubleType) / col("n_vecs")).as("mean_v"),
+        col("min_v"), col("max_v"), col("n_zero"), col("n_pos"))
+      .orderBy("dim")
+
   /** The IVF search data flow, shared by the oracle-pinned [[annIvf]] and the
     * trained [[annIvfTrained]]. `e` = (vec_id, embedding, nrm); `cents` =
     * (cid, cv, cn), K ≪ N so always broadcast.
