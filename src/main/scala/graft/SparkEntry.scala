@@ -93,6 +93,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => Dedup.clusterSizeHistogram(s, dir)),
     "d12_dedup_bag" -> Dedup.bagDedup _,
     "d13_dedup_recall_eval" -> Dedup.dedupRecallEval _, // 1 row
+    "d14_dedup_funnel" ->
+      canon("stage")((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -132,6 +134,7 @@ object SparkEntry {
     "p09_curriculum" -> canon("stage")(Sampling.curriculum),
     "p11_repeat_factor" -> Sampling.repeatFactor _,
     "p12_epoch_shuffle" -> Sampling.epochShuffle _,
+    "p13_temperature_mixture" -> Sampling.temperatureMixture _,
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -1028,6 +1031,45 @@ object SparkEntry {
          |  CASE WHEN n_exact > 0 THEN CAST(n_common AS DOUBLE) / n_exact
          |       ELSE CAST(1.0 AS DOUBLE) END AS lsh_recall
          |FROM c""".stripMargin,
+    // d14: closure CTEs give cl(doc_id, cluster) over near-dup docs;
+    // singleton docs label themselves via the LEFT JOIN coalesce
+    "d14_dedup_funnel" ->
+      s"""WITH RECURSIVE $closureCtes,
+         |allc AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |         FROM documents d LEFT JOIN cl USING (doc_id)),
+         |tk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |s1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |bg AS (SELECT doc_id, md5(array_to_string(list_sort(t), ' '))
+         |         AS bag_fp FROM toks),
+         |s2 AS (SELECT min(doc_id) AS doc_id FROM bg GROUP BY bag_fp),
+         |s3 AS (SELECT min(s2.doc_id) AS doc_id FROM s2
+         |       JOIN allc USING (doc_id) GROUP BY allc.cluster),
+         |f AS (SELECT d.doc_id, tk.n_tokens,
+         |        (k1.doc_id IS NOT NULL) AS in1,
+         |        (k2.doc_id IS NOT NULL) AS in2,
+         |        (k3.doc_id IS NOT NULL) AS in3
+         |      FROM documents d JOIN tk USING (doc_id)
+         |      LEFT JOIN s1 k1 ON d.doc_id = k1.doc_id
+         |      LEFT JOIN s2 k2 ON d.doc_id = k2.doc_id
+         |      LEFT JOIN s3 k3 ON d.doc_id = k3.doc_id),
+         |a AS (SELECT count(*) AS c0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+         |        count(*) FILTER (WHERE in1) AS c1,
+         |        CAST(coalesce(sum(n_tokens) FILTER (WHERE in1), 0)
+         |          AS BIGINT) AS t1,
+         |        count(*) FILTER (WHERE in2) AS c2,
+         |        CAST(coalesce(sum(n_tokens) FILTER (WHERE in2), 0)
+         |          AS BIGINT) AS t2,
+         |        count(*) FILTER (WHERE in3) AS c3,
+         |        CAST(coalesce(sum(n_tokens) FILTER (WHERE in3), 0)
+         |          AS BIGINT) AS t3
+         |      FROM f)
+         |SELECT * FROM (
+         |  SELECT 0 AS stage, 'total' AS stage_name,
+         |    c0 AS docs_remaining, t0 AS tokens_remaining FROM a
+         |  UNION ALL SELECT 1, 'exact', c1, t1 FROM a
+         |  UNION ALL SELECT 2, 'bag', c2, t2 FROM a
+         |  UNION ALL SELECT 3, 'near_dup_cluster', c3, t3 FROM a)
+         |ORDER BY stage""".stripMargin,
     "d05_dedup_embedding" -> {
       // same banded md5-derived hyperplanes as Dedup.embPlaneWeights; the
       // sign of a sequential double fold is engine-exact on both sides
@@ -1350,6 +1392,23 @@ object SparkEntry {
          |    ORDER BY h, doc_id) AS INT) AS pos,
          |  doc_id
          |FROM sd ORDER BY epoch, shard, pos""".stripMargin,
+    // p13: ⌊√n⌋ of an exact integer is engine-identical (IEEE sqrt is
+    // correctly rounded); every share is integer division from there
+    "p13_temperature_mixture" ->
+      s"""WITH $toksCte,
+         |tl AS (SELECT d.lang, CAST(sum(len(t.t)) AS BIGINT) AS n_tokens
+         |       FROM documents d JOIN toks t USING (doc_id)
+         |       GROUP BY d.lang),
+         |w AS (SELECT lang, n_tokens,
+         |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+         |          AS weight FROM tl),
+         |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(sum(weight) AS BIGINT) AS total_weight FROM w)
+         |SELECT lang, n_tokens, weight,
+         |  n_tokens * 1000000 // total_tokens AS natural_ppm,
+         |  weight * 1000000 // total_weight AS sampled_ppm,
+         |  total_tokens * weight // total_weight AS expected_tokens
+         |FROM w, tt ORDER BY lang""".stripMargin,
     "t03_text_tokens" ->
       s"""WITH $toksCte
          |SELECT d.doc_id,

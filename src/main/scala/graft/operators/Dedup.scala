@@ -282,6 +282,64 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"), min("cluster").as("first_cluster"))
       .orderBy("cluster_size")
 
+  /** Dedup funnel (d14) — the per-stage survivor report a dedup run
+    * publishes (the dedup twin of t08's quality funnel): how many
+    * documents and tokens survive each rung of the dedup ladder,
+    * applied cumulatively — 1 exact (one keeper per identical text),
+    * 2 bag (one keeper per token multiset — d12's normal form), 3
+    * near-dup (one keeper per d06 cluster among the stage-2 survivors).
+    * Keeper rule is min(doc_id) everywhere, which nests by
+    * construction: the bag keeper is the min over a UNION of text
+    * groups, hence also its own text group's min, so stage 2 ⊆ stage 1
+    * without any explicit intersection. Stage 3 intersects explicitly
+    * (bag-identical docs need not share shingles, so cluster keepers
+    * are not automatically bag keepers). One doc-stats pass + three
+    * keeper-set left joins + one conditional-sum aggregate unpivoted to
+    * 4 rows — the t08 single-pass shape; consumes a materialized d06
+    * cluster table in production, the oracle entry self-computes. */
+  def dedupFunnel(s: SparkSession, dir: String): DataFrame =
+    dedupFunnel(s, dir, clusters(s, dir))
+
+  /** [[dedupFunnel]] over an already-materialized d06 cluster table. */
+  def dedupFunnel(s: SparkSession, dir: String,
+      clusterTable: DataFrame): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val s1 = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("in1"))
+    val s2 = docs
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("bag_fp"))
+      .groupBy("bag_fp").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("in2"))
+    val s3 = s2.select("doc_id")
+      .join(clusterTable.select("doc_id", "cluster"), "doc_id")
+      .groupBy("cluster").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("in3"))
+    val agg = docs.select("doc_id", "n_tokens")
+      .join(s1, Seq("doc_id"), "left")
+      .join(s2, Seq("doc_id"), "left")
+      .join(s3, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("c0"), sum(col("n_tokens")).as("t0"),
+        sum(when(col("in1") === 1L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("in1") === 1L, col("n_tokens")).otherwise(0L)).as("t1"),
+        sum(when(col("in2") === 1L, 1L).otherwise(0L)).as("c2"),
+        sum(when(col("in2") === 1L, col("n_tokens")).otherwise(0L)).as("t2"),
+        sum(when(col("in3") === 1L, 1L).otherwise(0L)).as("c3"),
+        sum(when(col("in3") === 1L, col("n_tokens")).otherwise(0L)).as("t3"))
+    agg.select(expr(
+      """stack(4,
+        |  0, 'total',            c0, t0,
+        |  1, 'exact',            c1, t1,
+        |  2, 'bag',              c2, t2,
+        |  3, 'near_dup_cluster', c3, t3)
+        |  AS (stage, stage_name, docs_remaining, tokens_remaining)
+        |""".stripMargin))
+      .select(col("stage").cast("int").as("stage"), col("stage_name"),
+        col("docs_remaining"), col("tokens_remaining"))
+  }
+
   /** Min-label propagation to a PROVEN fixpoint. `nodes` = (doc_id),
     * `pairs` = undirected edges (da, db). Returns the converged labels and
     * the number of rounds used. The round cap is a runaway guard, not an

@@ -383,6 +383,34 @@ object Sampling {
         min(col("quality_score")).as("min_score"),
         max(col("quality_score")).as("max_score"))
 
+  /** Temperature-based mixture weighting (p13) — the α = 0.5 sampling
+    * the multilingual-pretraining literature uses to keep head languages
+    * from drowning the tail (weights ∝ n^α; the published XLM-R recipe):
+    * per language, the corpus's exact token count, its integer weight
+    * `⌊√n⌋` (IEEE sqrt of an exact integer is correctly rounded, so both
+    * engines floor the same double — no float sums anywhere), the
+    * natural vs sampled shares in ppm (integer division), and the
+    * expected token draw when resampling the corpus to its own size.
+    * The sampled share demonstrably flattens the natural skew (en's
+    * share shrinks, zh's grows). Shape: one per-language aggregate, one
+    * one-row scalar aggregate broadcast back — #languages output rows. */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.table(s, dir, "documents")
+      .select(col("lang"),
+        size(TextPrep.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang").agg(sum(col("n")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val totals = byLang.agg(sum(col("n_tokens")).as("total_tokens"),
+      sum(col("weight")).as("total_weight"))
+    byLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_tokens"), col("weight"),
+        expr("n_tokens * 1000000 div total_tokens").as("natural_ppm"),
+        expr("weight * 1000000 div total_weight").as("sampled_ppm"),
+        expr("total_tokens * weight div total_weight").as("expected_tokens"))
+      .orderBy("lang")
+  }
+
   /** Shard count and epoch count for [[epochShuffle]]. */
   val EpochShuffleShards = 8
   val EpochShuffleEpochs = 2

@@ -142,6 +142,34 @@ class CurationSpec extends SparkSpec {
     assert(byEpoch(0) != byEpoch(1))
   }
 
+  test("dedup funnel: stages shrink monotonically and stage 1 counts distinct texts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.dedupFunnel(spark, sf).orderBy("stage").collect()
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq ==
+      Seq("total", "exact", "bag", "near_dup_cluster"))
+    val docs = rows.map(_.getAs[Long]("docs_remaining"))
+    val toks = rows.map(_.getAs[Long]("tokens_remaining"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    val distinctTexts = Tables.table(spark, sf, "documents")
+      .select("text").distinct().count()
+    assert(docs(1) == distinctTexts)
+  }
+
+  test("temperature mixture flattens the natural language skew") {
+    val out = Sampling.temperatureMixture(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length > 1)
+    val head = out.maxBy(_.getAs[Long]("n_tokens"))
+    val tail = out.minBy(_.getAs[Long]("n_tokens"))
+    assert(head.getAs[Long]("sampled_ppm") < head.getAs[Long]("natural_ppm"))
+    assert(tail.getAs[Long]("sampled_ppm") > tail.getAs[Long]("natural_ppm"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("weight") ==
+        math.floor(math.sqrt(r.getAs[Long]("n_tokens").toDouble)).toLong)
+    }
+  }
+
   test("channel stats match a hand-decoded BMP") {
     val sf = "/root/testdata/sf0.001"
     val texts = Tables.table(spark, sf, "documents")
