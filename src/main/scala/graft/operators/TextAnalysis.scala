@@ -442,7 +442,14 @@ object TextAnalysis {
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(Tables.table(s, dir, "documents"))
 
-  private[graft] def gopherRulesOf(raw: DataFrame): DataFrame = {
+  private[graft] def gopherRulesOf(raw: DataFrame): DataFrame =
+    gopherSignals(raw).orderBy("doc_id")
+
+  /** The unsorted [[gopherRules]] signal computation — pure per-row
+    * expressions, so it applies unchanged to a STREAMING DataFrame (the
+    * in-stream curation gate: drop failing docs before they ever reach
+    * state or a sink — see the streaming spec). */
+  private[graft] def gopherSignals(raw: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val lines = split(col("text"), "\n")
     val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
@@ -478,7 +485,6 @@ object TextAnalysis {
         col("f_word_count") && col("f_mean_word_len") && col("f_symbol_ratio") &&
           col("f_bullet_ratio") && col("f_ellipsis_ratio") &&
           col("f_alpha_ratio") && col("f_stopwords"))
-      .orderBy("doc_id")
   }
 
   // --- code-vs-prose detection ---------------------------------------------

@@ -170,6 +170,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("gopher gate runs in-stream: failing docs drop before the sink") {
+    // the signals are pure per-row expressions, so the SAME operator is
+    // the streaming admission gate (drop junk before state/sinks see it)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val gated = TextAnalysis.gopherSignals(
+        input.toDF().toDF("doc_id", "text"))
+      .filter(org.apache.spark.sql.functions.col("pass_gopher"))
+      .select("doc_id", "n_tokens")
+    val q = gated.writeStream.format("memory").queryName("gophergate")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    val clean = s"the cat sat of and is on $fifty"
+    val junk = (1 to 60).map(_ => "###").mkString(" ")
+    input.addData((1L, clean), (2L, junk), (3L, "too short"))
+    q.processAllAvailable()
+    input.addData((4L, clean + " again"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("gophergate").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
   test("channel stats match a hand-decoded BMP") {
     val sf = "/root/testdata/sf0.001"
     val texts = Tables.table(spark, sf, "documents")
