@@ -1405,9 +1405,13 @@ object SparkEntry {
          |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |         CAST(sum(weight) AS BIGINT) AS total_weight FROM w)
          |SELECT lang, n_tokens, weight,
-         |  n_tokens * 1000000 // total_tokens AS natural_ppm,
+         |  (n_tokens * 1000 // total_tokens) * 1000
+         |    + ((n_tokens * 1000) % total_tokens) * 1000 // total_tokens
+         |    AS natural_ppm,
          |  weight * 1000000 // total_weight AS sampled_ppm,
-         |  total_tokens * weight // total_weight AS expected_tokens
+         |  (total_tokens // total_weight) * weight
+         |    + (total_tokens % total_weight) * weight // total_weight
+         |    AS expected_tokens
          |FROM w, tt ORDER BY lang""".stripMargin,
     "t03_text_tokens" ->
       s"""WITH $toksCte
@@ -1676,6 +1680,7 @@ object SparkEntry {
          |SELECT *,
          |  (20*n_code_chars >= n_chars
          |    OR (n_lines >= 3 AND 2*n_stmt_lines >= n_lines)
+         |    OR (n_lines >= 3 AND 2*n_indent_lines >= n_lines)
          |    OR (n_kw_hits >= 3 AND 10*n_kw_hits >= n_tokens)) AS is_code
          |FROM sig ORDER BY doc_id""".stripMargin
     },

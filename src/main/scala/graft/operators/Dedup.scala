@@ -42,10 +42,15 @@ object Dedup {
   def bagDedup(s: SparkSession, dir: String): DataFrame =
     bagDedupOf(Tables.table(s, dir, "documents"))
 
+  /** The d12 normal form — load-bearing for cross-engine parity (binary
+    * token sort, single-space join, md5) and for d14's stage-2 ⊆ stage-1
+    * nesting, so it has exactly one definition. */
+  private def bagFp(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(text))))
+
   private[graft] def bagDedupOf(raw: DataFrame): DataFrame =
     raw
-      .select(col("doc_id"), col("text"),
-        md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("bag_fp"))
+      .select(col("doc_id"), col("text"), bagFp(col("text")).as("bag_fp"))
       .groupBy(col("bag_fp"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"),
         countDistinct(col("text")).as("n_raw_variants"))
@@ -303,14 +308,18 @@ object Dedup {
   /** [[dedupFunnel]] over an already-materialized d06 cluster table. */
   def dedupFunnel(s: SparkSession, dir: String,
       clusterTable: DataFrame): DataFrame = {
-    val docs = Tables.table(s, dir, "documents")
+    // width-normalize BEFORE the per-row tokenize/fingerprint, and put
+    // the exchange AFTER it (the shingleFrame pattern): the four consumer
+    // branches below then share one ReusedExchange instead of re-running
+    // the tokenizer per branch on a one-partition scan
+    val docs = Tables.spread(s, dir, "documents", "doc_id")
       .select(col("doc_id"), col("text"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        bagFp(col("text")).as("bag_fp"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val s1 = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(1L).as("in1"))
     val s2 = docs
-      .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("bag_fp"))
       .groupBy("bag_fp").agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(1L).as("in2"))
     val s3 = s2.select("doc_id")

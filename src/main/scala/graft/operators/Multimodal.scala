@@ -114,10 +114,14 @@ object Multimodal {
         require(compression == 0, s"doc ${a.doc_id}: compressed BMP")
         require(width > 0 && height > 0,
           s"doc ${a.doc_id}: non-positive dimensions ${width}x$height")
-        val rowBytes = (width * 3 + 3) / 4 * 4 // rows pad to 4-byte words
-        val n = rowBytes * height
-        require(dataOffset + n <= p.length && fileSize <= p.length,
-          s"doc ${a.doc_id}: truncated pixel array")
+        // Long arithmetic: a hostile width (~2^30) overflows width*3 to a
+        // negative stride in Int, which would slip past the bound check
+        val rowBytes = (width.toLong * 3 + 3) / 4 * 4 // rows pad to 4-byte words
+        val nL = rowBytes * height
+        require(dataOffset >= 54 && dataOffset.toLong + nL <= p.length &&
+            fileSize <= p.length,
+          s"doc ${a.doc_id}: truncated or out-of-bounds pixel array")
+        val n = nL.toInt // nL <= p.length <= Int.MaxValue
         val px = new Array[Int](n)
         var i = 0
         while (i < n) { px(i) = p(dataOffset + i) & 0xff; i += 1 }
@@ -135,8 +139,11 @@ object Multimodal {
         require(channels > 0, s"doc ${a.doc_id}: zero-channel WAV")
         require(ascii(36, 4) == "data", s"doc ${a.doc_id}: missing data chunk")
         val dataSize = buf.getInt(40)
-        require(44 + dataSize <= p.length,
-          s"doc ${a.doc_id}: truncated sample data")
+        // >= 0 guard: a negative size field passes `44 + dataSize <= len`
+        // and would surface as NegativeArraySizeException, not the
+        // IllegalArgumentException the DLQ-routing contract promises
+        require(dataSize >= 0 && 44 + dataSize <= p.length,
+          s"doc ${a.doc_id}: truncated or negative-size sample data")
         val sm = new Array[Int](dataSize)
         var i = 0
         while (i < dataSize) { sm(i) = p(44 + i) & 0xff; i += 1 }

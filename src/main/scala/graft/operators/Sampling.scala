@@ -403,11 +403,21 @@ object Sampling {
         floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
     val totals = byLang.agg(sum(col("n_tokens")).as("total_tokens"),
       sum(col("weight")).as("total_weight"))
+    // ×10⁶ decomposed into two ×10³ steps and the ×weight multiply into
+    // quotient/remainder parts: floor(n·10⁶/t) = q·10³ + floor(r·10³/t)
+    // with q = (n·10³) div t, r = (n·10³) mod t — exact, and every
+    // intermediate stays < 2⁶³ up to ~9·10¹⁵-token corpora (a naive
+    // n_tokens·10⁶ overflows BIGINT at ~9·10¹² tokens, well under the
+    // 100-TB scale this operator is shaped for)
     byLang.crossJoin(broadcast(totals))
       .select(col("lang"), col("n_tokens"), col("weight"),
-        expr("n_tokens * 1000000 div total_tokens").as("natural_ppm"),
+        expr("(n_tokens * 1000 div total_tokens) * 1000" +
+          " + ((n_tokens * 1000) % total_tokens) * 1000 div total_tokens")
+          .as("natural_ppm"),
         expr("weight * 1000000 div total_weight").as("sampled_ppm"),
-        expr("total_tokens * weight div total_weight").as("expected_tokens"))
+        expr("(total_tokens div total_weight) * weight" +
+          " + (total_tokens % total_weight) * weight div total_weight")
+          .as("expected_tokens"))
       .orderBy("lang")
   }
 

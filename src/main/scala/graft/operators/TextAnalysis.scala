@@ -526,6 +526,8 @@ object TextAnalysis {
         (lit(20) * col("n_code_chars") >= col("n_chars")) ||
           (col("n_lines") >= 3 &&
             lit(2) * col("n_stmt_lines") >= col("n_lines")) ||
+          (col("n_lines") >= 3 &&
+            lit(2) * col("n_indent_lines") >= col("n_lines")) ||
           (col("n_kw_hits") >= 3 &&
             lit(10) * col("n_kw_hits") >= col("n_tokens")))
       .orderBy("doc_id")

@@ -75,6 +75,17 @@ class CurationSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_code_chars") == 0L)
   }
 
+  test("code detect: indentation alone flags brace-free indented blocks") {
+    val docs = Seq(
+      (1L, "build steps\n    cd tmp\n    make build\n    make test"),
+      (2L, "prose line one\nprose line two\nprose line three\nprose four"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeDetectOf(docs).collect()
+    assert(out(0).getAs[Long]("n_indent_lines") == 3L &&
+      out(0).getAs[Boolean]("is_code"))
+    assert(!out(1).getAs[Boolean]("is_code"))
+  }
+
   test("bag dedup coalesces word-order permutations exact dedup misses") {
     val docs = Seq(
       (1L, "alpha beta gamma"),

@@ -65,6 +65,24 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MediaCodec.decode(MediaAsset(9L, zeroCh, "audio/wav"))
     }
+    val negSz = wav0.clone() // negative data-size: NegativeArraySize hazard
+    java.nio.ByteBuffer.wrap(negSz).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, -1)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaAsset(9L, negSz, "audio/wav"))
+    }
+    val negOff = bytes.clone() // negative pixel offset: OOB-read hazard
+    java.nio.ByteBuffer.wrap(negOff).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, -64)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaAsset(9L, negOff, "image/bmp"))
+    }
+    val hugeW = bytes.clone() // width*3 overflows Int to a negative stride
+    java.nio.ByteBuffer.wrap(hugeW).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 0x40000000)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaAsset(9L, hugeW, "image/bmp"))
+    }
   }
 
   test("multimodal: resize yields a constant-size vector via nearest-neighbor") {
