@@ -95,6 +95,7 @@ object SparkEntry {
     "d13_dedup_recall_eval" -> Dedup.dedupRecallEval _, // 1 row
     "d14_dedup_funnel" ->
       canon("stage")((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
+    "d15_lsh_tuning_audit" -> canon("grid")(Dedup.lshTuningAudit),
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -106,6 +107,7 @@ object SparkEntry {
     "s09_quantization_recall" -> canon("method")(Similarity.quantizationRecall),
     "s10_index_stats" -> canon("index_name")(Similarity.indexStats),
     "s11_embedding_stats" -> Similarity.embeddingStats _,
+    "s12_ivf_probe_audit" -> canon("n_probe")(Similarity.ivfProbeAudit),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -122,6 +124,7 @@ object SparkEntry {
     "m07_audio_stats" -> canon("doc_id")(Multimodal.audioStatsQuery),
     "m08_image_patches" -> canon("doc_id")(Multimodal.imagePatchQuery),
     "m09_channel_stats" -> canon("doc_id")(Multimodal.channelStatsQuery),
+    "m10_audio_decimate" -> canon("doc_id")(Multimodal.audioDecimateQuery),
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> canon("da", "db")(Sampling.splitLeakage),
@@ -135,6 +138,8 @@ object SparkEntry {
     "p11_repeat_factor" -> Sampling.repeatFactor _,
     "p12_epoch_shuffle" -> Sampling.epochShuffle _,
     "p13_temperature_mixture" -> Sampling.temperatureMixture _,
+    "p14_sliding_chunks" ->
+      canon("doc_id", "chunk_id")(Sampling.slidingChunks),
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -1031,6 +1036,53 @@ object SparkEntry {
          |  CASE WHEN n_exact > 0 THEN CAST(n_common AS DOUBLE) / n_exact
          |       ELSE CAST(1.0 AS DOUBLE) END AS lsh_recall
          |FROM c""".stripMargin,
+    // d15: one shared shingle+signature front, one band/cand/verify CTE
+    // chain per grid (suffixes avoid clashes), scalar-subquery summary
+    "d15_lsh_tuning_audit" -> {
+      val sigCols = (0 until Dedup.K)
+        .map(j => s"min((${graft.operators.TextPrep.mixA(j)} * hb + " +
+          s"${graft.operators.TextPrep.mixB(j)}) % " +
+          s"${graft.operators.TextPrep.MinhashP}) AS h$j").mkString(",\n  ")
+      val gridCtes = Dedup.LshTuningGrids.map { case (nb, rpb) =>
+        val sel = (0 until nb).map { b0 =>
+          val cols = (0 until rpb).map(r => s"h${b0 * rpb + r}")
+          s"SELECT doc_id, $b0 AS band, md5(${cols.mkString(" || ")}) AS bkey FROM sig2"
+        }.mkString("\n  UNION ALL ")
+        s"""bands_$nb AS (
+           |  $sel),
+           |cand_$nb AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+           |  FROM bands_$nb x JOIN bands_$nb y
+           |    ON x.band = y.band AND x.bkey = y.bkey
+           |      AND x.doc_id < y.doc_id),
+           |ver_$nb AS (SELECT count(*) AS n FROM (
+           |    SELECT i.da, i.db, i.inter, sa.n AS na, sb.n AS nb FROM (
+           |      SELECT da, db, count(*) AS inter FROM cand_$nb
+           |        JOIN ex a ON a.doc_id = da
+           |        JOIN ex b ON b.doc_id = db AND b.s = a.s
+           |      GROUP BY da, db) i
+           |    JOIN sizes sa ON i.da = sa.doc_id
+           |    JOIN sizes sb ON i.db = sb.doc_id) v
+           |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter)
+           |    >= ${Dedup.JaccardThreshold})""".stripMargin
+      }.mkString(",\n")
+      val rows = Dedup.LshTuningGrids.map { case (nb, rpb) =>
+        s"""SELECT '${nb}x$rpb' AS grid, $nb AS n_bands,
+           |  $rpb AS rows_per_band,
+           |  (SELECT count(*) FROM cand_$nb) AS n_candidates,
+           |  (SELECT n FROM ver_$nb) AS n_verified,
+           |  CASE WHEN (SELECT count(*) FROM cand_$nb) > 0
+           |    THEN CAST((SELECT n FROM ver_$nb) AS DOUBLE)
+           |      / (SELECT count(*) FROM cand_$nb)
+           |    ELSE CAST(1.0 AS DOUBLE) END AS candidate_precision""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $shingleCtes,
+         |exh2 AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS hb FROM ex),
+         |sig2 AS (SELECT doc_id,
+         |  $sigCols
+         |FROM exh2 GROUP BY doc_id),
+         |""".stripMargin + gridCtes + "\n" + rows + "\nORDER BY grid"
+    },
     // d14: closure CTEs give cl(doc_id, cluster) over near-dup docs;
     // singleton docs label themselves via the LEFT JOIN coalesce
     "d14_dedup_funnel" ->
@@ -1176,6 +1228,64 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
          |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
          |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
+    // s12: the s03 IVF CTE chain widened with probe_rank; one scored CTE
+    // serves every sweep point via per-np rank/count CTEs
+    "s12_ivf_probe_audit" -> {
+      val perNp = Similarity.ProbeSweep.map { np =>
+        s"""r_$np AS (SELECT qid, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+           |  FROM scored WHERE probe_rank <= $np),
+           |h_$np AS (SELECT count(*) AS n FROM r_$np
+           |  JOIN bf USING (qid, neighbor_id) WHERE rank <= 3),
+           |c_$np AS (SELECT count(*) AS n FROM scored
+           |  WHERE probe_rank <= $np)""".stripMargin
+      }.mkString(",\n")
+      val rows = Similarity.ProbeSweep.map { np =>
+        s"""SELECT $np AS n_probe, (SELECT n FROM c_$np) AS n_candidates,
+           |  (SELECT n FROM h_$np) AS n_hits,
+           |  CAST(${3 * Similarity.NumQueries} AS BIGINT) AS n_possible,
+           |  CAST((SELECT n FROM h_$np) AS DOUBLE)
+           |    / ${3 * Similarity.NumQueries} AS recall_at_3""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |            AND vec_id >= ${Similarity.NumQueries}),
+         |ac AS (SELECT a.vec_id, c.cid,
+         |    list_sum(list_transform(list_zip(a.embedding, c.cv),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+         |  FROM e a, cents c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid, rn AS probe_rank FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn
+         |    FROM ac WHERE vec_id < ${Similarity.NumQueries})
+         |  WHERE rn <= ${Similarity.ProbeSweep.max}),
+         |scored AS (
+         |  SELECT p.qid, p.probe_rank, s.vec_id AS neighbor_id,
+         |    CAST($dotAB AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+         |  FROM probes p
+         |  JOIN assign s ON s.cid = p.cid AND s.vec_id <> p.qid
+         |  JOIN e a ON a.vec_id = p.qid
+         |  JOIN e b ON b.vec_id = s.vec_id),
+         |bfr AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         |    CAST($dotAB AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < ${Similarity.NumQueries}),
+         |bf AS (SELECT qid, neighbor_id FROM (
+         |    SELECT qid, neighbor_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank FROM bfr)
+         |  WHERE rank <= 3),
+         |""".stripMargin + perNp + "\n" + rows + "\nORDER BY n_probe"
+    },
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,
          |        list_sum(list_transform(embedding,
@@ -1413,6 +1523,26 @@ object SparkEntry {
          |    + (total_tokens % total_weight) * weight // total_weight
          |    AS expected_tokens
          |FROM w, tt ORDER BY lang""".stripMargin,
+    // p14: chunk count in non-negative integer arithmetic (floor ==
+    // truncate, so DuckDB // and Spark div agree); one window per stride
+    "p14_sliding_chunks" ->
+      s"""WITH $toksCte,
+         |tk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |nc AS (SELECT doc_id, n_tokens,
+         |    (greatest(n_tokens - ${Sampling.ChunkLen}, 0)
+         |      + ${Sampling.ChunkStride} - 1) // ${Sampling.ChunkStride} + 1
+         |      AS n_chunks
+         |  FROM tk),
+         |c AS (SELECT doc_id, n_tokens,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+         |  FROM nc)
+         |SELECT doc_id, chunk_id,
+         |  chunk_id * ${Sampling.ChunkStride} AS tok_start,
+         |  least(chunk_id * ${Sampling.ChunkStride} + ${Sampling.ChunkLen},
+         |    n_tokens) AS tok_end,
+         |  least(chunk_id * ${Sampling.ChunkStride} + ${Sampling.ChunkLen},
+         |    n_tokens) - chunk_id * ${Sampling.ChunkStride} AS chunk_len
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "t03_text_tokens" ->
       s"""WITH $toksCte
          |SELECT d.doc_id,
@@ -1826,6 +1956,31 @@ object SparkEntry {
         |    AS BIGINT) AS n_clipped,
         |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq
         |FROM w GROUP BY doc_id, declen ORDER BY doc_id""".stripMargin,
+    // m10: the m07 chain with the sample index carried through, split by
+    // i % factor into kept (decimated stream) vs dropped energy
+    "m10_audio_decimate" ->
+      s"""WITH e AS (SELECT doc_id, text,
+         |    CAST(length(text) - length(text) % 2 AS INT) AS declen
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |sm AS (SELECT doc_id, declen, text,
+         |    unnest(generate_series(0, declen // 2 - 1)) AS i FROM e),
+         |v AS (SELECT doc_id, declen, i,
+         |    ord(substr(text, CAST(2*i+1 AS INT), 1))
+         |      + 256 * ord(substr(text, CAST(2*i+2 AS INT), 1)) AS raw
+         |  FROM sm),
+         |w AS (SELECT doc_id, declen, i,
+         |    CASE WHEN raw > 32767 THEN raw - 65536 ELSE raw END AS s FROM v)
+         |SELECT doc_id, CAST(declen // 2 AS INT) AS n_samples_in,
+         |  CAST(sum(CASE WHEN i % ${Multimodal.DecimationFactor} = 0
+         |    THEN 1 ELSE 0 END) AS INT) AS n_samples_out,
+         |  CAST(max(CASE WHEN i % ${Multimodal.DecimationFactor} = 0
+         |    THEN abs(s) ELSE 0 END) AS INT) AS peak_out,
+         |  CAST(sum(CASE WHEN i % ${Multimodal.DecimationFactor} = 0
+         |    THEN CAST(s AS BIGINT) * s ELSE 0 END) AS BIGINT) AS sum_sq_out,
+         |  CAST(sum(CASE WHEN i % ${Multimodal.DecimationFactor} <> 0
+         |    THEN CAST(s AS BIGINT) * s ELSE 0 END) AS BIGINT)
+         |    AS sum_sq_dropped
+         |FROM w GROUP BY doc_id, declen ORDER BY doc_id""".stripMargin,
     // m08: 2x2 quadrant sums over the row-major decoded pixel array;
     // quadrant = integer index arithmetic, sums exact BIGINTs
     "m08_image_patches" ->

@@ -92,17 +92,21 @@ object Dedup {
 
 
   /** LSH band keys per document: K minhash signatures folded into
-    * [[Bands]] md5 band keys — the (doc_id, band, bkey) index both the
-    * all-pairs pass and the incremental pass probe. */
-  private def bandKeys(docs: DataFrame): DataFrame = {
+    * `bands` md5 band keys of `rowsPerBand` signatures each — the
+    * (doc_id, band, bkey) index both the all-pairs pass and the
+    * incremental pass probe. `bands · rowsPerBand` must equal [[K]]. */
+  private def bandKeys(docs: DataFrame, bands: Int = Bands,
+      rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(bands * rowsPerBand == K,
+      s"band grid ${bands}x$rowsPerBand must tile the $K signatures")
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // one md5 per shingle; K universal-hash mixes derive the K signatures
     val sigExprs = (0 until K).map(j => minhashAgg(col("hb"), j).as(s"h$j"))
     val sigs = ex.withColumn("hb", shingleBase(col("s")))
       .groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
-    val bandStructs = (0 until Bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)).as("bkey"))
+        md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("bkey"))
     }
     sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
@@ -169,6 +173,54 @@ object Dedup {
           .otherwise(lit(1.0)).as("lsh_recall"))
     val materialized = out.localCheckpoint(true)
     Seq(sh, truth, lsh).foreach(_.unpersist())
+    materialized
+  }
+
+  /** Band grids [[lshTuningAudit]] sweeps: (bands, rowsPerBand) tilings
+    * of the K=16 signatures, from recall-leaning (8×2: collision prob
+    * 1−(1−j²)⁸) to precision-leaning (2×8: 1−(1−j⁸)²). */
+  val LshTuningGrids: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
+
+  /** LSH operating-point sweep (d15) — the tuning table that picks the
+    * band grid BEFORE a 100-TB dedup run commits to one: for each
+    * (bands × rowsPerBand) tiling of the same K=16 minhash signatures,
+    * the candidate-pair count (the work the grid generates) and the
+    * verified ≥ τ count (the work that was worth it), with precision =
+    * verified/candidates. More bands ⇒ higher recall but more candidate
+    * verification; the published S-curve tradeoff measured on the actual
+    * corpus instead of assumed. One shingle materialization feeds every
+    * grid (signatures recompute per grid but candidates dominate);
+    * evicted after eager materialization (the s06/d13 pattern). */
+  def lshTuningAudit(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingledDocs(s, dir).persist()
+    val a = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
+    val rows = LshTuningGrids.map { case (nb, rpb) =>
+      val bands = bandKeys(sh, nb, rpb)
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val verified = cands.join(a, "da").join(b, "db")
+        .select(col("da"), col("db"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long")
+            .as("inter"),
+          size(col("sha")).as("na"), size(col("shb")).as("nb"))
+        .filter((col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))) >= JaccardThreshold)
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .select(lit(s"${nb}x$rpb").as("grid"),
+          lit(nb).as("n_bands"), lit(rpb).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          when(col("n_candidates") > 0,
+            col("n_verified").cast(DoubleType) / col("n_candidates"))
+            .otherwise(lit(1.0)).as("candidate_precision"))
+    }
+    val out = rows.reduce(_.unionByName(_))
+    val materialized = out.localCheckpoint(true)
+    sh.unpersist()
     materialized
   }
 

@@ -303,6 +303,43 @@ object Multimodal {
     }.toDF("doc_id", "n_samples", "peak_abs", "n_clipped", "sum_sq")
   }
 
+  /** Decimation factor for [[audioDecimateQuery]]: keep every 2nd sample
+    * (the 16 kHz → 8 kHz halving a speech pipeline runs before feature
+    * extraction). */
+  val DecimationFactor = 2
+
+  /** Audio decimation resample (m10) — downsample decoded 16-bit PCM by
+    * keeping every [[DecimationFactor]]-th sample, reporting the
+    * decimated stream's exact integer stats (count, peak, energy) plus
+    * the energy of the DROPPED samples: straight decimation has no
+    * anti-aliasing low-pass, and `sum_sq_dropped` is precisely the
+    * signal mass a production resampler's filter would have to handle —
+    * the audit that decides whether cheap decimation is acceptable for
+    * a corpus. Same one-scan-per-asset dataflow as [[audioStatsQuery]]
+    * (all BIGINT arithmetic, no doubles, constant-size output per
+    * asset inside the decode pass). */
+  def audioDecimateQuery(s: SparkSession, dir: String): DataFrame = {
+    val decoded = decodeAll(assets(s, dir))
+    import decoded.sparkSession.implicits._
+    decoded.filter(_.fmt == "wav").map { d =>
+      val n = d.data.length / 2
+      var i = 0; var nOut = 0; var peak = 0; var sq = 0L; var sqDrop = 0L
+      while (i < n) {
+        var v = d.data(2 * i) | (d.data(2 * i + 1) << 8)
+        if (v > 32767) v -= 65536 // sign wrap: little-endian int16
+        if (i % DecimationFactor == 0) {
+          nOut += 1
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sq += v.toLong * v
+        } else sqDrop += v.toLong * v
+        i += 1
+      }
+      (d.doc_id, n, nOut, peak, sq, sqDrop)
+    }.toDF("doc_id", "n_samples_in", "n_samples_out", "peak_out",
+      "sum_sq_out", "sum_sq_dropped")
+  }
+
   /** Image patchify over decoded BMP pixels — the ViT-style prepass that
     * turns a pixel array into per-patch statistics (here a 2×2 quadrant
     * grid of exact integer sums; a model-input pipeline widens the grid

@@ -126,6 +126,50 @@ object Sampling {
           .as("tail_waste_tokens"))
       .orderBy("lang")
 
+  /** Sliding-window geometry: [[ChunkLen]]-token windows advancing by
+    * [[ChunkStride]] (overlap = ChunkLen − ChunkStride = 32 tokens of
+    * shared context across consecutive windows). */
+  val ChunkLen = 128
+  val ChunkStride = 96
+
+  /** Sliding-window chunking (p14) — the long-document prepass that [[
+    * sequencePacking]] consumes downstream: split each document into
+    * overlapping [[ChunkLen]]-token windows every [[ChunkStride]] tokens,
+    * so no token loses more than the overlap of context at a window
+    * boundary. Emits the chunk INDEX (doc_id, chunk_id, tok_start,
+    * tok_end, chunk_len) a chunk writer materializes, not the text — at
+    * 100 TB the index is the shuffle-free artifact; slicing bytes happens
+    * in the same map pass that writes shards.
+    *
+    * Chunk count is `ceil(max(n−W, 0) / S) + 1` computed in non-negative
+    * integer arithmetic (floor and truncate agree, so Spark `div` and
+    * DuckDB `//` are engine-exact; a double `ceil` would misround at
+    * 2^53-scale cumulative counts). Shape: one narrow projection + one
+    * explode — zero shuffles, rows multiply by ~n/S on long docs only. */
+  def slidingChunks(s: SparkSession, dir: String): DataFrame =
+    slidingChunksOf(Tables.table(s, dir, "documents"))
+
+  /** The [[slidingChunks]] pipeline over an arbitrary `(doc_id, text, …)`
+    * frame — the synthetic-corpus specs drive multi-chunk geometry here
+    * (the driver corpus tops out under [[ChunkLen]] tokens, so its oracle
+    * rows prove plumbing only, the t09 PII pattern). */
+  def slidingChunksOf(docs: DataFrame): DataFrame = {
+    import TextPrep.tokens
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        expr(s"(greatest(n_tokens - $ChunkLen, 0L) + $ChunkStride - 1) " +
+          s"div $ChunkStride") + lit(1L))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("tok_start"),
+        least(col("chunk_id") * ChunkStride + ChunkLen, col("n_tokens"))
+          .as("tok_end"))
+      .withColumn("chunk_len", col("tok_end") - col("tok_start"))
+  }
+
   /** Train-side document frequency above which a shingle is dropped from
     * the decontamination join (same hot-key guard as d04's df cap — a
     * boilerplate shingle shared by d train docs and e eval docs costs

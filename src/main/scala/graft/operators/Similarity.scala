@@ -192,6 +192,70 @@ object Similarity {
         col("min_v"), col("max_v"), col("n_zero"), col("n_pos"))
       .orderBy("dim")
 
+  /** Probe budgets [[ivfProbeAudit]] sweeps, bracketing the production
+    * [[NProbe]] = 3 operating point. */
+  val ProbeSweep: Seq[Int] = Seq(1, 2, 3, 5)
+
+  /** IVF probe-budget sweep (s12) — [[Dedup.lshTuningAudit]]'s companion
+    * for the inverted-file index: for each nprobe budget, the candidate
+    * count (vectors exactly re-ranked — the work the budget buys) and
+    * recall@3 vs the brute-force truth (what the work was worth), the
+    * published IVF work/recall curve measured on the actual corpus
+    * before a 100-TB deployment commits to one probe count.
+    *
+    * One index build and ONE scoring pass serve every sweep point: each
+    * vector lives in exactly one inverted list, so a scored candidate
+    * carries the probe rank of the list that admitted it, and a budget's
+    * candidate set is just `probe_rank <= np` over the shared scored
+    * frame — the sweep adds windows and counts, never re-scores.
+    * Persisted inputs are evicted after eager materialization (the
+    * s06/s09 pattern). */
+  def ivfProbeAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).persist()
+    val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
+        col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    def cosToCentroid =
+      (graft.functions.FloatVecDot.float_vec_dot(col("embedding"), col("cv")) /
+        (col("nrm") * col("cn"))).as("ccos")
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id").as("qid"), col("cid"), cosToCentroid)
+      .withColumn("probe_rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("probe_rank") <= ProbeSweep.max)
+      .select("qid", "cid", "probe_rank")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = ivfAssign(e, cents)
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(e, "vec_id").join(broadcast(q), "qid")
+      .select(col("qid"), col("probe_rank"), col("vec_id").as("neighbor_id"),
+        (dotDec(col("qv"), col("embedding")).cast(DoubleType) /
+          (col("qn") * col("nrm"))).as("cos_sim"))
+      .persist()
+    val bf = bruteForceRanked(e)
+      .filter(col("rank") <= 3).select("qid", "neighbor_id").persist()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val rows = ProbeSweep.map { np =>
+      val sub = scored.filter(col("probe_rank") <= np)
+      val hits = sub.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .join(broadcast(bf), Seq("qid", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      sub.agg(count(lit(1)).as("n_candidates")).crossJoin(hits)
+        .select(lit(np).as("n_probe"), col("n_candidates"), col("n_hits"),
+          lit(3L * NumQueries).as("n_possible"),
+          (col("n_hits").cast(DoubleType) / (3L * NumQueries))
+            .as("recall_at_3"))
+    }
+    evictAfter(rows.reduce(_.unionByName(_)), e, scored, bf)
+  }
+
   /** The IVF search data flow, shared by the oracle-pinned [[annIvf]] and the
     * trained [[annIvfTrained]]. `e` = (vec_id, embedding, nrm); `cents` =
     * (cid, cv, cn), K ≪ N so always broadcast.

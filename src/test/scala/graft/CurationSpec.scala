@@ -223,4 +223,46 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_b") ==
       chan(0).map(_.toLong).sum.toDouble / (bytes.length / 3))
   }
+
+  test("audio decimation conserves the energy split and halves the stream") {
+    val sf = "/root/testdata/sf0.001"
+    val full = Multimodal.audioStatsQuery(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_samples"), r.getAs[Int]("peak_abs"),
+          r.getAs[Long]("sum_sq")))).toMap
+    val dec = Multimodal.audioDecimateQuery(spark, sf).collect()
+    assert(dec.nonEmpty && dec.length == full.size)
+    dec.foreach { r =>
+      val (n, peak, sq) = full(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("n_samples_in") == n)
+      // keep-every-2nd keeps ceil(n/2) samples
+      assert(r.getAs[Int]("n_samples_out") == (n + 1) / 2)
+      // decimation never invents signal: peak bounded by the full stream,
+      // and kept + dropped energy is EXACTLY the full-stream energy
+      assert(r.getAs[Int]("peak_out") <= peak)
+      assert(r.getAs[Long]("sum_sq_out") + r.getAs[Long]("sum_sq_dropped") == sq)
+    }
+  }
+
+  test("lsh tuning audit: more bands never lose candidates or recall") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.lshTuningAudit(spark, sf).orderBy("n_bands").collect()
+    assert(rows.map(r => (r.getAs[Int]("n_bands"), r.getAs[Int]("rows_per_band")))
+      .toSeq == Dedup.LshTuningGrids.sortBy(_._1))
+    rows.foreach { r =>
+      val cand = r.getAs[Long]("n_candidates")
+      val ver = r.getAs[Long]("n_verified")
+      assert(ver <= cand)
+      val p = r.getAs[Double]("candidate_precision")
+      assert(p >= 0.0 && p <= 1.0)
+      if (cand > 0) assert(p == ver.toDouble / cand)
+    }
+    // banding theory: a grid with more (shorter) bands collides strictly
+    // more often — every (2,8) band key is a refinement of an (8,2) one,
+    // so candidate sets and verified-pair sets grow with n_bands
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    val vers = rows.map(_.getAs[Long]("n_verified"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b })
+    assert(vers.zip(vers.tail).forall { case (a, b) => a <= b })
+  }
 }

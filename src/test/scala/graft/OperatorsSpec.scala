@@ -428,6 +428,28 @@ class OperatorsSpec extends SparkSpec {
       s"IVF recall $recall below probe fraction ${Similarity.NProbe}/$k")
   }
 
+  test("IVF probe sweep: recall and work grow with the budget, never brute force") {
+    import graft.operators.Similarity
+    val rows = Similarity.ivfProbeAudit(spark, sf).orderBy("n_probe").collect()
+    assert(rows.map(_.getAs[Int]("n_probe")).toSeq == Similarity.ProbeSweep)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits <= r.getAs[Long]("n_possible"))
+      assert(r.getAs[Double]("recall_at_3") ==
+        hits.toDouble / r.getAs[Long]("n_possible"))
+    }
+    // a bigger budget probes a superset of lists: candidates and hits are
+    // monotone in n_probe
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a < b })
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
+    // even the widest budget re-ranks a strict subset of the corpus —
+    // the sweep must never degenerate into brute force
+    val n = Tables.table(spark, sf, "embeddings").count()
+    assert(cands.last < Similarity.NumQueries * (n - 1))
+  }
+
   test("d04 prefix filter is lossless on adversarial corpora") {
     import graft.operators.Dedup
     // plain-Scala mirror of the operator's semantics: 3-gram distinct

@@ -64,4 +64,62 @@ class PackingSpec extends SparkSpec {
           s"(max doc = $maxDocTokens tokens)")
     }
   }
+
+  test("sliding chunks tile every document: full windows, stride advance, exact tail") {
+    val W = Sampling.ChunkLen
+    val S = Sampling.ChunkStride
+    val byDoc = Sampling.slidingChunks(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until sorted.length.toLong))
+      val n = sorted.last.getAs[Long]("tok_end")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("tok_start") == i.toLong * S)
+        val len = r.getAs[Long]("chunk_len")
+        assert(r.getAs[Long]("tok_end") == r.getAs[Long]("tok_start") + len)
+        // every window but the last is full; the tail keeps >= W-S+1
+        // tokens (else its content was already covered by the previous
+        // window and the chunk should not exist)
+        if (i < sorted.length - 1) assert(len == W,
+          s"doc $id chunk $i not full: $len")
+        else if (sorted.length > 1) assert(len >= W - S + 1 && len <= W)
+      }
+      // coverage: the last window ends exactly at the token count, and
+      // consecutive windows overlap by W-S (no token skipped)
+      assert(sorted.length == (math.max(n - W, 0) + S - 1) / S + 1)
+    }
+  }
+
+  test("sliding chunks split long documents at exact stride boundaries") {
+    // the driver corpus never exceeds ChunkLen tokens, so multi-chunk
+    // geometry must be driven synthetically: known token counts spanning
+    // 1 token → several windows, including the exact-fit boundaries
+    import spark.implicits._
+    val W = Sampling.ChunkLen
+    val S = Sampling.ChunkStride
+    val counts = Seq(1, W - 1, W, W + 1, W + S, W + S + 1, 4 * W)
+    val docs = counts.zipWithIndex
+      .map { case (n, id) => (id.toLong, Seq.fill(n)("tok").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val byDoc = Sampling.slidingChunksOf(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    counts.zipWithIndex.foreach { case (n, id) =>
+      val chunks = byDoc(id.toLong).sortBy(_.getAs[Long]("chunk_id"))
+      assert(chunks.length == (math.max(n - W, 0) + S - 1) / S + 1,
+        s"$n tokens -> wrong chunk count ${chunks.length}")
+      // tokens [0,n) are covered with no gap: window i spans
+      // [i*S, min(i*S+W, n)) and the next window starts W-S short of its end
+      chunks.foreach { c =>
+        val i = c.getAs[Long]("chunk_id")
+        assert(c.getAs[Long]("tok_start") == i * S)
+        assert(c.getAs[Long]("tok_end") == math.min(i * S + W, n))
+      }
+      assert(chunks.last.getAs[Long]("tok_end") == n)
+    }
+    // boundary sanity: W and W+1 tokens differ by exactly one window
+    assert(byDoc(2L).length == 1 && byDoc(3L).length == 2)
+  }
 }
