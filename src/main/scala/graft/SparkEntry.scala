@@ -96,6 +96,8 @@ object SparkEntry {
     "d14_dedup_funnel" ->
       canon("stage")((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
     "d15_lsh_tuning_audit" -> canon("grid")(Dedup.lshTuningAudit),
+    "d16_passage_cuts" ->
+      canon("doc_id", "span_start")(Dedup.passageCuts),
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -1082,6 +1084,41 @@ object SparkEntry {
          |  $sigCols
          |FROM exh2 GROUP BY doc_id),
          |""".stripMargin + gridCtes + "\n" + rows + "\nORDER BY grid"
+    },
+    // d16: stride-1 token-window fingerprints; canonical first occurrence
+    // exempt (rk=1 by (doc_id,pos)); islands merge overlapping cut windows
+    "d16_passage_cuts" -> {
+      val W = Dedup.PassageLen
+      s"""WITH $toksCte,
+         |tw AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= $W),
+         |win AS (SELECT doc_id, t,
+         |    unnest(generate_series(0, n - $W)) AS pos FROM tw),
+         |fps AS (SELECT doc_id, pos,
+         |    md5(array_to_string(
+         |      t[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)], ' ')) AS fp
+         |  FROM win),
+         |r AS (SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY fp) AS n_occ,
+         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+         |  FROM fps),
+         |cuts AS (SELECT doc_id, pos FROM r WHERE n_occ >= 2 AND rk >= 2),
+         |g AS (SELECT doc_id, pos,
+         |    max(pos + $W) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM cuts),
+         |b AS (SELECT doc_id, pos,
+         |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END
+         |      AS brk FROM g),
+         |i AS (SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM b)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + $W AS BIGINT) AS span_end,
+         |  count(*) AS n_windows,
+         |  CAST(max(pos) + $W - min(pos) AS BIGINT) AS n_tokens_cut
+         |FROM i GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin
     },
     // d14: closure CTEs give cl(doc_id, cluster) over near-dup docs;
     // singleton docs label themselves via the LEFT JOIN coalesce

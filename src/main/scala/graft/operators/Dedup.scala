@@ -96,14 +96,29 @@ object Dedup {
     * (doc_id, band, bkey) index both the all-pairs pass and the
     * incremental pass probe. `bands · rowsPerBand` must equal [[K]]. */
   private def bandKeys(docs: DataFrame, bands: Int = Bands,
-      rowsPerBand: Int = RowsPerBand): DataFrame = {
-    require(bands * rowsPerBand == K,
-      s"band grid ${bands}x$rowsPerBand must tile the $K signatures")
+      rowsPerBand: Int = RowsPerBand): DataFrame =
+    bandKeysFromSigs(signatures(docs), bands, rowsPerBand)
+
+  /** The K minhash signatures per document — the expensive
+    * shingle-explode + doc-keyed aggregation, factored out so
+    * [[lshTuningAudit]] computes it once and folds it into every band
+    * grid. */
+  private def signatures(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // one md5 per shingle; K universal-hash mixes derive the K signatures
     val sigExprs = (0 until K).map(j => minhashAgg(col("hb"), j).as(s"h$j"))
-    val sigs = ex.withColumn("hb", shingleBase(col("s")))
+    ex.withColumn("hb", shingleBase(col("s")))
       .groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+  }
+
+  /** Fold a `(doc_id, h0..h{K-1})` signature frame into `bands` md5 band
+    * keys of `rowsPerBand` signatures each — the (doc_id, band, bkey)
+    * index both the all-pairs pass and the incremental pass probe.
+    * `bands · rowsPerBand` must equal [[K]]. */
+  private def bandKeysFromSigs(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand == K,
+      s"band grid ${bands}x$rowsPerBand must tile the $K signatures")
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)).as("bkey"))
@@ -193,10 +208,14 @@ object Dedup {
     * evicted after eager materialization (the s06/d13 pattern). */
   def lshTuningAudit(s: SparkSession, dir: String): DataFrame = {
     val sh = shingledDocs(s, dir).persist()
+    // one shingle->minhash aggregation serves every grid: a band key is
+    // just an md5 fold of the SAME K signatures, so only the (cheap)
+    // fold+explode differs per sweep point
+    val sigs = signatures(sh).persist()
     val a = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
     val b = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
     val rows = LshTuningGrids.map { case (nb, rpb) =>
-      val bands = bandKeys(sh, nb, rpb)
+      val bands = bandKeysFromSigs(sigs, nb, rpb)
       val cands = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -220,6 +239,7 @@ object Dedup {
     }
     val out = rows.reduce(_.unionByName(_))
     val materialized = out.localCheckpoint(true)
+    sigs.unpersist()
     sh.unpersist()
     materialized
   }
@@ -715,6 +735,66 @@ object Dedup {
         (col("n_dup_shingles").cast(DoubleType) / col("n_shingles"))
           .as("dup_rate"))
       .orderBy("doc_id")
+  }
+
+  /** Passage length (tokens) for [[passageCuts]]: the exact-substring
+    * dedup granularity — windows shorter than this are treated as chance
+    * collisions, longer repeats emerge as merged spans. */
+  val PassageLen = 8
+
+  def passageCuts(s: SparkSession, dir: String): DataFrame =
+    passageCutsOf(Tables.table(s, dir, "documents"))
+
+  /** Passage-level exact-substring dedup (d16) — the actionable operator
+    * [[substringDupRate]]'s audit motivates (the Lee et al. span-removal
+    * family): fingerprint every [[PassageLen]]-token window at stride 1,
+    * exempt each fingerprint's canonical first occurrence (smallest
+    * (doc_id, pos) — deterministic in both engines), and merge the
+    * remaining duplicated windows per document into maximal token spans
+    * (gaps-and-islands over window positions with a running max-end).
+    * Output is the CUT LIST a span-removal writer applies: (doc_id,
+    * span_start, span_end, n_windows, n_tokens_cut) — boilerplate
+    * passages shared across documents collapse to one surviving copy.
+    *
+    * Scale shape: the window explode multiplies rows by ~tokens/doc but
+    * each row narrows to (doc_id, pos, md5) BEFORE any exchange — the
+    * token array never shuffles. Both window passes key on
+    * high-cardinality columns (fingerprint, then doc_id); everything is
+    * integer/hash arithmetic, so the oracle matches bit-for-bit. */
+  def passageCutsOf(docs: DataFrame): DataFrame = {
+    import TextPrep.tokens
+    val W = PassageLen
+    val win = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), (size(col("t")) - W).cast("long")))
+          .as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ",
+          slice(col("t"), (col("pos") + 1).cast("int"), lit(W)))).as("fp"))
+    val wF = Window.partitionBy(col("fp"))
+    val cuts = win
+      .withColumn("n_occ", count(lit(1)).over(wF))
+      .withColumn("rk", row_number().over(wF.orderBy(col("doc_id"), col("pos"))))
+      .filter(col("n_occ") >= 2 && col("rk") >= 2)
+      .select("doc_id", "pos")
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    cuts
+      .withColumn("prev_end", max(col("pos") + W)
+        .over(wD.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("prev_end").isNull ||
+        col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + W).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"),
+        (col("span_end") - col("span_start")).as("n_tokens_cut"))
   }
 
   /** Normed embedding frame, width-normalized (Tables.spread): one small

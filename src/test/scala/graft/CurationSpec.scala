@@ -224,6 +224,28 @@ class CurationSpec extends SparkSpec {
       chan(0).map(_.toLong).sum.toDouble / (bytes.length / 3))
   }
 
+  test("passage cuts excise exactly the shared span, keeping one canonical copy") {
+    // doc 1 and doc 2 share a 10-token passage at positions 5..14 inside
+    // otherwise-unique text; doc 3 repeats an 8-token passage internally;
+    // doc 4 is fully unique. W=8 windows inside the shared passage start
+    // at 5,6,7 -> one merged span [5,15) on the NON-canonical doc only.
+    val P = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val Q = (1 to 8).map(i => s"rep$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${(1 to 5).map(i => s"a$i").mkString(" ")} $P ${(1 to 5).map(i => s"z$i").mkString(" ")}"),
+      (2L, s"${(1 to 5).map(i => s"b$i").mkString(" ")} $P ${(1 to 5).map(i => s"y$i").mkString(" ")}"),
+      (3L, s"$Q filler1 filler2 $Q"),
+      (4L, (1 to 20).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.passageCutsOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_tokens_cut"))).toSet
+    assert(rows == Set(
+      (2L, 5L, 15L, 3L, 10L),  // doc 2's copy of P: windows 5,6,7 merged
+      (3L, 10L, 18L, 1L, 8L))) // doc 3's second Q occurrence
+  }
+
   test("audio decimation conserves the energy split and halves the stream") {
     val sf = "/root/testdata/sf0.001"
     val full = Multimodal.audioStatsQuery(spark, sf).collect()
