@@ -205,6 +205,27 @@ class CurationSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L))
   }
 
+  test("sliding chunks run in-stream: long docs split as they arrive") {
+    // pure per-row explode arithmetic, so the SAME operator chunks a
+    // live stream (the ingest-side prepass) with no state or watermark
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val W = Sampling.ChunkLen
+    val S = Sampling.ChunkStride
+    val q = Sampling.slidingChunksOf(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("streamchunks")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    val long = Seq.fill(W + S + 1)("tok").mkString(" ") // 3 windows
+    input.addData((1L, long), (2L, "short doc"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("streamchunks").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(rows(1L).length == 3 && rows(2L).length == 1)
+    assert(rows(1L).map(_.getAs[Long]("tok_end")).max == W + S + 1)
+  }
+
   test("channel stats match a hand-decoded BMP") {
     val sf = "/root/testdata/sf0.001"
     val texts = Tables.table(spark, sf, "documents")
