@@ -110,6 +110,7 @@ object SparkEntry {
     "s10_index_stats" -> canon("index_name")(Similarity.indexStats),
     "s11_embedding_stats" -> Similarity.embeddingStats _,
     "s12_ivf_probe_audit" -> canon("n_probe")(Similarity.ivfProbeAudit),
+    "s13_embedding_drift" -> Similarity.embeddingDrift _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -152,6 +153,7 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => TextAnalysis.sourceOverlap(s, dir)),
     "t15_gopher_rules" -> TextAnalysis.gopherRules _,
     "t16_code_detect" -> TextAnalysis.codeDetect _,
+    "t17_readability" -> TextAnalysis.readability _,
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -1265,6 +1267,29 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
          |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
          |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
+    // s13: the s11 unnest with a parity CASE - one conditional
+    // aggregation, decimal sums, boundary-double means and shift
+    "s13_embedding_drift" ->
+      s"""WITH d AS (SELECT vec_id, CAST(i AS INT) AS dim,
+         |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+         |  FROM embeddings,
+         |    (SELECT unnest(generate_series(0, ${Similarity.Dim - 1})) AS i)),
+         |g AS (SELECT dim,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    sum(CASE WHEN vec_id % 2 = 0
+         |      THEN CAST(v AS DECIMAL(12,6)) END) AS sa,
+         |    sum(CASE WHEN vec_id % 2 <> 0
+         |      THEN CAST(v AS DECIMAL(12,6)) END) AS sb
+         |  FROM d GROUP BY dim)
+         |SELECT dim, n_a, n_b,
+         |  CAST(sa AS DOUBLE) / n_a AS mean_a,
+         |  CAST(sb AS DOUBLE) / n_b AS mean_b,
+         |  abs(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+         |    AS mean_shift
+         |FROM g ORDER BY dim""".stripMargin,
     // s12: the s03 IVF CTE chain widened with probe_rank; one scored CTE
     // serves every sweep point via per-np rank/count CTEs
     "s12_ivf_probe_audit" -> {
@@ -1851,6 +1876,25 @@ object SparkEntry {
          |    OR (n_kw_hits >= 3 AND 10*n_kw_hits >= n_tokens)) AS is_code
          |FROM sig ORDER BY doc_id""".stripMargin
     },
+    // t17: same left-associated double arithmetic as the operator so the
+    // float score hash-matches; sentences floored at 1
+    "t17_readability" ->
+      s"""WITH $toksCte
+         |SELECT d.doc_id,
+         |  CAST(len(t.t) AS BIGINT) AS n_words,
+         |  greatest(1, CAST(len(regexp_extract_all(d.text, '[.!?]+'))
+         |    AS BIGINT)) AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(d.text), '[aeiou]+'))
+         |    AS BIGINT) AS n_syllables,
+         |  206.835
+         |    - 1.015 * (CAST(len(t.t) AS DOUBLE)
+         |      / greatest(1, CAST(len(regexp_extract_all(d.text, '[.!?]+'))
+         |          AS BIGINT)))
+         |    - 84.6 * (CAST(len(regexp_extract_all(lower(d.text), '[aeiou]+'))
+         |          AS DOUBLE)
+         |      / CAST(len(t.t) AS BIGINT)) AS flesch
+         |FROM documents d JOIN toks t USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // Geometry contract with the asset synthesizer (Multimodal.assets):
     // even doc_id -> 24-bpp BMP, w = 4*(len%3+1), h = len // (3w), decoded
     // pixel array = first 3wh text bytes; odd doc_id -> 16-bit mono WAV,

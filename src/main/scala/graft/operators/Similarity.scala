@@ -192,6 +192,36 @@ object Similarity {
         col("min_v"), col("max_v"), col("n_zero"), col("n_pos"))
       .orderBy("dim")
 
+  /** Embedding drift audit (s13) — the per-dimension comparison a
+    * pipeline runs between two corpus snapshots (or two encoder
+    * versions) before trusting that yesterday's index parameters still
+    * hold: for each dimension, both snapshots' counts and means plus
+    * the absolute mean shift. Snapshots here are the deterministic
+    * vec_id-parity halves (the oracle replays them exactly); in
+    * production the split column is the snapshot id. One posexplode into
+    * ONE dim-keyed conditional aggregation — no self-join of the two
+    * snapshots, so the scan stays single-pass with map-side combine
+    * (the s11 shape, widened by a CASE). Sums in exact DECIMAL(12,6);
+    * means and the shift are boundary divisions/subtractions on already-
+    * rounded doubles, so both engines agree bit-for-bit. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val even = col("vec_id") % 2 === 0
+    Tables.spread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        col("col").cast(DoubleType).as("v"))
+      .groupBy("dim")
+      .agg(sum(when(even, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!even, 1L).otherwise(0L)).as("n_b"),
+        sum(when(even, Dedup.dec(col("v"))).otherwise(lit(null))).as("sa"),
+        sum(when(!even, Dedup.dec(col("v"))).otherwise(lit(null))).as("sb"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        (col("sa").cast(DoubleType) / col("n_a")).as("mean_a"),
+        (col("sb").cast(DoubleType) / col("n_b")).as("mean_b"))
+      .withColumn("mean_shift", abs(col("mean_a") - col("mean_b")))
+      .orderBy("dim")
+  }
+
   /** Probe budgets [[ivfProbeAudit]] sweeps, bracketing the production
     * [[NProbe]] = 3 operating point. */
   val ProbeSweep: Seq[Int] = Seq(1, 2, 3, 5)

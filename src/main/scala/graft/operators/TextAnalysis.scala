@@ -75,6 +75,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --- readability ---------------------------------------------------------
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables.table(s, dir, "documents")).orderBy("doc_id")
+
+  /** Flesch-style readability scoring (t17) — the grade-level curation
+    * signal alongside t02's lexical quality and t15's Gopher rules:
+    * words (t03 whitespace convention), sentences (runs of `[.!?]`,
+    * floored at one — an unpunctuated doc IS one sentence), and a
+    * syllable proxy (vowel-group runs, the standard heuristic when no
+    * dictionary is in the loop), combined as
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    * Pure per-row expressions (zero shuffles before canon), and the
+    * formula's left-associated double arithmetic is replayed exactly by
+    * the oracle, so the score hash-matches despite being a float. */
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+          .as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast(DoubleType) / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast(DoubleType) / col("n_words")))
+
   // --- token counting ------------------------------------------------------
   // Whitespace tokens, alpha words, and a BPE-ish greedy ≤4-char chunking.
   def tokenCount(s: SparkSession, dir: String): DataFrame =

@@ -205,6 +205,21 @@ class CurationSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L))
   }
 
+  test("readability matches a hand-computed Flesch score") {
+    val r = TextAnalysis.readabilityOf(
+      Seq((1L, "The cat. The dog runs!")).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getAs[Long]("n_words") == 5)
+    assert(r.getAs[Long]("n_sentences") == 2)
+    assert(r.getAs[Long]("n_syllables") == 5) // e, a, e, o, u
+    assert(r.getAs[Double]("flesch") ==
+      206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5))
+    // an unpunctuated doc is one sentence, not a division by zero
+    val one = TextAnalysis.readabilityOf(
+      Seq((2L, "no enders here")).toDF("doc_id", "text")).collect().head
+    assert(one.getAs[Long]("n_sentences") == 1)
+  }
+
   test("sliding chunks run in-stream: long docs split as they arrive") {
     // pure per-row explode arithmetic, so the SAME operator chunks a
     // live stream (the ingest-side prepass) with no state or watermark

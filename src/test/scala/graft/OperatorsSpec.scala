@@ -428,6 +428,26 @@ class OperatorsSpec extends SparkSpec {
       s"IVF recall $recall below probe fraction ${Similarity.NProbe}/$k")
   }
 
+  test("embedding drift halves partition s11's stats exactly") {
+    import graft.operators.Similarity
+    val drift = Similarity.embeddingDrift(spark, sf).collect()
+      .map(r => r.getAs[Int]("dim") -> r).toMap
+    val stats = Similarity.embeddingStats(spark, sf).collect()
+    assert(drift.size == stats.length)
+    stats.foreach { s11 =>
+      val d = drift(s11.getAs[Int]("dim"))
+      // the parity halves partition every dimension's vectors
+      assert(d.getAs[Long]("n_a") + d.getAs[Long]("n_b") ==
+        s11.getAs[Long]("n_vecs"))
+      // each half's mean stays inside the full-population range
+      for (m <- Seq(d.getAs[Double]("mean_a"), d.getAs[Double]("mean_b"))) {
+        assert(m >= s11.getAs[Double]("min_v") && m <= s11.getAs[Double]("max_v"))
+      }
+      assert(d.getAs[Double]("mean_shift") ==
+        math.abs(d.getAs[Double]("mean_a") - d.getAs[Double]("mean_b")))
+    }
+  }
+
   test("IVF probe sweep: recall and work grow with the budget, never brute force") {
     import graft.operators.Similarity
     val rows = Similarity.ivfProbeAudit(spark, sf).orderBy("n_probe").collect()
