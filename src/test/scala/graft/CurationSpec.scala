@@ -282,6 +282,50 @@ class CurationSpec extends SparkSpec {
       (3L, 10L, 18L, 1L, 8L))) // doc 3's second Q occurrence
   }
 
+  test("passage cuts match a plain-Scala mirror on random low-vocab corpora") {
+    // small vocabulary -> natural window collisions with arbitrary
+    // overlap patterns (adjacent repeats, three-way shares, islands that
+    // must merge); the mirror recomputes fingerprint->canonical->islands
+    // from first principles
+    val W = Dedup.PassageLen
+    def expected(corpus: Seq[(Long, String)]): Set[(Long, Long, Long, Long, Long)] = {
+      val wins = corpus.flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+").toSeq
+        if (t.length < W) Seq.empty
+        else t.sliding(W).zipWithIndex
+          .map { case (w, i) => (w.mkString(" "), id, i.toLong) }
+      }
+      val cuts = wins.groupBy(_._1).values.flatMap { occ =>
+        if (occ.size < 2) Seq.empty
+        else occ.toSeq.sortBy(o => (o._2, o._3)).tail.map(o => (o._2, o._3))
+      }
+      cuts.groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).toSeq.sorted
+        val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+        sorted.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s0, e0, k) = spans.last
+            spans(spans.length - 1) = (s0, math.max(e0, p + W), k + 1)
+          } else spans += ((p, p + W, 1L))
+        }
+        spans.map { case (s0, e0, k) => (id, s0, e0, k, e0 - s0) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 12).map(i => s"w$i")
+    (1 to 20).foreach { trial =>
+      val corpus = (1L to 12L).map { id =>
+        id -> (1 to (W + rnd.nextInt(3 * W)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Dedup.passageCutsOf(corpus.toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_end"), r.getAs[Long]("n_windows"),
+          r.getAs[Long]("n_tokens_cut"))).toSet
+      assert(got == expected(corpus), s"trial $trial diverged")
+    }
+  }
+
   test("audio decimation conserves the energy split and halves the stream") {
     val sf = "/root/testdata/sf0.001"
     val full = Multimodal.audioStatsQuery(spark, sf).collect()
