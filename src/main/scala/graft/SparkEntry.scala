@@ -76,6 +76,8 @@ object SparkEntry {
     "q37_range_frame" -> ExtendedQueries.q37RangeFrame _,
     "q38_window_distinct" -> ExtendedQueries.q38WindowDistinct _,
     "q40_join_full_outer" -> CoreQueries.q40JoinFullOuter _,
+    "q41_cohort_retention" -> ExtendedQueries.q41CohortRetention _,
+    "q42_event_funnel" -> ExtendedQueries.q42EventFunnel _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -896,6 +898,49 @@ object SparkEntry {
         |  COALESCE(f_total, 0.0) AS f_total
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+    // q41: distinct user-weeks -> min-week cohorts -> (cohort, offset)
+    // cells; retention is one boundary division of exact counts
+    "q41_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+        |  FROM events),
+        |wk AS (SELECT DISTINCT user_id, week FROM ev),
+        |ch AS (SELECT user_id, min(week) AS cohort_week FROM wk
+        |       GROUP BY user_id),
+        |cs AS (SELECT cohort_week, count(*) AS n_cohort FROM ch
+        |       GROUP BY cohort_week),
+        |act AS (SELECT cohort_week, week - cohort_week AS week_offset
+        |        FROM wk JOIN ch USING (user_id))
+        |SELECT a.cohort_week, a.week_offset, count(*) AS n_users,
+        |  cs.n_cohort,
+        |  CAST(count(*) AS DOUBLE) / cs.n_cohort AS retention
+        |FROM act a JOIN cs USING (cohort_week)
+        |GROUP BY a.cohort_week, a.week_offset, cs.n_cohort
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // q42: chained strictly-later min-aggregations; conversion via lag
+    "q42_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t
+        |       WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts_us) AS t FROM ev e
+        |       JOIN s3 ON e.user_id = s3.user_id AND e.ts_us > s3.t
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |n AS (
+        |  SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT '2_view', count(*) FROM s2
+        |  UNION ALL SELECT '3_click', count(*) FROM s3
+        |  UNION ALL SELECT '4_purchase', count(*) FROM s4)
+        |SELECT step, n_users,
+        |  COALESCE(CAST(n_users AS DOUBLE)
+        |    / lag(n_users) OVER (ORDER BY step), 1.0) AS conv_from_prev
+        |FROM n ORDER BY step""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->

@@ -430,4 +430,73 @@ object ExtendedQueries {
         col("asof_view_id"), col("asof_view_ts"))
       .orderBy("user_id", "purchase_id")
   }
+
+  /** Microseconds per week — the cohort bucket for [[q41CohortRetention]]
+    * (pure integer epoch math, the q17 bucket convention). */
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  // --- Q41: cohort retention ------------------------------------------------
+  /** The classic product-analytics retention matrix: each user joins the
+    * cohort of their first active week; for every (cohort, week-offset)
+    * cell, how many of that cohort's users were active, and the retained
+    * fraction of the cohort. Distinct user-weeks first (one user-keyed
+    * aggregation), cohorts as a min over them, then one join back on
+    * user_id (both sides already user-keyed) and a final cell
+    * aggregation — no per-week self-joins, so the shape is three
+    * user/cell-keyed shuffles regardless of how many weeks of history
+    * the corpus holds. Counts are exact integers; `retention` is one
+    * boundary division. */
+  def q41CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us DIV $WeekUs").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    weeks.join(cohorts, "user_id")
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("n_cohort"),
+        (col("n_users").cast(DoubleType) / col("n_cohort")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  // --- Q42: ordered event funnel ---------------------------------------------
+  /** Ordered-sequence funnel over the event stream: users who signed up,
+    * then viewed, then clicked, then purchased — each step STRICTLY after
+    * the previous one in event time. Each step is one filtered
+    * user-keyed min-aggregation joined to the previous step's frontier
+    * (4 chained user-keyed shuffles, no window over the whole event
+    * stream, no per-row subqueries); the final report is a 4-row frame
+    * with step conversion as a lag-window division. */
+  def q42EventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    def next(prev: DataFrame, typ: String): DataFrame =
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col("t").as("tp")), "user_id")
+        .filter(col("ts_us") > col("tp"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t"))
+    val s2 = next(s1, "view")
+    val s3 = next(s2, "click")
+    val s4 = next(s3, "purchase")
+    val steps = Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3,
+      "4_purchase" -> s4)
+    val counts = steps.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("step"), col("n_users"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("step"))
+    counts
+      .withColumn("conv_from_prev",
+        coalesce(col("n_users").cast(DoubleType) /
+          lag(col("n_users"), 1).over(w), lit(1.0)))
+      .orderBy("step")
+  }
 }

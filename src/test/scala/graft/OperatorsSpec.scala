@@ -428,6 +428,35 @@ class OperatorsSpec extends SparkSpec {
       s"IVF recall $recall below probe fraction ${Similarity.NProbe}/$k")
   }
 
+  test("cohort retention: offset-0 cells are full cohorts, later cells never exceed them") {
+    import graft.operators.ExtendedQueries
+    val rows = ExtendedQueries.q41CohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_cohort"))
+      // a user is active in their own first week by definition
+      if (r.getAs[Long]("week_offset") == 0) {
+        assert(r.getAs[Long]("n_users") == r.getAs[Long]("n_cohort"))
+        assert(r.getAs[Double]("retention") == 1.0)
+      }
+    }
+  }
+
+  test("event funnel narrows monotonically with sane conversions") {
+    import graft.operators.ExtendedQueries
+    val rows = ExtendedQueries.q42EventFunnel(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("step")).toSeq ==
+      Seq("1_signup", "2_view", "3_click", "4_purchase"))
+    val n = rows.map(_.getAs[Long]("n_users"))
+    assert(n.zip(n.tail).forall { case (a, b) => b <= a })
+    assert(rows.head.getAs[Double]("conv_from_prev") == 1.0)
+    rows.tail.foreach { r =>
+      val c = r.getAs[Double]("conv_from_prev")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
   test("embedding drift halves partition s11's stats exactly") {
     import graft.operators.Similarity
     val drift = Similarity.embeddingDrift(spark, sf).collect()
