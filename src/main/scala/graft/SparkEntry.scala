@@ -78,6 +78,7 @@ object SparkEntry {
     "q40_join_full_outer" -> CoreQueries.q40JoinFullOuter _,
     "q41_cohort_retention" -> ExtendedQueries.q41CohortRetention _,
     "q42_event_funnel" -> ExtendedQueries.q42EventFunnel _,
+    "q43_copurchase_pairs" -> ExtendedQueries.q43CopurchasePairs _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -100,6 +101,7 @@ object SparkEntry {
     "d15_lsh_tuning_audit" -> canon("grid")(Dedup.lshTuningAudit),
     "d16_passage_cuts" ->
       canon("doc_id", "span_start")(Dedup.passageCuts),
+    "d17_cut_accounting" -> Dedup.cutAccounting _,
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -145,6 +147,7 @@ object SparkEntry {
     "p13_temperature_mixture" -> Sampling.temperatureMixture _,
     "p14_sliding_chunks" ->
       canon("doc_id", "chunk_id")(Sampling.slidingChunks),
+    "p15_shard_manifest" -> Sampling.shardManifest _,
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -223,6 +226,42 @@ object SparkEntry {
        |ORDER BY inner_id, outer_id""".stripMargin
 
   /** p04 oracle — lifted so p10's efficiency rollup can embed it. */
+  /** d16 oracle — lifted to a def so d17's accounting oracle can embed
+    * it (the d04/d09 pattern). */
+  private def d16OracleSql: String = {
+    val W = Dedup.PassageLen
+    s"""WITH $toksCte,
+       |tw AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= $W),
+       |win AS (SELECT doc_id, t,
+       |    unnest(generate_series(0, n - $W)) AS pos FROM tw),
+       |fps AS (SELECT doc_id, pos,
+       |    md5(array_to_string(
+       |      t[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)], ' ')) AS fp
+       |  FROM win),
+       |r AS (SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY fp) AS n_occ,
+       |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+       |  FROM fps),
+       |cuts AS (SELECT doc_id, pos FROM r WHERE n_occ >= 2 AND rk >= 2),
+       |g AS (SELECT doc_id, pos,
+       |    max(pos + $W) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM cuts),
+       |b AS (SELECT doc_id, pos,
+       |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END
+       |      AS brk FROM g),
+       |i AS (SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM b)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $W AS BIGINT) AS span_end,
+       |  count(*) AS n_windows,
+       |  CAST(max(pos) + $W - min(pos) AS BIGINT) AS n_tokens_cut
+       |FROM i GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   private val p04OracleSql =
     s"""WITH tk AS (SELECT doc_id, lang,
        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
@@ -941,6 +980,17 @@ object SparkEntry {
         |  COALESCE(CAST(n_users AS DOUBLE)
         |    / lag(n_users) OVER (ORDER BY step), 1.0) AS conv_from_prev
         |FROM n ORDER BY step""".stripMargin,
+    // q43: distinct baskets, size cap, one self-join on the order key
+    "q43_copurchase_pairs" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |cap AS (SELECT ok, pk FROM (
+        |    SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS n_items
+        |    FROM it) WHERE n_items <= ${ExtendedQueries.MaxBasketSize})
+        |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+        |FROM cap a JOIN cap b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY a.pk, b.pk
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->
@@ -1134,39 +1184,25 @@ object SparkEntry {
     },
     // d16: stride-1 token-window fingerprints; canonical first occurrence
     // exempt (rk=1 by (doc_id,pos)); islands merge overlapping cut windows
-    "d16_passage_cuts" -> {
-      val W = Dedup.PassageLen
-      s"""WITH $toksCte,
-         |tw AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= $W),
-         |win AS (SELECT doc_id, t,
-         |    unnest(generate_series(0, n - $W)) AS pos FROM tw),
-         |fps AS (SELECT doc_id, pos,
-         |    md5(array_to_string(
-         |      t[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)], ' ')) AS fp
-         |  FROM win),
-         |r AS (SELECT doc_id, pos,
-         |    count(*) OVER (PARTITION BY fp) AS n_occ,
-         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
-         |  FROM fps),
-         |cuts AS (SELECT doc_id, pos FROM r WHERE n_occ >= 2 AND rk >= 2),
-         |g AS (SELECT doc_id, pos,
-         |    max(pos + $W) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |  FROM cuts),
-         |b AS (SELECT doc_id, pos,
-         |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END
-         |      AS brk FROM g),
-         |i AS (SELECT doc_id, pos,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM b)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |  CAST(max(pos) + $W AS BIGINT) AS span_end,
-         |  count(*) AS n_windows,
-         |  CAST(max(pos) + $W - min(pos) AS BIGINT) AS n_tokens_cut
-         |FROM i GROUP BY doc_id, island
-         |ORDER BY doc_id, span_start""".stripMargin
-    },
+    "d16_passage_cuts" -> d16OracleSql,
+    // d17: d16's spans rolled up per doc, left-joined to every doc's
+    // token count, then one per-lang accounting aggregation
+    "d17_cut_accounting" ->
+      s"""WITH spans AS (SELECT * FROM ($d16OracleSql)),
+         |pd AS (SELECT doc_id, CAST(sum(n_tokens_cut) AS BIGINT) AS cut
+         |       FROM spans GROUP BY doc_id),
+         |tk AS (SELECT d.doc_id, d.lang,
+         |    CAST(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents d),
+         |j AS (SELECT tk.lang, tk.n_tokens, COALESCE(pd.cut, 0) AS cut
+         |      FROM tk LEFT JOIN pd USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(sum(cut) AS BIGINT) AS tokens_cut,
+         |  CAST(sum(n_tokens) - sum(cut) AS BIGINT) AS net_tokens,
+         |  CAST(sum(cut) AS DOUBLE) / sum(n_tokens) AS cut_rate
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     // d14: closure CTEs give cl(doc_id, cluster) over near-dup docs;
     // singleton docs label themselves via the LEFT JOIN coalesce
     "d14_dedup_funnel" ->
@@ -1650,6 +1686,19 @@ object SparkEntry {
          |  least(chunk_id * ${Sampling.ChunkStride} + ${Sampling.ChunkLen},
          |    n_tokens) - chunk_id * ${Sampling.ChunkStride} AS chunk_len
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // p15: the p04 layout grouped by (lang, start-bin shard)
+    "p15_shard_manifest" ->
+      s"""WITH p AS (SELECT * FROM ($p04OracleSql))
+         |SELECT lang, start_bin // ${Sampling.BinsPerShard} AS shard_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(min(start_bin) AS BIGINT) AS first_bin,
+         |  CAST(max(end_bin) AS BIGINT) AS last_bin,
+         |  CAST(sum(CASE WHEN end_bin // ${Sampling.BinsPerShard}
+         |      > start_bin // ${Sampling.BinsPerShard} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_straddle_out
+         |FROM p GROUP BY lang, shard_id
+         |ORDER BY lang, shard_id""".stripMargin,
     "t03_text_tokens" ->
       s"""WITH $toksCte
          |SELECT d.doc_id,

@@ -797,6 +797,38 @@ object Dedup {
         (col("span_end") - col("span_start")).as("n_tokens_cut"))
   }
 
+  /** Cut accounting (d17) — the "how much data actually survives"
+    * rollup that makes [[passageCutsOf]] actionable: per language,
+    * document count, total token mass, tokens inside d16 cut spans,
+    * the net token mass a writer would emit after span removal, and the
+    * cut rate. The number a data owner multiplies by epochs before
+    * committing to a crawl — computed from the SAME cut list the writer
+    * applies, so plan and execution cannot disagree. One per-doc span
+    * rollup joined back to a narrow (doc, lang, tokens) frame, then one
+    * lang-keyed aggregation; counts exact, the rate one boundary
+    * division. */
+  def cutAccounting(s: SparkSession, dir: String): DataFrame = {
+    import TextPrep.tokens
+    val docs = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val cutPerDoc = passageCuts(s, dir)
+      .groupBy("doc_id").agg(sum(col("n_tokens_cut")).as("cut"))
+    docs.join(cutPerDoc, Seq("doc_id"), "left")
+      .select(col("lang"), col("n_tokens"),
+        coalesce(col("cut"), lit(0L)).as("cut"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(col("cut")).as("tokens_cut"))
+      .select(col("lang"), col("n_docs"), col("tokens_total"),
+        col("tokens_cut"),
+        (col("tokens_total") - col("tokens_cut")).as("net_tokens"),
+        (col("tokens_cut").cast(DoubleType) / col("tokens_total"))
+          .as("cut_rate"))
+      .orderBy("lang")
+  }
+
   /** Normed embedding frame, width-normalized (Tables.spread): one small
     * parquet file = one split, which would run every exact-decimal
     * norm/dot on a single core. The second exchange AFTER the norm

@@ -499,4 +499,35 @@ object ExtendedQueries {
           lag(col("n_users"), 1).over(w), lit(1.0)))
       .orderBy("step")
   }
+
+  /** Per-order distinct-part cap for [[q43CopurchasePairs]]: a basket
+    * with b items contributes b·(b−1)/2 pairs, so one pathological
+    * order would dominate the join quadratically — the d04 df-cap
+    * guard applied to basket mining. TPC-H orders hold ≤ 7 lines, so
+    * the cap is headroom, not a result filter, on this corpus. */
+  val MaxBasketSize = 15
+
+  // --- Q43: co-purchase pair mining -----------------------------------------
+  /** Frequent-pair (market-basket) mining over the order/part fact: the
+    * top co-purchased part pairs by number of shared orders. Distinct
+    * (order, part) first, the basket-size cap above, then ONE
+    * equi-self-join on the order key with `part_a < part_b` — the pair
+    * blowup is bounded by cap²/2 per order, never all-parts×all-parts —
+    * and a (pair)-keyed count. Deterministic top-20 (ties break on the
+    * pair ids); counts exact. */
+  def q43CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val capped = items
+      .withColumn("n_items", count(lit(1)).over(Window.partitionBy(col("ok"))))
+      .filter(col("n_items") <= MaxBasketSize)
+      .select("ok", "pk")
+    capped.as("a").join(capped.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
 }

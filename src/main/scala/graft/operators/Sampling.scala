@@ -126,6 +126,30 @@ object Sampling {
           .as("tail_waste_tokens"))
       .orderBy("lang")
 
+  /** Context windows per output shard for [[shardManifest]] — the file
+    * granularity a packed-dataset writer emits. */
+  val BinsPerShard = 16
+
+  /** Shard write-plan manifest (p15) — the last planning artifact before
+    * bytes hit disk: [[sequencePacking]]'s window layout rolled up into
+    * per-(lang, shard) manifest rows — documents landing in the shard
+    * (attributed by their start window), exact token mass, the bin range
+    * the shard covers, and how many of its documents straddle into the
+    * next shard (they complete there; the writer's handoff list). A pure
+    * rollup of the already-computed p04 layout: one (lang, shard)-keyed
+    * aggregation, all integers. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    sequencePacking(s, dir)
+      .withColumn("shard_id", expr(s"start_bin div $BinsPerShard"))
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("start_bin")).as("first_bin"),
+        max(col("end_bin")).as("last_bin"),
+        sum(when(expr(s"end_bin div $BinsPerShard") > col("shard_id"), 1L)
+          .otherwise(0L)).as("n_straddle_out"))
+      .orderBy("lang", "shard_id")
+
   /** Sliding-window geometry: [[ChunkLen]]-token windows advancing by
     * [[ChunkStride]] (overlap = ChunkLen − ChunkStride = 32 tokens of
     * shared context across consecutive windows). */

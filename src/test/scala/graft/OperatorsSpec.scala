@@ -457,6 +457,64 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("co-purchase pairs match a plain-Scala basket count") {
+    import graft.operators.ExtendedQueries
+    val got = ExtendedQueries.q43CopurchasePairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("n_orders")))
+    val items: Set[(Long, Long)] = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().toSet
+    val baskets = items.groupBy(_._1).values
+      .map(_.map(_._2).toSeq.sorted)
+      .filter(_.size <= ExtendedQueries.MaxBasketSize)
+    val counts = baskets.flatMap(b =>
+      for (i <- b.indices; j <- i + 1 until b.size) yield (b(i), b(j)))
+      .groupBy(identity).map { case (p, o) => (p._1, p._2, o.size.toLong) }
+    val expected = counts.toSeq
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    assert(got.toSeq == expected)
+  }
+
+  test("cut accounting conserves token mass against d16's spans") {
+    import graft.operators.Dedup
+    val acct = Dedup.cutAccounting(spark, sf).collect()
+    assert(acct.nonEmpty)
+    val totalCut = Dedup.passageCuts(spark, sf).collect()
+      .map(_.getAs[Long]("n_tokens_cut")).sum
+    assert(acct.map(_.getAs[Long]("tokens_cut")).sum == totalCut)
+    acct.foreach { r =>
+      assert(r.getAs[Long]("net_tokens") ==
+        r.getAs[Long]("tokens_total") - r.getAs[Long]("tokens_cut"))
+      val rate = r.getAs[Double]("cut_rate")
+      assert(rate >= 0.0 && rate < 1.0)
+    }
+    val docs = Tables.table(spark, sf, "documents").count()
+    assert(acct.map(_.getAs[Long]("n_docs")).sum == docs)
+  }
+
+  test("shard manifest partitions p04's layout without losing a document") {
+    import graft.operators.Sampling
+    val B = Sampling.BinsPerShard
+    val manifest = Sampling.shardManifest(spark, sf).collect()
+    val packed = Sampling.sequencePacking(spark, sf).collect()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == packed.length)
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum ==
+      packed.map(_.getAs[Long]("n_tokens")).sum)
+    manifest.foreach { r =>
+      val shard = r.getAs[Long]("shard_id")
+      // the covered bin range starts inside the shard; straddlers may
+      // push last_bin past it, and they are exactly the handoff count
+      assert(r.getAs[Long]("first_bin") >= shard * B &&
+        r.getAs[Long]("first_bin") < (shard + 1) * B)
+      val straddle = packed.count { p =>
+        p.getAs[String]("lang") == r.getAs[String]("lang") &&
+          p.getAs[Long]("start_bin") / B == shard &&
+          p.getAs[Long]("end_bin") / B > shard
+      }
+      assert(r.getAs[Long]("n_straddle_out") == straddle)
+    }
+  }
+
   test("embedding drift halves partition s11's stats exactly") {
     import graft.operators.Similarity
     val drift = Similarity.embeddingDrift(spark, sf).collect()
