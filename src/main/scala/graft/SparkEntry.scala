@@ -115,6 +115,7 @@ object SparkEntry {
     "s11_embedding_stats" -> Similarity.embeddingStats _,
     "s12_ivf_probe_audit" -> canon("n_probe")(Similarity.ivfProbeAudit),
     "s13_embedding_drift" -> Similarity.embeddingDrift _,
+    "s14_pq_tuning_sweep" -> canon("pq_m")(Similarity.pqTuningSweep),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -394,10 +395,15 @@ object SparkEntry {
   // PQ/ADC: same decimal-exact per-element contract as embCte/dotAB;
   // argmin replayed as ROW_NUMBER over (key, code) — identical semantics
   // to the engine's min(struct(key, code)).
-  private def s07Sql: String = {
+  private def s07Sql: String =
+    s07SqlFor(Similarity.PqM, Similarity.PqSubDim)
+
+  /** The PQ oracle at an arbitrary (M, subDim) grid — s07 uses the
+    * production config; the s14 sweep embeds one body per M. */
+  private def s07SqlFor(m: Int, sd: Int): String = {
     def d(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(12,6))"
     val nq = Similarity.NumQueries
-    val (m, sd, k) = (Similarity.PqM, Similarity.PqSubDim, Similarity.PqK)
+    val k = Similarity.PqK
     s"""WITH $embCte,
        |ms AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
        |cb AS (SELECT ms.m AS m, CAST(vec_id - $nq AS INT) AS c,
@@ -1371,6 +1377,36 @@ object SparkEntry {
          |  abs(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
          |    AS mean_shift
          |FROM g ORDER BY dim""".stripMargin,
+    // s14: one bf-truth CTE; per-M hit CTEs embed the parameterized s07
+    // body as a self-contained subquery
+    "s14_pq_tuning_sweep" -> {
+      val perM = Similarity.PqSweepMs.map { m =>
+        s"""pq_$m AS (SELECT qid, neighbor_id
+           |  FROM (${s07SqlFor(m, Similarity.Dim / m)})),
+           |h_$m AS (SELECT count(*) AS n FROM pq_$m
+           |  JOIN bf USING (qid, neighbor_id))""".stripMargin
+      }.mkString(",\n")
+      val rows = Similarity.PqSweepMs.map { m =>
+        s"""SELECT $m AS pq_m, ${Similarity.Dim / m} AS subdim,
+           |  CAST($m AS BIGINT) AS bytes_per_vec,
+           |  (SELECT n FROM h_$m) AS n_hits,
+           |  CAST(${3 * Similarity.NumQueries} AS BIGINT) AS n_possible,
+           |  CAST((SELECT n FROM h_$m) AS DOUBLE)
+           |    / ${3 * Similarity.NumQueries} AS recall_at_3""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $embCte,
+         |bfr AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         |    CAST($dotAB AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < ${Similarity.NumQueries}),
+         |bf AS (SELECT qid, neighbor_id FROM (
+         |    SELECT qid, neighbor_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank FROM bfr)
+         |  WHERE rank <= 3),
+         |""".stripMargin + perM + "\n" + rows + "\nORDER BY pq_m"
+    },
     // s12: the s03 IVF CTE chain widened with probe_rank; one scored CTE
     // serves every sweep point via per-np rank/count CTEs
     "s12_ivf_probe_audit" -> {

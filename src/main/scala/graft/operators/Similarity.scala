@@ -452,18 +452,20 @@ object Similarity {
   def pqTopK(s: SparkSession, dir: String): DataFrame =
     pqRanked(embeddings(s, dir))
 
-  private def subM = explode(sequence(lit(0), lit(PqM - 1)))
-  private def sliceM(v: Column) = slice(v, col("m") * PqSubDim + 1, lit(PqSubDim))
+  private def subM(m: Int = PqM) = explode(sequence(lit(0), lit(m - 1)))
+  private def sliceM(v: Column, subDim: Int = PqSubDim) =
+    slice(v, col("m") * subDim + 1, lit(subDim))
 
   /** Codebook: (m, c, csub, ‖csub‖²) — PqM·PqK rows, broadcast everywhere.
     * All dots ride the codegen'd [[Dedup.dotDec]] (a lambda-fold variant
     * benched 2.5× slower end-to-end: higher-order functions interpret
     * their lambdas per element). */
-  private[graft] def pqCodebook(e: DataFrame): DataFrame = e
+  private[graft] def pqCodebook(e: DataFrame, m: Int = PqM,
+      subDim: Int = PqSubDim): DataFrame = e
     .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + PqK)
     .select((col("vec_id") - NumQueries).cast("int").as("c"),
-      subM.as("m"), col("embedding"))
-    .select(col("m"), col("c"), sliceM(col("embedding")).as("csub"))
+      subM(m).as("m"), col("embedding"))
+    .select(col("m"), col("c"), sliceM(col("embedding"), subDim).as("csub"))
     .withColumn("cn2", dotDec(col("csub"), col("csub")))
 
   /** Encode: nearest codebook entry per (vector, subspace) → (vec_id, nrm,
@@ -481,11 +483,12 @@ object Similarity {
     * keeps the aggregation in HashAggregate; the earlier
     * `min(struct(k, c))` buffer forced a SortAggregate into the encode
     * path (VERDICT r04 ask #4). */
-  private[graft] def pqCodes(e: DataFrame): DataFrame = {
-    val cb = pqCodebook(e)
-    val sub = e.select(col("vec_id"), col("nrm"), subM.as("m"), col("embedding"))
+  private[graft] def pqCodes(e: DataFrame, m: Int = PqM,
+      subDim: Int = PqSubDim): DataFrame = {
+    val cb = pqCodebook(e, m, subDim)
+    val sub = e.select(col("vec_id"), col("nrm"), subM(m).as("m"), col("embedding"))
       .select(col("vec_id"), col("nrm"), col("m"),
-        sliceM(col("embedding")).as("xsub"))
+        sliceM(col("embedding"), subDim).as("xsub"))
     sub.join(broadcast(cb), "m")
       .select(col("vec_id"), col("nrm"), col("m"), col("c"),
         (col("cn2") - lit(2) * dotDec(col("xsub"), col("csub")) +
@@ -495,14 +498,17 @@ object Similarity {
       .select(col("vec_id"), col("nrm"), col("m"), col("code"))
   }
 
-  private[graft] def pqRanked(e: DataFrame): DataFrame = {
-    val codes = pqCodes(e)
+  private[graft] def pqRanked(e: DataFrame, m: Int = PqM,
+      subDim: Int = PqSubDim): DataFrame = {
+    val codes = pqCodes(e, m, subDim)
     // ADC table: query-subvector · codebook-entry exact dots (Q·M·K rows)
     val lut = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("nrm").as("qn"),
-        subM.as("m"), col("embedding"))
-      .select(col("qid"), col("qn"), col("m"), sliceM(col("embedding")).as("qsub"))
-      .join(broadcast(pqCodebook(e).select(col("m"), col("c"), col("csub"))), "m")
+        subM(m).as("m"), col("embedding"))
+      .select(col("qid"), col("qn"), col("m"),
+        sliceM(col("embedding"), subDim).as("qsub"))
+      .join(broadcast(pqCodebook(e, m, subDim)
+        .select(col("m"), col("c"), col("csub"))), "m")
       .select(col("qid"), col("qn"), col("m"), col("c"),
         dotDec(col("qsub"), col("csub")).as("pdot"))
     // score: M lookups per (query, vector); partial aggregation collapses
@@ -520,6 +526,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "neighbor_id", "pq_score")
+  }
+
+  /** Subspace counts [[pqTuningSweep]] sweeps — 64-dim vectors split
+    * into 4×16-dim, 8×8-dim (production [[PqM]]) or 16×4-dim codes. */
+  val PqSweepMs: Seq[Int] = Seq(4, 8, 16)
+
+  /** PQ operating-point sweep (s14) — the third tuning audit beside the
+    * LSH band grids (d15) and IVF probe budgets (s12): for each subspace
+    * count M, recall@3 of the full encode→ADC pipeline vs the exact
+    * baseline, with the code size per vector. More subspaces = finer
+    * quantization = higher recall AND more bytes — the size/recall curve
+    * measured on the actual corpus before a compressed 100-TB index
+    * commits to one M. The embedding scan and the brute-force truth are
+    * computed once and shared across the sweep (persisted, evicted after
+    * eager materialization — the s06/s09 pattern); each sweep point runs
+    * the parameterized [[pqRanked]] at its own (m, subDim). */
+  def pqTuningSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).persist()
+    val bf = bruteForceRanked(e)
+      .filter(col("rank") <= 3).select("qid", "neighbor_id").persist()
+    val rows = PqSweepMs.map { m =>
+      val sd = Dim / m
+      pqRanked(e, m, sd)
+        .select("qid", "neighbor_id")
+        .join(broadcast(bf), Seq("qid", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(m).as("pq_m"), lit(sd).as("subdim"),
+          lit(m.toLong).as("bytes_per_vec"), col("n_hits"),
+          lit(3L * NumQueries).as("n_possible"),
+          (col("n_hits").cast(DoubleType) / (3L * NumQueries))
+            .as("recall_at_3"))
+    }
+    evictAfter(rows.reduce(_.unionByName(_)), e, bf)
   }
 
   // --- filtered (predicated) vector search ---------------------------------

@@ -515,6 +515,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PQ sweep: code size scales with M and recall stays sane at every point") {
+    import graft.operators.Similarity
+    val rows = Similarity.pqTuningSweep(spark, sf).orderBy("pq_m").collect()
+    assert(rows.map(_.getAs[Int]("pq_m")).toSeq == Similarity.PqSweepMs)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("pq_m") * r.getAs[Int]("subdim") == Similarity.Dim)
+      assert(r.getAs[Long]("bytes_per_vec") == r.getAs[Int]("pq_m").toLong)
+      val rec = r.getAs[Double]("recall_at_3")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec == r.getAs[Long]("n_hits").toDouble /
+        r.getAs[Long]("n_possible"))
+    }
+    // the production point (M=8) must appear and match s09's pq recall
+    val prod = rows.find(_.getAs[Int]("pq_m") == Similarity.PqM).get
+    val s09pq = Similarity.quantizationRecall(spark, sf).collect()
+      .find(_.getAs[String]("method") == "pq").get
+    assert(prod.getAs[Double]("recall_at_3") ==
+      s09pq.getAs[Double]("recall_at_3"))
+  }
+
   test("embedding drift halves partition s11's stats exactly") {
     import graft.operators.Similarity
     val drift = Similarity.embeddingDrift(spark, sf).collect()
