@@ -515,6 +515,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("the sweep audits leave no cached plans behind") {
+    import graft.operators.{Dedup, Similarity}
+    // a leaked persist would silently rewrite every LATER query's plan
+    // (the cache manager substitutes cached plans into matching scans)
+    spark.catalog.clearCache()
+    Dedup.lshTuningAudit(spark, sf).collect()
+    Similarity.ivfProbeAudit(spark, sf).collect()
+    Similarity.pqTuningSweep(spark, sf).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "an eval sweep left a persisted frame in the cache manager")
+  }
+
   test("PQ sweep: code size scales with M and recall stays sane at every point") {
     import graft.operators.Similarity
     val rows = Similarity.pqTuningSweep(spark, sf).orderBy("pq_m").collect()

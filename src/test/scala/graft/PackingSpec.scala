@@ -121,5 +121,14 @@ class PackingSpec extends SparkSpec {
     }
     // boundary sanity: W and W+1 tokens differ by exactly one window
     assert(byDoc(2L).length == 1 && byDoc(3L).length == 2)
+    // token conservation: chunk lengths minus the repeated overlaps
+    // reconstruct the doc's token count exactly
+    val ov = W - S
+    counts.zipWithIndex.foreach { case (n, id) =>
+      val chunks = byDoc(id.toLong)
+      assert(chunks.map(_.getAs[Long]("chunk_len")).sum -
+        ov.toLong * (chunks.length - 1) == n.toLong,
+        s"$n tokens not conserved through overlapping chunks")
+    }
   }
 }
