@@ -21,7 +21,14 @@ object Bench {
     *      line Bench wrote at the end of that round (the workdir
     *      `BENCH_LOCAL.json` is snapshotted+committed at the END of round
     *      N, so the snapshot round matches the driver file round);
-    *   2. the newest driver `BENCH_r{N}.json`: its `parsed` field, else the
+    *   2. the workdir `BENCH_LOCAL.json` itself — the FULL line the
+    *      previous round's bench run left behind (r7 lesson: a stall round
+    *      commits no numbered snapshot, and the driver file's 2 kB tail
+    *      then recovers only ~15% of the map while the full line sits on
+    *      disk unread). Guarded by an `"sf"` match against the current
+    *      target dir so a mid-round local run at another SF can't pose as
+    *      previous-round numbers;
+    *   3. the newest driver `BENCH_r{N}.json`: its `parsed` field, else the
     *      JSON line inside its `tail`, else — because the driver FRONT-
     *      truncates the tail to 2 kB, which is what silently emptied the
     *      r03 deltas — scavenge every complete `"name":seconds` pair from
@@ -40,7 +47,9 @@ object Bench {
     def queriesOf(n: JsonNode): Map[String, Double] =
       if (n != null && n.has("queries"))
         n.get("queries").properties().asScala
-          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+          .map(e => e.getKey -> e.getValue.asDouble())
+          .filter(_._2 > 0) // -1.0 = "failed that round", not a time
+          .toMap
       else Map.empty
     def newest(pattern: String): Option[java.io.File] =
       searchDirs
@@ -75,6 +84,21 @@ object Bench {
       try Some((f.getName, queriesOf(mapper.readTree(f))))
       catch { case _: Throwable => None }
     }.filter(_._2.nonEmpty)
+    // the un-numbered workdir snapshot: Bench always persists its full
+    // line here, so at the next round's previousBench() call this IS the
+    // previous round — unless a local iteration run at a different SF
+    // overwrote it, hence the sf guard.
+    val expectedSf =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workdir = searchDirs
+      .map(d => new java.io.File(d, "BENCH_LOCAL.json")).find(_.isFile)
+      .flatMap { f =>
+        try {
+          val root = mapper.readTree(f)
+          val sfOk = Option(root.get("sf")).map(_.asText("")).contains(expectedSf)
+          if (sfOk) Some((f.getName, queriesOf(root))) else None
+        } catch { case _: Throwable => None }
+      }.filter(_._2.nonEmpty)
     // prefer the snapshot while it is at least as recent as the newest
     // driver file — a missed snapshot commit must not silently produce
     // two-rounds-old deltas presented as previous-round ones. BUT (r04
@@ -105,6 +129,7 @@ object Bench {
       } catch { case _: Throwable => (f.getName, Map.empty[String, Double]) }
     }
     val (name, prev) = snapshot.filter(s => roundOf(s._1) >= newestDriverRound)
+      .orElse(workdir) // full previous-round line beats a truncated tail
       .orElse(fromDriver.filter(_._2.nonEmpty))
       .orElse(snapshot) // stale snapshot: last resort, labeled by file name
       .getOrElse(("", Map.empty[String, Double]))

@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated corpus (see /root/repo/TESTDATA.md).
   *
-  * One quirk: `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS),
-  * which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read
-  * it via `spark.sql.legacy.parquet.nanosAsLong` as raw nanos and expose a
-  * derived `ts_us` (epoch micros, BIGINT) that all event queries use. At
-  * 100 TB the integer-nanos representation is actually preferable: int64
-  * min/max pushdown still works and no timezone conversion sits in the
-  * scan hot path.
+  * One quirk: the corpus has shipped `events.ts` under two different
+  * physical encodings across rounds — parquet TIMESTAMP(NANOS) (readable
+  * only as raw int64 via `spark.sql.legacy.parquet.nanosAsLong`) and
+  * TIMESTAMP(MICROS) (a plain TimestampType). All event queries consume a
+  * derived `ts_us` (epoch micros, BIGINT); `events()` dispatches its
+  * derivation on the PHYSICAL schema actually loaded, so either encoding —
+  * and any future flip back — yields identical downstream semantics. At
+  * 100 TB both representations keep int64/timestamp min-max pushdown on
+  * the scan; the BIGINT ts_us keeps timezone conversion out of the
+  * per-row hot path.
   */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -25,10 +28,23 @@ object Tables {
     spark.read.parquet(path(dir, name))
   }
 
-  /** events with `ts_us`: epoch microseconds as BIGINT (truncating nanos,
-    * matching DuckDB's CAST(ts AS TIMESTAMP) → epoch_us semantics). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+  /** events with `ts_us`: epoch microseconds as BIGINT, regardless of the
+    * corpus's physical ts encoding (truncating nanos when present —
+    * matching DuckDB's epoch_us(CAST(ts AS TIMESTAMP)) oracle semantics).
+    * The session timezone is pinned UTC by every entry point, so the
+    * timestamp→micros conversion is a pure reinterpretation. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val df = table(spark, dir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000") // nanosAsLong encoding
+      case TimestampType    => unix_micros(col("ts"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other")
+    }
+    df.withColumn("ts_us", tsUs)
+  }
 
   /** Width-normalized scan for expensive per-row work (shingling, explode,
     * decimal vector math): a small corpus arrives as ONE parquet split and

@@ -11,7 +11,7 @@ class BenchSpec extends AnyFunSuite {
   test("previousBench finds a non-empty per-query map for delta emission") {
     val (name, prev) = Bench.previousBench()
     assert(name.nonEmpty, "no previous bench source found at repo root")
-    assert(name.matches("BENCH(_LOCAL)?_r\\d+\\.json"), s"odd source '$name'")
+    assert(name.matches("BENCH(_LOCAL)?(_r\\d+)?\\.json"), s"odd source '$name'")
     assert(prev.nonEmpty,
       "previous-round per-query times came back empty — deltas would vanish")
     // a usable map covers most of the pack and holds sane positive seconds
@@ -62,6 +62,48 @@ class BenchSpec extends AnyFunSuite {
       assert(name == "BENCH_r4.json")
       assert(prev.size == 3 && prev.values.forall(_ == 0.5),
         s"scavenge picked up spread values: $prev")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("workdir BENCH_LOCAL.json (full line, sf match) beats truncated driver file") {
+    // r7 state: no numbered snapshot for the round, driver tail truncated
+    // past the queries section, but the full line Bench wrote is on disk.
+    val dir = java.nio.file.Files.createTempDirectory("benchspec4").toFile
+    try {
+      val q = SparkEntry.queries.keySet.take(4)
+        .map(k => "\"" + k + "\":0.125").mkString("{", ",", "}")
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_LOCAL.json"),
+        s"""{"metric":"total","value":0.5,"queries":$q,"sf":"/root/testdata/sf0.1"}"""
+          .getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_r7.json"),
+        """{"n":7,"parsed":null,"tail":"prev_delta_sec\":{}}"}""".getBytes("UTF-8"))
+      val (name, prev) = Bench.previousBench(Seq(dir))
+      assert(name == "BENCH_LOCAL.json", s"expected workdir line, got '$name'")
+      assert(prev.size == 4 && prev.values.forall(_ == 0.125))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("workdir BENCH_LOCAL.json at a different SF is ignored") {
+    // a mid-round local iteration run (sf0.01) must not pose as the
+    // previous round's sf0.1 numbers — fall through to the stale snapshot
+    val dir = java.nio.file.Files.createTempDirectory("benchspec5").toFile
+    try {
+      val q = SparkEntry.queries.keySet.take(3)
+        .map(k => "\"" + k + "\":0.500").mkString("{", ",", "}")
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_LOCAL.json"),
+        s"""{"metric":"total","value":1.5,"queries":$q,"sf":"/root/testdata/sf0.01"}"""
+          .getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_LOCAL_r6.json"),
+        s"""{"metric":"total","value":1.5,"queries":$q}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.toPath.resolve("BENCH_r7.json"),
+        """{"n":7,"parsed":null,"tail":""}""".getBytes("UTF-8"))
+      val (name, prev) = Bench.previousBench(Seq(dir))
+      assert(name == "BENCH_LOCAL_r6.json", s"expected stale snapshot, got '$name'")
+      assert(prev.size == 3)
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
