@@ -149,6 +149,7 @@ object SparkEntry {
     "p14_sliding_chunks" ->
       canon("doc_id", "chunk_id")(Sampling.slidingChunks),
     "p15_shard_manifest" -> Sampling.shardManifest _,
+    "p16_apply_cuts" -> Sampling.applyCuts _,
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -1735,6 +1736,28 @@ object SparkEntry {
          |    AS BIGINT) AS n_straddle_out
          |FROM p GROUP BY lang, shard_id
          |ORDER BY lang, shard_id""".stripMargin,
+    // p16: d16's spans applied — tokens outside every cut span re-joined
+    // into the cleaned text a span-removal writer emits
+    "p16_apply_cuts" ->
+      s"""WITH $toksCte,
+         |spans AS (SELECT * FROM ($d16OracleSql)),
+         |tp AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS pos,
+         |         t FROM toks),
+         |tk AS (SELECT doc_id, pos, t[CAST(pos + 1 AS INT)] AS tok FROM tp),
+         |cut AS (SELECT DISTINCT k.doc_id, k.pos FROM tk k JOIN spans s
+         |        ON k.doc_id = s.doc_id
+         |       AND k.pos >= s.span_start AND k.pos < s.span_end),
+         |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
+         |         LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |         WHERE c.doc_id IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_tokens_clean,
+         |          string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(COALESCE(a.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
+         |  COALESCE(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "t03_text_tokens" ->
       s"""WITH $toksCte
          |SELECT d.doc_id,

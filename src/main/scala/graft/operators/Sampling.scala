@@ -194,6 +194,49 @@ object Sampling {
       .withColumn("chunk_len", col("tok_end") - col("tok_start"))
   }
 
+  /** Cuts-applier (p16) — the span-removal WRITER the d16/d17 pair plans
+    * for: materialize [[graft.operators.Dedup.passageCuts]]'s per-document
+    * cut lists into the cleaned corpus itself (doc_id, lang,
+    * n_tokens_clean, clean_text). d16 plans the cuts, d17 accounts for
+    * them, p16 EMITS the artifact a 100 TB pipeline actually ships — and
+    * because all three consume the same cut list, the per-language token
+    * mass of p16's output equals d17's `net_tokens` exactly (asserted in
+    * CurationSpec).
+    *
+    * Shape: the cut list aggregates to one small span array per affected
+    * document (bounded by tokens/PassageLen), joins back on doc_id — the
+    * same key the token arrays are already hashed on — and the removal
+    * itself is a codegen'd higher-order filter (position ∉ any span) with
+    * no extra shuffle and no token-array exchange beyond that one join. */
+  def applyCuts(s: SparkSession, dir: String): DataFrame =
+    applyCutsOf(Tables.spread(s, dir, "documents", "doc_id"),
+      Dedup.passageCuts(s, dir))
+
+  /** The [[applyCuts]] pipeline over arbitrary `(doc_id, lang, text)` and
+    * `(doc_id, span_start, span_end, …)` frames, for spec-supplied
+    * corpora and cut lists. Spans are half-open token intervals
+    * `[span_start, span_end)`, 0-based, non-overlapping per document
+    * (d16 emits merged maximal islands). */
+  def applyCutsOf(docs: DataFrame, cuts: DataFrame): DataFrame = {
+    import TextPrep.tokens
+    val spans = cuts
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        filter(col("t"), (_, i) =>
+          !exists(coalesce(col("spans"), array()), sp =>
+            i.cast("long") >= sp.getField("span_start") &&
+              i.cast("long") < sp.getField("span_end"))).as("keep"))
+      .select(col("doc_id"), col("lang"),
+        size(col("keep")).cast("long").as("n_tokens_clean"),
+        concat_ws(" ", col("keep")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Train-side document frequency above which a shingle is dropped from
     * the decontamination join (same hot-key guard as d04's df cap — a
     * boilerplate shingle shared by d train docs and e eval docs costs

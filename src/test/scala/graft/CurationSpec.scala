@@ -326,6 +326,55 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cuts applier emits the cleaned text the cut list plans (p16)") {
+    // same fixture as the d16 excision test: doc 2's copy of the shared
+    // passage and doc 3's second internal repeat are the only spans
+    val P = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val Q = (1 to 8).map(i => s"rep$i").mkString(" ")
+    val a = (1 to 5).map(i => s"a$i").mkString(" ")
+    val z = (1 to 5).map(i => s"z$i").mkString(" ")
+    val b = (1 to 5).map(i => s"b$i").mkString(" ")
+    val y = (1 to 5).map(i => s"y$i").mkString(" ")
+    val u = (1 to 20).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", s"$a $P $z"), (2L, "en", s"$b $P $y"),
+      (3L, "de", s"$Q filler1 filler2 $Q"), (4L, "de", u)
+    ).toDF("doc_id", "lang", "text")
+    val got = Sampling.applyCutsOf(docs, Dedup.passageCutsOf(docs))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_clean"), r.getAs[String]("clean_text")))
+      .toMap
+    assert(got(1L) == (20L, s"$a $P $z"))       // canonical copy survives
+    assert(got(2L) == (10L, s"$b $y"))          // span [5,15) excised
+    assert(got(3L) == (10L, s"$Q filler1 filler2")) // second Q excised
+    assert(got(4L) == (20L, u))                 // untouched
+  }
+
+  test("cuts applier empties a document that is one whole duplicate span") {
+    val t = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, "en", t), (2L, "en", t)).toDF("doc_id", "lang", "text")
+    val got = Sampling.applyCutsOf(docs, Dedup.passageCutsOf(docs))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_clean"), r.getAs[String]("clean_text")))
+      .toMap
+    assert(got(1L) == (10L, t) && got(2L) == (0L, ""))
+  }
+
+  test("p16 emitted token mass equals d17 net_tokens per language exactly") {
+    // plan (d17) and execution (p16) consume the same cut list, so the
+    // accounting a data owner committed to must be the mass the writer
+    // ships — token for token, on the live corpus
+    val sf = "/root/testdata/sf0.001"
+    val emitted = Sampling.applyCuts(spark, sf)
+      .groupBy("lang").sum("n_tokens_clean")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val planned = Dedup.cutAccounting(spark, sf)
+      .select("lang", "net_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(emitted == planned,
+      s"writer/accounting drift: emitted=$emitted planned=$planned")
+  }
+
   test("audio decimation conserves the energy split and halves the stream") {
     val sf = "/root/testdata/sf0.001"
     val full = Multimodal.audioStatsQuery(spark, sf).collect()
