@@ -1187,7 +1187,15 @@ object SparkEntry {
          |sig2 AS (SELECT doc_id,
          |  $sigCols
          |FROM exh2 GROUP BY doc_id),
-         |""".stripMargin + gridCtes + "\n" + rows + "\nORDER BY grid"
+         |""".stripMargin + gridCtes + ",\nbase AS (\n" + rows + "),\n" +
+        s"""sel AS (SELECT *, max(CAST(n_verified AS DOUBLE)) OVER () AS qmax
+           |        FROM base)
+           |SELECT * EXCLUDE (qmax),
+           |  (ROW_NUMBER() OVER (ORDER BY
+           |     CASE WHEN CAST(n_verified AS DOUBLE)
+           |       >= ${Dedup.SweepRetention} * qmax THEN 0 ELSE 1 END,
+           |     n_candidates, n_bands) = 1) AS recommended
+           |FROM sel ORDER BY grid""".stripMargin
     },
     // d16: stride-1 token-window fingerprints; canonical first occurrence
     // exempt (rk=1 by (doc_id,pos)); islands merge overlapping cut windows
@@ -1406,7 +1414,14 @@ object SparkEntry {
          |    SELECT qid, neighbor_id, ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY cos_sim DESC, neighbor_id) AS rank FROM bfr)
          |  WHERE rank <= 3),
-         |""".stripMargin + perM + "\n" + rows + "\nORDER BY pq_m"
+         |""".stripMargin + perM + ",\nbase AS (\n" + rows + "),\n" +
+        s"""sel AS (SELECT *, max(recall_at_3) OVER () AS qmax FROM base)
+           |SELECT * EXCLUDE (qmax),
+           |  (ROW_NUMBER() OVER (ORDER BY
+           |     CASE WHEN recall_at_3 >= ${Dedup.SweepRetention} * qmax
+           |       THEN 0 ELSE 1 END,
+           |     bytes_per_vec, pq_m) = 1) AS recommended
+           |FROM sel ORDER BY pq_m""".stripMargin
     },
     // s12: the s03 IVF CTE chain widened with probe_rank; one scored CTE
     // serves every sweep point via per-np rank/count CTEs
@@ -1464,7 +1479,14 @@ object SparkEntry {
          |    SELECT qid, neighbor_id, ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY cos_sim DESC, neighbor_id) AS rank FROM bfr)
          |  WHERE rank <= 3),
-         |""".stripMargin + perNp + "\n" + rows + "\nORDER BY n_probe"
+         |""".stripMargin + perNp + ",\nbase AS (\n" + rows + "),\n" +
+        s"""sel AS (SELECT *, max(recall_at_3) OVER () AS qmax FROM base)
+           |SELECT * EXCLUDE (qmax),
+           |  (ROW_NUMBER() OVER (ORDER BY
+           |     CASE WHEN recall_at_3 >= ${Dedup.SweepRetention} * qmax
+           |       THEN 0 ELSE 1 END,
+           |     n_candidates, n_probe) = 1) AS recommended
+           |FROM sel ORDER BY n_probe""".stripMargin
     },
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,

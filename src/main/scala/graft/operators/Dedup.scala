@@ -131,11 +131,20 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLshShingled(s, shingledDocs(s, dir))
 
+  /** [[minhashLsh]] at an explicit band grid — the consumption seam for
+    * [[recommendedLshGrid]]: a pipeline runs the d15 sweep once, then
+    * dedups at the grid the sweep selected instead of the compiled-in
+    * default. */
+  def minhashLsh(s: SparkSession, dir: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    minhashLshShingled(s, shingledDocs(s, dir), bands, rowsPerBand)
+
   /** [[minhashLsh]] over an already-shingled `(doc_id, sh)` frame — hand
     * it a persisted [[shingledDocs]] to share the shingle pass with the
     * other shingle audits in one session (the d09 pattern). */
-  def minhashLshShingled(s: SparkSession, docs: DataFrame): DataFrame = {
-    val bands = bandKeys(docs)
+  def minhashLshShingled(s: SparkSession, docs: DataFrame,
+      nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val bands = bandKeys(docs, nBands, rowsPerBand)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -196,6 +205,28 @@ object Dedup {
     * 1−(1−j²)⁸) to precision-leaning (2×8: 1−(1−j⁸)²). */
   val LshTuningGrids: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
 
+  /** The declared selection rule every tuning sweep (d15/s12/s14) marks
+    * its `recommended` row with: among operating points retaining at
+    * least [[SweepRetention]] of the best point's quality, pick the
+    * CHEAPEST (then the smallest parameter — fully deterministic). The
+    * sweeps stopped at reporting curves; this is the arg-max a pipeline
+    * actually consumes (VERDICT r6 ask #6 / r7 #7). */
+  val SweepRetention = 0.95
+
+  /** Append `recommended` to a sweep frame per the [[SweepRetention]]
+    * rule. The global window is over the sweep's 3–5 rows, not data. */
+  private[operators] def markRecommended(df: DataFrame, quality: Column,
+      cost: Column, param: Column): DataFrame = {
+    val wAll = Window.partitionBy()
+    df.withColumn("_qmax", max(quality.cast(DoubleType)).over(wAll))
+      .withColumn("recommended",
+        row_number().over(wAll.orderBy(
+          when(quality.cast(DoubleType) >= lit(SweepRetention) * col("_qmax"),
+            0).otherwise(1),
+          cost, param)) === 1)
+      .drop("_qmax")
+  }
+
   /** LSH operating-point sweep (d15) — the tuning table that picks the
     * band grid BEFORE a 100-TB dedup run commits to one: for each
     * (bands × rowsPerBand) tiling of the same K=16 minhash signatures,
@@ -237,11 +268,22 @@ object Dedup {
             col("n_verified").cast(DoubleType) / col("n_candidates"))
             .otherwise(lit(1.0)).as("candidate_precision"))
     }
-    val out = rows.reduce(_.unionByName(_))
+    val out = markRecommended(rows.reduce(_.unionByName(_)),
+      quality = col("n_verified"), cost = col("n_candidates"),
+      param = col("n_bands"))
     val materialized = out.localCheckpoint(true)
     sigs.unpersist()
     sh.unpersist()
     materialized
+  }
+
+  /** The band grid [[lshTuningAudit]] recommends — the (bands,
+    * rowsPerBand) a production run passes back into [[minhashLsh]]. One
+    * driver-side row from a 3-row tuning table (inherently a
+    * plan-time decision, not a data-path collect). */
+  def recommendedLshGrid(s: SparkSession, dir: String): (Int, Int) = {
+    val r = lshTuningAudit(s, dir).filter(col("recommended")).head()
+    (r.getAs[Int]("n_bands"), r.getAs[Int]("rows_per_band"))
   }
 
   // --- incremental dedup: new batch vs existing index ----------------------

@@ -118,12 +118,19 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     annIvfRanked(embeddings(s, dir))
 
-  private[graft] def annIvfRanked(e: DataFrame): DataFrame = {
+  /** [[annIvf]] at an explicit probe budget — the consumption seam for
+    * [[recommendedNProbe]]: run the s12 sweep once, then search at the
+    * budget the sweep selected instead of the compiled-in default. */
+  def annIvf(s: SparkSession, dir: String, nProbe: Int): DataFrame =
+    annIvfRanked(embeddings(s, dir), nProbe)
+
+  private[graft] def annIvfRanked(e: DataFrame,
+      nProbe: Int = NProbe): DataFrame = {
     val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
         col("vec_id") >= NumQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
-    ivfSearch(e, cents, numQueries = NumQueries, nProbe = NProbe, topK = 3)
+    ivfSearch(e, cents, numQueries = NumQueries, nProbe = nProbe, topK = 3)
   }
 
   /** Inverted-list assignment: every vector → its single nearest centroid
@@ -283,8 +290,16 @@ object Similarity {
           (col("n_hits").cast(DoubleType) / (3L * NumQueries))
             .as("recall_at_3"))
     }
-    evictAfter(rows.reduce(_.unionByName(_)), e, scored, bf)
+    evictAfter(Dedup.markRecommended(rows.reduce(_.unionByName(_)),
+      quality = col("recall_at_3"), cost = col("n_candidates"),
+      param = col("n_probe")), e, scored, bf)
   }
+
+  /** The probe budget [[ivfProbeAudit]] recommends, for [[annIvf]]'s
+    * explicit-budget overload. */
+  def recommendedNProbe(s: SparkSession, dir: String): Int =
+    ivfProbeAudit(s, dir).filter(col("recommended")).head()
+      .getAs[Int]("n_probe")
 
   /** The IVF search data flow, shared by the oracle-pinned [[annIvf]] and the
     * trained [[annIvfTrained]]. `e` = (vec_id, embedding, nrm); `cents` =
@@ -452,6 +467,14 @@ object Similarity {
   def pqTopK(s: SparkSession, dir: String): DataFrame =
     pqRanked(embeddings(s, dir))
 
+  /** [[pqTopK]] at an explicit subspace count — the consumption seam for
+    * [[recommendedPqM]]: run the s14 sweep once, then search at the
+    * (M, Dim/M) split the sweep selected. */
+  def pqTopK(s: SparkSession, dir: String, m: Int): DataFrame = {
+    require(Dim % m == 0, s"subspace count $m must divide Dim=$Dim")
+    pqRanked(embeddings(s, dir), m, Dim / m)
+  }
+
   private def subM(m: Int = PqM) = explode(sequence(lit(0), lit(m - 1)))
   private def sliceM(v: Column, subDim: Int = PqSubDim) =
     slice(v, col("m") * subDim + 1, lit(subDim))
@@ -558,8 +581,16 @@ object Similarity {
           (col("n_hits").cast(DoubleType) / (3L * NumQueries))
             .as("recall_at_3"))
     }
-    evictAfter(rows.reduce(_.unionByName(_)), e, bf)
+    evictAfter(Dedup.markRecommended(rows.reduce(_.unionByName(_)),
+      quality = col("recall_at_3"), cost = col("bytes_per_vec"),
+      param = col("pq_m")), e, bf)
   }
+
+  /** The subspace count [[pqTuningSweep]] recommends, for [[pqTopK]]'s
+    * explicit-M overload. */
+  def recommendedPqM(s: SparkSession, dir: String): Int =
+    pqTuningSweep(s, dir).filter(col("recommended")).head()
+      .getAs[Int]("pq_m")
 
   // --- filtered (predicated) vector search ---------------------------------
   /** Filtered top-k — the "hybrid search" every production vector store

@@ -416,4 +416,34 @@ class CurationSpec extends SparkSpec {
     assert(cands.zip(cands.tail).forall { case (a, b) => a <= b })
     assert(vers.zip(vers.tail).forall { case (a, b) => a <= b })
   }
+
+  test("d15 marks the declared arg-max recommended and d02 accepts the grid") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.lshTuningAudit(spark, sf).collect().toSeq
+    assert(rows.count(_.getAs[Boolean]("recommended")) == 1)
+    // plain-Scala mirror of the declared rule: cheapest grid retaining
+    // ≥ SweepRetention of the best verified count
+    val qmax = rows.map(_.getAs[Long]("n_verified")).max.toDouble
+    val want = rows.sortBy(r => (
+      if (r.getAs[Long]("n_verified") >= Dedup.SweepRetention * qmax) 0 else 1,
+      r.getAs[Long]("n_candidates"), r.getAs[Int]("n_bands"))).head
+    val rec = rows.find(_.getAs[Boolean]("recommended")).get
+    assert(rec.getAs[String]("grid") == want.getAs[String]("grid"))
+
+    // consumption seam: the helper surfaces the same grid, and d02 at
+    // that grid emits only verified pairs
+    val (nb, rpb) = Dedup.recommendedLshGrid(spark, sf)
+    assert((nb, rpb) ==
+      (rec.getAs[Int]("n_bands"), rec.getAs[Int]("rows_per_band")))
+    Dedup.minhashLsh(spark, sf, nb, rpb).collect()
+      .foreach(p =>
+        assert(p.getAs[Double]("jaccard") >= Dedup.JaccardThreshold))
+
+    // the parameterized path at the compiled-in default grid IS d02
+    val viaParams = Dedup.minhashLsh(spark, sf, Dedup.Bands, Dedup.RowsPerBand)
+      .collect().map(_.toString).sorted.toSeq
+    val viaDefault = Dedup.minhashLsh(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaParams == viaDefault)
+  }
 }

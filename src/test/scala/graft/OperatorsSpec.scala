@@ -589,6 +589,48 @@ class OperatorsSpec extends SparkSpec {
     assert(cands.last < Similarity.NumQueries * (n - 1))
   }
 
+  test("s12/s14 mark the declared arg-max recommended; s03/s07 accept it") {
+    import graft.operators.{Dedup, Similarity}
+    import org.apache.spark.sql.Row
+    // plain-Scala mirror of the declared rule: cheapest point retaining
+    // ≥ SweepRetention of the best quality (then the smallest parameter)
+    def checkRec(rows: Seq[Row], qual: Row => Double, cost: Row => Long,
+        param: Row => Int): Int = {
+      assert(rows.count(_.getAs[Boolean]("recommended")) == 1)
+      val qmax = rows.map(qual).max
+      val want = rows.sortBy(r =>
+        (if (qual(r) >= Dedup.SweepRetention * qmax) 0 else 1,
+          cost(r), param(r))).head
+      val rec = rows.find(_.getAs[Boolean]("recommended")).get
+      assert(param(rec) == param(want),
+        s"recommended ${param(rec)} but rule selects ${param(want)}")
+      param(rec)
+    }
+    val np = checkRec(Similarity.ivfProbeAudit(spark, sf).collect().toSeq,
+      _.getAs[Double]("recall_at_3"), _.getAs[Long]("n_candidates"),
+      _.getAs[Int]("n_probe"))
+    assert(Similarity.recommendedNProbe(spark, sf) == np)
+    // consumption: search at the recommended budget is a well-formed top-k
+    val ivf = Similarity.annIvf(spark, sf, np).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.size))
+    }
+    val m = checkRec(Similarity.pqTuningSweep(spark, sf).collect().toSeq,
+      _.getAs[Double]("recall_at_3"), _.getAs[Long]("bytes_per_vec"),
+      _.getAs[Int]("pq_m"))
+    assert(Similarity.recommendedPqM(spark, sf) == m)
+    val pq = Similarity.pqTopK(spark, sf, m).collect()
+    assert(pq.nonEmpty && pq.forall(_.getAs[Int]("rank") <= 3))
+    // the parameterized path at the compiled-in defaults IS the default op
+    assert(Similarity.annIvf(spark, sf, Similarity.NProbe).collect()
+      .map(_.toString).sorted.toSeq ==
+      Similarity.annIvf(spark, sf).collect().map(_.toString).sorted.toSeq)
+    assert(Similarity.pqTopK(spark, sf, Similarity.PqM).collect()
+      .map(_.toString).sorted.toSeq ==
+      Similarity.pqTopK(spark, sf).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("d04 prefix filter is lossless on adversarial corpora") {
     import graft.operators.Dedup
     // plain-Scala mirror of the operator's semantics: 3-gram distinct
