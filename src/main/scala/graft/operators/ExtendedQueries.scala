@@ -466,31 +466,43 @@ object ExtendedQueries {
   }
 
   // --- Q42: ordered event funnel ---------------------------------------------
-  /** Ordered-sequence funnel over the event stream: users who signed up,
-    * then viewed, then clicked, then purchased — each step STRICTLY after
-    * the previous one in event time. Each step is one filtered
+  /** The default funnel [[q42EventFunnel]] reports (and the oracle pins):
+    * signup → view → click → purchase. */
+  val FunnelSteps: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered-sequence funnel over the event stream: users who performed
+    * each step's event type STRICTLY after the previous step's in event
+    * time (default [[FunnelSteps]]; any ordered event-type sequence
+    * works — the steps are data, not code). Each step is one filtered
     * user-keyed min-aggregation joined to the previous step's frontier
-    * (4 chained user-keyed shuffles, no window over the whole event
-    * stream, no per-row subqueries); the final report is a 4-row frame
+    * (|steps| chained user-keyed shuffles, no window over the whole event
+    * stream, no per-row subqueries); the final report is one row per step
     * with step conversion as a lag-window division. */
-  def q42EventFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts_us"))
-    val s1 = ev.filter(col("event_type") === "signup")
+  def q42EventFunnel(s: SparkSession, dir: String): DataFrame =
+    q42EventFunnel(s, dir, FunnelSteps)
+
+  def q42EventFunnel(s: SparkSession, dir: String,
+      stepTypes: Seq[String]): DataFrame =
+    funnelOf(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us")), stepTypes)
+
+  /** The [[q42EventFunnel]] pipeline over an arbitrary
+    * `(user_id, event_type, ts_us)` frame, for spec-supplied streams. */
+  private[graft] def funnelOf(ev: DataFrame,
+      stepTypes: Seq[String]): DataFrame = {
+    require(stepTypes.nonEmpty, "a funnel needs at least one step")
+    val first = ev.filter(col("event_type") === stepTypes.head)
       .groupBy("user_id").agg(min(col("ts_us")).as("t"))
     def next(prev: DataFrame, typ: String): DataFrame =
       ev.filter(col("event_type") === typ)
         .join(prev.select(col("user_id"), col("t").as("tp")), "user_id")
         .filter(col("ts_us") > col("tp"))
         .groupBy("user_id").agg(min(col("ts_us")).as("t"))
-    val s2 = next(s1, "view")
-    val s3 = next(s2, "click")
-    val s4 = next(s3, "purchase")
-    val steps = Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3,
-      "4_purchase" -> s4)
-    val counts = steps.map { case (name, df) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(name).as("step"), col("n_users"))
+    val frames = stepTypes.tail.scanLeft(first)(next)
+    val counts = stepTypes.zip(frames).zipWithIndex.map {
+      case ((typ, df), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(s"${i + 1}_$typ").as("step"), col("n_users"))
     }.reduce(_.unionByName(_))
     val w = Window.orderBy(col("step"))
     counts

@@ -457,6 +457,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("funnel steps are a parameter: a 3-step funnel with strict ordering") {
+    import graft.operators.ExtendedQueries
+    import spark.implicits._
+    // u1 completes view→click→purchase in order; u2 clicks BEFORE its
+    // view (strictly-after must reject it past step 1); u3 ties click to
+    // view's timestamp (ties are not "after"); u4 never views
+    val ev = Seq(
+      ("u1", "view", 10L), ("u1", "click", 20L), ("u1", "purchase", 30L),
+      ("u2", "click", 5L), ("u2", "view", 10L), ("u2", "purchase", 50L),
+      ("u3", "view", 10L), ("u3", "click", 10L),
+      ("u4", "click", 1L), ("u4", "purchase", 2L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val rows = ExtendedQueries
+      .funnelOf(ev, Seq("view", "click", "purchase")).collect()
+    assert(rows.map(r => r.getAs[String]("step") ->
+      r.getAs[Long]("n_users")).toSeq ==
+      Seq("1_view" -> 3L, "2_click" -> 1L, "3_purchase" -> 1L))
+    // u2's purchase IS after its view, but its click isn't — the funnel
+    // is ordered end-to-end, not per-step-pair
+    assert(rows.last.getAs[Double]("conv_from_prev") == 1.0)
+
+    // on the live corpus, the default funnel via the parameterized path
+    // is byte-identical to the published q42
+    val viaParams = ExtendedQueries
+      .q42EventFunnel(spark, sf, ExtendedQueries.FunnelSteps)
+      .collect().map(_.toString).toSeq
+    val viaDefault = ExtendedQueries.q42EventFunnel(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(viaParams == viaDefault)
+  }
+
   test("co-purchase pairs match a plain-Scala basket count") {
     import graft.operators.ExtendedQueries
     val got = ExtendedQueries.q43CopurchasePairs(spark, sf).collect()
