@@ -150,6 +150,7 @@ object SparkEntry {
       canon("doc_id", "chunk_id")(Sampling.slidingChunks),
     "p15_shard_manifest" -> Sampling.shardManifest _,
     "p16_apply_cuts" -> Sampling.applyCuts _,
+    "p17_corpus_materialize" -> Sampling.corpusMaterialize _,
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -165,10 +166,14 @@ object SparkEntry {
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
 
-  /** tokens CTE: identical normalization + tokenizer to TextPrep. */
-  private val toksCte =
-    """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      |         FROM documents)""".stripMargin
+  /** tokens CTE: identical normalization + tokenizer to TextPrep, over an
+    * arbitrary `(doc_id, …, text)` source (p17 re-tokenizes the kept
+    * subset, everything else tokenizes `documents`). */
+  private def toksCteFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |         FROM $src)""".stripMargin
+
+  private val toksCte = toksCteFrom("documents")
 
   /** shingle CTEs shared by the dedup oracles. */
   private val shingleCtes =
@@ -230,9 +235,39 @@ object SparkEntry {
   /** p04 oracle — lifted so p10's efficiency rollup can embed it. */
   /** d16 oracle — lifted to a def so d17's accounting oracle can embed
     * it (the d04/d09 pattern). */
-  private def d16OracleSql: String = {
+  private def d16OracleSql: String = d16OracleSqlFrom("documents")
+
+  /** The p16 span-removal applier over an arbitrary `(doc_id, lang, text)`
+    * source — shared by p16 (whole corpus) and p17 (kept subset). Emits
+    * the CTE chain + final SELECT (no leading WITH) so callers can
+    * prepend their own CTEs. */
+  private def cutsApplySqlFrom(src: String): String =
+    "WITH " + cutsApplyCtesAndSelect(src)
+
+  private def cutsApplyCtesAndSelect(src: String): String =
+    s"""${toksCteFrom(src)},
+       |spans AS (SELECT * FROM (${d16OracleSqlFrom(src)})),
+       |tp AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS pos,
+       |         t FROM toks),
+       |tk AS (SELECT doc_id, pos, t[CAST(pos + 1 AS INT)] AS tok FROM tp),
+       |cut AS (SELECT DISTINCT k.doc_id, k.pos FROM tk k JOIN spans s
+       |        ON k.doc_id = s.doc_id
+       |       AND k.pos >= s.span_start AND k.pos < s.span_end),
+       |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
+       |         LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |         WHERE c.doc_id IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS n_tokens_clean,
+       |          string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |        FROM keep GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(COALESCE(a.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM $src d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  private def d16OracleSqlFrom(src: String): String = {
     val W = Dedup.PassageLen
-    s"""WITH $toksCte,
+    s"""WITH ${toksCteFrom(src)},
        |tw AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= $W),
        |win AS (SELECT doc_id, t,
        |    unnest(generate_series(0, n - $W)) AS pos FROM tw),
@@ -1760,26 +1795,23 @@ object SparkEntry {
          |ORDER BY lang, shard_id""".stripMargin,
     // p16: d16's spans applied — tokens outside every cut span re-joined
     // into the cleaned text a span-removal writer emits
-    "p16_apply_cuts" ->
-      s"""WITH $toksCte,
-         |spans AS (SELECT * FROM ($d16OracleSql)),
-         |tp AS (SELECT doc_id, unnest(generate_series(0, len(t) - 1)) AS pos,
-         |         t FROM toks),
-         |tk AS (SELECT doc_id, pos, t[CAST(pos + 1 AS INT)] AS tok FROM tp),
-         |cut AS (SELECT DISTINCT k.doc_id, k.pos FROM tk k JOIN spans s
-         |        ON k.doc_id = s.doc_id
-         |       AND k.pos >= s.span_start AND k.pos < s.span_end),
-         |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
-         |         LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
-         |         WHERE c.doc_id IS NULL),
-         |agg AS (SELECT doc_id, count(*) AS n_tokens_clean,
-         |          string_agg(tok, ' ' ORDER BY pos) AS clean_text
-         |        FROM keep GROUP BY doc_id)
-         |SELECT d.doc_id, d.lang,
-         |  CAST(COALESCE(a.n_tokens_clean, 0) AS BIGINT) AS n_tokens_clean,
-         |  COALESCE(a.clean_text, '') AS clean_text
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+    "p16_apply_cuts" -> cutsApplySqlFrom("documents"),
+    // p17: near-dup-aware corpus materialization — d06 cluster keepers
+    // (plus an exact-text keeper pass for shingle-less tiny docs), then
+    // the p16 span-removal applier re-run over the KEPT subset (a span is
+    // only cut if it still repeats among survivors)
+    "p17_corpus_materialize" ->
+      s"""WITH exk AS (SELECT min(doc_id) AS doc_id FROM documents
+         |             GROUP BY md5(text)),
+         |ck AS (SELECT doc_id FROM (
+         |    WITH RECURSIVE $closureCtes
+         |    SELECT d.doc_id,
+         |      coalesce(cl.cluster, d.doc_id) = d.doc_id AS is_keeper
+         |    FROM documents d LEFT JOIN cl USING (doc_id))
+         |  WHERE is_keeper),
+         |keepdocs AS (SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN exk USING (doc_id) JOIN ck USING (doc_id)),
+         |${cutsApplyCtesAndSelect("keepdocs")}""".stripMargin,
     "t03_text_tokens" ->
       s"""WITH $toksCte
          |SELECT d.doc_id,

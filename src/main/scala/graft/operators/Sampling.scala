@@ -212,6 +212,43 @@ object Sampling {
     applyCutsOf(Tables.spread(s, dir, "documents", "doc_id"),
       Dedup.passageCuts(s, dir))
 
+  /** Corpus materializer (p17) — the end-to-end dedup WRITER: compose the
+    * document-level and passage-level dedup decisions into the single
+    * artifact a 100 TB curation run actually ships. Keeps one document
+    * per d06 near-dup cluster (the canonical min-doc_id keeper) plus an
+    * exact-text keeper pass that also catches shingle-less tiny documents
+    * d06 cannot pair, then re-runs the d16→p16 span removal over the KEPT
+    * subset — re-running matters: a passage whose only other copy lived
+    * in a dropped document must NOT be cut from the survivor, so cut
+    * decisions are made against the post-dedup corpus, not the raw one.
+    *
+    * Shape: the exact-keeper pass shuffles only (md5(text), doc_id); the
+    * cluster keepers come from the d06 label table (in production a
+    * materialized table, recomputed here for self-containment); both
+    * filters join on doc_id — the key the corpus is already hashed on —
+    * and the applier adds nothing beyond p16's own plan. */
+  def corpusMaterialize(s: SparkSession, dir: String): DataFrame =
+    corpusMaterializeOf(
+      Tables.spread(s, dir, "documents", "doc_id")
+        .select(col("doc_id"), col("lang"), col("text")),
+      Dedup.clusters(s, dir))
+
+  /** The [[corpusMaterialize]] pipeline over arbitrary `(doc_id, lang,
+    * text)` and d06-shaped `(doc_id, cluster, is_keeper)` frames — in
+    * production the cluster table is a materialized artifact of a prior
+    * dedup run, not recomputed per write. */
+  private[graft] def corpusMaterializeOf(docs: DataFrame,
+      clusterTable: DataFrame): DataFrame = {
+    val exactKeepers = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val clusterKeepers = clusterTable
+      .filter(col("is_keeper")).select("doc_id")
+    val kept = docs.join(exactKeepers, "doc_id").join(clusterKeepers, "doc_id")
+    applyCutsOf(kept, Dedup.passageCutsOf(kept))
+  }
+
   /** The [[applyCuts]] pipeline over arbitrary `(doc_id, lang, text)` and
     * `(doc_id, span_start, span_end, …)` frames, for spec-supplied
     * corpora and cut lists. Spans are half-open token intervals

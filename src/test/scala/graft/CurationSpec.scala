@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, md5, min}
 import graft.operators.{Dedup, Multimodal, Sampling, TextAnalysis}
 
 /** Rule-filter / routing operators (t15 Gopher rules, t16 code detect,
@@ -358,6 +359,56 @@ class CurationSpec extends SparkSpec {
         (r.getAs[Long]("n_tokens_clean"), r.getAs[String]("clean_text")))
       .toMap
     assert(got(1L) == (10L, t) && got(2L) == (0L, ""))
+  }
+
+  test("p17 keeps one doc per near-dup cluster and re-cuts against survivors") {
+    import graft.operators.Sampling
+    val sf = "/root/testdata/sf0.001"
+    val out = Sampling.corpusMaterialize(spark, sf).collect()
+    val keptIds = out.map(_.getAs[Long]("doc_id")).toSet
+    // every emitted doc is its d06 cluster's canonical keeper…
+    val keepers = Dedup.clusters(spark, sf).collect()
+      .filter(_.getAs[Boolean]("is_keeper")).map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.subsetOf(keepers))
+    // …and exactly the exact-text keepers among them survive
+    import spark.implicits._
+    val exactKeepers = Tables.table(spark, sf, "documents")
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("k"))
+      .select("k").as[Long].collect().toSet
+    assert(keptIds == (keepers intersect exactKeepers))
+  }
+
+  test("p17 cut decisions are made against survivors, not the raw corpus") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val P = (1 to 10).map(i => s"p$i").mkString(" ")
+    val Q = (1 to 10).map(i => s"q$i").mkString(" ")
+    def pad(pre: String) = (1 to 6).map(i => s"$pre$i").mkString(" ")
+    val d1 = s"${pad("a")} $P ${pad("z")}"
+    val docs = Seq(
+      (1L, "en", d1),                       // keeper of near-dup pair {1,2}
+      (2L, "en", s"${pad("a")} $P ${pad("y")}"), // dropped near-dup of 1
+      (3L, "en", s"${pad("b")} $Q ${pad("c")}"), // shares Q with 4, kept
+      (4L, "en", s"${pad("d")} $Q ${pad("e")}"), // kept; Q cut (copy of 3's)
+      (5L, "en", "hi there"),               // tiny exact pair: 5 kept
+      (6L, "en", "hi there")                //                  6 dropped
+    ).toDF("doc_id", "lang", "text")
+    val clusterTable = Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (4L, 4L, true), (5L, 5L, true), (6L, 6L, true)
+    ).toDF("doc_id", "cluster", "is_keeper")
+    val out = Sampling.corpusMaterializeOf(docs, clusterTable).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_clean"), r.getAs[String]("clean_text")))
+      .toMap
+    assert(out.keySet == Set(1L, 3L, 4L, 5L))
+    // P's only other copy lived in dropped doc 2 — doc 1 keeps it intact
+    // (a raw-corpus cut list would have sliced one of the two copies)
+    assert(out(1L) == (22L, d1))
+    // Q still repeats among survivors — doc 4's copy is excised
+    assert(out(3L) == (22L, s"${pad("b")} $Q ${pad("c")}"))
+    assert(out(4L) == (12L, s"${pad("d")} ${pad("e")}"))
+    assert(out(5L) == (2L, "hi there"))
   }
 
   test("p16 emitted token mass equals d17 net_tokens per language exactly") {
