@@ -151,6 +151,7 @@ object SparkEntry {
     "p15_shard_manifest" -> Sampling.shardManifest _,
     "p16_apply_cuts" -> Sampling.applyCuts _,
     "p17_corpus_materialize" -> Sampling.corpusMaterialize _,
+    "p18_train_decontaminate" -> Sampling.trainDecontaminate _,
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -1583,6 +1584,38 @@ object SparkEntry {
          |    AS BIGINT) AS tail_waste_tokens
          |FROM ($p04OracleSql) GROUP BY lang ORDER BY lang""".stripMargin,
     "p05_decontamination" -> p05OracleSql,
+    // p18: p05 with the sides swapped — the train docs overlapping the
+    // (df-capped) eval shingle set are dropped; survivors emitted
+    "p18_train_decontaminate" ->
+      s"""WITH $shingleCtes,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |              AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |              AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |traindocs AS (SELECT sh.doc_id, CAST(len(shingles) AS BIGINT)
+         |      AS n_shingles
+         |  FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE split = 'train'),
+         |trainpost AS (SELECT ex.doc_id, s FROM ex
+         |  JOIN sp ON ex.doc_id = sp.doc_id WHERE split = 'train'),
+         |evalsh AS (SELECT s FROM ex JOIN sp ON ex.doc_id = sp.doc_id
+         |  WHERE split = 'test'
+         |  GROUP BY s HAVING count(*) <= ${Sampling.DecontamDfCap}),
+         |shared AS (SELECT tp.doc_id, count(*) AS n_shared
+         |  FROM trainpost tp JOIN evalsh USING (s) GROUP BY tp.doc_id),
+         |surv AS (SELECT t.doc_id, n_shingles,
+         |    COALESCE(n_shared, 0) AS n_shared_eval_shingles
+         |  FROM traindocs t LEFT JOIN shared USING (doc_id)
+         |  WHERE NOT (n_shingles > 0
+         |    AND COALESCE(n_shared, 0) * 10 >= n_shingles))
+         |SELECT s.doc_id, d.lang,
+         |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  s.n_shingles, s.n_shared_eval_shingles
+         |FROM surv s
+         |JOIN documents d ON d.doc_id = s.doc_id
+         |JOIN toks t ON t.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "p06_token_budget_sample" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)

@@ -365,6 +365,59 @@ object Sampling {
   /** Per-document cluster-aware split assignment behind [[clusterSplit]]:
     * every document inherits its near-dup cluster's hash bucket, so the
     * whole cluster lands in ONE split. */
+  /** Train-set decontamination applier (p18) — the artifact side of
+    * [[decontamination]]'s audit, in the direction a pipeline can act on:
+    * the eval set is fixed, so the TRAINING documents overlapping it are
+    * what gets removed. For every train-split document, count its
+    * shingles occurring in any test-split document (df-capped on the
+    * eval side — p05's hot-key guard mirrored); drop train docs with
+    * ≥ 10% overlap; emit the surviving keep list with per-doc token mass
+    * and its overlap evidence — the frame a shard writer joins on doc_id
+    * to ship the decontaminated training corpus. Shingle-less documents
+    * carry no measurable overlap and survive (the p05 convention).
+    *
+    * Shape at 100 TB: identical to p05 with the sides swapped — the eval
+    * shingle set aggregates to one row per distinct shingle before the
+    * join (eval ≪ train, so the broadcast side is the SMALL one here),
+    * and the join is postings × 1, never doc × doc. */
+  def trainDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import TextPrep.tokens
+    val meta = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    trainDecontaminateOf(meta, splitAssign(s, dir),
+      Dedup.shingledDocs(s, dir))
+  }
+
+  /** The [[trainDecontaminate]] pipeline over arbitrary `(doc_id, lang,
+    * n_tokens)`, `(doc_id, split)` and `(doc_id, sh)` frames, for
+    * spec-supplied corpora and split assignments. */
+  private[graft] def trainDecontaminateOf(meta: DataFrame, splits: DataFrame,
+      shingled: DataFrame): DataFrame = {
+    val docs = shingled.join(splits, "doc_id")
+      .select(col("doc_id"), col("split"), col("sh"))
+    val trainDocs = docs.filter(col("split") === "train")
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+    val trainPost = docs.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val evalSh = docs.filter(col("split") === "test")
+      .select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DecontamDfCap)
+      .select("s")
+    val shared = trainPost.join(evalSh, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    trainDocs.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_eval_shingles"))
+      .filter(!(col("n_shingles") > 0 &&
+        col("n_shared_eval_shingles") * 10 >= col("n_shingles")))
+      .join(meta, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_shingles"), col("n_shared_eval_shingles"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def clusterSplitAssign(s: SparkSession, dir: String,
       clusterTable: DataFrame): DataFrame =
     clusterTable

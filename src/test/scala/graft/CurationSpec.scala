@@ -411,6 +411,36 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == (2L, "hi there"))
   }
 
+  test("p18 drops eval-overlapping train docs and keeps the unmeasurable") {
+    import graft.operators.{Sampling, TextPrep}
+    import spark.implicits._
+    val e = "e1 e2 e3 e4 e5"
+    val docs = Seq(
+      (1L, "en", e),                                   // train: exact eval copy
+      (2L, "en", "b1 b2 b3 b4 b5"),                    // train: unique
+      (3L, "en", "hi there"),                          // train: shingle-less
+      (4L, "en", (1 to 10).map(i => s"x$i").mkString(" ") + " e1 e2 e3"),
+      (9L, "en", e)                                    // the eval doc
+    ).toDF("doc_id", "lang", "text")
+    val meta = docs.select(col("doc_id"), col("lang"),
+      org.apache.spark.sql.functions.size(TextPrep.tokens(col("text")))
+        .cast("long").as("n_tokens"))
+    val splits = Seq(1L -> "train", 2L -> "train", 3L -> "train",
+      4L -> "train", 9L -> "test").toDF("doc_id", "split")
+    val shingled = docs.select(col("doc_id"),
+      TextPrep.shingles(col("text")).as("sh"))
+    val out = Sampling.trainDecontaminateOf(meta, splits, shingled)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_shingles"),
+          r.getAs[Long]("n_shared_eval_shingles"))).toMap
+    // doc 1 shares 3/3 shingles with the eval doc → dropped; doc 4 shares
+    // only its last window (1/11 < 10%) → kept with the evidence attached
+    assert(out.keySet == Set(2L, 3L, 4L))
+    assert(out(2L) == (5L, 3L, 0L))
+    assert(out(3L) == (2L, 0L, 0L)) // no shingles → overlap unmeasurable
+    assert(out(4L) == (13L, 11L, 1L))
+  }
+
   test("p16 emitted token mass equals d17 net_tokens per language exactly") {
     // plan (d17) and execution (p16) consume the same cut list, so the
     // accounting a data owner committed to must be the mass the writer
