@@ -79,6 +79,7 @@ object SparkEntry {
     "q41_cohort_retention" -> ExtendedQueries.q41CohortRetention _,
     "q42_event_funnel" -> ExtendedQueries.q42EventFunnel _,
     "q43_copurchase_pairs" -> ExtendedQueries.q43CopurchasePairs _,
+    "q44_series_topk" -> ExtendedQueries.q44SeriesTopK _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -1034,6 +1035,39 @@ object SparkEntry {
         |FROM cap a JOIN cap b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY a.pk, b.pk
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // q44: hour-of-day activity profiles (exact DECIMAL sums), candidates
+    // banded by peak hour, exact cosine on candidates, top-3 per user
+    "q44_series_topk" ->
+      s"""WITH ev AS (SELECT user_id,
+         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour,
+         |    value FROM events WHERE value IS NOT NULL),
+         |prof AS (SELECT user_id, hour,
+         |    CAST(sum(CAST(value AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS v
+         |  FROM ev GROUP BY user_id, hour),
+         |n2 AS (SELECT user_id, sum(v * v) AS n2 FROM prof GROUP BY user_id),
+         |peak AS (SELECT user_id, hour AS peak_hour FROM (
+         |    SELECT user_id, hour, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY v DESC, hour) AS rn FROM prof) WHERE rn = 1),
+         |cand AS (SELECT a.user_id AS qa, b.user_id AS qb
+         |  FROM peak a JOIN peak b ON a.peak_hour = b.peak_hour
+         |    AND a.user_id <> b.user_id),
+         |dots AS (SELECT c.qa, c.qb, sum(pa.v * pb.v) AS dot
+         |  FROM cand c JOIN prof pa ON pa.user_id = c.qa
+         |  JOIN prof pb ON pb.user_id = c.qb AND pb.hour = pa.hour
+         |  GROUP BY c.qa, c.qb),
+         |scored AS (SELECT d.qa AS qid, d.qb AS neighbor_id,
+         |    CAST(d.dot AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |      AS cos_sim
+         |  FROM dots d JOIN n2 na ON na.user_id = d.qa
+         |  JOIN n2 nb ON nb.user_id = d.qb
+         |  WHERE na.n2 > 0 AND nb.n2 > 0)
+         |SELECT qid, rank, neighbor_id, cos_sim FROM (
+         |  SELECT qid, neighbor_id, cos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // ---- north-star surface oracles ---------------------------------------
     "d01_dedup_exact" ->

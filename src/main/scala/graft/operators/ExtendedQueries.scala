@@ -512,6 +512,64 @@ object ExtendedQueries {
       .orderBy("step")
   }
 
+  // --- Q44: per-user activity-series similarity search ----------------------
+  /** Time-series similarity search over the event stream (the streaming
+    * series-similarity problem of the EDBT 2019 line in PAPERS.md, recast
+    * relationally): each user's 24-bucket hour-of-day activity profile
+    * (exact DECIMAL sums of `value` per hour), candidate pairs banded by
+    * PEAK activity hour — the d02/s02 banding idea applied to series, so
+    * the pairing is |users|²/24 per band, never all-pairs — then exact
+    * cosine over the full profiles for candidates only and the top-3
+    * most-similar users per user.
+    *
+    * Exactness: per-bucket sums and the dot products are DECIMAL (order-
+    * independent — a float sum would hash-differ per partition layout);
+    * doubles appear only at the final cosine boundary, the s01 contract.
+    * Shape at 100 TB: the profile is one fact aggregation (24 rows/user),
+    * the band join keys on peak_hour, and the per-pair dot re-joins the
+    * narrow profile on (user, hour) — three exchanges total, all keyed. */
+  def q44SeriesTopK(s: SparkSession, dir: String): DataFrame = {
+    val d18 = (c: Column) => c.cast(DecimalType(18, 6))
+    val prof = Tables.events(s, dir)
+      .select(col("user_id"),
+        (expr("ts_us div 3600000000") % 24).as("hour"), col("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("user_id", "hour")
+      .agg(d18(sum(col("value").cast(DecimalType(12, 6)))).as("v"))
+    val n2 = prof.groupBy("user_id")
+      .agg(sum(col("v") * col("v")).as("n2"))
+    val peak = prof
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("v").desc, col("hour").asc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour").as("peak_hour"))
+    val cand = peak.as("a").join(peak.as("b"),
+        col("a.peak_hour") === col("b.peak_hour") &&
+          col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("qa"), col("b.user_id").as("qb"))
+    val pa = prof.select(col("user_id").as("qa"), col("hour"),
+      col("v").as("va"))
+    val pb = prof.select(col("user_id").as("qb"), col("hour"),
+      col("v").as("vb"))
+    val dots = cand.join(pa, "qa").join(pb, Seq("qb", "hour"))
+      .groupBy("qa", "qb")
+      .agg(sum(col("va") * col("vb")).as("dot"))
+    val scored = dots
+      .join(n2.select(col("user_id").as("qa"), col("n2").as("na")), "qa")
+      .join(n2.select(col("user_id").as("qb"), col("n2").as("nb")), "qb")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("qa").as("qid"), col("qb").as("neighbor_id"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) *
+            sqrt(col("nb").cast(DoubleType)))).as("cos_sim"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "neighbor_id", "cos_sim")
+      .orderBy("qid", "rank")
+  }
+
   /** Per-order distinct-part cap for [[q43CopurchasePairs]]: a basket
     * with b items contributes b·(b−1)/2 pairs, so one pathological
     * order would dominate the join quadratically — the d04 df-cap

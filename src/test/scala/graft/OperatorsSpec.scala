@@ -488,6 +488,38 @@ class OperatorsSpec extends SparkSpec {
     assert(viaParams == viaDefault)
   }
 
+  test("series top-k: neighbors share the peak hour, ranks and cosines sane") {
+    import graft.operators.ExtendedQueries
+    val rows = ExtendedQueries.q44SeriesTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qid") != r.getAs[Long]("neighbor_id"))
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.size))
+      assert(rs.size <= 3)
+    }
+    // band invariant: every (qid, neighbor) pair peaks in the same hour
+    import spark.implicits._
+    val peaks = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), (expr("ts_us div 3600000000") % 24).as("hour"),
+        col("value").cast("decimal(12,6)").as("v"))
+      .groupBy("user_id", "hour").agg(sum("v").as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("s").desc, col("hour").asc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour")).as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(peaks(r.getAs[Long]("qid")) == peaks(r.getAs[Long]("neighbor_id")),
+        s"pair ${r.getAs[Long]("qid")}→${r.getAs[Long]("neighbor_id")} " +
+          "crosses peak-hour bands")
+    }
+  }
+
   test("co-purchase pairs match a plain-Scala basket count") {
     import graft.operators.ExtendedQueries
     val got = ExtendedQueries.q43CopurchasePairs(spark, sf).collect()

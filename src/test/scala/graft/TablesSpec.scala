@@ -68,6 +68,42 @@ class TablesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("live corpus: every column the engine consumes is present and typed") {
+    // the driver regenerates the corpus between rounds and has already
+    // changed a physical type once (events.ts) — fail LOUDLY in specs the
+    // moment a consumed column disappears or changes shape, instead of
+    // surfacing as N scattered analysis errors at verify time
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val required: Map[String, Seq[String]] = Map(
+      "documents" -> Seq("doc_id", "text", "lang", "source"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"),
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "region" -> Seq("r_regionkey", "r_name"))
+    required.foreach { case (t, cols) =>
+      val schema = Tables.table(spark, dir, t).schema
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      assert(missing.isEmpty, s"$t lost consumed columns: $missing")
+    }
+    val docs = Tables.table(spark, dir, "documents").schema
+    assert(docs("text").dataType == StringType)
+    assert(Set[DataType](LongType, IntegerType).contains(docs("doc_id").dataType))
+    val emb = Tables.table(spark, dir, "embeddings").schema
+    assert(emb("embedding").dataType.isInstanceOf[ArrayType],
+      s"embeddings.embedding is ${emb("embedding").dataType}")
+  }
+
   test("live corpus: every table loads, events.ts_us is sane epoch micros") {
     val dir = "/root/testdata/sf0.001"
     Tables.all.foreach { t =>
