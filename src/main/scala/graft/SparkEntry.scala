@@ -117,6 +117,7 @@ object SparkEntry {
     "s12_ivf_probe_audit" -> canon("n_probe")(Similarity.ivfProbeAudit),
     "s13_embedding_drift" -> Similarity.embeddingDrift _,
     "s14_pq_tuning_sweep" -> canon("pq_m")(Similarity.pqTuningSweep),
+    "s15_sim_ivfpq_topk" -> Similarity.ivfPqTopK _,
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -438,12 +439,13 @@ object SparkEntry {
 
   /** The PQ oracle at an arbitrary (M, subDim) grid — s07 uses the
     * production config; the s14 sweep embeds one body per M. */
-  private def s07SqlFor(m: Int, sd: Int): String = {
+  /** PQ CTE chain (ms…codes…lut) over the `e` CTE — shared by the s07
+    * all-candidates oracle and the s15 IVF-pruned composition. */
+  private def pqCtes(m: Int, sd: Int): String = {
     def d(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(12,6))"
     val nq = Similarity.NumQueries
     val k = Similarity.PqK
-    s"""WITH $embCte,
-       |ms AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+    s"""ms AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
        |cb AS (SELECT ms.m AS m, CAST(vec_id - $nq AS INT) AS c,
        |         list_slice(embedding, ms.m*$sd+1, ms.m*$sd+$sd) AS csub
        |       FROM e, ms WHERE vec_id >= $nq AND vec_id < ${nq + k}),
@@ -465,7 +467,12 @@ object SparkEntry {
        |          list_sum(list_transform(list_zip(
        |            list_slice(q.embedding, cbn.m*$sd+1, cbn.m*$sd+$sd), csub),
        |            z -> ${d("z[1]")} * ${d("z[2]")})) AS pdot
-       |        FROM e q, cbn WHERE q.vec_id < $nq),
+       |        FROM e q, cbn WHERE q.vec_id < $nq)""".stripMargin
+  }
+
+  private def s07SqlFor(m: Int, sd: Int): String =
+    s"""WITH $embCte,
+       |${pqCtes(m, sd)},
        |scored AS (SELECT qid, codes.vec_id AS neighbor_id, SUM(pdot) AS adc
        |           FROM codes JOIN lut ON codes.m = lut.m
        |             AND codes.code = lut.c AND codes.vec_id <> lut.qid
@@ -481,7 +488,6 @@ object SparkEntry {
        |      FROM fin)
        |SELECT qid, rank, neighbor_id, pq_score FROM r
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
-  }
 
   private def s01Sql: String =
     s"""WITH $embCte,
@@ -1558,6 +1564,47 @@ object SparkEntry {
            |     n_candidates, n_probe) = 1) AS recommended
            |FROM sel ORDER BY n_probe""".stripMargin
     },
+    // s15: the s03 IVF probe pruning composed with the s07 PQ/ADC scoring
+    // — candidates restricted to the query's probed inverted lists
+    "s15_sim_ivfpq_topk" ->
+      s"""WITH $embCte,
+         |${pqCtes(Similarity.PqM, Similarity.PqSubDim)},
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |            AND vec_id >= ${Similarity.NumQueries}),
+         |ac AS (SELECT a.vec_id, c.cid,
+         |    list_sum(list_transform(list_zip(a.embedding, c.cv),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+         |      AS ccos
+         |  FROM e a, cents c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn
+         |    FROM ac WHERE vec_id < ${Similarity.NumQueries})
+         |  WHERE rn <= ${Similarity.NProbe}),
+         |cand AS (SELECT p.qid, a.vec_id FROM probes p
+         |         JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |scored AS (SELECT c.qid, codes.vec_id AS neighbor_id, SUM(pdot) AS adc
+         |           FROM cand c JOIN codes ON codes.vec_id = c.vec_id
+         |           JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+         |             AND lut.qid = c.qid
+         |           GROUP BY c.qid, codes.vec_id),
+         |fin AS (SELECT qid, neighbor_id,
+         |          CAST(adc AS DOUBLE) / (sqrt(CAST(qe.n2 AS DOUBLE))
+         |            * sqrt(CAST(ne.n2 AS DOUBLE))) AS pq_score
+         |        FROM scored JOIN e qe ON qid = qe.vec_id
+         |          JOIN e ne ON neighbor_id = ne.vec_id),
+         |r AS (SELECT qid, neighbor_id, pq_score,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
+         |      FROM fin)
+         |SELECT qid, rank, neighbor_id, pq_score FROM r
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,
          |        list_sum(list_transform(embedding,

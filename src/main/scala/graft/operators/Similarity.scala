@@ -521,11 +521,10 @@ object Similarity {
       .select(col("vec_id"), col("nrm"), col("m"), col("code"))
   }
 
-  private[graft] def pqRanked(e: DataFrame, m: Int = PqM,
-      subDim: Int = PqSubDim): DataFrame = {
-    val codes = pqCodes(e, m, subDim)
-    // ADC table: query-subvector · codebook-entry exact dots (Q·M·K rows)
-    val lut = e.filter(col("vec_id") < NumQueries)
+  /** ADC table: query-subvector · codebook-entry exact dots (Q·M·K rows,
+    * broadcast) — shared by [[pqRanked]] and [[ivfPqRanked]]. */
+  private def pqLut(e: DataFrame, m: Int, subDim: Int): DataFrame =
+    e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("nrm").as("qn"),
         subM(m).as("m"), col("embedding"))
       .select(col("qid"), col("qn"), col("m"),
@@ -534,6 +533,11 @@ object Similarity {
         .select(col("m"), col("c"), col("csub"))), "m")
       .select(col("qid"), col("qn"), col("m"), col("c"),
         dotDec(col("qsub"), col("csub")).as("pdot"))
+
+  private[graft] def pqRanked(e: DataFrame, m: Int = PqM,
+      subDim: Int = PqSubDim): DataFrame = {
+    val codes = pqCodes(e, m, subDim)
+    val lut = pqLut(e, m, subDim)
     // score: M lookups per (query, vector); partial aggregation collapses
     // the ×M·Q join fan-out back to Q rows per vector before the shuffle
     val scored = codes.join(broadcast(lut),
@@ -544,6 +548,66 @@ object Similarity {
         max(col("qn")).as("qn"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
         (col("adc").cast(DoubleType) / (col("qn") * col("nrm"))).as("pq_score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("pq_score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "neighbor_id", "pq_score")
+  }
+
+  // --- IVF-PQ composed ANN (s15) -------------------------------------------
+  /** The production-shape 100 TB index: IVF coarse quantization prunes the
+    * corpus to the query's [[NProbe]] nearest inverted lists, and PQ/ADC
+    * scores ONLY those candidates — s03's pruning times s07's compression,
+    * composed exactly as a FAISS-style IVFPQ index runs. Neither side
+    * changes semantics: assignment/probing are s03's argmax flow, codes
+    * and the ADC table are s07's (exact-decimal keys and sums), so the
+    * oracle replays the composition verbatim.
+    *
+    * Shape at 100 TB: the probe prunes exact work to ~nProbe/K of the
+    * corpus BEFORE any scoring join, the ADC table and probe map are
+    * broadcast, and the only corpus-scale exchange is the map-side-
+    * combined (qid, vec_id) score aggregation — the index never
+    * materializes float vectors for candidates at all. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame =
+    ivfPqRanked(embeddings(s, dir))
+
+  /** [[ivfPqTopK]] at explicit probe budget and subspace count — the two
+    * knobs the s12/s14 sweeps recommend. */
+  def ivfPqTopK(s: SparkSession, dir: String, nProbe: Int, m: Int): DataFrame = {
+    require(Dim % m == 0, s"subspace count $m must divide Dim=$Dim")
+    ivfPqRanked(embeddings(s, dir), nProbe, m, Dim / m)
+  }
+
+  private[graft] def ivfPqRanked(e: DataFrame, nProbe: Int = NProbe,
+      m: Int = PqM, subDim: Int = PqSubDim): DataFrame = {
+    val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
+        col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    def cosToCentroid =
+      (graft.functions.FloatVecDot.float_vec_dot(col("embedding"), col("cv")) /
+        (col("nrm") * col("cn"))).as("ccos")
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id").as("qid"), col("cid"), cosToCentroid)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe).select("qid", "cid")
+    val cand = ivfAssign(e, cents).join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
+    val codes = pqCodes(e, m, subDim)
+    val lut = pqLut(e, m, subDim)
+      .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
+        col("pdot"))
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdot")).as("adc"), max(col("nrm")).as("nrm"),
+        max(col("qn")).as("qn"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        (col("adc").cast(DoubleType) / (col("qn") * col("nrm")))
+          .as("pq_score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("pq_score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -694,6 +694,26 @@ class OperatorsSpec extends SparkSpec {
       Similarity.pqTopK(spark, sf).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("IVF-PQ composition: full probe budget degenerates to plain PQ") {
+    import graft.operators.Similarity
+    // with nProbe >= #centroids every inverted list is probed, so the
+    // candidate set is the whole corpus and s15 must equal s07 row-for-row
+    // (same codes, same ADC table, same ranking)
+    val full = Similarity.ivfPqTopK(spark, sf, nProbe = 10000,
+        m = Similarity.PqM)
+      .collect().map(_.toString).sorted.toSeq
+    val pq = Similarity.pqTopK(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(full == pq)
+    // the default budget prunes: a well-formed top-k whose candidates are
+    // a subset of the corpus per query
+    val pruned = Similarity.ivfPqTopK(spark, sf).collect()
+    assert(pruned.nonEmpty)
+    pruned.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.size))
+      assert(rs.size <= 3)
+    }
+  }
+
   test("d04 prefix filter is lossless on adversarial corpora") {
     import graft.operators.Dedup
     // plain-Scala mirror of the operator's semantics: 3-gram distinct
