@@ -437,6 +437,49 @@ object SparkEntry {
   private def s07Sql: String =
     s07SqlFor(Similarity.PqM, Similarity.PqSubDim)
 
+  /** IVF probe pruning composed with PQ/ADC scoring (the s15 oracle;
+    * also embedded by the s06 recall eval). */
+  private def s15Sql: String =
+    s"""WITH $embCte,
+         |${pqCtes(Similarity.PqM, Similarity.PqSubDim)},
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |            AND vec_id >= ${Similarity.NumQueries}),
+         |ac AS (SELECT a.vec_id, c.cid,
+         |    list_sum(list_transform(list_zip(a.embedding, c.cv),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+         |      AS ccos
+         |  FROM e a, cents c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn
+         |    FROM ac WHERE vec_id < ${Similarity.NumQueries})
+         |  WHERE rn <= ${Similarity.NProbe}),
+         |cand AS (SELECT p.qid, a.vec_id FROM probes p
+         |         JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |scored AS (SELECT c.qid, codes.vec_id AS neighbor_id, SUM(pdot) AS adc
+         |           FROM cand c JOIN codes ON codes.vec_id = c.vec_id
+         |           JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+         |             AND lut.qid = c.qid
+         |           GROUP BY c.qid, codes.vec_id),
+         |fin AS (SELECT qid, neighbor_id,
+         |          CAST(adc AS DOUBLE) / (sqrt(CAST(qe.n2 AS DOUBLE))
+         |            * sqrt(CAST(ne.n2 AS DOUBLE))) AS pq_score
+         |        FROM scored JOIN e qe ON qid = qe.vec_id
+         |          JOIN e ne ON neighbor_id = ne.vec_id),
+         |r AS (SELECT qid, neighbor_id, pq_score,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
+         |      FROM fin)
+         |SELECT qid, rank, neighbor_id, pq_score FROM r
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+
   /** The PQ oracle at an arbitrary (M, subDim) grid — s07 uses the
     * production config; the s14 sweep embeds one body per M. */
   /** PQ CTE chain (ms…codes…lut) over the `e` CTE — shared by the s07
@@ -1388,10 +1431,14 @@ object SparkEntry {
       s"""WITH bf AS (SELECT qid, neighbor_id FROM ($s01Sql) WHERE rank <= 3),
          |lsh AS (SELECT qid, neighbor_id FROM ($s02Sql)),
          |ivf AS (SELECT qid, neighbor_id FROM ($s03Sql)),
+         |ivfpq AS (SELECT qid, neighbor_id FROM ($s15Sql)),
          |c AS (SELECT 'lsh' AS method, count(*) AS n_hits
          |        FROM lsh JOIN bf USING (qid, neighbor_id)
          |      UNION ALL
-         |      SELECT 'ivf', count(*) FROM ivf JOIN bf USING (qid, neighbor_id))
+         |      SELECT 'ivf', count(*) FROM ivf JOIN bf USING (qid, neighbor_id)
+         |      UNION ALL
+         |      SELECT 'ivfpq', count(*)
+         |        FROM ivfpq JOIN bf USING (qid, neighbor_id))
          |SELECT method, n_hits,
          |  CAST(${3 * Similarity.NumQueries} AS BIGINT) AS n_possible,
          |  CAST(n_hits AS DOUBLE) / ${3 * Similarity.NumQueries} AS recall_at_3
@@ -1566,45 +1613,7 @@ object SparkEntry {
     },
     // s15: the s03 IVF probe pruning composed with the s07 PQ/ADC scoring
     // — candidates restricted to the query's probed inverted lists
-    "s15_sim_ivfpq_topk" ->
-      s"""WITH $embCte,
-         |${pqCtes(Similarity.PqM, Similarity.PqSubDim)},
-         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
-         |            AND vec_id >= ${Similarity.NumQueries}),
-         |ac AS (SELECT a.vec_id, c.cid,
-         |    list_sum(list_transform(list_zip(a.embedding, c.cv),
-         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
-         |      AS ccos
-         |  FROM e a, cents c),
-         |assign AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
-         |  WHERE rn = 1),
-         |probes AS (SELECT vec_id AS qid, cid FROM (
-         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cid) AS rn
-         |    FROM ac WHERE vec_id < ${Similarity.NumQueries})
-         |  WHERE rn <= ${Similarity.NProbe}),
-         |cand AS (SELECT p.qid, a.vec_id FROM probes p
-         |         JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
-         |scored AS (SELECT c.qid, codes.vec_id AS neighbor_id, SUM(pdot) AS adc
-         |           FROM cand c JOIN codes ON codes.vec_id = c.vec_id
-         |           JOIN lut ON codes.m = lut.m AND codes.code = lut.c
-         |             AND lut.qid = c.qid
-         |           GROUP BY c.qid, codes.vec_id),
-         |fin AS (SELECT qid, neighbor_id,
-         |          CAST(adc AS DOUBLE) / (sqrt(CAST(qe.n2 AS DOUBLE))
-         |            * sqrt(CAST(ne.n2 AS DOUBLE))) AS pq_score
-         |        FROM scored JOIN e qe ON qid = qe.vec_id
-         |          JOIN e ne ON neighbor_id = ne.vec_id),
-         |r AS (SELECT qid, neighbor_id, pq_score,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |          ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
-         |      FROM fin)
-         |SELECT qid, rank, neighbor_id, pq_score FROM r
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "s15_sim_ivfpq_topk" -> s15Sql,
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,
          |        list_sum(list_transform(embedding,

@@ -718,7 +718,9 @@ object Similarity {
         .join(broadcast(bf), Seq("qid", "neighbor_id"))
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("method"), col("n_hits"))
-    val out = hits(annLshRanked(e), "lsh").unionByName(hits(annIvfRanked(e), "ivf"))
+    val out = hits(annLshRanked(e), "lsh")
+      .unionByName(hits(annIvfRanked(e), "ivf"))
+      .unionByName(hits(ivfPqRanked(e), "ivfpq")) // the composed index too
       .select(col("method"), col("n_hits"),
         lit(3L * NumQueries).as("n_possible"),
         (col("n_hits").cast(DoubleType) / (3L * NumQueries)).as("recall_at_3"))
