@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+import graft.sinks.CorpusShardSink
+
+/** The shard writer must ship exactly the layout p15 planned: same
+  * (lang, shard) population, prunable directories, cleaned text. */
+class CorpusShardSinkSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("written shards match the p15 manifest and prune on read") {
+    val out = Files.createTempDirectory("graft-shards").toString
+    CorpusShardSink.write(spark, sf, out)
+
+    val back = CorpusShardSink.read(spark, out)
+    // every document lands exactly once
+    assert(back.count() == Tables.table(spark, sf, "documents").count())
+
+    // per-(lang, shard) doc counts equal the manifest's plan
+    val gotCounts = back.groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("shard_id")) ->
+        r.getAs[Long]("n")).toMap
+    val planned = Sampling.shardManifest(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("shard_id")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(gotCounts == planned,
+      s"shard population diverges from the manifest: got=$gotCounts planned=$planned")
+
+    // a single-shard read prunes directories
+    val one = planned.keys.head
+    val pruned = back.where(col("lang") === one._1 &&
+      col("shard_id") === one._2)
+    assert(CorpusShardSink.prunesPartitions(pruned),
+      "shard predicate must become a PartitionFilter:\n" +
+        pruned.queryExecution.executedPlan.toString)
+    assert(pruned.count() == planned(one))
+
+    // the shipped text is the CLEANED corpus (p16), not the raw one
+    val cleanMass = Sampling.applyCuts(spark, sf)
+      .agg(sum(col("n_tokens_clean"))).head().getLong(0)
+    val shippedMass = back.agg(sum(col("n_tokens_clean"))).head().getLong(0)
+    assert(shippedMass == cleanMass)
+  }
+}
