@@ -117,7 +117,7 @@ object SparkEntry {
     "s12_ivf_probe_audit" -> canon("n_probe")(Similarity.ivfProbeAudit),
     "s13_embedding_drift" -> Similarity.embeddingDrift _,
     "s14_pq_tuning_sweep" -> canon("pq_m")(Similarity.pqTuningSweep),
-    "s15_sim_ivfpq_topk" -> Similarity.ivfPqTopK _,
+    "s15_sim_ivfpq_topk" -> canon("qid", "rank")(Similarity.ivfPqTopK),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
