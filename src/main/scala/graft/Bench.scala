@@ -21,18 +21,20 @@ object Bench {
     *      line Bench wrote at the end of that round (the workdir
     *      `BENCH_LOCAL.json` is snapshotted+committed at the END of round
     *      N, so the snapshot round matches the driver file round);
-    *   2. the workdir `BENCH_LOCAL.json` itself — the FULL line the
-    *      previous round's bench run left behind (r7 lesson: a stall round
-    *      commits no numbered snapshot, and the driver file's 2 kB tail
-    *      then recovers only ~15% of the map while the full line sits on
-    *      disk unread). Guarded by an `"sf"` match against the current
-    *      target dir so a mid-round local run at another SF can't pose as
-    *      previous-round numbers;
-    *   3. the newest driver `BENCH_r{N}.json`: its `parsed` field, else the
-    *      JSON line inside its `tail`, else — because the driver FRONT-
-    *      truncates the tail to 2 kB, which is what silently emptied the
-    *      r03 deltas — scavenge every complete `"name":seconds` pair from
-    *      the surviving fragment (recovers ~90% of the map).
+    *   2. whichever of the next two recovered MORE queries (ties → the
+    *      driver file, the canonical artifact):
+    *      a. the newest driver `BENCH_r{N}.json`: its `parsed` field, else
+    *         the JSON line inside its `tail`, else — because the driver
+    *         FRONT-truncates the tail to 2 kB, which is what silently
+    *         emptied the r03 deltas — scavenge every complete
+    *         `"name":seconds` pair from the surviving fragment;
+    *      b. the workdir `BENCH_LOCAL.json` itself — the FULL line the
+    *         previous round's bench run left behind (r7 lesson: a stall
+    *         round commits no numbered snapshot, and the truncated tail
+    *         recovers ~15% of the map while the full line sits on disk
+    *         unread). Guarded by an `"sf"` match against the current
+    *         target dir so a mid-round local run at another SF can't pose
+    *         as previous-round numbers;
     *
     * An empty result warns loudly on stderr instead of passing `{}` off as
     * a clean diff; main() also emits `prev_n` so the JSON is self-auditing.
@@ -128,9 +130,17 @@ object Bench {
         (f.getName, direct ++ viaTail)
       } catch { case _: Throwable => (f.getName, Map.empty[String, Double]) }
     }
+    // between the driver file and the workdir line, take whichever
+    // recovered MORE queries (ties → the driver file, the canonical
+    // artifact): a full workdir line beats a truncated 18-query tail, but
+    // a fully-parsed driver file is never outranked by a same-size copy
+    val driverFull = fromDriver.filter(_._2.nonEmpty)
+    val best = (driverFull, workdir) match {
+      case (Some(d), Some(w)) => Some(if (w._2.size > d._2.size) w else d)
+      case (d, w) => d.orElse(w)
+    }
     val (name, prev) = snapshot.filter(s => roundOf(s._1) >= newestDriverRound)
-      .orElse(workdir) // full previous-round line beats a truncated tail
-      .orElse(fromDriver.filter(_._2.nonEmpty))
+      .orElse(best)
       .orElse(snapshot) // stale snapshot: last resort, labeled by file name
       .getOrElse(("", Map.empty[String, Double]))
     if (prev.isEmpty)

@@ -34,9 +34,13 @@ object Verify {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name)))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // a re-run into the same outDir after a fix must not leave the
+          // old failure marker posing as a live one
+          Files.deleteIfExists(Paths.get(s"$outDir/$name._ERROR"))
+        } catch { case e: Throwable =>
           val msg = s"${e.getClass.getName}: ${e.getMessage}"
           System.err.println(s"[verify] $name FAILED: $msg")
           errors(name) = msg

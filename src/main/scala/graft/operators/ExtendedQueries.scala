@@ -499,17 +499,22 @@ object ExtendedQueries {
         .filter(col("ts_us") > col("tp"))
         .groupBy("user_id").agg(min(col("ts_us")).as("t"))
     val frames = stepTypes.tail.scanLeft(first)(next)
+    // order by the NUMERIC step index, not the label: "10_x" sorts
+    // between "1_a" and "2_b" lexicographically, which would pair step 10
+    // with step 1 in the lag once a funnel reaches 10+ steps
     val counts = stepTypes.zip(frames).zipWithIndex.map {
       case ((typ, df), i) =>
         df.agg(count(lit(1)).as("n_users"))
-          .select(lit(s"${i + 1}_$typ").as("step"), col("n_users"))
+          .select(lit(i + 1).as("idx"),
+            lit(s"${i + 1}_$typ").as("step"), col("n_users"))
     }.reduce(_.unionByName(_))
-    val w = Window.orderBy(col("step"))
+    val w = Window.orderBy(col("idx"))
     counts
       .withColumn("conv_from_prev",
         coalesce(col("n_users").cast(DoubleType) /
           lag(col("n_users"), 1).over(w), lit(1.0)))
-      .orderBy("step")
+      .orderBy("idx")
+      .select("step", "n_users", "conv_from_prev")
   }
 
   // --- Q44: per-user activity-series similarity search ----------------------

@@ -89,11 +89,18 @@ object Sampling {
     */
   def sequencePacking(s: SparkSession, dir: String): DataFrame = {
     import TextPrep.tokens
+    packingOf(Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")))
+  }
+
+  /** The [[sequencePacking]] layout rule over an arbitrary
+    * `(doc_id, lang, n_tokens)` frame — the CorpusShardSink packs the
+    * CLEANED corpus it actually ships through this same rule. */
+  private[graft] def packingOf(tok: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    tok
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integer div, not double `/`: near-boundary doubles would misround
       // once cumulative counts exceed 2^53 on a real corpus
@@ -139,7 +146,11 @@ object Sampling {
     * rollup of the already-computed p04 layout: one (lang, shard)-keyed
     * aggregation, all integers. */
   def shardManifest(s: SparkSession, dir: String): DataFrame =
-    sequencePacking(s, dir)
+    shardManifestOf(sequencePacking(s, dir))
+
+  /** The [[shardManifest]] rollup over an arbitrary [[packingOf]] frame. */
+  private[graft] def shardManifestOf(packed: DataFrame): DataFrame =
+    packed
       .withColumn("shard_id", expr(s"start_bin div $BinsPerShard"))
       .groupBy("lang", "shard_id")
       .agg(count(lit(1)).as("n_docs"),

@@ -124,14 +124,38 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String, nProbe: Int): DataFrame =
     annIvfRanked(embeddings(s, dir), nProbe)
 
-  private[graft] def annIvfRanked(e: DataFrame,
-      nProbe: Int = NProbe): DataFrame = {
-    val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
+  /** The deterministic coarse-centroid sample `(cid, cv, cn)` — ONE
+    * definition shared by every IVF consumer (search, audits, IVF-PQ), so
+    * a change to the quantizer cannot silently diverge between the
+    * oracle-pinned variants. */
+  private def centsOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % CentroidStride === 0 &&
         col("vec_id") >= NumQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
-    ivfSearch(e, cents, numQueries = NumQueries, nProbe = nProbe, topK = 3)
+
+  /** Query→inverted-list probe map `(qid, cid, probe_rank <= maxRank)` —
+    * the coarse search every IVF variant starts from (same single
+    * definition rationale as [[centsOf]]). */
+  private def coarseProbes(e: DataFrame, cents: DataFrame,
+      numQueries: Int, maxRank: Int): DataFrame = {
+    val ccos =
+      (graft.functions.FloatVecDot.float_vec_dot(col("embedding"), col("cv")) /
+        (col("nrm") * col("cn"))).as("ccos")
+    e.filter(col("vec_id") < numQueries)
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id").as("qid"), col("cid"), ccos)
+      .withColumn("probe_rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("probe_rank") <= maxRank)
+      .select("qid", "cid", "probe_rank")
   }
+
+  private[graft] def annIvfRanked(e: DataFrame,
+      nProbe: Int = NProbe): DataFrame =
+    ivfSearch(e, centsOf(e), numQueries = NumQueries, nProbe = nProbe,
+      topK = 3)
 
   /** Inverted-list assignment: every vector → its single nearest centroid
     * (argmax cosine, ties to the smallest cid). Broadcast centroids, one
@@ -165,11 +189,8 @@ object Similarity {
         col("min_size"), col("max_size"),
         (col("max_size").cast(DoubleType) / col("n_vectors")).as("max_share"))
     val lsh = bucketed(e).groupBy("bucket").agg(count(lit(1)).as("sz"))
-    val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
-        col("vec_id") >= NumQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
-    val ivf = ivfAssign(e, cents).groupBy("cid").agg(count(lit(1)).as("sz"))
+    val ivf = ivfAssign(e, centsOf(e)).groupBy("cid")
+      .agg(count(lit(1)).as("sz"))
     statsOf(lsh, "lsh").unionByName(statsOf(ivf, "ivf"))
   }
 
@@ -249,20 +270,8 @@ object Similarity {
     * s06/s09 pattern). */
   def ivfProbeAudit(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).persist()
-    val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
-        col("vec_id") >= NumQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
-    def cosToCentroid =
-      (graft.functions.FloatVecDot.float_vec_dot(col("embedding"), col("cv")) /
-        (col("nrm") * col("cn"))).as("ccos")
-    val probes = e.filter(col("vec_id") < NumQueries)
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id").as("qid"), col("cid"), cosToCentroid)
-      .withColumn("probe_rank", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("probe_rank") <= ProbeSweep.max)
-      .select("qid", "cid", "probe_rank")
+    val cents = centsOf(e)
+    val probes = coarseProbes(e, cents, NumQueries, ProbeSweep.max)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"))
@@ -307,24 +316,16 @@ object Similarity {
     */
   private[graft] def ivfSearch(e: DataFrame, cents: DataFrame,
       numQueries: Int, nProbe: Int, topK: Int): DataFrame = {
-    // Assignment/probing only needs an ARGMAX over centroids, so it runs on
-    // the codegen'd double dot (sequential fold — bit-identical to the
-    // oracle's list_sum-over-doubles) instead of ~300×-slower exact
-    // decimals; the FINAL cos_sim output below stays decimal-exact.
-    def cosToCentroid =
-      (graft.functions.FloatVecDot.float_vec_dot(col("embedding"), col("cv")) /
-        (col("nrm") * col("cn"))).as("ccos")
-    val wNearest = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
+    // Assignment/probing only needs an ARGMAX over centroids, so it runs
+    // on the codegen'd double dot inside centsOf/coarseProbes/ivfAssign
+    // (bit-identical to the oracle's list_sum-over-doubles) instead of
+    // ~300×-slower exact decimals; the FINAL cos_sim output below stays
+    // decimal-exact.
     // inverted lists: every vector → its single nearest centroid
     val assigned = ivfAssign(e, cents)
     // queries probe their nProbe nearest lists
-    val probes = e.filter(col("vec_id") < numQueries)
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id").as("qid"), col("cid"), cosToCentroid)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("rn") <= nProbe).select("qid", "cid")
+    val probes = coarseProbes(e, cents, numQueries, nProbe)
+      .select("qid", "cid")
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
     // candidates = union of probed lists; exact re-rank within them
@@ -581,19 +582,9 @@ object Similarity {
 
   private[graft] def ivfPqRanked(e: DataFrame, nProbe: Int = NProbe,
       m: Int = PqM, subDim: Int = PqSubDim): DataFrame = {
-    val cents = e.filter(col("vec_id") % CentroidStride === 0 &&
-        col("vec_id") >= NumQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
-    def cosToCentroid =
-      (graft.functions.FloatVecDot.float_vec_dot(col("embedding"), col("cv")) /
-        (col("nrm") * col("cn"))).as("ccos")
-    val probes = e.filter(col("vec_id") < NumQueries)
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id").as("qid"), col("cid"), cosToCentroid)
-      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("rn") <= nProbe).select("qid", "cid")
+    val cents = centsOf(e)
+    val probes = coarseProbes(e, cents, NumQueries, nProbe)
+      .select("qid", "cid")
     val cand = ivfAssign(e, cents).join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
     val codes = pqCodes(e, m, subDim)

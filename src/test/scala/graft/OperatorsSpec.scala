@@ -478,6 +478,24 @@ class OperatorsSpec extends SparkSpec {
     // is ordered end-to-end, not per-step-pair
     assert(rows.last.getAs[Double]("conv_from_prev") == 1.0)
 
+    // 10+ steps: conversion must pair each step with its true
+    // predecessor, not the lexicographic one ("10_x" sorts before "2_x")
+    val types = (1 to 11).map(i => s"s$i")
+    val long = (1 to 11).flatMap { i =>
+      // user u_k completes the first k steps in order → step i has 12-i
+      // completers and every conv_from_prev (after step 1) is exact
+      (i to 11).map(k => (s"u$k", s"s$i", i.toLong * 10))
+    }.toDF("user_id", "event_type", "ts_us")
+    val lrows = ExtendedQueries.funnelOf(long, types).collect()
+    assert(lrows.map(_.getAs[String]("step")).toSeq ==
+      (1 to 11).map(i => s"${i}_s$i"))
+    assert(lrows.map(_.getAs[Long]("n_users")).toSeq ==
+      (1 to 11).map(i => (12 - i).toLong))
+    lrows.zipWithIndex.tail.foreach { case (r, i) =>
+      assert(r.getAs[Double]("conv_from_prev") ==
+        (11.0 - i) / (12.0 - i), s"step ${i + 1} conversion wrong")
+    }
+
     // on the live corpus, the default funnel via the parameterized path
     // is byte-identical to the published q42
     val viaParams = ExtendedQueries
