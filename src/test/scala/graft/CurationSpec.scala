@@ -361,6 +361,50 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) == (10L, t) && got(2L) == (0L, ""))
   }
 
+  test("cuts applier matches a plain-Scala mirror on random low-vocab corpora") {
+    // the d16 mirror sweep, extended through APPLICATION: recompute
+    // fingerprint→canonical→islands→span-removal from first principles
+    // and compare the emitted text token-for-token
+    val W = Dedup.PassageLen
+    def expectedClean(corpus: Seq[(Long, String)]): Map[Long, (Long, String)] = {
+      val wins = corpus.flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+").toSeq
+        if (t.length < W) Seq.empty
+        else t.sliding(W).zipWithIndex
+          .map { case (w, i) => (w.mkString(" "), id, i.toLong) }
+      }
+      val cutPos: Map[Long, Set[Long]] = wins.groupBy(_._1).values.flatMap { occ =>
+        if (occ.size < 2) Seq.empty
+        else occ.toSeq.sortBy(o => (o._2, o._3)).tail.map(o => (o._2, o._3))
+      }.toSeq.groupBy(_._1).map { case (id, ps) =>
+        id -> ps.flatMap { case (_, p) => p until (p + W) }.toSet
+      }
+      corpus.map { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+").toSeq
+        val cut = cutPos.getOrElse(id, Set.empty)
+        val keep = t.zipWithIndex.collect {
+          case (tok, i) if !cut.contains(i.toLong) => tok
+        }
+        id -> (keep.size.toLong, keep.mkString(" "))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(1843)
+    val vocab = (1 to 12).map(i => s"w$i")
+    (1 to 12).foreach { trial =>
+      val corpus = (1L to 10L).map { id =>
+        id -> (1 to (W + rnd.nextInt(3 * W)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val docs = corpus.map { case (id, t) => (id, "xx", t) }
+        .toDF("doc_id", "lang", "text")
+      val got = Sampling.applyCutsOf(docs, Dedup.passageCutsOf(docs))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens_clean"), r.getAs[String]("clean_text")))
+        .toMap
+      assert(got == expectedClean(corpus), s"trial $trial diverged")
+    }
+  }
+
   test("p17 keeps one doc per near-dup cluster and re-cuts against survivors") {
     import graft.operators.Sampling
     val sf = "/root/testdata/sf0.001"
