@@ -38,8 +38,11 @@ object Verify {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           // a re-run into the same outDir after a fix must not leave the
-          // old failure marker posing as a live one
-          Files.deleteIfExists(Paths.get(s"$outDir/$name._ERROR"))
+          // old failure marker posing as a live one; its OWN failure must
+          // not flag the just-succeeded query as broken
+          try Files.deleteIfExists(Paths.get(s"$outDir/$name._ERROR"))
+          catch { case e: Throwable => System.err.println(
+            s"[verify] $name: stale _ERROR marker not removable: $e") }
         } catch { case e: Throwable =>
           val msg = s"${e.getClass.getName}: ${e.getMessage}"
           System.err.println(s"[verify] $name FAILED: $msg")

@@ -679,13 +679,14 @@ object Similarity {
   }
 
   // --- ANN recall evaluation ----------------------------------------------
-  /** Recall@3 of the two approximate indexes ([[annLsh]], [[annIvf]])
-    * against the exact baseline ([[bruteForceTopK]]) — the measurement a
-    * pipeline runs before trusting an ANN index at scale. One row per
-    * method: ground-truth hits, possible hits, recall. The three
-    * pipelines already exist; this composes them with two semi-join
-    * counts, so the eval costs one extra pass over tiny top-k outputs —
-    * at 100 TB you run it on a sampled query set exactly like this.
+  /** Recall@3 of the three approximate indexes ([[annLsh]], [[annIvf]],
+    * and the composed [[ivfPqTopK]]) against the exact baseline
+    * ([[bruteForceTopK]]) — the measurement a pipeline runs before
+    * trusting an ANN index at scale. One row per method: ground-truth
+    * hits, possible hits, recall. The pipelines already exist; this
+    * composes them with semi-join counts, so the eval costs one extra
+    * pass over tiny top-k outputs — at 100 TB you run it on a sampled
+    * query set exactly like this.
     *
     * On THIS corpus expect low numbers (sf0.1: lsh 0.00, ivf 0.27): the
     * synthetic embeddings are uniform random, so near-neighbors sit just
@@ -694,11 +695,11 @@ object Similarity {
     * (see the s04 recall spec for the clustered-corpus counterpoint).
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    // One scan+norm for all three sub-pipelines (they used to recompute it
+    // One scan+norm for every sub-pipeline (they used to recompute it
     // independently — 4 scans, 12 shuffles); the frame is small relative to
     // executor memory even per-partition at scale.
     val e = embeddings(s, dir).persist()
-    // bf ground truth feeds BOTH hit counts; it is Q·K rows — persist so the
+    // bf ground truth feeds every hit count; it is Q·K rows — persist so the
     // expensive exact-scoring DAG executes once, not per join.
     val bf = bruteForceRanked(e)
       .filter(col("rank") <= 3).select("qid", "neighbor_id").persist()

@@ -25,14 +25,21 @@ import graft.operators.Sampling
   */
 object CorpusShardSink {
 
-  /** The cleaned corpus with its shard assignment (the write plan). */
+  /** The cleaned corpus with its shard assignment (the write plan) — the
+    * p04 rule (shard = (cum_before div ContextLen) div BinsPerShard)
+    * computed as ONE window directly over the cleaned frame, so the
+    * expensive cut pipeline is traversed once instead of self-joined. */
   private def planned(s: SparkSession, dir: String): DataFrame = {
-    val cleaned = Sampling.applyCuts(s, dir)
-    val plan = Sampling.packingOf(cleaned.select(col("doc_id"), col("lang"),
-        col("n_tokens_clean").as("n_tokens")))
-      .select(col("doc_id"),
-        expr(s"start_bin div ${Sampling.BinsPerShard}").as("shard_id"))
-    cleaned.join(plan, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    Sampling.applyCuts(s, dir)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens_clean")).over(w), lit(0L)))
+      .withColumn("shard_id",
+        expr(s"(cum_before div ${Sampling.ContextLen}) " +
+          s"div ${Sampling.BinsPerShard}"))
+      .drop("cum_before")
   }
 
   /** The manifest describing exactly what [[write]] ships — p15's rollup
@@ -58,13 +65,25 @@ object CorpusShardSink {
   /** True iff `df`'s scan prunes shard partitions: at least one
     * partition filter beyond the implicit IsNotNull guards (checked via
     * the scan node's API, not plan-string matching — an
-    * `isnotnull(lang)`-only filter prunes nothing). */
+    * `isnotnull(lang)`-only filter prunes nothing). Descends into
+    * AdaptiveSparkPlanExec, which is a leaf to `collect` and would
+    * otherwise hide every scan in an AQE-wrapped plan. */
   def prunesPartitions(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.partitionFilters
-    }.exists(_.exists {
+    scanPartitionFilters(df.queryExecution.executedPlan).exists {
       case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
       case _ => true
-    })
+    }
+
+  private def scanPartitionFilters(
+      plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanPartitionFilters(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scanPartitionFilters(q.plan) // materialized stages are leaves too
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.partitionFilters ++ plan.children.flatMap(scanPartitionFilters)
+      case p => p.children.flatMap(scanPartitionFilters)
+    }
 }

@@ -44,6 +44,21 @@ class CorpusShardSinkSpec extends SparkSpec {
     // …and an isnotnull-only predicate does NOT count as pruning
     assert(!CorpusShardSink.prunesPartitions(
       back.where(col("lang").isNotNull)))
+    // an AQE-wrapped plan (aggregate above the scan) must still expose
+    // its pruning — AdaptiveSparkPlanExec hides scans from plain collect
+    val aqeOn = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val agg = CorpusShardSink.read(spark, out)
+        .where(col("lang") === one._1 && col("shard_id") === one._2)
+        .groupBy("lang").count()
+      agg.collect() // materialize so the adaptive plan is finalized
+      assert(CorpusShardSink.prunesPartitions(agg),
+        "pruning invisible through AdaptiveSparkPlanExec:\n" +
+          agg.queryExecution.executedPlan.toString)
+    } finally {
+      aqeOn.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+    }
 
     // the shipped text is the CLEANED corpus (p16), not the raw one
     val cleanMass = Sampling.applyCuts(spark, sf)
