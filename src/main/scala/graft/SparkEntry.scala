@@ -80,6 +80,7 @@ object SparkEntry {
     "q42_event_funnel" -> ExtendedQueries.q42EventFunnel _,
     "q43_copurchase_pairs" -> ExtendedQueries.q43CopurchasePairs _,
     "q44_series_topk" -> ExtendedQueries.q44SeriesTopK _,
+    "q45_smallqty_revenue" -> ExtendedQueries.q45SmallQtyRevenue _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -1084,6 +1085,19 @@ object SparkEntry {
         |FROM cap a JOIN cap b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY a.pk, b.pk
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // q45: TPC-H Q17 shape; the 20%-of-average filter cross-multiplied so
+    // it stays exact decimal (5·qty·cnt < sum_qty)
+    "q45_smallqty_revenue" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+        |JOIN pp ON pp.l_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty""".stripMargin,
     // q44: hour-of-day activity profiles (exact DECIMAL sums), candidates
     // banded by peak hour, exact cosine on candidates, top-3 per user
     "q44_series_topk" ->

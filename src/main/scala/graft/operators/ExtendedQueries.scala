@@ -517,6 +517,31 @@ object ExtendedQueries {
       .select("step", "n_users", "conv_from_prev")
   }
 
+  // --- Q45: small-quantity-order revenue (TPC-H Q17 shape) ------------------
+  /** Average yearly revenue that would be lost if orders below 20% of
+    * their part's average order quantity were no longer filled — the
+    * TPC-H Q17 correlated-average pattern. The per-part average
+    * comparison is CROSS-MULTIPLIED (5·qty·cnt < sum_qty) so every
+    * comparison stays exact DECIMAL — no double division inside the
+    * filter; the only double is the final /7 boundary. Shape at scale:
+    * the brand dim broadcasts into the fact scan, the per-part average is
+    * one narrow (partkey)-keyed aggregate joined back on the fact's own
+    * key, and Catalyst never executes a per-row subquery. */
+  def q45SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val pq = (c: Column) => c.cast(DecimalType(18, 2))
+    val li = Tables.table(s, dir, "lineitem")
+    val parts = Tables.table(s, dir, "part")
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(pq(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    li.join(broadcast(parts), li("l_partkey") === parts("p_partkey"))
+      .join(perPart, "l_partkey")
+      .filter(pq(col("l_quantity")) * col("cnt") * 5 < col("sum_qty"))
+      .agg((sum(pq(col("l_extendedprice"))).cast(DoubleType) / 7.0)
+        .as("avg_yearly"))
+  }
+
   // --- Q44: per-user activity-series similarity search ----------------------
   /** Time-series similarity search over the event stream (the streaming
     * series-similarity problem of the EDBT 2019 line in PAPERS.md, recast

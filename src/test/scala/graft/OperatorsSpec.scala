@@ -538,6 +538,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("small-quantity revenue matches a plain-Scala recompute") {
+    import graft.operators.ExtendedQueries
+    import spark.implicits._
+    val got = ExtendedQueries.q45SmallQtyRevenue(spark, sf)
+      .head().getDouble(0)
+    // mirror: per-part sums with exact BigDecimal, 5*qty*cnt < sum filter
+    val rows = Tables.table(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .as[(Long, Double, Double)].collect()
+    val brand = Tables.table(spark, sf, "part")
+      .filter(col("p_brand") === "Brand#4")
+      .select("p_partkey").as[Long].collect().toSet
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val perPart = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> (rs.map(r => d2(r._2)).sum, rs.size) }
+    val kept = rows.filter { case (pk, qty, _) =>
+      brand.contains(pk) && {
+        val (sumQty, cnt) = perPart(pk)
+        d2(qty) * cnt * 5 < sumQty
+      } }
+    val expected = (kept.map(r => d2(r._3)).sum.toDouble / 7.0)
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("co-purchase pairs match a plain-Scala basket count") {
     import graft.operators.ExtendedQueries
     val got = ExtendedQueries.q43CopurchasePairs(spark, sf).collect()
