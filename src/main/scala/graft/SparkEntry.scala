@@ -81,6 +81,9 @@ object SparkEntry {
     "q43_copurchase_pairs" -> ExtendedQueries.q43CopurchasePairs _,
     "q44_series_topk" -> ExtendedQueries.q44SeriesTopK _,
     "q45_smallqty_revenue" -> ExtendedQueries.q45SmallQtyRevenue _,
+    "q46_waiting_suppliers" -> ExtendedQueries.q46WaitingSuppliers _,
+    "q47_dormant_highbal" -> ExtendedQueries.q47DormantHighBalance _,
+    "q48_large_volume_cust" -> ExtendedQueries.q48LargeVolumeCustomers _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -1098,6 +1101,58 @@ object SparkEntry {
         |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
         |JOIN pp ON pp.l_partkey = l.l_partkey
         |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty""".stripMargin,
+    // q46: TPC-H Q21 shape — the oracle runs the LITERAL double-correlated
+    // EXISTS / NOT EXISTS; the engine's one-pass (n_supp, n_late_supp)
+    // aggregate must agree exactly
+    "q46_waiting_suppliers" ->
+      s"""WITH lo AS (
+         |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         |    (l.l_shipdate > o.o_orderdate
+         |       + INTERVAL ${ExtendedQueries.LateShipDays} DAY) AS late
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_orderstatus = 'F')
+         |SELECT s.s_name, count(*) AS numwait
+         |FROM lo l1
+         |JOIN supplier s ON l1.sk = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE l1.late AND n.n_name = 'NATION_7'
+         |  AND EXISTS (SELECT 1 FROM lo l2
+         |              WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+         |  AND NOT EXISTS (SELECT 1 FROM lo l3
+         |                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late)
+         |GROUP BY s.s_name
+         |ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin,
+    // q47: TPC-H Q22 shape — scalar positive-balance average (cross-
+    // multiplied, exact DECIMAL) + anti join against recent orders
+    "q47_dormant_highbal" ->
+      s"""WITH a AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS pos_sum,
+         |             COUNT(*) AS pos_n
+         |           FROM customer WHERE c_acctbal > 0)
+         |SELECT n.n_name, count(*) AS numcust,
+         |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         |FROM customer c
+         |CROSS JOIN a
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * a.pos_n > a.pos_sum
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderdate >=
+         |                      TIMESTAMP '${ExtendedQueries.DormantCutoff}')
+         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    // q48: TPC-H Q18 shape — the oracle keeps the literal IN-subquery form
+    "q48_large_volume_cust" ->
+      s"""WITH sq AS (SELECT l_orderkey,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+         |  CAST(sq.sum_qty AS DOUBLE) AS sum_qty
+         |FROM orders o
+         |JOIN sq ON sq.l_orderkey = o.o_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |WHERE o.o_orderkey IN (SELECT l_orderkey FROM sq
+         |                       WHERE sum_qty > ${ExtendedQueries.LargeVolumeQty})
+         |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
     // q44: hour-of-day activity profiles (exact DECIMAL sums), candidates
     // banded by peak hour, exact cosine on candidates, top-3 per user
     "q44_series_topk" ->

@@ -630,4 +630,131 @@ object ExtendedQueries {
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
   }
+
+  /** Late-shipment window for [[q46WaitingSuppliers]]: a line is "late"
+    * when it ships more than this many days after its order date (the
+    * corpus carries no commit/receipt dates, so order→ship latency is
+    * the Q21 lateness signal). */
+  val LateShipDays = 90
+
+  // --- Q46: waiting suppliers (TPC-H Q21 shape) -----------------------------
+  /** Suppliers who were the SOLE late shipper on a multi-supplier
+    * finished order — TPC-H Q21's double-correlated EXISTS / NOT EXISTS,
+    * the hardest quantifier shape in the benchmark. Spark-first
+    * reformulation: instead of re-probing the fact twice per row (the
+    * literal l2/l3 subqueries — two more shuffles of the fat fact), the
+    * per-order evidence collapses into ONE narrow aggregate —
+    * `(n_supp, n_late_supp)` per order key — and the quantifier pair
+    * becomes the predicate `n_supp >= 2 AND n_late_supp = 1` joined back
+    * on the fact's own key: EXISTS another supplier ⇔ n_supp ≥ 2;
+    * NOT EXISTS another LATE supplier, given this row is late, ⇔ this
+    * supplier is the only late one. Identical semantics (the oracle runs
+    * the literal subquery form), one fact aggregation instead of two
+    * fact joins at 100 TB. Dims broadcast; top-20 deterministic. */
+  def q46WaitingSuppliers(s: SparkSession, dir: String): DataFrame =
+    q46WaitingSuppliers(s, dir, Some("NATION_7"))
+
+  /** [[q46WaitingSuppliers]] with the supplier-nation filter as a
+    * parameter (`None` = all nations) — the q42 pattern: the published
+    * query is one binding of a reusable operator. */
+  def q46WaitingSuppliers(s: SparkSession, dir: String,
+      nation: Option[String]): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val lo = Tables.table(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_shipdate") > date_add(col("o_orderdate"), LateShipDays))
+          .as("late"))
+    val perOrder = lo.groupBy("ok")
+      .agg(countDistinct(col("sk")).as("n_supp"),
+        countDistinct(when(col("late"), col("sk"))).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select("ok")
+    val nat = nation.foldLeft(Tables.table(s, dir, "nation"))(
+      (df, n) => df.filter(col("n_name") === n))
+    val sup = Tables.table(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    lo.filter(col("late"))
+      .join(perOrder, "ok")
+      .join(broadcast(sup), col("sk") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  /** Dormancy cutoff for [[q47DormantHighBalance]]: a customer with no
+    * orders on/after this date counts as dormant (every customer in the
+    * corpus has SOME order, so Q22's literal "no orders ever" anti join
+    * would be vacuously empty — the recency cutoff keeps the anti-join
+    * shape meaningful). */
+  val DormantCutoff = "2000-01-01"
+
+  // --- Q47: dormant high-balance customers (TPC-H Q22 shape) ----------------
+  /** Customers whose balance exceeds the positive-balance average yet
+    * placed no order since [[DormantCutoff]], rolled up per nation —
+    * TPC-H Q22's shape: an uncorrelated scalar aggregate feeding a
+    * filter, then an anti join against the fact. The average comparison
+    * is CROSS-MULTIPLIED (`bal · n > sum`, the q45 trick) so the filter
+    * compares exact DECIMALs — no double division inside the predicate.
+    * Shape at 100 TB: the scalar is a 1-row broadcast, the anti join is
+    * key-shuffled only on the (date-pruned) recent slice of orders, and
+    * the nation dim broadcasts; doubles appear only at the final sum
+    * boundary. */
+  def q47DormantHighBalance(s: SparkSession, dir: String): DataFrame = {
+    val bal = (c: Column) => c.cast(DecimalType(18, 2))
+    val cust = Tables.table(s, dir, "customer")
+    val posAvg = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(bal(col("c_acctbal"))).as("pos_sum"),
+        count(lit(1)).as("pos_n"))
+    val recent = Tables.table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(DormantCutoff))
+      .select("o_custkey")
+    val nat = Tables.table(s, dir, "nation")
+    cust.crossJoin(broadcast(posAvg)) // 1-row scalar broadcast
+      .filter(bal(col("c_acctbal")) * col("pos_n") > col("pos_sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        sum(bal(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  /** Order-total quantity threshold for [[q48LargeVolumeCustomers]] —
+    * TPC-H Q18 uses 300+; 250 keeps a non-trivial result (~200 orders)
+    * at the sf0.01 oracle scale. */
+  val LargeVolumeQty = 250
+
+  // --- Q48: large-volume customers (TPC-H Q18 shape) ------------------------
+  /** Customers behind the largest-quantity orders — TPC-H Q18: an IN
+    * subquery over a grouped-HAVING fact aggregate, re-joined through
+    * orders to customers. Spark-first: the IN list IS the aggregate
+    * (`sum_qty > threshold` kept as a column, no second fact pass — the
+    * literal Q18 also re-aggregates lineitem in the outer query; here
+    * one aggregation serves both roles). Quantities sum as exact
+    * DECIMAL; the HAVING filter prunes before the orders join so only
+    * qualifying order keys shuffle. Deterministic top-20 by price then
+    * key. */
+  def q48LargeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > LargeVolumeQty)
+    val o = Tables.table(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.table(s, dir, "customer").select("c_custkey", "c_name")
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        dec(col("o_totalprice")).cast(DoubleType).as("o_totalprice"),
+        col("sum_qty").cast(DoubleType).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
 }

@@ -1094,4 +1094,94 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("df") >= 1 &&
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
+
+  test("q46: aggregated quantifier rewrite equals the literal EXISTS form") {
+    import graft.operators.ExtendedQueries
+    import java.time.temporal.ChronoUnit
+    // all-nations binding so the tiny corpus yields rows; plain-Scala
+    // mirror runs the LITERAL double-correlated quantifiers
+    val got = ExtendedQueries.q46WaitingSuppliers(spark, sf, None).collect()
+      .map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
+    assert(got.nonEmpty)
+    val orders = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .map { case (k, d) => k -> d.toLocalDateTime }.toMap
+    val lo = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .filter(r => orders.contains(r._1))
+      .map { case (ok, sk, ship) =>
+        (ok, sk, ChronoUnit.DAYS.between(
+          orders(ok).toLocalDate, ship.toLocalDateTime.toLocalDate) >
+          ExtendedQueries.LateShipDays)
+      }
+    val supName = Tables.table(spark, sf, "supplier")
+      .select("s_suppkey", "s_name").as[(Long, String)].collect().toMap
+    val byOrder = lo.groupBy(_._1)
+    val waits = for {
+      (ok, sk, late) <- lo if late
+      others = byOrder(ok).filter(_._2 != sk)
+      if others.nonEmpty           // EXISTS a different supplier
+      if !others.exists(_._3)      // NOT EXISTS a different LATE supplier
+    } yield supName(sk)
+    val expected = waits.groupBy(identity)
+      .map { case (n, xs) => (n, xs.size.toLong) }
+      .toSeq.sortBy { case (n, w) => (-w, n) }.take(20)
+    assert(got.toSeq == expected)
+  }
+
+  test("q47: scalar-average cross-multiplication and anti join are exact") {
+    import graft.operators.ExtendedQueries
+    val got = ExtendedQueries.q47DormantHighBalance(spark, sf).collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Long]("numcust"),
+        r.getAs[Double]("totacctbal")))
+    assert(got.nonEmpty)
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val cust = Tables.table(spark, sf, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .as[(Long, Long, Double)].collect()
+    val pos = cust.filter(_._3 > 0)
+    val (posSum, posN) = (pos.map(c => d2(c._3)).sum, pos.size)
+    val cutoff = java.time.LocalDate.parse(ExtendedQueries.DormantCutoff)
+    val activeCust = Tables.table(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .filter(!_._2.toLocalDateTime.toLocalDate.isBefore(cutoff))
+      .map(_._1).toSet
+    val nation = Tables.table(spark, sf, "nation")
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val kept = cust.filter(c =>
+      d2(c._3) * posN > posSum && !activeCust.contains(c._1))
+    val expected = kept.groupBy(c => nation(c._2))
+      .map { case (n, cs) =>
+        (n, cs.size.toLong, cs.map(c => d2(c._3)).sum.toDouble) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+  }
+
+  test("q48: HAVING threshold, decimal quantity sums, price-ranked top-20") {
+    import graft.operators.ExtendedQueries
+    val got = ExtendedQueries.q48LargeVolumeCustomers(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val sumQty = Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity").as[(Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(r => d2(r._2)).sum }
+    // every returned order is over-threshold with the exact decimal sum
+    got.foreach { r =>
+      val ok = r.getAs[Long]("o_orderkey")
+      assert(sumQty(ok) > ExtendedQueries.LargeVolumeQty)
+      assert(r.getAs[Double]("sum_qty") == sumQty(ok).toDouble)
+    }
+    // and they are THE top-20 by (price desc, key asc) among qualifiers
+    val prices = got.map(r => (r.getAs[Double]("o_totalprice"),
+      r.getAs[Long]("o_orderkey")))
+    val ordered = prices.sortBy { case (p, k) => (-p, k) }.toSeq
+    assert(prices.toSeq == ordered)
+    val qualifying = sumQty.filter(_._2 > ExtendedQueries.LargeVolumeQty).keySet
+    assert(got.map(_.getAs[Long]("o_orderkey")).toSet.subsetOf(qualifying))
+    assert(got.length == math.min(20, qualifying.size))
+  }
 }
