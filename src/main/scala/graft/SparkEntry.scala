@@ -107,6 +107,7 @@ object SparkEntry {
     "d16_passage_cuts" ->
       canon("doc_id", "span_start")(Dedup.passageCuts),
     "d17_cut_accounting" -> Dedup.cutAccounting _,
+    "d18_semantic_dedup" -> canon("vec_id")(Dedup.semanticDedup),
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -1473,6 +1474,35 @@ object SparkEntry {
          |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > ${Dedup.CosineThreshold}
          |ORDER BY va, vb""".stripMargin
     },
+    // d18: SemDeDup — stride centroids, argmax-cosine assignment (ties to
+    // the smallest cid), greedy-by-id within-cluster keep rule; every dot
+    // is the exact-decimal contract shared with d05/s01
+    "d18_semantic_dedup" ->
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+         |          WHERE vec_id % ${Dedup.SemCentroidStride} = 0),
+         |ac AS (SELECT a.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(list_zip(a.embedding, c.cv),
+         |      z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6))
+         |         * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+         |  FROM e a, cents c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+         |  WHERE rn = 1),
+         |cand AS (SELECT x.vec_id AS va, y.vec_id AS vb
+         |         FROM assign x JOIN assign y ON x.cid = y.cid
+         |           AND x.vec_id < y.vec_id),
+         |dups AS (SELECT DISTINCT vb
+         |         FROM cand JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
+         |         WHERE CAST($dotAB AS DOUBLE)
+         |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |             > ${Dedup.CosineThreshold})
+         |SELECT s.vec_id, s.cid,
+         |  CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS keep
+         |FROM assign s LEFT JOIN dups d ON s.vec_id = d.vb
+         |ORDER BY s.vec_id""".stripMargin,
     "s01_sim_bruteforce_topk" -> s01Sql,
     "s02_sim_ann_lsh" -> s02Sql,
     "s03_sim_ann_ivf" -> s03Sql,

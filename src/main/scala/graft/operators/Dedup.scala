@@ -966,4 +966,53 @@ object Dedup {
       .distinct()
     embVerify(e, cands)
   }
+
+  // --- semantic dedup (SemDeDup shape) --------------------------------------
+  /** Coarse-cluster stride for [[semanticDedup]]: the same deterministic
+    * `vec_id % stride == 0` sample [[Similarity.CentroidStride]] uses for
+    * the IVF quantizer, so both oracles replay one centroid rule. */
+  val SemCentroidStride = 50
+
+  /** Semantic deduplication (d18) — the SemDeDup recipe (Abbas et al.
+    * 2023): partition the embedding space with a coarse k-means-style
+    * quantizer, then look for near-duplicates ONLY within each cluster
+    * and keep one representative per duplicate group. Differs from d05
+    * by construction: d05's LSH bands approximate "all pairs above τ";
+    * SemDeDup accepts missing cross-cluster pairs in exchange for a
+    * candidate set that is |cluster|² rather than bucket-collision
+    * driven — the trade a 100 TB embedding corpus makes when the
+    * quantizer is already built for ANN search (s03/s15 share it).
+    *
+    * Determinism: centroids are the stride sample (no trained floats —
+    * oracle-replayable); assignment is argmax cosine with ties to the
+    * smallest cid; the keep rule is greedy-by-id (a vector is dropped
+    * iff some LOWER-id vector in its cluster scores above
+    * [[CosineThreshold]] — exact-decimal dots, the d05 contract, via
+    * [[embVerify]]'s two-phase prune). Shape at scale: centroids
+    * broadcast (one map-side pass), members shuffle once on cid, and
+    * the within-cluster self-join is the only quadratic term — bounded
+    * by the quantizer's balance, which the s10 audit watches; a hot
+    * cluster takes the d05b salting path. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embNormed(s, dir)
+    val cents = e.filter(col("vec_id") % SemCentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val assign = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"),  col("cid"),
+        (dotDec(col("embedding"), col("cv")).cast(DoubleType) /
+          (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("rn") === 1).select("vec_id", "cid")
+    val mem = assign.join(e, "vec_id")
+    val cands = mem.as("a").join(mem.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    val dups = embVerify(e, cands).select(col("vb").as("vec_id")).distinct()
+      .withColumn("dup", lit(1))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup").isNull, 1).otherwise(0).as("keep"))
+  }
 }

@@ -1095,6 +1095,48 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("d18 semantic dedup: argmax assignment + greedy keep match a mirror") {
+    val got = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cid"), r.getAs[Int]("keep")))).toMap
+    val embs = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    // the engine's exact-decimal contract: per-element DECIMAL(12,6)
+    // casts (HALF_UP, as Spark's Cast), exact products and sum, doubles
+    // only at the cosine boundary
+    def d6(x: Float) =
+      BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def dot(a: Array[Float], b: Array[Float]): BigDecimal =
+      a.zip(b).map { case (x, y) => d6(x) * d6(y) }.sum
+    val vecs = embs.toMap
+    val nrm = embs.map { case (id, v) =>
+      id -> math.sqrt(dot(v, v).toDouble) }.toMap
+    val cents = embs.filter(_._1 % Dedup.SemCentroidStride == 0)
+    assert(cents.nonEmpty)
+    val assign = embs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) =>
+        (dot(v, cv).toDouble / (nrm(id) * nrm(cid)), cid)
+      }.minBy { case (c, cid) => (-c, cid) }._2
+    }.toMap
+    val byCluster = assign.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+    val dropped = byCluster.values.flatMap { ids =>
+      for {
+        i <- ids.indices; j <- i + 1 until ids.size
+        if dot(vecs(ids(i)), vecs(ids(j))).toDouble /
+          (nrm(ids(i)) * nrm(ids(j))) > Dedup.CosineThreshold
+      } yield ids(j)
+    }.toSet
+    assert(got.size == embs.length)
+    embs.foreach { case (id, _) =>
+      val (cid, keep) = got(id)
+      assert(cid == assign(id), s"vec $id assigned to wrong centroid")
+      assert(keep == (if (dropped(id)) 0 else 1), s"vec $id keep flag")
+    }
+    // the lowest-id member of every cluster is always kept
+    byCluster.values.foreach(ids => assert(got(ids.head)._2 == 1))
+  }
+
   test("q46: aggregated quantifier rewrite equals the literal EXISTS form") {
     import graft.operators.ExtendedQueries
     import java.time.temporal.ChronoUnit
