@@ -170,6 +170,7 @@ object SparkEntry {
     "t15_gopher_rules" -> TextAnalysis.gopherRules _,
     "t16_code_detect" -> TextAnalysis.codeDetect _,
     "t17_readability" -> TextAnalysis.readability _,
+    "t18_bigram_xent" -> canon("doc_id")(TextAnalysis.bigramXent),
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -2324,6 +2325,33 @@ object SparkEntry {
          |      / CAST(len(t.t) AS BIGINT)) AS flesch
          |FROM documents d JOIN toks t USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // t18: quantized bigram cross-entropy — class k = min{k : c2·2^k ≥ c1}
+    // as an integer CASE cascade (no float log on either engine)
+    "t18_bigram_xent" -> {
+      val cases = (0 until TextAnalysis.XentMaxClass)
+        .map(k => s"WHEN c2 * ${1L << k} >= c1 THEN $k")
+        .mkString("\n         |         ")
+      s"""WITH $toksCte,
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN list_transform(generate_series(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i + 1])
+         |    ELSE [] END) AS g
+         |  FROM toks),
+         |m2 AS (SELECT g, count(*) AS c2, split_part(g, ' ', 1) AS w1
+         |       FROM bg GROUP BY g),
+         |m1 AS (SELECT w1, sum(c2) AS c1 FROM m2 GROUP BY w1),
+         |cl AS (SELECT g,
+         |    CASE $cases
+         |         ELSE ${TextAnalysis.XentMaxClass} END AS xent
+         |  FROM m2 JOIN m1 USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |  CAST(sum(xent) AS BIGINT) AS xent_sum,
+         |  CAST(sum(CASE WHEN xent = ${TextAnalysis.XentMaxClass}
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+         |  CAST(sum(xent) AS DOUBLE) / count(*) AS mean_xent
+         |FROM bg JOIN cl USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // Geometry contract with the asset synthesizer (Multimodal.assets):
     // even doc_id -> 24-bpp BMP, w = 4*(len%3+1), h = len // (3w), decoded
     // pixel array = first 3wh text bytes; odd doc_id -> 16-bit mono WAV,

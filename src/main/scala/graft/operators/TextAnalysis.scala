@@ -568,4 +568,54 @@ object TextAnalysis {
         md5(substring(canonical(col("text")), 1, 64)).as("fp_prefix64"),
         greatest(lit(0), size(tokens(col("text"))) - 2).as("n_shingles"))
       .orderBy("doc_id")
+
+  /** Class ceiling for [[bigramXent]]: conditional probabilities below
+    * 2^-[[XentMaxClass]] all land in the top class (the "tail" a
+    * perplexity filter flags). */
+  val XentMaxClass = 12
+
+  /** Quantized bigram-LM cross-entropy (t18) — the KenLM/CCNet
+    * perplexity filter in exact integers: train a bigram model on the
+    * corpus itself (count c2(w₁,w₂) and prefix mass c1(w₁) — the LM any
+    * self-supervised curation run fits on its own data), then score each
+    * document by the conditional improbability of its transitions.
+    * Instead of −log₂ P (a float no two engines round alike), each
+    * transition gets the integer CLASS k = min{k : c2·2ᵏ ≥ c1}
+    * = ⌈log₂(c1/c2)⌉ — a cascade of integer cross-multiplications, so
+    * boundary transitions land identically on both engines; c2 ≥ 1 for
+    * every observed bigram (the model is trained on the same corpus —
+    * no OOV), and k is capped at [[XentMaxClass]]. A document's
+    * `mean_xent` is its quantized cross-entropy in bits/transition:
+    * high ⇒ improbable transitions (noise, shuffled text, OCR damage);
+    * low ⇒ repetitive/templated text — the t12 rarity signal's
+    * CONDITIONAL counterpart (a common word in a rare context scores
+    * high here but low there). Shape at 100 TB: one bigram explode, two
+    * (w₁,w₂)/(w₁)-keyed count aggregations with map-side combine, one
+    * hash join back on the bigram key (Zipf head broadcastable, tail
+    * hash-partitions evenly), one per-doc rollup. */
+  def bigramXent(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val g2 = zip_with(slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1), (a, b) => concat(a, lit(" "), b))
+    val bg = Tables.spread(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), explode(g2).as("g"))
+    val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val cls = coalesce(
+      ((0 until XentMaxClass).map(k =>
+        when(col("c2") * lit(1L << k) >= col("c1"), lit(k))) :+
+        lit(XentMaxClass)): _*)
+    val classed = c2.join(c1, "w1").select(col("g"), cls.as("xent"))
+    bg.join(classed, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("xent")).as("xent_sum"),
+        sum(when(col("xent") === XentMaxClass, 1L).otherwise(0L))
+          .as("n_tail"))
+      .select(col("doc_id"), col("n_transitions"), col("xent_sum"),
+        col("n_tail"),
+        (col("xent_sum").cast(DoubleType) / col("n_transitions"))
+          .as("mean_xent"))
+  }
 }

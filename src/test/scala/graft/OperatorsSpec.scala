@@ -1095,6 +1095,41 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("t18 bigram xent: quantized classes match an integer mirror") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.bigramXent(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bgs = docs.map { case (id, t) =>
+      val tk = t.trim.toLowerCase.split("\\s+").toSeq
+      id -> tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val c2 = bgs.flatMap(_._2).groupBy(identity)
+      .map { case (g, xs) => g -> xs.size.toLong }
+    val c1 = c2.groupBy(_._1.split(" ", 2)(0))
+      .map { case (w, m) => w -> m.values.sum }
+    def cls(g: String): Int = {
+      val (cc2, cc1) = (c2(g), c1(g.split(" ", 2)(0)))
+      (0 until TextAnalysis.XentMaxClass)
+        .find(k => cc2 * (1L << k) >= cc1)
+        .getOrElse(TextAnalysis.XentMaxClass)
+    }
+    assert(bgs.exists(_._2.nonEmpty))
+    bgs.foreach { case (id, gs) =>
+      if (gs.isEmpty) assert(!got.contains(id))
+      else {
+        val r = got(id)
+        val xsum = gs.map(g => cls(g).toLong).sum
+        assert(r.getAs[Long]("n_transitions") == gs.size)
+        assert(r.getAs[Long]("xent_sum") == xsum, s"doc $id xent_sum")
+        assert(r.getAs[Long]("n_tail") ==
+          gs.count(g => cls(g) == TextAnalysis.XentMaxClass))
+        assert(r.getAs[Double]("mean_xent") == xsum.toDouble / gs.size)
+      }
+    }
+  }
+
   test("d18 semantic dedup: argmax assignment + greedy keep match a mirror") {
     val got = Dedup.semanticDedup(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
