@@ -159,6 +159,7 @@ object SparkEntry {
     "p16_apply_cuts" -> Sampling.applyCuts _,
     "p17_corpus_materialize" -> Sampling.corpusMaterialize _,
     "p18_train_decontaminate" -> Sampling.trainDecontaminate _,
+    "p19_dsir_weighting" -> canon("doc_id")(Sampling.dsirWeighting),
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -1806,6 +1807,38 @@ object SparkEntry {
          |JOIN documents d ON d.doc_id = s.doc_id
          |JOIN toks t ON t.doc_id = s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+    // p19: DSIR — hashed-unigram bucket log-ratio classes via HUGEINT
+    // cross-multiplication (mirrors the engine's DECIMAL(38,0) products)
+    "p19_dsir_weighting" -> {
+      val B = Sampling.DsirBuckets
+      val K = Sampling.DsirMaxClass
+      val cases = (-K + 1 to K).reverse.map { k =>
+        val lhs = s"CAST(t + 1 AS HUGEINT) * (rTot + $B) * ${1L << math.max(0, -k)}"
+        val rhs = s"CAST(r + 1 AS HUGEINT) * (tTot + $B) * ${1L << math.max(0, k)}"
+        s"WHEN $lhs >= $rhs THEN $k"
+      }.mkString("\n         |         ")
+      s"""WITH $toksCte,
+         |tk AS (SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % $B AS bucket
+         |  FROM (SELECT t2.doc_id, d.lang, unnest(t2.t) AS tok
+         |        FROM toks t2 JOIN documents d ON d.doc_id = t2.doc_id)),
+         |b AS (SELECT bucket, count(*) AS r,
+         |    CAST(sum(CASE WHEN lang = '${Sampling.DsirTargetLang}'
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS t
+         |  FROM tk GROUP BY bucket),
+         |tot AS (SELECT sum(r) AS rTot, sum(t) AS tTot FROM b),
+         |cl AS (SELECT bucket,
+         |    CASE $cases
+         |         ELSE ${-K} END AS cls
+         |  FROM b CROSS JOIN tot)
+         |SELECT tk.doc_id, tk.lang,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(cls) AS BIGINT) AS dsir_points,
+         |  CAST(CASE WHEN sum(cls) > 0 THEN 1 ELSE 0 END AS INT) AS keep,
+         |  CAST(sum(cls) AS DOUBLE) / count(*) AS mean_class
+         |FROM tk JOIN cl USING (bucket)
+         |GROUP BY tk.doc_id, tk.lang ORDER BY tk.doc_id""".stripMargin
+    },
     "p06_token_budget_sample" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling / splitting — the reproducibility layer of a
   * training-data pipeline. RNG-based `TABLESAMPLE` gives a different
@@ -706,5 +707,72 @@ object Sampling {
     val materialized = out.localCheckpoint(true)
     sh.unpersist()
     materialized
+  }
+
+  // --- DSIR-style importance weighting --------------------------------------
+  /** Hashed-feature bucket count for [[dsirWeighting]] (DSIR hashes
+    * n-grams into 10k buckets; 64 keeps per-bucket masses non-trivial on
+    * the fixture corpora without changing the shape). */
+  val DsirBuckets = 64
+
+  /** Log-ratio clamp for [[dsirWeighting]]: bucket importance classes
+    * live in [-K, K] bits. */
+  val DsirMaxClass = 8
+
+  /** Declared target slice: the corpus's own `lang = 'en'` documents
+    * play the Wikipedia/quality-corpus role of DSIR's target set. */
+  val DsirTargetLang = "en"
+
+  /** Data Selection via Importance Resampling (p19) — the Xie et al.
+    * 2023 recipe in exact integers: estimate target and raw unigram
+    * distributions over [[DsirBuckets]] hashed feature buckets
+    * (md5-hashed tokens — the engine-portable hash every sampler here
+    * uses), give each bucket the QUANTIZED log-importance class
+    * ⌊log₂((t+1)/(T+B) ÷ (r+1)/(R+B))⌋ clamped to ±[[DsirMaxClass]] —
+    * computed as a cascade of integer cross-multiplications over
+    * DECIMAL(38,0) products (the counts-times-totals products overflow
+    * BIGINT at 100 TB), so no float log/division can drift between
+    * engines — and score each document by the sum of its token
+    * occurrences' classes. `keep = 1` where the sum is positive: the
+    * document looks more like the target than like the corpus average,
+    * which IS DSIR's resampling criterion with the noise term dropped
+    * for determinism. Add-one smoothing keeps empty buckets finite.
+    * Shape at 100 TB: one token explode, two bucket aggregations (64
+    * rows — broadcast back), one per-doc rollup; the bucket table is a
+    * trained ARTIFACT reusable across corpus snapshots. */
+  def dsirWeighting(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val toks = Tables.spread(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("lang"),
+        explode(TextPrep.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast("long") % DsirBuckets).as("bucket"))
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("r"))
+    val tgt = toks.filter(col("lang") === DsirTargetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("t"))
+    val buckets = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), col("r"), coalesce(col("t"), lit(0L)).as("t"))
+    val totals = buckets.agg(sum(col("r")).as("rTot"), sum(col("t")).as("tTot"))
+    // cond(k): (t+1)(R+B)·2^max(0,−k) ≥ (r+1)(T+B)·2^max(0,k) —
+    // monotone in k, so the first true k scanning K → −K+1 is the floor
+    val ks = (-DsirMaxClass + 1 to DsirMaxClass).reverse
+    def cond(k: Int) =
+      d38(col("t") + 1) * d38(col("rTot") + DsirBuckets) *
+        lit(1L << math.max(0, -k)) >=
+        d38(col("r") + 1) * d38(col("tTot") + DsirBuckets) *
+          lit(1L << math.max(0, k))
+    val cls = coalesce(
+      (ks.map(k => when(cond(k), lit(k))) :+ lit(-DsirMaxClass)): _*)
+    val classed = buckets.crossJoin(broadcast(totals))
+      .select(col("bucket"), cls.as("cls"))
+    toks.join(broadcast(classed), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cls")).as("dsir_points"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("dsir_points"),
+        when(col("dsir_points") > 0, 1).otherwise(0).as("keep"),
+        (col("dsir_points").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_tokens")).as("mean_class"))
   }
 }

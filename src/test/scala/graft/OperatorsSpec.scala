@@ -1095,6 +1095,49 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("p19 dsir: bucket classes and doc scores match a BigInt mirror") {
+    import graft.operators.Sampling
+    val got = Sampling.dsirWeighting(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    def md5hex(s0: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(tok: String) =
+      java.lang.Long.parseLong(md5hex(tok).take(8), 16) % Sampling.DsirBuckets
+    val occ = docs.flatMap { case (id, lang, text) =>
+      text.trim.toLowerCase.split("\\s+").toSeq
+        .map(tk => (id, lang, bucket(tk))) }
+    val r = occ.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val t = occ.filter(_._2 == Sampling.DsirTargetLang)
+      .groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val (rTot, tTot) = (occ.size.toLong,
+      occ.count(_._2 == Sampling.DsirTargetLang).toLong)
+    val K = Sampling.DsirMaxClass
+    val B = Sampling.DsirBuckets
+    def cls(b: Long): Int =
+      (K to (-K + 1) by -1).find { k =>
+        BigInt(t.getOrElse(b, 0L) + 1) * BigInt(rTot + B) *
+          BigInt(1L << math.max(0, -k)) >=
+          BigInt(r(b) + 1) * BigInt(tTot + B) * BigInt(1L << math.max(0, k))
+      }.getOrElse(-K)
+    docs.foreach { case (id, _, text) =>
+      val row = got(id)
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val pts = toks.map(tk => cls(bucket(tk)).toLong).sum
+      assert(row.getAs[Long]("n_tokens") == toks.size)
+      assert(row.getAs[Long]("dsir_points") == pts, s"doc $id points")
+      assert(row.getAs[Int]("keep") == (if (pts > 0) 1 else 0))
+    }
+    // the signal points the right way: target-language docs score higher
+    // per token on average than the rest of the corpus
+    val (en, rest) = got.values.partition(
+      _.getAs[String]("lang") == Sampling.DsirTargetLang)
+    def avg(rs: Iterable[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("mean_class")).sum / rs.size
+    assert(en.nonEmpty && rest.nonEmpty && avg(en) > avg(rest))
+  }
+
   test("t18 bigram xent: quantized classes match an integer mirror") {
     import graft.operators.TextAnalysis
     val got = TextAnalysis.bigramXent(spark, sf).collect()
