@@ -84,6 +84,8 @@ object SparkEntry {
     "q46_waiting_suppliers" -> ExtendedQueries.q46WaitingSuppliers _,
     "q47_dormant_highbal" -> ExtendedQueries.q47DormantHighBalance _,
     "q48_large_volume_cust" -> ExtendedQueries.q48LargeVolumeCustomers _,
+    "q49_disjunctive_revenue" -> ExtendedQueries.q49DisjunctiveRevenue _,
+    "q50_custdist" -> ExtendedQueries.q50CustDist _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -1156,6 +1158,30 @@ object SparkEntry {
          |WHERE o.o_orderkey IN (SELECT l_orderkey FROM sq
          |                       WHERE sum_qty > ${ExtendedQueries.LargeVolumeQty})
          |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
+    // q49: TPC-H Q19 shape — exact OR-of-ANDs across both join sides
+    "q49_disjunctive_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2))
+        |            - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+        |        AND p.p_size BETWEEN 1 AND 5)
+        |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+        |        AND p.p_size BETWEEN 1 AND 10)
+        |   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+        |        AND p.p_size BETWEEN 1 AND 15)""".stripMargin,
+    // q50: TPC-H Q13 shape — filter inside the LEFT join's ON clause so
+    // zero-order customers land in the k = 0 bucket
+    "q50_custdist" ->
+      """WITH k AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM k GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     // q44: hour-of-day activity profiles (exact DECIMAL sums), candidates
     // banded by peak hour, exact cosine on candidates, top-3 per user
     "q44_series_topk" ->

@@ -740,6 +740,60 @@ object ExtendedQueries {
     * DECIMAL; the HAVING filter prunes before the orders join so only
     * qualifying order keys shuffle. Deterministic top-20 by price then
     * key. */
+  // --- Q49: disjunctive-predicate revenue (TPC-H Q19 shape) -----------------
+  /** Discounted revenue under an OR-of-ANDs predicate spanning BOTH join
+    * sides — TPC-H Q19, the classic test of disjunctive predicate
+    * handling. Spark-first: the per-side residues of the disjunction
+    * ARE pushable (`p_brand IN (b1,b2,b3)`, `p_size BETWEEN 1 AND 15`,
+    * `l_quantity BETWEEN 1 AND 30`), so each scan prunes with the
+    * disjunction's envelope while the exact OR evaluates post-join —
+    * Catalyst derives part of this, and the envelope conjuncts are
+    * stated explicitly so the parquet scans prune even where the
+    * optimizer's disjunction factoring stops. Money stays DECIMAL until
+    * the single output boundary. */
+  def q49DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val branches = Seq(("Brand#1", 1, 11, 5), ("Brand#2", 10, 20, 10),
+      ("Brand#3", 20, 30, 15))
+    val p = Tables.table(s, dir, "part")
+      .filter(col("p_brand").isin(branches.map(_._1): _*) &&
+        col("p_size").between(1, branches.map(_._4).max))
+      .select("p_partkey", "p_brand", "p_size")
+    val l = Tables.table(s, dir, "lineitem")
+      .filter(col("l_quantity").between(branches.map(_._2).min,
+        branches.map(_._3).max))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val disj = branches.map { case (b, qLo, qHi, szHi) =>
+      col("p_brand") === b && col("l_quantity").between(qLo, qHi) &&
+        col("p_size").between(1, szHi)
+    }.reduce(_ || _)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(disj)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+  }
+
+  // --- Q50: customer order-count distribution (TPC-H Q13 shape) -------------
+  /** How many customers placed exactly k orders — TPC-H Q13's
+    * back-to-back aggregation over a LEFT join (the join predicate
+    * carries the filter, so 0-order customers survive into the k = 0
+    * bucket; an inner join or a WHERE would silently drop them). First
+    * aggregate keys on the customer (the join key — no extra exchange
+    * under AQE), second on the tiny count domain. */
+  def q50CustDist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(s, dir, "customer").select("c_custkey")
+    val o = Tables.table(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   def q48LargeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
     val big = Tables.table(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))

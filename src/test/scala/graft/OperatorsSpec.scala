@@ -1095,6 +1095,49 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("q49: disjunctive revenue matches a plain-Scala recompute") {
+    import graft.operators.ExtendedQueries
+    val r = ExtendedQueries.q49DisjunctiveRevenue(spark, sf).head()
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val parts = Tables.table(spark, sf, "part")
+      .select("p_partkey", "p_brand", "p_size")
+      .as[(Long, String, Int)].collect()
+      .map(p => p._1 -> ((p._2, p._3))).toMap
+    val kept = Tables.table(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double, Double)].collect()
+      .filter { case (pk, qty, _, _) =>
+        parts.get(pk).exists { case (brand, size) =>
+          (brand == "Brand#1" && qty >= 1 && qty <= 11 && size <= 5) ||
+          (brand == "Brand#2" && qty >= 10 && qty <= 20 && size <= 10) ||
+          (brand == "Brand#3" && qty >= 20 && qty <= 30 && size <= 15)
+        }
+      }
+    val expected = kept.map { case (_, _, px, dx) =>
+      d2(px) * (BigDecimal(1) - d2(dx)) }.sum.toDouble
+    assert(r.getAs[Long]("n_lines") == kept.length)
+    assert(r.getAs[Double]("revenue") == expected)
+  }
+
+  test("q50: custdist keeps zero-order customers and partitions the count") {
+    import graft.operators.ExtendedQueries
+    val rows = ExtendedQueries.q50CustDist(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist"))
+    val nCust = Tables.table(spark, sf, "customer").count()
+    // every customer lands in exactly one bucket
+    assert(rows.map(_._2).sum == nCust)
+    val perCust = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey").as[Long].collect()
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val zeros = nCust - perCust.size
+    val expected = (perCust.values.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong } ++
+      (if (zeros > 0) Map(0L -> zeros) else Map.empty))
+      .toSeq.sortBy { case (k, n) => (-n, -k) }
+    assert(rows.toSeq == expected)
+  }
+
   test("p19 dsir: bucket classes and doc scores match a BigInt mirror") {
     import graft.operators.Sampling
     val got = Sampling.dsirWeighting(spark, sf).collect()
