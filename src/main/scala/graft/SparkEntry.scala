@@ -1112,7 +1112,7 @@ object SparkEntry {
     "q46_waiting_suppliers" ->
       s"""WITH lo AS (
          |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
-         |    (l.l_shipdate > o.o_orderdate
+         |    (l.l_shipdate > CAST(o.o_orderdate AS DATE)
          |       + INTERVAL ${ExtendedQueries.LateShipDays} DAY) AS late
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  WHERE o.o_orderstatus = 'F')

@@ -968,10 +968,12 @@ object Dedup {
   }
 
   // --- semantic dedup (SemDeDup shape) --------------------------------------
-  /** Coarse-cluster stride for [[semanticDedup]]: the same deterministic
-    * `vec_id % stride == 0` sample [[Similarity.CentroidStride]] uses for
-    * the IVF quantizer, so both oracles replay one centroid rule. */
-  val SemCentroidStride = 50
+  /** Coarse-cluster stride for [[semanticDedup]] — shares the IVF
+    * quantizer's stride constant ([[Similarity.CentroidStride]]; tuning
+    * one tunes both) but keeps ALL stride-hit vectors as centroids:
+    * unlike `Similarity.centsOf` there is no query set here, so the
+    * `vec_id >= NumQueries` exclusion does not apply. */
+  val SemCentroidStride: Int = Similarity.CentroidStride
 
   /** Semantic deduplication (d18) — the SemDeDup recipe (Abbas et al.
     * 2023): partition the embedding space with a coarse k-means-style
@@ -1005,8 +1007,10 @@ object Dedup {
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid").asc)))
       .filter(col("rn") === 1).select("vec_id", "cid")
-    val mem = assign.join(e, "vec_id")
-    val cands = mem.as("a").join(mem.as("b"),
+    // candidate pairs from the NARROW (vec_id, cid) frame — the only
+    // quadratic shuffle carries two longs per row; embVerify re-joins
+    // the vectors for the pairs that survive its prune
+    val cands = assign.as("a").join(assign.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
     val dups = embVerify(e, cands).select(col("vb").as("vec_id")).distinct()

@@ -706,22 +706,21 @@ object ExtendedQueries {
     * the nation dim broadcasts; doubles appear only at the final sum
     * boundary. */
   def q47DormantHighBalance(s: SparkSession, dir: String): DataFrame = {
-    val bal = (c: Column) => c.cast(DecimalType(18, 2))
     val cust = Tables.table(s, dir, "customer")
     val posAvg = cust.filter(col("c_acctbal") > 0)
-      .agg(sum(bal(col("c_acctbal"))).as("pos_sum"),
+      .agg(sum(dec(col("c_acctbal"))).as("pos_sum"),
         count(lit(1)).as("pos_n"))
     val recent = Tables.table(s, dir, "orders")
       .filter(col("o_orderdate") >= lit(DormantCutoff))
       .select("o_custkey")
     val nat = Tables.table(s, dir, "nation")
     cust.crossJoin(broadcast(posAvg)) // 1-row scalar broadcast
-      .filter(bal(col("c_acctbal")) * col("pos_n") > col("pos_sum"))
+      .filter(dec(col("c_acctbal")) * col("pos_n") > col("pos_sum"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("numcust"),
-        sum(bal(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
+        sum(dec(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
       .orderBy("n_name")
   }
 
@@ -740,6 +739,24 @@ object ExtendedQueries {
     * DECIMAL; the HAVING filter prunes before the orders join so only
     * qualifying order keys shuffle. Deterministic top-20 by price then
     * key. */
+  def q48LargeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > LargeVolumeQty)
+    val o = Tables.table(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.table(s, dir, "customer").select("c_custkey", "c_name")
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        dec(col("o_totalprice")).cast(DoubleType).as("o_totalprice"),
+        col("sum_qty").cast(DoubleType).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   // --- Q49: disjunctive-predicate revenue (TPC-H Q19 shape) -----------------
   /** Discounted revenue under an OR-of-ANDs predicate spanning BOTH join
     * sides — TPC-H Q19, the classic test of disjunctive predicate
@@ -792,23 +809,5 @@ object ExtendedQueries {
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
-  }
-
-  def q48LargeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
-    val big = Tables.table(s, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
-      .filter(col("sum_qty") > LargeVolumeQty)
-    val o = Tables.table(s, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    val c = Tables.table(s, dir, "customer").select("c_custkey", "c_name")
-    o.join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate"),
-        dec(col("o_totalprice")).cast(DoubleType).as("o_totalprice"),
-        col("sum_qty").cast(DoubleType).as("sum_qty"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      .limit(20)
   }
 }

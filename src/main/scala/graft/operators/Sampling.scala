@@ -737,9 +737,10 @@ object Sampling {
     * document looks more like the target than like the corpus average,
     * which IS DSIR's resampling criterion with the noise term dropped
     * for determinism. Add-one smoothing keeps empty buckets finite.
-    * Shape at 100 TB: one token explode, two bucket aggregations (64
-    * rows — broadcast back), one per-doc rollup; the bucket table is a
-    * trained ARTIFACT reusable across corpus snapshots. */
+    * Shape at 100 TB: one token explode, one conditional bucket
+    * aggregation (64 rows — broadcast back), one per-doc rollup; the
+    * bucket table is a trained ARTIFACT reusable across corpus
+    * snapshots. */
   def dsirWeighting(s: SparkSession, dir: String): DataFrame = {
     val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
     val toks = Tables.spread(s, dir, "documents", "doc_id")
@@ -748,11 +749,12 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("tok")), 1, 8), 16, 10)
           .cast("long") % DsirBuckets).as("bucket"))
-    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("r"))
-    val tgt = toks.filter(col("lang") === DsirTargetLang)
-      .groupBy("bucket").agg(count(lit(1)).as("t"))
-    val buckets = raw.join(tgt, Seq("bucket"), "left")
-      .select(col("bucket"), col("r"), coalesce(col("t"), lit(0L)).as("t"))
+    // ONE conditional aggregation over the exploded stream (the oracle's
+    // `b` CTE shape): raw and target masses per bucket in a single pass,
+    // so the expensive tokenize+explode is not run twice
+    val buckets = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
     val totals = buckets.agg(sum(col("r")).as("rTot"), sum(col("t")).as("tTot"))
     // cond(k): (t+1)(R+B)·2^max(0,−k) ≥ (r+1)(T+B)·2^max(0,k) —
     // monotone in k, so the first true k scanning K → −K+1 is the floor

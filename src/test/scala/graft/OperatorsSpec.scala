@@ -1260,9 +1260,10 @@ class OperatorsSpec extends SparkSpec {
 
   test("q46: aggregated quantifier rewrite equals the literal EXISTS form") {
     import graft.operators.ExtendedQueries
-    import java.time.temporal.ChronoUnit
     // all-nations binding so the tiny corpus yields rows; plain-Scala
-    // mirror runs the LITERAL double-correlated quantifiers
+    // mirror runs the LITERAL double-correlated quantifiers. Lateness is
+    // the engine's pinned semantic: ship TIMESTAMP strictly after
+    // midnight of date(o_orderdate) + LateShipDays (date_add truncates).
     val got = ExtendedQueries.q46WaitingSuppliers(spark, sf, None).collect()
       .map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
     assert(got.nonEmpty)
@@ -1276,9 +1277,9 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, java.sql.Timestamp)].collect()
       .filter(r => orders.contains(r._1))
       .map { case (ok, sk, ship) =>
-        (ok, sk, ChronoUnit.DAYS.between(
-          orders(ok).toLocalDate, ship.toLocalDateTime.toLocalDate) >
-          ExtendedQueries.LateShipDays)
+        (ok, sk, ship.toLocalDateTime.isAfter(
+          orders(ok).toLocalDate
+            .plusDays(ExtendedQueries.LateShipDays).atStartOfDay))
       }
     val supName = Tables.table(spark, sf, "supplier")
       .select("s_suppkey", "s_name").as[(Long, String)].collect().toMap
