@@ -110,6 +110,7 @@ object SparkEntry {
       canon("doc_id", "span_start")(Dedup.passageCuts),
     "d17_cut_accounting" -> Dedup.cutAccounting _,
     "d18_semantic_dedup" -> canon("vec_id")(Dedup.semanticDedup),
+    "d19_dedup_method_agreement" -> Dedup.dedupMethodAgreement _,
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -1531,6 +1532,61 @@ object SparkEntry {
          |  CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS keep
          |FROM assign s LEFT JOIN dups d ON s.vec_id = d.vb
          |ORDER BY s.vec_id""".stripMargin,
+    // d19: full-outer join of the d05 (LSH-found) and d18 (cluster-found)
+    // verified >= tau pair tables; same band/centroid constructions
+    "d19_dedup_method_agreement" -> {
+      val w = Dedup.embPlaneWeights
+      val bandSelects = (0 until Dedup.EmbBands).map { b =>
+        val bits = (0 until Dedup.EmbPlanesPerBand).map { p =>
+          val l = w(b * Dedup.EmbPlanesPerBand + p)
+            .mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $l::FLOAT[]), " +
+            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
+            "THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"SELECT vec_id, $b AS band, $bits AS bucket FROM e"
+      }.mkString("\n  UNION ALL ")
+      val tau = Dedup.CosineThreshold
+      val cos = s"CAST($dotAB AS DOUBLE)" +
+        " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+      s"""WITH $embCte,
+         |bb AS (
+         |  $bandSelects),
+         |lshc AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |         FROM bb x JOIN bb y ON x.band = y.band
+         |           AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |lshp AS (SELECT va, vb, 1 AS l
+         |  FROM lshc JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
+         |  WHERE $cos > $tau),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+         |          WHERE vec_id % ${Dedup.SemCentroidStride} = 0),
+         |ac AS (SELECT a.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(list_zip(a.embedding, c.cv),
+         |      z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6))
+         |         * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+         |  FROM e a, cents c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+         |  WHERE rn = 1),
+         |semc AS (SELECT x.vec_id AS va, y.vec_id AS vb
+         |         FROM assign x JOIN assign y ON x.cid = y.cid
+         |           AND x.vec_id < y.vec_id),
+         |semp AS (SELECT va, vb, 1 AS m
+         |  FROM semc JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
+         |  WHERE $cos > $tau),
+         |j AS (SELECT coalesce(l, 0) AS l, coalesce(m, 0) AS m
+         |      FROM lshp FULL JOIN semp USING (va, vb))
+         |SELECT CAST(sum(l) AS BIGINT) AS n_lsh,
+         |  CAST(sum(m) AS BIGINT) AS n_sem,
+         |  CAST(sum(l * m) AS BIGINT) AS n_both,
+         |  CAST(sum(l) - sum(l * m) AS BIGINT) AS n_lsh_only,
+         |  CAST(sum(m) - sum(l * m) AS BIGINT) AS n_sem_only,
+         |  CAST(sum(l * m) AS DOUBLE)
+         |    / (sum(l) + sum(m) - sum(l * m)) AS jaccard_overlap
+         |FROM j""".stripMargin
+    },
     "s01_sim_bruteforce_topk" -> s01Sql,
     "s02_sim_ann_lsh" -> s02Sql,
     "s03_sim_ann_ivf" -> s03Sql,

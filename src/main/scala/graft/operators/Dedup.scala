@@ -922,8 +922,12 @@ object Dedup {
       .orderBy("va", "vb")
   }
 
-  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = embNormed(s, dir)
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame =
+    lshPairs(embNormed(s, dir))
+
+  /** d05's verified ≥τ pair table over an already-normed embedding frame
+    * — shared with the d19 agreement audit so both read one `e`. */
+  private def lshPairs(e: DataFrame): DataFrame = {
     val bb = embBandKeys(e)
     // candidate generation: pairs via equi-join on (band, bucket)
     val cands = bb.as("x").join(bb.as("y"),
@@ -997,6 +1001,17 @@ object Dedup {
     * cluster takes the d05b salting path. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = embNormed(s, dir)
+    val (assign, pairs) = semCore(e)
+    val dups = pairs.select(col("vb").as("vec_id")).distinct()
+      .withColumn("dup", lit(1))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup").isNull, 1).otherwise(0).as("keep"))
+  }
+
+  /** d18's `(assign, verified within-cluster pairs)` — one definition
+    * shared by the dedup itself and the d19 agreement audit. */
+  private def semCore(e: DataFrame): (DataFrame, DataFrame) = {
     val cents = e.filter(col("vec_id") % SemCentroidStride === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
@@ -1013,10 +1028,34 @@ object Dedup {
     val cands = assign.as("a").join(assign.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-    val dups = embVerify(e, cands).select(col("vb").as("vec_id")).distinct()
-      .withColumn("dup", lit(1))
-    assign.join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid"),
-        when(col("dup").isNull, 1).otherwise(0).as("keep"))
+    (assign, embVerify(e, cands))
+  }
+
+  /** Dedup-method agreement audit (d19) — the comparison a pipeline
+    * owner runs before switching near-dup machinery: the SAME ≥τ
+    * cosine contract found through d05's LSH candidate generation vs
+    * d18's cluster-scoped search. `lsh_only` pairs cross a cluster
+    * boundary (SemDeDup's accepted blind spot); `sem_only` pairs
+    * escaped every LSH band (the banding's miss probability made
+    * concrete). One full-outer join of two verified pair tables — both
+    * already bounded by their generators — and a 1-row rollup; the
+    * Jaccard overlap is the single boundary division. */
+  def dedupMethodAgreement(s: SparkSession, dir: String): DataFrame = {
+    val e = embNormed(s, dir)
+    val lsh = lshPairs(e)
+      .select(col("va"), col("vb"), lit(1).as("in_lsh"))
+    val sem = semCore(e)._2
+      .select(col("va"), col("vb"), lit(1).as("in_sem"))
+    lsh.join(sem, Seq("va", "vb"), "full_outer")
+      .select(coalesce(col("in_lsh"), lit(0)).as("l"),
+        coalesce(col("in_sem"), lit(0)).as("m"))
+      .agg(sum(col("l")).as("n_lsh"), sum(col("m")).as("n_sem"),
+        sum(col("l") * col("m")).as("n_both"))
+      .select(col("n_lsh"), col("n_sem"), col("n_both"),
+        (col("n_lsh") - col("n_both")).as("n_lsh_only"),
+        (col("n_sem") - col("n_both")).as("n_sem_only"),
+        (col("n_both").cast(DoubleType) /
+          (col("n_lsh") + col("n_sem") - col("n_both")))
+          .as("jaccard_overlap"))
   }
 }

@@ -1181,6 +1181,28 @@ class OperatorsSpec extends SparkSpec {
     assert(en.nonEmpty && rest.nonEmpty && avg(en) > avg(rest))
   }
 
+  test("d19 agreement audit is consistent with d05 and d18") {
+    val r = Dedup.dedupMethodAgreement(spark, sf).head()
+    val nLsh = r.getAs[Long]("n_lsh")
+    val nSem = r.getAs[Long]("n_sem")
+    val nBoth = r.getAs[Long]("n_both")
+    // the LSH side IS d05's verified pair table
+    assert(nLsh == Dedup.embeddingCosine(spark, sf).count())
+    // identities of the rollup
+    assert(r.getAs[Long]("n_lsh_only") == nLsh - nBoth)
+    assert(r.getAs[Long]("n_sem_only") == nSem - nBoth)
+    assert(nBoth <= math.min(nLsh, nSem))
+    val union = nLsh + nSem - nBoth
+    if (union > 0)
+      assert(r.getAs[Double]("jaccard_overlap") == nBoth.toDouble / union)
+    // the sem side drives d18's drops: >=1 pair per dropped vector, and
+    // zero pairs exactly when nothing was dropped
+    val dropped = Dedup.semanticDedup(spark, sf)
+      .filter(col("keep") === 0).count()
+    assert(nSem >= dropped)
+    assert((nSem == 0) == (dropped == 0))
+  }
+
   test("t18 bigram xent: quantized classes match an integer mirror") {
     import graft.operators.TextAnalysis
     val got = TextAnalysis.bigramXent(spark, sf).collect()
