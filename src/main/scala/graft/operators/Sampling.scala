@@ -723,6 +723,50 @@ object Sampling {
     * play the Wikipedia/quality-corpus role of DSIR's target set. */
   val DsirTargetLang = "en"
 
+  /** The md5 feature-hash bucket of a token column — ONE definition for
+    * the batch trainer/scorer and the streaming scorer. */
+  private[graft] def dsirBucket(tok: org.apache.spark.sql.Column) =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % DsirBuckets
+
+  /** The trained DSIR artifact: `(bucket, cls)` for ALL [[DsirBuckets]]
+    * buckets — densified so an online scorer meets no unknown bucket
+    * (a bucket with zero corpus mass gets the smoothed prior class).
+    * This 64-row table is what ships to the streaming scorer
+    * ([[graft.streaming.StreamingDsirScorer]]); the batch scorer joins
+    * it right back. */
+  def dsirBucketClasses(s: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    // ONE conditional aggregation over the exploded stream (the oracle's
+    // `b` CTE shape): raw and target masses per bucket in a single pass,
+    // so the expensive tokenize+explode is not run twice
+    val buckets = dsirToks(s, dir).groupBy("bucket")
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
+    val dense = s.range(DsirBuckets).select(col("id").as("bucket"))
+      .join(buckets, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("t"), lit(0L)).as("t"))
+    val totals = dense.agg(sum(col("r")).as("rTot"), sum(col("t")).as("tTot"))
+    // cond(k): (t+1)(R+B)·2^max(0,−k) ≥ (r+1)(T+B)·2^max(0,k) —
+    // monotone in k, so the first true k scanning K → −K+1 is the floor
+    val ks = (-DsirMaxClass + 1 to DsirMaxClass).reverse
+    def cond(k: Int) =
+      d38(col("t") + 1) * d38(col("rTot") + DsirBuckets) *
+        lit(1L << math.max(0, -k)) >=
+        d38(col("r") + 1) * d38(col("tTot") + DsirBuckets) *
+          lit(1L << math.max(0, k))
+    val cls = coalesce(
+      (ks.map(k => when(cond(k), lit(k))) :+ lit(-DsirMaxClass)): _*)
+    dense.crossJoin(broadcast(totals))
+      .select(col("bucket"), cls.as("cls"))
+  }
+
+  private def dsirToks(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("lang"),
+        explode(TextPrep.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
+
   /** Data Selection via Importance Resampling (p19) — the Xie et al.
     * 2023 recipe in exact integers: estimate target and raw unigram
     * distributions over [[DsirBuckets]] hashed feature buckets
@@ -742,33 +786,8 @@ object Sampling {
     * bucket table is a trained ARTIFACT reusable across corpus
     * snapshots. */
   def dsirWeighting(s: SparkSession, dir: String): DataFrame = {
-    val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
-    val toks = Tables.spread(s, dir, "documents", "doc_id")
-      .select(col("doc_id"), col("lang"),
-        explode(TextPrep.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
-          .cast("long") % DsirBuckets).as("bucket"))
-    // ONE conditional aggregation over the exploded stream (the oracle's
-    // `b` CTE shape): raw and target masses per bucket in a single pass,
-    // so the expensive tokenize+explode is not run twice
-    val buckets = toks.groupBy("bucket")
-      .agg(count(lit(1)).as("r"),
-        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
-    val totals = buckets.agg(sum(col("r")).as("rTot"), sum(col("t")).as("tTot"))
-    // cond(k): (t+1)(R+B)·2^max(0,−k) ≥ (r+1)(T+B)·2^max(0,k) —
-    // monotone in k, so the first true k scanning K → −K+1 is the floor
-    val ks = (-DsirMaxClass + 1 to DsirMaxClass).reverse
-    def cond(k: Int) =
-      d38(col("t") + 1) * d38(col("rTot") + DsirBuckets) *
-        lit(1L << math.max(0, -k)) >=
-        d38(col("r") + 1) * d38(col("tTot") + DsirBuckets) *
-          lit(1L << math.max(0, k))
-    val cls = coalesce(
-      (ks.map(k => when(cond(k), lit(k))) :+ lit(-DsirMaxClass)): _*)
-    val classed = buckets.crossJoin(broadcast(totals))
-      .select(col("bucket"), cls.as("cls"))
-    toks.join(broadcast(classed), "bucket")
+    val classed = dsirBucketClasses(s, dir)
+    dsirToks(s, dir).join(broadcast(classed), "bucket")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum(col("cls")).as("dsir_points"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
