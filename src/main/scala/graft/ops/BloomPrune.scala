@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Explicit bloom-filter join pruning — the runtime-filter technique a
+  * 100 TB join needs when the dim side is too big to broadcast but its
+  * KEY SET still fits a few megabytes of bits: build a bloom filter over
+  * the build side's join keys (one aggregate, Spark's own
+  * `BloomFilterAggregate` — the engine runtime-filter machinery, surfaced
+  * as a library operator), ship the filter to the fact scan, and drop
+  * non-joining fact rows BEFORE they shuffle. Blooms have no false
+  * negatives, so the pruned join's result is exactly the plain join's —
+  * the spec proves equality — while the shuffle moves only rows that can
+  * match (false-positive stragglers bounded by the bits-per-key budget).
+  *
+  * Spark injects this same filter itself when
+  * `spark.sql.optimizer.runtime.bloomFilter.enabled` fires, but only
+  * under its own selectivity heuristics; the explicit operator is for
+  * the pipeline author who KNOWS the key set is sparse (e.g. the d16 cut
+  * list against the corpus, an incremental batch against a 100 TB
+  * index), and wants the prune guaranteed, placed, and reusable across
+  * several joins of the same batch.
+  */
+object BloomPrune {
+
+  /** Default bits per expected key — ~23 bits/key ≈ 1% false-positive
+    * stragglers, the standard operating point. */
+  val BitsPerKey = 23L
+
+  /** Build the filter over the build side's distinct join keys. The
+    * returned bytes are the MODEL (like the p19 bucket table): a few MB
+    * for millions of keys, collected once and embedded as a literal in
+    * every consuming scan. Key hashing is `xxhash64`, the same hash
+    * Spark's injected runtime filters use. */
+  def buildFilter(build: DataFrame, keyCol: String,
+      expectedKeys: Long): Array[Byte] = {
+    require(expectedKeys > 0, "expectedKeys must be positive")
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(keyCol))),
+        Literal(expectedKeys), Literal(expectedKeys * BitsPerKey))
+        .toAggregateExpression())
+    val row = build.select(agg.as("bf")).head()
+    // empty build side → NULL sketch; an empty filter matches nothing,
+    // which a zero-key bloom also guarantees, so normalize to null and
+    // let semiPrune short-circuit
+    if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain` gate on the probe side: keeps every row whose key
+    * the filter may hold (all true joiners + the bounded false-positive
+    * tail). A null filter (empty build side) keeps nothing — the join
+    * would be empty anyway. */
+  def semiPrune(probe: DataFrame, keyCol: String,
+      bloom: Array[Byte]): DataFrame =
+    if (bloom == null) probe.filter(lit(false))
+    else probe.filter(mightContain(bloom, col(keyCol)))
+
+  private def mightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloom, BinaryType),
+      ColumnBridge.expression(xxhash64(key))))
+
+  /** The composed pattern: equi-join where the probe side is bloom-pruned
+    * by the build side's key set before any exchange. Result is
+    * row-identical to `probe.join(build, probeKey === buildKey)`. */
+  def prunedJoin(probe: DataFrame, probeKey: String, build: DataFrame,
+      buildKey: String, expectedKeys: Long): DataFrame = {
+    val bloom = buildFilter(build, buildKey, expectedKeys)
+    semiPrune(probe, probeKey, bloom)
+      .join(build, col(probeKey) === col(buildKey))
+  }
+}
