@@ -96,6 +96,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => Dedup.embeddingCosineSalted(s, dir)),
     "d06_dedup_clusters" -> Dedup.clusters _,
     "d07_dedup_incremental" -> canon("doc_id")(Dedup.incremental),
+    "d07b_dedup_incremental_bloom" ->
+      canon("doc_id")((s, dir) => Dedup.incremental(s, dir, bloomPruneIndex = true)),
     "d08_dedup_containment" -> canon("inner_id", "outer_id")(Dedup.containment),
     "d09_shingle_audit_suite" -> canon("audit")(Sampling.shingleAuditSuite),
     "d10_substring_dup_rate" -> Dedup.substringDupRate _,
@@ -2687,6 +2689,9 @@ object SparkEntry {
   ).pipe(m =>
     // d05b is BIT-IDENTICAL to d05 by construction (the salt grid meets
     // each candidate pair exactly once; verification is unchanged), so
-    // the two entries share one oracle query.
-    m + ("d05b_dedup_embedding_salted" -> m("d05_dedup_embedding")))
+    // the two entries share one oracle query. Same for d07b: a bloom
+    // prune has no false negatives, so the probe join sees every true
+    // collision and the verified output equals d07's exactly.
+    m + ("d05b_dedup_embedding_salted" -> m("d05_dedup_embedding"))
+      + ("d07b_dedup_incremental_bloom" -> m("d07_dedup_incremental")))
 }

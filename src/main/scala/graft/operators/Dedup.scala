@@ -306,12 +306,36 @@ object Dedup {
     * batch probes with an equi-join on (band, bkey) — the probe cost is
     * proportional to the BATCH, not the corpus.
     */
-  def incremental(s: SparkSession, dir: String): DataFrame = {
+  def incremental(s: SparkSession, dir: String): DataFrame =
+    incremental(s, dir, bloomPruneIndex = false)
+
+  /** [[incremental]] with an optional [[graft.ops.BloomPrune]] gate on
+    * the index side (d07b): a bloom filter over the BATCH's band keys —
+    * the model-sized artifact, built in one pass over the small side —
+    * drops index band keys that cannot collide BEFORE the probe
+    * exchange. At 100 TB the index band table is the corpus-sized side
+    * of this join; without the gate every index key shuffles to meet a
+    * batch that touches almost none of them. Blooms have no false
+    * negatives, so the output is row-identical to the plain path (the
+    * two entries share one oracle) — false positives only ride the
+    * shuffle and fall out of the equi-join. */
+  def incremental(s: SparkSession, dir: String,
+      bloomPruneIndex: Boolean): DataFrame = {
     val docs = shingledDocs(s, dir)
     val isNew = col("doc_id") % IncrementalMod === 0
     val bands = bandKeys(docs)
-    val cands = bands.filter(isNew).as("x")
-      .join(bands.filter(!isNew).as("y"),
+    val newBands = bands.filter(isNew)
+    val idxBands = if (!bloomPruneIndex) bands.filter(!isNew) else {
+      val key = concat_ws(":", col("band"), col("bkey"))
+      val probe = newBands.select(key.as("k"))
+      val bloom = graft.ops.BloomPrune.buildFilter(
+        probe, "k", math.max(1L, probe.count()))
+      graft.ops.BloomPrune
+        .semiPrune(bands.filter(!isNew).withColumn("k", key), "k", bloom)
+        .drop("k")
+    }
+    val cands = newBands.as("x")
+      .join(idxBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("nid"), col("y.doc_id").as("iid"))
       .distinct()

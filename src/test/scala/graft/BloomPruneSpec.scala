@@ -49,6 +49,15 @@ class BloomPruneSpec extends SparkSpec {
     assert(kept < total / 2, "a 1-in-50 key set must prune most rows")
   }
 
+  test("d07b: bloom-pruned incremental ingest equals the plain d07 path") {
+    import graft.operators.Dedup
+    val plain = Dedup.incremental(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val bloomed = Dedup.incremental(spark, sf, bloomPruneIndex = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(plain.nonEmpty && bloomed == plain)
+  }
+
   test("empty build side yields an empty pruned join, not a crash") {
     val build = Tables.table(spark, sf, "customer")
       .filter(col("c_custkey") < 0).select("c_custkey")
