@@ -177,6 +177,7 @@ object SparkEntry {
     "t16_code_detect" -> TextAnalysis.codeDetect _,
     "t17_readability" -> TextAnalysis.readability _,
     "t18_bigram_xent" -> canon("doc_id")(TextAnalysis.bigramXent),
+    "t19_cms_heavy_hitters" -> canon("rank")(TextAnalysis.cmsHeavyHitters),
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -2468,6 +2469,33 @@ object SparkEntry {
          |  CAST(sum(xent) AS DOUBLE) / count(*) AS mean_xent
          |FROM bg JOIN cl USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // t19: count-min sketch — md5 row-hashes make even the sketch
+    // estimates engine-exact (unlike q12b's HLL gate)
+    "t19_cms_heavy_hitters" -> {
+      val d = TextAnalysis.CmsDepth
+      val w = TextAnalysis.CmsWidth
+      val bucket = "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), " +
+        s"1, 8) AS BIGINT) % $w"
+      s"""WITH $toksCte,
+         |ex AS (SELECT unnest(t) AS tok FROM toks),
+         |hs AS (SELECT tok, i, $bucket AS bucket
+         |       FROM ex CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1}))
+         |                           AS i)),
+         |sk AS (SELECT i AS row, bucket, count(*) AS cnt
+         |       FROM hs GROUP BY i, bucket),
+         |top AS (SELECT tok, count(*) AS freq FROM ex GROUP BY tok
+         |        ORDER BY freq DESC, tok LIMIT ${TextAnalysis.VocabTopK}),
+         |probes AS (SELECT tok, freq, i AS row, $bucket AS bucket
+         |           FROM top CROSS JOIN (SELECT
+         |             unnest(generate_series(0, ${d - 1})) AS i)),
+         |est AS (SELECT tok, freq, min(cnt) AS cms_est
+         |        FROM probes JOIN sk USING (row, bucket)
+         |        GROUP BY tok, freq)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS INT)
+         |    AS rank,
+         |  tok AS token, freq, cms_est, cms_est - freq AS overestimate
+         |FROM est ORDER BY rank""".stripMargin
     },
     // Geometry contract with the asset synthesizer (Multimodal.assets):
     // even doc_id -> 24-bpp BMP, w = 4*(len%3+1), h = len // (3w), decoded

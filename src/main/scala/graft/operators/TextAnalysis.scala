@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -573,6 +573,57 @@ object TextAnalysis {
     * 2^-[[XentMaxClass]] all land in the top class (the "tail" a
     * perplexity filter flags). */
   val XentMaxClass = 12
+
+  /** Count-min sketch geometry for [[cmsHeavyHitters]]: depth (independent
+    * hash rows) × width (counters per row). Width 256 on the fixture
+    * vocabulary produces visible-but-bounded collision overestimates —
+    * the property the operator exists to measure. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Heavy hitters under a count-min sketch (t19) — the bounded-memory
+    * corpus-frequency machinery a streaming 100 TB pipeline runs when
+    * the exact vocabulary (t10) no longer fits anywhere: d×w counters
+    * instead of |V| cells, estimate = min over rows of the hashed
+    * counter, overestimate-only by construction. Both sides ship here:
+    * the sketch table (one narrow aggregation over d hashed copies of
+    * the token stream) AND the exact top-[[VocabTopK]] (t10's path), so
+    * the output row per heavy hitter carries `freq` (exact), `cms_est`,
+    * and `overestimate = cms_est − freq ≥ 0` — the collision-error audit
+    * that decides whether d×w is sized right BEFORE the exact side
+    * becomes unaffordable. Every hash is the engine-portable md5 idiom,
+    * so unlike q12b's HLL gate the sketch itself replays bit-exactly in
+    * the oracle. Shape at scale: the d-way explode is a constant-factor
+    * map, the sketch is d·w rows (broadcast back), and only the top-k
+    * join touches it. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    def cmsBucket(i: Int, tok: Column): Column =
+      conv(substring(md5(concat(lit(s"$i:"), tok)), 1, 8), 16, 10)
+        .cast("long") % CmsWidth
+    val toks = Tables.spread(s, dir, "documents", "doc_id")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val sketch = toks
+      .select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, col("tok")).as("bucket"))): _*))
+        .as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(VocabTopK)
+    val probes = top.select(col("tok"), col("freq"),
+      explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, col("tok")).as("bucket"))): _*))
+        .as("p"))
+      .select(col("tok"), col("freq"), col("p.row").as("row"),
+        col("p.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy("tok", "freq")
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok").asc)))
+      .select(col("rank"), col("tok").as("token"), col("freq"),
+        col("cms_est"), (col("cms_est") - col("freq")).as("overestimate"))
+  }
 
   /** Quantized bigram-LM cross-entropy (t18) — the KenLM/CCNet
     * perplexity filter in exact integers: train a bigram model on the

@@ -1181,6 +1181,38 @@ class OperatorsSpec extends SparkSpec {
     assert(en.nonEmpty && rest.nonEmpty && avg(en) > avg(rest))
   }
 
+  test("t19 cms: estimates never undercount and match a sketch mirror") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.cmsHeavyHitters(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.VocabTopK)
+    def md5hex(s0: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(i: Int, tok: String) =
+      java.lang.Long.parseLong(md5hex(s"$i:$tok").take(8), 16) %
+        TextAnalysis.CmsWidth
+    val toks = Tables.table(spark, sf, "documents")
+      .select("text").as[String].collect()
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val sketch = (for { t <- toks; i <- 0 until TextAnalysis.CmsDepth }
+      yield (i, bucket(i, t))).groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    rows.foreach { r =>
+      val t = r.getAs[String]("token")
+      assert(r.getAs[Long]("freq") == exact(t))
+      val est = (0 until TextAnalysis.CmsDepth)
+        .map(i => sketch((i, bucket(i, t)))).min
+      assert(r.getAs[Long]("cms_est") == est, s"token '$t' estimate")
+      assert(r.getAs[Long]("overestimate") == est - exact(t))
+      assert(r.getAs[Long]("overestimate") >= 0, "CMS never undercounts")
+    }
+    // the heavy-hitter list is the exact top-k by (freq desc, token asc)
+    val expectedTop = exact.toSeq.sortBy { case (t, f) => (-f, t) }
+      .take(TextAnalysis.VocabTopK).map(_._1)
+    assert(rows.map(_.getAs[String]("token")).toSeq == expectedTop)
+  }
+
   test("d19 agreement audit is consistent with d05 and d18") {
     val r = Dedup.dedupMethodAgreement(spark, sf).head()
     val nLsh = r.getAs[Long]("n_lsh")
