@@ -86,6 +86,7 @@ object SparkEntry {
     "q48_large_volume_cust" -> ExtendedQueries.q48LargeVolumeCustomers _,
     "q49_disjunctive_revenue" -> ExtendedQueries.q49DisjunctiveRevenue _,
     "q50_custdist" -> ExtendedQueries.q50CustDist _,
+    "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -1186,6 +1187,46 @@ object SparkEntry {
         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM k GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q51: TimescaleDB gapfill/locf/interpolate — dense hour spine via
+    // generate_series, IGNORE NULLS windows, identical double op order
+    "q51_gapfill_interpolate" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    CAST(value AS DECIMAL(12,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |sparse AS (SELECT event_type, h, count(*) AS n_events,
+        |    sum(v) AS vsum
+        |  FROM ev GROUP BY event_type, h),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1)) AS h
+        |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |        FROM sparse GROUP BY event_type)),
+        |j AS (SELECT s.event_type, s.h, sp.n_events, sp.vsum
+        |      FROM spine s LEFT JOIN sparse sp
+        |        ON sp.event_type = s.event_type AND sp.h = s.h),
+        |w AS (SELECT event_type, h, n_events, vsum,
+        |    last_value(vsum IGNORE NULLS) OVER pv AS prev_v,
+        |    last_value(CASE WHEN vsum IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER pv AS prev_h,
+        |    first_value(vsum IGNORE NULLS) OVER nx AS next_v,
+        |    first_value(CASE WHEN vsum IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER nx AS next_h
+        |  FROM j
+        |  WINDOW pv AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  nx AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, h,
+        |  CAST(CASE WHEN vsum IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        |    AS present,
+        |  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(prev_v AS DOUBLE) AS locf_sum,
+        |  CASE WHEN vsum IS NOT NULL THEN CAST(vsum AS DOUBLE)
+        |       ELSE CAST(prev_v AS DOUBLE)
+        |         + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+        |           * (CAST(h - prev_h AS DOUBLE)
+        |              / CAST(next_h - prev_h AS DOUBLE)) END AS interp_sum
+        |FROM w ORDER BY event_type, h""".stripMargin,
     // q44: hour-of-day activity profiles (exact DECIMAL sums), candidates
     // banded by peak hour, exact cosine on candidates, top-3 per user
     "q44_series_topk" ->

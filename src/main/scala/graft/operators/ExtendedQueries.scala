@@ -791,6 +791,56 @@ object ExtendedQueries {
           .cast(DoubleType).as("revenue"))
   }
 
+  // --- Q51: time-bucket gap fill + LOCF + linear interpolation --------------
+  /** The TimescaleDB `time_bucket_gapfill` / `locf` / `interpolate`
+    * surface (the reference's hypertable sink is a TimescaleDB analog —
+    * `src/sinks/timescaledb.py:89-139` — and THIS is the query its users
+    * run on sparse series): per event type, the dense hour spine from
+    * first to last observation (`sequence` + explode — no driver loop,
+    * no cross join against a global calendar), observed buckets joined
+    * on, and two reconstructions for the holes — last-observation-
+    * carried-forward, and linear interpolation between the surrounding
+    * observations. Bucket sums stay exact DECIMAL; the interpolation is
+    * double arithmetic at the boundary with the identical operation
+    * order on both engines. The spine's ends are observations by
+    * construction (min/max of the observed hours), so neither
+    * reconstruction is ever null. Shape at 100 TB: one fact aggregation,
+    * a per-type spine explode proportional to the time range, and two
+    * windows over the (event_type)-keyed spine — no shuffle beyond the
+    * aggregation's. */
+  def q51GapfillInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), expr("ts_us div 3600000000").as("h"),
+        col("value").cast(DecimalType(12, 6)).as("v"))
+    val sparse = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("vsum"))
+    val spine = sparse.groupBy("event_type")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val joined = spine.join(sparse, Seq("event_type", "h"), "left")
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val prevV = last(col("vsum"), ignoreNulls = true).over(wPrev)
+    val prevH = last(when(col("vsum").isNotNull, col("h")),
+      ignoreNulls = true).over(wPrev)
+    val nextV = first(col("vsum"), ignoreNulls = true).over(wNext)
+    val nextH = first(when(col("vsum").isNotNull, col("h")),
+      ignoreNulls = true).over(wNext)
+    val interp = when(col("vsum").isNotNull, col("vsum").cast(DoubleType))
+      .otherwise(prevV.cast(DoubleType) +
+        (nextV.cast(DoubleType) - prevV.cast(DoubleType)) *
+          ((col("h") - prevH).cast(DoubleType) /
+            (nextH - prevH).cast(DoubleType)))
+    joined.select(col("event_type"), col("h"),
+        when(col("vsum").isNotNull, 1).otherwise(0).as("present"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        prevV.cast(DoubleType).as("locf_sum"), interp.as("interp_sum"))
+      .orderBy("event_type", "h")
+  }
+
   // --- Q50: customer order-count distribution (TPC-H Q13 shape) -------------
   /** How many customers placed exactly k orders — TPC-H Q13's
     * back-to-back aggregation over a LEFT join (the join predicate

@@ -1095,6 +1095,42 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("q51 gapfill: dense spine, LOCF carries, interpolation brackets") {
+    import graft.operators.ExtendedQueries
+    val rows = ExtendedQueries.q51GapfillInterpolate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs0) =>
+      val rs = rs0.sortBy(_.getAs[Long]("h"))
+      // dense spine with observed endpoints
+      val hs = rs.map(_.getAs[Long]("h"))
+      assert(hs.toSeq == (hs.head to hs.last).toSeq)
+      assert(rs.head.getAs[Int]("present") == 1)
+      assert(rs.last.getAs[Int]("present") == 1)
+      var lastObserved = Double.NaN
+      rs.foreach { r =>
+        val locf = r.getAs[Double]("locf_sum")
+        val interp = r.getAs[Double]("interp_sum")
+        if (r.getAs[Int]("present") == 1) {
+          assert(r.getAs[Long]("n_events") > 0)
+          // at an observation both reconstructions ARE the observation
+          assert(locf == interp)
+          lastObserved = locf
+        } else {
+          assert(r.getAs[Long]("n_events") == 0)
+          // LOCF carries the previous observation unchanged
+          assert(locf == lastObserved)
+          // linear interpolation stays inside the bracketing values
+          val next = rs.dropWhile(_.getAs[Long]("h") <= r.getAs[Long]("h"))
+            .find(_.getAs[Int]("present") == 1).get.getAs[Double]("locf_sum")
+          val (lo, hi) = (math.min(lastObserved, next),
+            math.max(lastObserved, next))
+          assert(interp >= lo - 1e-9 && interp <= hi + 1e-9)
+        }
+      }
+    }
+  }
+
   test("q49: disjunctive revenue matches a plain-Scala recompute") {
     import graft.operators.ExtendedQueries
     val r = ExtendedQueries.q49DisjunctiveRevenue(spark, sf).head()
