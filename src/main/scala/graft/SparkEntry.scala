@@ -87,6 +87,7 @@ object SparkEntry {
     "q49_disjunctive_revenue" -> ExtendedQueries.q49DisjunctiveRevenue _,
     "q50_custdist" -> ExtendedQueries.q50CustDist _,
     "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
+    "q52_stats_moments" -> ExtendedQueries.q52StatsMoments _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -1227,6 +1228,40 @@ object SparkEntry {
         |           * (CAST(h - prev_h AS DOUBLE)
         |              / CAST(next_h - prev_h AS DOUBLE)) END AS interp_sum
         |FROM w ORDER BY event_type, h""".stripMargin,
+    // q52: moments from exact decimal power sums (identity form), doubles
+    // only at the final assembly — same op order as the engine
+    "q52_stats_moments" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_qty,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_qty,
+        |  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_price,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_qty_price,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     // q44: hour-of-day activity profiles (exact DECIMAL sums), candidates
     // banded by peak hour, exact cosine on candidates, top-3 per user
     "q44_series_topk" ->

@@ -841,6 +841,44 @@ object ExtendedQueries {
       .orderBy("event_type", "h")
   }
 
+  // --- Q52: statistical moments from exact sums ------------------------------
+  /** Per-group variance, stddev, covariance, and correlation of
+    * (quantity, price) — the statistics family — computed from the five
+    * EXACT decimal power/cross sums (Σx, Σy, Σx², Σy², Σxy) rather than
+    * the built-in `var_pop`/`corr`: the built-ins stream float partial
+    * aggregates whose result depends on partition order (and whose
+    * Welford-style updates differ between engines), while sums of exact
+    * decimals are order-independent, so the moments assembled from them
+    * at the double boundary — n·Σxy − Σx·Σy over the root product, the
+    * textbook identities — hash-match bit-for-bit. One aggregation, one
+    * tiny projection; the identity-based form is also the map-side-
+    * combinable one a 100 TB scan needs (Welford can't partial-combine
+    * without the same identity shuffle). */
+  def q52StatsMoments(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+      .select(col("l_returnflag"), dec(col("l_quantity")).as("x"),
+        dec(col("l_extendedprice")).as("y"))
+    val sums = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    def d(c: Column) = c.cast(DoubleType)
+    val nD = d(col("n"))
+    val varX = (nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / (nD * nD)
+    val varY = (nD * d(col("syy")) - d(col("sy")) * d(col("sy"))) / (nD * nD)
+    val cov = (nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / (nD * nD)
+    val corr = (nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (sqrt(nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        sqrt(nD * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    sums.select(col("l_returnflag"), col("n"),
+        varX.as("var_qty"), sqrt(varX).as("stddev_qty"),
+        varY.as("var_price"), cov.as("cov_qty_price"),
+        corr.as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   // --- Q50: customer order-count distribution (TPC-H Q13 shape) -------------
   /** How many customers placed exactly k orders — TPC-H Q13's
     * back-to-back aggregation over a LEFT join (the join predicate

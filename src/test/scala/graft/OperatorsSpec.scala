@@ -1095,6 +1095,35 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("q52 moments: identity-form stats agree with Spark's built-ins") {
+    import graft.operators.ExtendedQueries
+    val got = ExtendedQueries.q52StatsMoments(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    // the built-ins are the semantic reference (approximately — they
+    // stream float partials); the exact-sum identity must land within
+    // float-accumulation distance of them
+    val ref = Tables.table(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), var_pop(col("l_quantity")).as("v"),
+        stddev_pop(col("l_quantity")).as("sd"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    got.foreach { case (k, g) =>
+      val r = ref(k)
+      assert(g.getAs[Long]("n") == r.getAs[Long]("n"))
+      assert(close(g.getAs[Double]("var_qty"), r.getAs[Double]("v")))
+      assert(close(g.getAs[Double]("stddev_qty"), r.getAs[Double]("sd")))
+      assert(close(g.getAs[Double]("cov_qty_price"), r.getAs[Double]("cv")))
+      assert(close(g.getAs[Double]("corr_qty_price"), r.getAs[Double]("cr")))
+      val c = g.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+  }
+
   test("q51 gapfill: dense spine, LOCF carries, interpolation brackets") {
     import graft.operators.ExtendedQueries
     val rows = ExtendedQueries.q51GapfillInterpolate(spark, sf).collect()
