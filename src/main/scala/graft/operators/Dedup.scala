@@ -328,8 +328,13 @@ object Dedup {
     val idxBands = if (!bloomPruneIndex) bands.filter(!isNew) else {
       val key = concat_ws(":", col("band"), col("bkey"))
       val probe = newBands.select(key.as("k"))
-      val bloom = graft.ops.BloomPrune.buildFilter(
-        probe, "k", math.max(1L, probe.count()))
+      // expected-keys bound: batch docs × bands — a column-pruned count
+      // of doc ids, NOT a count over the shingled band keys (which would
+      // re-run the whole minhash pass just to size the filter; an
+      // overestimate only makes the bloom bigger)
+      val expected = math.max(1L,
+        docs.filter(isNew).select(col("doc_id")).count() * Bands)
+      val bloom = graft.ops.BloomPrune.buildFilter(probe, "k", expected)
       graft.ops.BloomPrune
         .semiPrune(bands.filter(!isNew).withColumn("k", key), "k", bloom)
         .drop("k")
