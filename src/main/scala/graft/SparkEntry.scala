@@ -1245,9 +1245,9 @@ object SparkEntry {
         |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_qty,
-        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |  sqrt(greatest((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_qty,
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)) AS stddev_qty,
         |  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_price,
@@ -1256,10 +1256,10 @@ object SparkEntry {
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_qty_price,
         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    / (sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+        |       * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)))
         |    AS corr_qty_price
         |FROM s ORDER BY l_returnflag""".stripMargin,
     // q44: hour-of-day activity profiles (exact DECIMAL sums), candidates

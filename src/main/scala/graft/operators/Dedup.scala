@@ -324,7 +324,14 @@ object Dedup {
     val docs = shingledDocs(s, dir)
     val isNew = col("doc_id") % IncrementalMod === 0
     val bands = bandKeys(docs)
-    val newBands = bands.filter(isNew)
+    // the bloom path reads the batch's band keys twice (filter build +
+    // probe join); localCheckpoint materializes the expensive
+    // shingle→minhash pass once instead of re-deriving it per consumer
+    // (eager, lineage-truncating — no session-cache entry to leak)
+    val newBands = {
+      val nb = bands.filter(isNew)
+      if (bloomPruneIndex) nb.localCheckpoint(true) else nb
+    }
     val idxBands = if (!bloomPruneIndex) bands.filter(!isNew) else {
       val key = concat_ws(":", col("band"), col("bkey"))
       val probe = newBands.select(key.as("k"))

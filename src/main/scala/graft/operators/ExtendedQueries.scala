@@ -869,11 +869,17 @@ object ExtendedQueries {
     val varX = (nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / (nD * nD)
     val varY = (nD * d(col("syy")) - d(col("sy")) * d(col("sy"))) / (nD * nD)
     val cov = (nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / (nD * nD)
+    // a zero-variance group's n·Σx²−Σx² is 0 in reals but can round a few
+    // ulps negative in doubles; DuckDB's sqrt throws on negatives while
+    // Spark yields NaN — clamp the radicands so both engines agree
     val corr = (nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-      (sqrt(nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-        sqrt(nD * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+      (sqrt(greatest(nD * d(col("sxx")) - d(col("sx")) * d(col("sx")),
+          lit(0.0))) *
+        sqrt(greatest(nD * d(col("syy")) - d(col("sy")) * d(col("sy")),
+          lit(0.0))))
     sums.select(col("l_returnflag"), col("n"),
-        varX.as("var_qty"), sqrt(varX).as("stddev_qty"),
+        varX.as("var_qty"),
+        sqrt(greatest(varX, lit(0.0))).as("stddev_qty"),
         varY.as("var_price"), cov.as("cov_qty_price"),
         corr.as("corr_qty_price"))
       .orderBy("l_returnflag")

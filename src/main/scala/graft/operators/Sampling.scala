@@ -726,7 +726,7 @@ object Sampling {
   /** The md5 feature-hash bucket of a token column — ONE definition for
     * the batch trainer/scorer and the streaming scorer. */
   private[graft] def dsirBucket(tok: org.apache.spark.sql.Column) =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % DsirBuckets
+    TextPrep.shingleBase(tok) % DsirBuckets
 
   /** The trained DSIR artifact: `(bucket, cls)` for ALL [[DsirBuckets]]
     * buckets — densified so an online scorer meets no unknown bucket

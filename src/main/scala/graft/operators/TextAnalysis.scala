@@ -598,8 +598,7 @@ object TextAnalysis {
     * join touches it. */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     def cmsBucket(i: Int, tok: Column): Column =
-      conv(substring(md5(concat(lit(s"$i:"), tok)), 1, 8), 16, 10)
-        .cast("long") % CmsWidth
+      TextPrep.shingleBase(concat(lit(s"$i:"), tok)) % CmsWidth
     val toks = Tables.spread(s, dir, "documents", "doc_id")
       .select(explode(tokens(col("text"))).as("tok"))
     val sketch = toks

@@ -28,18 +28,32 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomPrune {
 
-  /** Default bits per expected key — ~23 bits/key ≈ 1% false-positive
-    * stragglers, the standard operating point. */
+  /** Default bits per expected key — ample margin (sub-0.01%
+    * false-positive rate at the optimal hash count). */
   val BitsPerKey = 23L
 
   /** Build the filter over the build side's distinct join keys. The
     * returned bytes are the MODEL (like the p19 bucket table): a few MB
     * for millions of keys, collected once and embedded as a literal in
     * every consuming scan. Key hashing is `xxhash64`, the same hash
-    * Spark's injected runtime filters use. */
+    * Spark's injected runtime filters use.
+    *
+    * Spark SILENTLY caps the aggregate's size parameters at the
+    * runtime-filter confs (4M items / 64M bits by default) — above the
+    * cap the filter would quietly degrade toward FPP≈1 and the prune
+    * would stop pruning while still charging its build cost. The confs
+    * are raised to cover `expectedKeys` BEFORE the aggregate runs, so
+    * the bits-per-key contract holds at any batch size. */
   def buildFilter(build: DataFrame, keyCol: String,
       expectedKeys: Long): Array[Byte] = {
     require(expectedKeys > 0, "expectedKeys must be positive")
+    val conf = build.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(itemsKey, "4000000").toLong < expectedKeys)
+      conf.set(itemsKey, expectedKeys.toString)
+    if (conf.get(bitsKey, "67108864").toLong < expectedKeys * BitsPerKey)
+      conf.set(bitsKey, (expectedKeys * BitsPerKey).toString)
     val agg = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col(keyCol))),

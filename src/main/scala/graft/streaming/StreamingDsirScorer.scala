@@ -36,7 +36,11 @@ object StreamingDsirScorer {
     val points = aggregate(
       transform(toks, t => element_at(classMap, Sampling.dsirBucket(t))),
       lit(0L), (acc: Column, x: Column) => acc + x)
-    docs.select(col("doc_id"), col("lang"),
+    // null-text docs produce zero rows from the batch pass's explode —
+    // drop them here too or the stream would emit a decision the
+    // offline pass never made
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
       size(toks).cast("long").as("n_tokens"), points.as("dsir_points"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("dsir_points"),
