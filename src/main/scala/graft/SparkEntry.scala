@@ -88,6 +88,7 @@ object SparkEntry {
     "q50_custdist" -> ExtendedQueries.q50CustDist _,
     "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
     "q52_stats_moments" -> ExtendedQueries.q52StatsMoments _,
+    "q53_distribution_rank" -> ExtendedQueries.q53DistributionRank _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -130,6 +131,7 @@ object SparkEntry {
     "s13_embedding_drift" -> Similarity.embeddingDrift _,
     "s14_pq_tuning_sweep" -> canon("pq_m")(Similarity.pqTuningSweep),
     "s15_sim_ivfpq_topk" -> canon("qid", "rank")(Similarity.ivfPqTopK),
+    "s16_sim_ivfpq_refine" -> canon("qid", "rank")(Similarity.ivfPqRefineTopK),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -455,6 +457,32 @@ object SparkEntry {
   /** IVF probe pruning composed with PQ/ADC scoring (the s15 oracle;
     * also embedded by the s06 recall eval). */
   private def s15Sql: String =
+    s"""${s15Ctes}
+       |SELECT qid, rank, neighbor_id, pq_score FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  // s16: s15's compressed retrieval at rank <= RefineK, then exact-decimal
+  // re-rank (the dotAB contract) of just those candidates
+  private def s16Sql: String =
+    s"""${s15Ctes},
+       |ret AS (SELECT qid, neighbor_id FROM r
+       |        WHERE rank <= ${Similarity.RefineK}),
+       |ex AS (SELECT ret.qid, ret.neighbor_id,
+       |    CAST($dotAB AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |      AS cos_sim
+       |  FROM ret JOIN e a ON ret.qid = a.vec_id
+       |    JOIN e b ON ret.neighbor_id = b.vec_id),
+       |rr AS (SELECT qid, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |      FROM ex)
+       |SELECT qid, rank, neighbor_id, cos_sim FROM rr
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** The s15 IVF-PQ pipeline through its ranked CTE `r` — shared by the
+    * s15 top-3 and the s16 refine oracle. */
+  private def s15Ctes: String =
     s"""WITH $embCte,
          |${pqCtes(Similarity.PqM, Similarity.PqSubDim)},
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
@@ -490,9 +518,7 @@ object SparkEntry {
          |r AS (SELECT qid, neighbor_id, pq_score,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |          ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
-         |      FROM fin)
-         |SELECT qid, rank, neighbor_id, pq_score FROM r
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+         |      FROM fin)""".stripMargin
 
 
   /** The PQ oracle at an arbitrary (M, subDim) grid — s07 uses the
@@ -1262,6 +1288,16 @@ object SparkEntry {
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)))
         |    AS corr_qty_price
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // q53: percent_rank/cume_dist — exact integer ratios, one division each
+    "q53_distribution_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // q44: hour-of-day activity profiles (exact DECIMAL sums), candidates
     // banded by peak hour, exact cosine on candidates, top-3 per user
     "q44_series_topk" ->
@@ -1876,6 +1912,7 @@ object SparkEntry {
     // s15: the s03 IVF probe pruning composed with the s07 PQ/ADC scoring
     // — candidates restricted to the query's probed inverted lists
     "s15_sim_ivfpq_topk" -> s15Sql,
+    "s16_sim_ivfpq_refine" -> s16Sql,
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,
          |        list_sum(list_transform(embedding,

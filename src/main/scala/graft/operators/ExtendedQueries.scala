@@ -84,6 +84,26 @@ object ExtendedQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // --- Q53: distribution-rank window functions -------------------------------
+  /** `percent_rank` / `cume_dist` — the remaining pair of the SQL window
+    * family (q25 covers the ordinal/offset functions): per customer,
+    * each order's relative standing by price. Both are exact integer
+    * ratios surfaced as doubles — (rank−1)/(n−1) and
+    * rank_with_ties/n — so the one division per function is the only
+    * float op and both engines compute it from identical integers.
+    * Single-customer partitions make percent_rank 0/0 → the SQL-standard
+    * 0.0 on both engines. Same shuffle as any per-customer window. */
+  def q53DistributionRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(dec(col("o_totalprice")).asc, col("o_orderkey").asc)
+    Tables.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast(DoubleType).as("price"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // --- Q26: EXISTS / NOT EXISTS quantifiers (as semi/anti joins) ------------
   def q26ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.table(s, dir, "customer")

@@ -581,7 +581,7 @@ object Similarity {
   }
 
   private[graft] def ivfPqRanked(e: DataFrame, nProbe: Int = NProbe,
-      m: Int = PqM, subDim: Int = PqSubDim): DataFrame = {
+      m: Int = PqM, subDim: Int = PqSubDim, topK: Int = 3): DataFrame = {
     val cents = centsOf(e)
     val probes = coarseProbes(e, cents, NumQueries, nProbe)
       .select("qid", "cid")
@@ -602,8 +602,44 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("pq_score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select("qid", "rank", "neighbor_id", "pq_score")
+  }
+
+  /** Compressed-retrieval budget for [[ivfPqRefineTopK]]: the refine
+    * stage re-ranks this many ADC candidates per query exactly. */
+  val RefineK = 10
+
+  // --- IVF-PQ + exact refine (s16) -----------------------------------------
+  /** Two-stage retrieval — the FAISS `refine` pattern a production ANN
+    * deployment serves queries with: the compressed index ([[ivfPqTopK]],
+    * s15) retrieves [[RefineK]] candidates per query by ADC score, then
+    * ONLY those candidates are re-scored with the exact-decimal cosine
+    * (s01's contract) and re-ranked to the final top-3. The compressed
+    * stage never materializes float vectors; the exact stage touches
+    * RefineK·|queries| vectors — at 100 TB that is the difference
+    * between scanning the corpus and scanning a few hundred rows, while
+    * repairing exactly the ADC quantization inversions the s09/s14
+    * fidelity audits measure. */
+  def ivfPqRefineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val retrieved = ivfPqRanked(e, topK = RefineK)
+      .select("qid", "neighbor_id")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = retrieved
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("nrm")), "neighbor_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("neighbor_id"),
+        (dotDec(col("qv"), col("embedding")).cast(DoubleType) /
+          (col("qn") * col("nrm"))).as("cos_sim"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "neighbor_id", "cos_sim")
   }
 
   /** Subspace counts [[pqTuningSweep]] sweeps — 64-dim vectors split

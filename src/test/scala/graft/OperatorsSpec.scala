@@ -1095,6 +1095,32 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("s16 refine: chooses from s15's candidates and never loses recall") {
+    import graft.operators.Similarity
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val refined = Similarity.ivfPqRefineTopK(spark, sf)
+    val rows = refined.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.size))
+      assert(rs.size <= 3)
+    }
+    // exact re-scores stay in cosine range
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+    // among the SAME retrieved candidates, ranking by the true metric
+    // can only match or beat the ADC ranking against the exact truth
+    val truth = pairs(Similarity.bruteForceTopK(spark, sf)
+      .filter(col("rank") <= 3))
+    val adc = pairs(Similarity.ivfPqTopK(spark, sf))
+    val ref = pairs(refined)
+    assert(ref.intersect(truth).size >= adc.intersect(truth).size,
+      "refine lost recall vs the raw ADC top-3")
+  }
+
   test("q52 moments: identity-form stats agree with Spark's built-ins") {
     import graft.operators.ExtendedQueries
     val got = ExtendedQueries.q52StatsMoments(spark, sf).collect()
