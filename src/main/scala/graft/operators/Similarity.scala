@@ -623,22 +623,32 @@ object Similarity {
     * fidelity audits measure. */
   def ivfPqRefineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val retrieved = ivfPqRanked(e, topK = RefineK)
-      .select("qid", "neighbor_id")
+    exactCosRankedPairs(e, ivfPqRanked(e, topK = RefineK)
+      .select("qid", "neighbor_id"), k = 3)
+  }
+
+  /** Exact-decimal cosine scoring (the s01 contract) + top-k ranking of
+    * an explicit `(qid, neighbor_id)` candidate frame — the refine
+    * stage any candidate generator composes with. The candidate frame
+    * is the SMALL side (RefineK·|queries| rows) and is broadcast into
+    * the corpus scan, so the only corpus-side work is fetching the
+    * candidates' vectors. */
+  private def exactCosRankedPairs(e: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"))
-    val scored = retrieved
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding"),
-        col("nrm")), "neighbor_id")
+    val scored = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
+      .join(broadcast(cand), "neighbor_id")
       .join(broadcast(q), "qid")
       .select(col("qid"), col("neighbor_id"),
         (dotDec(col("qv"), col("embedding")).cast(DoubleType) /
           (col("qn") * col("nrm"))).as("cos_sim"))
-    val w2 = Window.partitionBy(col("qid"))
+    val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= 3)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select("qid", "rank", "neighbor_id", "cos_sim")
   }
 

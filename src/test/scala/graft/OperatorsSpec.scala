@@ -1116,7 +1116,8 @@ class OperatorsSpec extends SparkSpec {
     val truth = pairs(Similarity.bruteForceTopK(spark, sf)
       .filter(col("rank") <= 3))
     val adc = pairs(Similarity.ivfPqTopK(spark, sf))
-    val ref = pairs(refined)
+    val ref = rows
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ref.intersect(truth).size >= adc.intersect(truth).size,
       "refine lost recall vs the raw ADC top-3")
   }
