@@ -169,6 +169,7 @@ object SparkEntry {
     "p17_corpus_materialize" -> Sampling.corpusMaterialize _,
     "p18_train_decontaminate" -> Sampling.trainDecontaminate _,
     "p19_dsir_weighting" -> canon("doc_id")(Sampling.dsirWeighting),
+    "p20_snapshot_diff" -> canon("doc_id")(Sampling.snapshotDiff),
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
     "t09_pii_scan" -> TextAnalysis.piiScan _,
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
@@ -2037,6 +2038,25 @@ object SparkEntry {
          |FROM tk JOIN cl USING (bucket)
          |GROUP BY tk.doc_id, tk.lang ORDER BY tk.doc_id""".stripMargin
     },
+    // p20: snapshot diff — t04's canonical-md5 fingerprint on both sides,
+    // one full-outer join classifies every document
+    "p20_snapshot_diff" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 10 AS slot,
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+         |  FROM documents),
+         |prev AS (SELECT doc_id,
+         |    md5(CASE WHEN slot = ${Sampling.DiffEditedSlot}
+         |        THEN substr(c, 1, length(c) - 1) ELSE c END) AS fp_prev
+         |  FROM d WHERE slot <> ${Sampling.DiffAddedSlot}),
+         |curr AS (SELECT doc_id, md5(c) AS fp_curr
+         |  FROM d WHERE slot <> ${Sampling.DiffRemovedSlot})
+         |SELECT coalesce(prev.doc_id, curr.doc_id) AS doc_id,
+         |  CASE WHEN fp_prev IS NULL THEN 'added'
+         |       WHEN fp_curr IS NULL THEN 'removed'
+         |       WHEN fp_prev <> fp_curr THEN 'changed'
+         |       ELSE 'retained' END AS status
+         |FROM prev FULL JOIN curr ON prev.doc_id = curr.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "p06_token_budget_sample" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)

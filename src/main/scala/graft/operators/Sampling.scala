@@ -723,6 +723,51 @@ object Sampling {
     * play the Wikipedia/quality-corpus role of DSIR's target set. */
   val DsirTargetLang = "en"
 
+  // --- corpus snapshot diff --------------------------------------------------
+  /** Deterministic simulation knobs for [[snapshotDiff]]'s two corpus
+    * versions (the live fixture ships only one snapshot): documents with
+    * `doc_id % 10 == DiffRemovedSlot` exist only in the PREVIOUS
+    * snapshot, `== DiffAddedSlot` only in the CURRENT one, and
+    * `== DiffEditedSlot` exist in both with the previous text's last
+    * character cut (a simulated edit). Everything else is unchanged. */
+  val DiffRemovedSlot = 7
+  val DiffAddedSlot = 3
+  val DiffEditedSlot = 5
+
+  /** Corpus snapshot diff (p20) — the first question an incremental
+    * 100 TB pipeline asks before reprocessing anything: which documents
+    * were ADDED, REMOVED, CHANGED, or RETAINED between snapshots, so
+    * dedup/index/statistics work runs over the delta instead of the
+    * corpus (the d07-batch and s13-drift operators consume exactly this
+    * classification upstream). Mechanics: each side reduces to
+    * `(doc_id, md5(canonical(text)))` — t04's fingerprint contract, one
+    * narrow scan per snapshot — and ONE full-outer join on the doc key
+    * classifies every document: present-right-only → added,
+    * present-left-only → removed, both with differing fingerprints →
+    * changed, else retained. At scale both fingerprint tables are
+    * (doc_id)-partitioned snapshot artifacts; the join shuffles 33-byte
+    * rows, never text. Output: per-document status + per-status rollup
+    * seam via the tiny status dimension. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import TextPrep.canonical
+    val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
+    val slot = col("doc_id") % 10
+    val canon = canonical(col("text"))
+    val prev = docs.filter(slot =!= DiffAddedSlot)
+      .select(col("doc_id"),
+        md5(when(slot === DiffEditedSlot,
+            canon.substr(lit(1), length(canon) - 1))
+          .otherwise(canon)).as("fp_prev"))
+    val curr = docs.filter(slot =!= DiffRemovedSlot)
+      .select(col("doc_id"), md5(canonical(col("text"))).as("fp_curr"))
+    prev.join(curr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_prev").isNull, "added")
+          .when(col("fp_curr").isNull, "removed")
+          .when(col("fp_prev") =!= col("fp_curr"), "changed")
+          .otherwise("retained").as("status"))
+  }
+
   /** The md5 feature-hash bucket of a token column — ONE definition for
     * the batch trainer/scorer and the streaming scorer. */
   private[graft] def dsirBucket(tok: org.apache.spark.sql.Column) =

@@ -1095,6 +1095,26 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("p20 snapshot diff: statuses land exactly on the simulation slots") {
+    import graft.operators.Sampling
+    val got = Sampling.snapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val n = Tables.table(spark, sf, "documents").count()
+    assert(got.size == n) // the union of both snapshots covers every doc
+    got.foreach { case (id, status) =>
+      val expected = (id % 10) match {
+        case Sampling.DiffAddedSlot   => "added"
+        case Sampling.DiffRemovedSlot => "removed"
+        case Sampling.DiffEditedSlot  => "changed"
+        case _                        => "retained"
+      }
+      assert(status == expected, s"doc $id: $status != $expected")
+    }
+    // all four classes actually occur on the fixture
+    assert(got.values.toSet ==
+      Set("added", "removed", "changed", "retained"))
+  }
+
   test("s16 refine: chooses from s15's candidates and never loses recall") {
     import graft.operators.Similarity
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
