@@ -89,6 +89,7 @@ object SparkEntry {
     "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
     "q52_stats_moments" -> ExtendedQueries.q52StatsMoments _,
     "q53_distribution_rank" -> ExtendedQueries.q53DistributionRank _,
+    "q54_mode_median" -> ExtendedQueries.q54ModeMedian _,
     // training-data / north-star operator surface
     "d01_dedup_exact" -> Dedup.exact _,
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
@@ -1299,6 +1300,30 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // q54: explicit mode/percentile_disc constructions (engine built-ins
+    // have differing tie-break rules); 2*cum >= total keeps the median
+    // threshold an exact integer comparison
+    "q54_mode_median" ->
+      """WITH c AS (SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT flag, CAST(q AS DOUBLE) AS mode_qty, cnt AS mode_count
+        |  FROM (SELECT flag, q, cnt, ROW_NUMBER() OVER (PARTITION BY flag
+        |          ORDER BY cnt DESC, q ASC) AS rn FROM c)
+        |  WHERE rn = 1),
+        |d AS (SELECT flag, CAST(q AS DOUBLE) AS median_qty
+        |  FROM (SELECT flag, q, ROW_NUMBER() OVER (PARTITION BY flag
+        |          ORDER BY q ASC) AS rn
+        |        FROM (SELECT flag, q,
+        |                sum(cnt) OVER (PARTITION BY flag ORDER BY q
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                  AS cum,
+        |                sum(cnt) OVER (PARTITION BY flag) AS tot, cnt
+        |              FROM c)
+        |        WHERE cum * 2 >= tot)
+        |  WHERE rn = 1)
+        |SELECT m.flag, mode_qty, mode_count, median_qty
+        |FROM m JOIN d ON m.flag = d.flag ORDER BY m.flag""".stripMargin,
     // q44: hour-of-day activity profiles (exact DECIMAL sums), candidates
     // banded by peak hour, exact cosine on candidates, top-3 per user
     "q44_series_topk" ->

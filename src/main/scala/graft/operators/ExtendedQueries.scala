@@ -84,6 +84,39 @@ object ExtendedQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // --- Q54: ordered-set aggregates (mode, discrete median) -------------------
+  /** `mode()` and `percentile_disc(0.5)` — the ordered-set aggregate
+    * family, constructed EXPLICITLY rather than through the built-ins
+    * (whose tie-break rules differ between engines): mode = the value
+    * with the highest count, ties to the smallest value; discrete
+    * median = the smallest value whose cumulative count reaches half
+    * the group (`2·cum ≥ total`, an exact integer comparison — no 0.5
+    * float threshold). One (group, value) count aggregation feeds both;
+    * the windows run over the tiny distinct-value domain, not the fact.
+    */
+  def q54ModeMedian(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.table(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), dec(col("l_quantity")).as("q"))
+      .groupBy("flag", "q").agg(count(lit(1)).as("cnt"))
+    val mode = counts
+      .withColumn("rn", row_number().over(Window.partitionBy(col("flag"))
+        .orderBy(col("cnt").desc, col("q").asc)))
+      .filter(col("rn") === 1)
+      .select(col("flag"), col("q").cast(DoubleType).as("mode_qty"),
+        col("cnt").as("mode_count"))
+    val med = counts
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("flag")).orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("flag"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("flag"))
+        .orderBy(col("q").asc)))
+      .filter(col("rn") === 1)
+      .select(col("flag"), col("q").cast(DoubleType).as("median_qty"))
+    mode.join(med, "flag").orderBy("flag")
+  }
+
   // --- Q53: distribution-rank window functions -------------------------------
   /** `percent_rank` / `cume_dist` — the remaining pair of the SQL window
     * family (q25 covers the ordinal/offset functions): per customer,

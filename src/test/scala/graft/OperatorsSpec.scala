@@ -1095,6 +1095,33 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("q54: explicit mode and discrete median match a plain recompute") {
+    import graft.operators.ExtendedQueries
+    val got = ExtendedQueries.q54ModeMedian(spark, sf).collect()
+      .map(r => r.getAs[String]("flag") -> r).toMap
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val rows = Tables.table(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity").as[(String, Double)].collect()
+      .groupBy(_._1)
+    assert(got.keySet == rows.keySet && got.nonEmpty)
+    rows.foreach { case (flag, xs) =>
+      val counts = xs.map(x => d2(x._2)).groupBy(identity)
+        .map { case (q, g) => q -> g.size.toLong }
+      val (modeQ, modeC) = counts.toSeq
+        .sortBy { case (q, c) => (-c, q) }.head
+      val sorted = xs.map(x => d2(x._2)).sorted
+      val median = sorted((sorted.size - 1) / 2 + (1 - sorted.size % 2))
+      // percentile_disc(0.5): smallest value with 2*cum >= n, i.e. the
+      // ceil(n/2)-th order statistic
+      val medianDisc = sorted((sorted.size + 1) / 2 - 1)
+      val r = got(flag)
+      assert(r.getAs[Double]("mode_qty") == modeQ.toDouble)
+      assert(r.getAs[Long]("mode_count") == modeC)
+      assert(r.getAs[Double]("median_qty") == medianDisc.toDouble,
+        s"flag $flag (sanity alt: $median)")
+    }
+  }
+
   test("p20 snapshot diff: statuses land exactly on the simulation slots") {
     import graft.operators.Sampling
     val got = Sampling.snapshotDiff(spark, sf).collect()
