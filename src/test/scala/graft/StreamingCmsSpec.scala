@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.streaming.StreamingCms
+import graft.streaming.StreamingCms.{CellCount, Doc}
+
+/** Online/offline sketch parity: the streaming count-min counters after
+  * any stream prefix must equal the batch t19 sketch over the documents
+  * seen so far. */
+class StreamingCmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming CMS counters equal the batch sketch cell-for-cell") {
+    graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[Doc].collect()
+    val input = MemoryStream[Doc]
+    val q = StreamingCms.counters(input.toDS())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("append").start()
+    val (first, second) = docs.splitAt(docs.length / 2)
+    input.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // latest emission per cell IS the sketch
+    val streamed = spark.table("cms_stream").as[CellCount].collect()
+      .groupBy(c => (c.row, c.bucket))
+      .map { case (k, cs) => k -> cs.map(_.count).max }
+    // batch truth: the same grid from a plain recompute
+    val expected = docs.flatMap(d => StreamingCms.buckets(d.text))
+      .groupBy(h => (h.row, h.bucket))
+      .map { case (k, hs) => k -> hs.size.toLong }
+    assert(streamed == expected)
+    // and the grid is the t19 geometry, fully keyed inside bounds
+    streamed.keys.foreach { case (row, bucket) =>
+      assert(row >= 0 && row < TextAnalysis.CmsDepth)
+      assert(bucket >= 0 && bucket < TextAnalysis.CmsWidth)
+    }
+  }
+
+  test("streaming bucket mirror matches the batch t19 estimates") {
+    // every t19 heavy hitter's estimate equals min over the mirror's grid
+    val grid = Tables.table(spark, sf, "documents")
+      .select("text").as[String].collect()
+      .flatMap(StreamingCms.buckets)
+      .groupBy(h => (h.row, h.bucket))
+      .map { case (k, hs) => k -> hs.size.toLong }
+    val t19 = TextAnalysis.cmsHeavyHitters(spark, sf).collect()
+    assert(t19.nonEmpty)
+    t19.foreach { r =>
+      val tok = r.getAs[String]("token")
+      val est = StreamingCms.buckets(tok).take(TextAnalysis.CmsDepth)
+        .map(h => grid((h.row, h.bucket))).min
+      assert(r.getAs[Long]("cms_est") == est, s"token '$tok'")
+    }
+  }
+}
