@@ -117,6 +117,31 @@ object GraftProperties extends Properties("graft") {
   private val genKv = Gen.mapOf(Gen.zip(
     Gen.identifier.map(_.take(8)), Gen.alphaNumStr.map(_.take(8))))
 
+  // ---- streaming sketch mirrors (pure JVM side of the batch contracts) ----
+
+  property("cms bucket mirror: geometry holds for arbitrary text") =
+    forAll { (s: String) =>
+      val hs = graft.streaming.StreamingCms.buckets(s)
+      val d = graft.operators.TextAnalysis.CmsDepth
+      val w = graft.operators.TextAnalysis.CmsWidth
+      hs.size % d == 0 &&
+        hs.forall(h => h.row >= 0 && h.row < d &&
+          h.bucket >= 0 && h.bucket < w) &&
+        // every token contributes exactly one cell per row
+        hs.groupBy(_.row).values.forall(_.size == hs.size / d)
+    }
+
+  property("cms mirror: doc concatenation merges cell multisets") =
+    forAll(Gen.alphaNumStr.suchThat(_.trim.nonEmpty),
+        Gen.alphaNumStr.suchThat(_.trim.nonEmpty)) { (a, b) =>
+      import graft.streaming.StreamingCms.buckets
+      val joined = buckets(s"${a.trim} ${b.trim}")
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val parts = (buckets(a) ++ buckets(b))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      joined == parts
+    }
+
   property("eventKey is insertion-order invariant and timestamp-sensitive") =
     forAll(genKv, genKv, Gen.choose(0L, 1L << 50)) { (pk, ck, ts) =>
       def ev(p: Map[String, String], c: Map[String, String], t: Long) =
