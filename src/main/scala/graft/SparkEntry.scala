@@ -2067,11 +2067,12 @@ object SparkEntry {
     // one full-outer join classifies every document
     "p20_snapshot_diff" ->
       s"""WITH d AS (SELECT doc_id, doc_id % 10 AS slot,
-         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+         |    regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')
+         |      AS c
          |  FROM documents),
          |prev AS (SELECT doc_id,
          |    md5(CASE WHEN slot = ${Sampling.DiffEditedSlot}
-         |        THEN substr(c, 1, length(c) - 1) ELSE c END) AS fp_prev
+         |        THEN c || '~edit' ELSE c END) AS fp_prev
          |  FROM d WHERE slot <> ${Sampling.DiffAddedSlot}),
          |curr AS (SELECT doc_id, md5(c) AS fp_curr
          |  FROM d WHERE slot <> ${Sampling.DiffRemovedSlot})

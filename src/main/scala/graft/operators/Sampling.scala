@@ -728,8 +728,9 @@ object Sampling {
     * versions (the live fixture ships only one snapshot): documents with
     * `doc_id % 10 == DiffRemovedSlot` exist only in the PREVIOUS
     * snapshot, `== DiffAddedSlot` only in the CURRENT one, and
-    * `== DiffEditedSlot` exist in both with the previous text's last
-    * character cut (a simulated edit). Everything else is unchanged. */
+    * `== DiffEditedSlot` exist in both with a sentinel appended to the
+    * previous text (a simulated edit that differs even for empty
+    * documents). Everything else is unchanged. */
   val DiffRemovedSlot = 7
   val DiffAddedSlot = 3
   val DiffEditedSlot = 5
@@ -752,11 +753,14 @@ object Sampling {
     import TextPrep.canonical
     val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
     val slot = col("doc_id") % 10
-    val canon = canonical(col("text"))
+    // coalesce: a null text must still fingerprint (else a doc present
+    // in both snapshots would read as 'added' — fp_prev IS NULL wins);
+    // the simulated edit APPENDS a sentinel rather than cutting the last
+    // character, so it changes the fingerprint even for empty documents
+    val canon = canonical(coalesce(col("text"), lit("")))
     val prev = docs.filter(slot =!= DiffAddedSlot)
       .select(col("doc_id"),
-        md5(when(slot === DiffEditedSlot,
-            canon.substr(lit(1), length(canon) - 1))
+        md5(when(slot === DiffEditedSlot, concat(canon, lit("~edit")))
           .otherwise(canon)).as("fp_prev"))
     val curr = docs.filter(slot =!= DiffRemovedSlot)
       .select(col("doc_id"), md5(canonical(col("text"))).as("fp_curr"))

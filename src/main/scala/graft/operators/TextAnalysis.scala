@@ -596,17 +596,30 @@ object TextAnalysis {
     * the oracle. Shape at scale: the d-way explode is a constant-factor
     * map, the sketch is d·w rows (broadcast back), and only the top-k
     * join touches it. */
-  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    def cmsBucket(i: Int, tok: Column): Column =
-      TextPrep.shingleBase(concat(lit(s"$i:"), tok)) % CmsWidth
-    val toks = Tables.spread(s, dir, "documents", "doc_id")
+  private def cmsBucket(i: Int, tok: Column): Column =
+    TextPrep.shingleBase(concat(lit(s"$i:"), tok)) % CmsWidth
+
+  private def cmsToks(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents", "doc_id")
       .select(explode(tokens(col("text"))).as("tok"))
-    val sketch = toks
-      .select(explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("row"), cmsBucket(i, col("tok")).as("bucket"))): _*))
-        .as("c"))
-      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+
+  /** The batch d×w counter grid `(row, bucket, cnt)` — t19's sketch as a
+    * standalone artifact: what ships to a consumer (or to the
+    * [[graft.streaming.StreamingCms]] parity proof, which must equal it
+    * cell-for-cell after any stream prefix). */
+  def cmsSketch(s: SparkSession, dir: String): DataFrame =
+    cmsSketchOf(cmsToks(s, dir))
+
+  private def cmsSketchOf(toks: DataFrame): DataFrame = toks
+    .select(explode(array((0 until CmsDepth).map(i =>
+      struct(lit(i).as("row"), cmsBucket(i, col("tok")).as("bucket"))): _*))
+      .as("c"))
+    .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+    .agg(count(lit(1)).as("cnt"))
+
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = cmsToks(s, dir)
+    val sketch = cmsSketchOf(toks)
     val top = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok").asc).limit(VocabTopK)
     val probes = top.select(col("tok"), col("freq"),

@@ -53,6 +53,18 @@ object TextPrep {
     java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** JVM-side mirror of [[tokens]] — ONE definition for every streaming
+    * processor's plain-Scala tokenizer, matching the column expression
+    * EXACTLY where java.lang.String's conveniences silently differ:
+    * Spark's `trim` strips SPACES only (String.trim strips all code
+    * points ≤ U+0020 — tabs and newlines), and Spark's `split` keeps
+    * trailing empty tokens (String.split drops them without limit -1).
+    * `Locale.ROOT` because the default-locale toLowerCase diverges from
+    * Spark's locale-independent lower() (Turkish dotless-i). */
+  private[graft] def jvmTokens(text: String): Seq[String] =
+    text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq
+
   /** Multiplier for seed j: odd, < 2^29 (so a·base < 2^61 — no overflow
     * under ANSI arithmetic in either engine). Derived from md5 so both
     * the engine and the DuckDB oracle can reproduce it. */

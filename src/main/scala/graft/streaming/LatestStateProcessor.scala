@@ -66,7 +66,7 @@ object LatestStateProcessor {
       ttl: TTLConfig = TTLConfig.NONE): Dataset[KeyState] = {
     import changes.sparkSession.implicits._
     changes.groupByKey(_.key)
-      .transformWithState(new Processor(ttl), TimeMode.None(),
+      .transformWithState(new Processor(ttl), StateStores.timeModeFor(ttl),
         OutputMode.Update())
   }
 }

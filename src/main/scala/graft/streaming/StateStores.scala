@@ -21,6 +21,17 @@ object StateStores {
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Time mode matching a TTL choice: Spark REJECTS a non-NONE
+    * `TTLConfig` outside ProcessingTime time mode
+    * (`validateTTLConfig` throws at state-variable registration), so
+    * every TTL-parameterized processor here derives its mode from the
+    * ttl instead of hardcoding `TimeMode.None()`. */
+  def timeModeFor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      : org.apache.spark.sql.streaming.TimeMode =
+    if (ttl == org.apache.spark.sql.streaming.TTLConfig.NONE)
+      org.apache.spark.sql.streaming.TimeMode.None()
+    else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+
   /** Switch this session's stateful operators to RocksDB. Takes effect for
     * queries STARTED after the call (provider is pinned per-query into the
     * checkpoint at first start). `boundedMemMb` caps total RocksDB memory

@@ -32,8 +32,7 @@ object StreamingCms {
     * first 8 hex chars, mod width) — bit-identical to the batch column
     * expression, like StreamingNearDup.signature mirrors the minhash. */
   private[graft] def buckets(text: String): Seq[CellHit] = {
-    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-    toks.toSeq.flatMap { t =>
+    TextPrep.jvmTokens(text).flatMap { t =>
       (0 until TextAnalysis.CmsDepth).map { i =>
         val h = java.lang.Long.parseLong(
           TextPrep.md5hex(s"$i:$t").take(8), 16)
@@ -69,7 +68,7 @@ object StreamingCms {
     docs.filter((d: Doc) => d.text != null)
       .flatMap(d => buckets(d.text))
       .groupByKey(h => (h.row, h.bucket))
-      .transformWithState(new Processor(ttl), TimeMode.None(),
+      .transformWithState(new Processor(ttl), StateStores.timeModeFor(ttl),
         OutputMode.Append())
   }
 }

@@ -31,10 +31,7 @@ object StreamingNearDup {
   /** Plain-Scala mirror of TextPrep's shingle→base→minhash pipeline
     * (bit-identical constants: md5-derived mixes mod the same prime). */
   private[graft] def signature(text: String): Option[Seq[Long]] = {
-    // Locale.ROOT: default-locale toLowerCase diverges from Spark's
-    // locale-independent lower() (Turkish dotless-i), which would break
-    // the bit-identical batch/streaming signature contract
-    val t = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+    val t = TextPrep.jvmTokens(text)
     if (t.length < 3) return None
     val bases = t.sliding(3).map(_.mkString(" ")).toSet[String]
       .map(s => java.lang.Long.parseLong(TextPrep.md5hex(s).take(8), 16))
@@ -83,7 +80,7 @@ object StreamingNearDup {
     docs.flatMap(d => signature(d.text).toSeq.flatMap(sig =>
         bandKeys(sig).map(k => BandedDoc(k, d.doc_id))))
       .groupByKey(_.bucket)
-      .transformWithState(new Processor(ttl), TimeMode.None(),
+      .transformWithState(new Processor(ttl), StateStores.timeModeFor(ttl),
         OutputMode.Append())
   }
 }

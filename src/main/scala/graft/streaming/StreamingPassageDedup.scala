@@ -34,9 +34,7 @@ object StreamingPassageDedup {
     * (bit-identical: lower/trim, whitespace split, md5 of the
     * space-joined [[Dedup.PassageLen]]-token window). */
   private[graft] def fingerprints(text: String): Seq[(String, Long)] = {
-    // Locale.ROOT: keep the batch/streaming fingerprint contract
-    // locale-independent (the StreamingNearDup signature rule)
-    val t = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+    val t = TextPrep.jvmTokens(text)
     val w = Dedup.PassageLen
     if (t.length < w) Seq.empty
     else t.sliding(w).zipWithIndex
@@ -79,7 +77,7 @@ object StreamingPassageDedup {
     docs.flatMap(d => fingerprints(d.text)
         .map { case (fp, pos) => WindowFp(fp, d.doc_id, pos) })
       .groupByKey(_.fp)
-      .transformWithState(new Processor(ttl), TimeMode.None(),
+      .transformWithState(new Processor(ttl), StateStores.timeModeFor(ttl),
         OutputMode.Append())
   }
 }

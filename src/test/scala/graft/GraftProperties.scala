@@ -131,11 +131,18 @@ object GraftProperties extends Properties("graft") {
         hs.groupBy(_.row).values.forall(_.size == hs.size / d)
     }
 
+  // multi-token operands (single-space separated, whitespace-free
+  // tokens) — the shape where split-boundary bugs would show; operands
+  // with leading/trailing \t\n legitimately break additivity (the
+  // junction collapses their empty token), so they are out of scope
+  private val genTokenDoc: Gen[String] = for {
+    toks <- Gen.nonEmptyListOf(Gen.identifier)
+  } yield toks.mkString(" ")
+
   property("cms mirror: doc concatenation merges cell multisets") =
-    forAll(Gen.alphaNumStr.suchThat(_.trim.nonEmpty),
-        Gen.alphaNumStr.suchThat(_.trim.nonEmpty)) { (a, b) =>
+    forAll(genTokenDoc, genTokenDoc) { (a, b) =>
       import graft.streaming.StreamingCms.buckets
-      val joined = buckets(s"${a.trim} ${b.trim}")
+      val joined = buckets(s"$a $b")
         .groupBy(identity).view.mapValues(_.size).toMap
       val parts = (buckets(a) ++ buckets(b))
         .groupBy(identity).view.mapValues(_.size).toMap

@@ -34,16 +34,46 @@ class StreamingCmsSpec extends SparkSpec {
     val streamed = spark.table("cms_stream").as[CellCount].collect()
       .groupBy(c => (c.row, c.bucket))
       .map { case (k, cs) => k -> cs.map(_.count).max }
-    // batch truth: the same grid from a plain recompute
-    val expected = docs.flatMap(d => StreamingCms.buckets(d.text))
-      .groupBy(h => (h.row, h.bucket))
-      .map { case (k, hs) => k -> hs.size.toLong }
+    // batch truth: t19's OWN sketch grid (the column-expression pipeline,
+    // not the JVM mirror — a mirror bug cannot hide here)
+    val expected = TextAnalysis.cmsSketch(spark, sf).collect()
+      .map(r => (r.getAs[Int]("row"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
     assert(streamed == expected)
     // and the grid is the t19 geometry, fully keyed inside bounds
     streamed.keys.foreach { case (row, bucket) =>
       assert(row >= 0 && row < TextAnalysis.CmsDepth)
       assert(bucket >= 0 && bucket < TextAnalysis.CmsWidth)
     }
+  }
+
+  test("a non-NONE TTL starts and counts (ProcessingTime mode derived)") {
+    graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val ttl = org.apache.spark.sql.streaming.TTLConfig(
+      java.time.Duration.ofHours(1))
+    val q = StreamingCms.counters(input.toDS(), ttl)
+      .writeStream.format("memory").queryName("cms_ttl_stream")
+      .outputMode("append").start()
+    input.addData(Doc(1L, "alpha beta alpha"))
+    // ProcessingTime mode keeps scheduling timer housekeeping batches, so
+    // processAllAvailable never settles — poll for the emitted rows
+    val expectedCells = StreamingCms.buckets("alpha beta alpha").distinct.size
+    val deadline = System.currentTimeMillis() + 120000
+    while (System.currentTimeMillis() < deadline &&
+      spark.table("cms_ttl_stream").count() < expectedCells)
+      Thread.sleep(500)
+    q.stop()
+    // within the TTL horizon the counters behave exactly as untimed:
+    // "alpha" cells reach 2, "beta" cells 1, across CmsDepth rows each
+    val counts = spark.table("cms_ttl_stream").as[CellCount].collect()
+      .groupBy(c => (c.row, c.bucket))
+      .map { case (k, cs) => k -> cs.map(_.count).max }
+    val expected = Seq("alpha", "beta", "alpha")
+      .flatMap(t => StreamingCms.buckets(t))
+      .groupBy(identity).map { case (k, hs) => (k.row, k.bucket) -> hs.size.toLong }
+    assert(counts == expected)
   }
 
   test("streaming bucket mirror matches the batch t19 estimates") {
