@@ -117,6 +117,7 @@ object SparkEntry {
     "d17_cut_accounting" -> Dedup.cutAccounting _,
     "d18_semantic_dedup" -> canon("vec_id")(Dedup.semanticDedup),
     "d19_dedup_method_agreement" -> Dedup.dedupMethodAgreement _,
+    "d21_dedup_nfc" -> Dedup.nfcDedup _,
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -1362,6 +1363,12 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+    // d21: DuckDB's nfc_normalize implements the same Unicode NFC form as
+    // the engine's java.text.Normalizer expression
+    "d21_dedup_nfc" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
+        |  count(DISTINCT text) AS n_raw_variants
+        |FROM documents GROUP BY nfc_normalize(text) ORDER BY rep_id""".stripMargin,
     "d02_dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
          |SELECT da, db, jaccard FROM pairs ORDER BY da, db""".stripMargin,

@@ -27,6 +27,31 @@ object Dedup {
       .select(col("rep_id"), col("n_copies"))
       .orderBy("rep_id")
 
+  // --- Unicode-normalization-aware exact dedup ------------------------------
+  /** NFC-normalized exact dedup (d21) — the d01 rung after Unicode
+    * canonical normalization (the codegen
+    * [[graft.functions.NfcNormalize]] expression): the same logical
+    * string arrives from different sources under different code-point
+    * sequences (composed vs decomposed accents being the classic case),
+    * and byte-level grouping silently treats them as distinct. Groups on
+    * the NFC form and counts, per representative, both the copies and
+    * how many DISTINCT raw byte sequences the normal form coalesced —
+    * `n_raw_variants > 1` rows are exactly the duplicates d01 misses.
+    * Same 100-TB shape as d01 (one hash-shuffle groupBy on a per-doc
+    * value); the fast-path inside the expression makes the normalization
+    * free for ASCII-dominated corpora. Oracle: DuckDB's `nfc_normalize`
+    * implements the same Unicode form. */
+  def nfcDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.NfcNormalize.nfc_normalize(col("text")).as("nfc"),
+        col("text"))
+      .groupBy(col("nfc"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_raw_variants"))
+      .select(col("rep_id"), col("n_copies"), col("n_raw_variants"))
+      .orderBy("rep_id")
+
   // --- canonical bag-fingerprint dedup -------------------------------------
   /** Bag-of-words canonical dedup (d12) — exact dedup after an
     * order-insensitive normal form: lowercase, collapse whitespace, SORT

@@ -1095,6 +1095,38 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("freq") >= r.getAs[Long]("df")))
   }
 
+  test("d21: NFC normalization coalesces composed and decomposed forms") {
+    import graft.functions.NfcNormalize
+    // golden: e-acute composed (U+00E9) vs decomposed (U+0065 U+0301) —
+    // escape sequences so no editor/encoding pass can normalize them away
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    assert(composed != decomposed)
+    assert(NfcNormalize.compute(composed) == NfcNormalize.compute(decomposed))
+    // the ASCII fast path returns the same instance — no allocation
+    val ascii = "plain ascii text"
+    assert(NfcNormalize.compute(ascii) eq ascii)
+    // codegen Column path: the two accent encodings group together
+    val df = Seq((1L, "r\u00e9sum\u00e9"), (2L, "re\u0301sume\u0301"),
+      (3L, "resume")).toDF("doc_id", "text")
+    val grouped = df
+      .groupBy(NfcNormalize.nfc_normalize(col("text")).as("n"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("c"))
+      .collect()
+    assert(grouped.length == 2)
+    assert(grouped.find(_.getAs[Long]("c") == 2).get.getAs[Long]("rep") == 1L)
+    // live-corpus d21 is a refinement of d01: normalization can only
+    // merge groups, every group keeps >= 1 raw variant, mass conserves
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    val d21 = Dedup.nfcDedup(spark, sf).collect()
+    assert(d21.length <= Dedup.exact(spark, sf).count())
+    assert(d21.map(_.getAs[Long]("n_copies")).sum == nDocs)
+    d21.foreach { r =>
+      assert(r.getAs[Long]("n_raw_variants") >= 1)
+      assert(r.getAs[Long]("n_raw_variants") <= r.getAs[Long]("n_copies"))
+    }
+  }
+
   test("q54: explicit mode and discrete median match a plain recompute") {
     import graft.operators.ExtendedQueries
     val got = ExtendedQueries.q54ModeMedian(spark, sf).collect()
