@@ -44,7 +44,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.functions.FloatVecDot(args(0), args(1))),
     ("decimal_vec_dot",
       new ExpressionInfo(classOf[graft.functions.DecimalVecDot].getName, "decimal_vec_dot"),
-      (args: Seq[Expression]) => graft.functions.DecimalVecDot(args(0), args(1))))
+      (args: Seq[Expression]) => graft.functions.DecimalVecDot(args(0), args(1))),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => graft.functions.NfcNormalize(args(0))))
 
   /** Runtime installation into an already-built session. */
   def install(spark: SparkSession): Unit = {

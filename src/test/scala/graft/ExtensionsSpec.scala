@@ -24,6 +24,12 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT float_vec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), " +
         "CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d").as[Double].head()
     assert(dot == 11.0)
+
+    // composed e-acute vs decomposed e + combining acute normalize equal
+    val nfc = spark.sql(
+      "SELECT nfc_normalize('café') = nfc_normalize('café') AS eq")
+      .as[Boolean].head()
+    assert(nfc)
   }
 
   test("auto-mask rule: metadata-tagged columns come out masked from any query") {
