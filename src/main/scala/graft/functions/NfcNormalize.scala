@@ -35,12 +35,11 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
       s"$prettyName requires string, got ${child.dataType.simpleString}")
 
   override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(NfcNormalize.compute(v.toString))
+    NfcNormalize.computeUtf8(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.functions.NfcNormalize.compute($c.toString()))")
+      s"graft.functions.NfcNormalize.computeUtf8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -49,10 +48,22 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 object NfcNormalize {
 
   /** NFC form, with the no-allocation fast path for already-normalized
-    * (e.g. pure-ASCII) input. */
+    * (e.g. pure-ASCII) input. Assumes valid UTF-8, as all Spark string
+    * data is; an invalid byte sequence would decode to U+FFFD in the
+    * java.lang.String round-trip (standard JVM replacement semantics). */
   def compute(s: String): String =
     if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) s
     else Normalizer.normalize(s, Normalizer.Form.NFC)
+
+  /** UTF8String form used by both eval paths: already-normalized input
+    * passes the ORIGINAL UTF8String through untouched (one decode to
+    * check, no re-encode) — the common case on an ASCII-dominated
+    * corpus pays a single scan, not two allocations. */
+  def computeUtf8(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) u
+    else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))
+  }
 
   /** Column-API entry point. */
   def nfc_normalize(c: Column): Column =

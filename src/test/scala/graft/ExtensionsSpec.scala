@@ -27,8 +27,8 @@ class ExtensionsSpec extends SparkSpec {
 
     // composed e-acute vs decomposed e + combining acute normalize equal
     val nfc = spark.sql(
-      "SELECT nfc_normalize('café') = nfc_normalize('café') AS eq")
-      .as[Boolean].head()
+      "SELECT nfc_normalize('caf\u00e9') = " +
+        "nfc_normalize('cafe\u0301') AS eq").as[Boolean].head()
     assert(nfc)
   }
 
