@@ -763,7 +763,7 @@ object Sampling {
         md5(when(slot === DiffEditedSlot, concat(canon, lit("~edit")))
           .otherwise(canon)).as("fp_prev"))
     val curr = docs.filter(slot =!= DiffRemovedSlot)
-      .select(col("doc_id"), md5(canonical(col("text"))).as("fp_curr"))
+      .select(col("doc_id"), md5(canon).as("fp_curr"))
     prev.join(curr, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("fp_prev").isNull, "added")

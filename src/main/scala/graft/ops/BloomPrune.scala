@@ -50,16 +50,28 @@ object BloomPrune {
     val conf = build.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (conf.get(itemsKey, "4000000").toLong < expectedKeys)
+    // the raise is scoped to THIS aggregate: the caps also size Spark's
+    // own auto-injected runtime blooms, so leaving a 100M-key raise on
+    // the shared session conf would silently inflate every later query's
+    // injected filters — capture and restore around the build
+    val prevItems = conf.get(itemsKey, "4000000")
+    val prevBits = conf.get(bitsKey, "67108864")
+    if (prevItems.toLong < expectedKeys)
       conf.set(itemsKey, expectedKeys.toString)
-    if (conf.get(bitsKey, "67108864").toLong < expectedKeys * BitsPerKey)
+    if (prevBits.toLong < expectedKeys * BitsPerKey)
       conf.set(bitsKey, (expectedKeys * BitsPerKey).toString)
-    val agg = ColumnBridge.column(
-      new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col(keyCol))),
-        Literal(expectedKeys), Literal(expectedKeys * BitsPerKey))
-        .toAggregateExpression())
-    val row = build.select(agg.as("bf")).head()
+    val row =
+      try {
+        val agg = ColumnBridge.column(
+          new BloomFilterAggregate(
+            ColumnBridge.expression(xxhash64(col(keyCol))),
+            Literal(expectedKeys), Literal(expectedKeys * BitsPerKey))
+            .toAggregateExpression())
+        build.select(agg.as("bf")).head()
+      } finally {
+        conf.set(itemsKey, prevItems)
+        conf.set(bitsKey, prevBits)
+      }
     // empty build side → NULL sketch; an empty filter matches nothing,
     // which a zero-key bloom also guarantees, so normalize to null and
     // let semiPrune short-circuit

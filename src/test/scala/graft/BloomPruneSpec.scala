@@ -49,6 +49,22 @@ class BloomPruneSpec extends SparkSpec {
     assert(kept < total / 2, "a 1-in-50 key set must prune most rows")
   }
 
+  test("buildFilter restores the session's runtime-bloom sizing confs") {
+    // advisor r8: a large expectedKeys raise must not leak into the caps
+    // that size Spark's own auto-injected runtime bloom filters
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.get(itemsKey, "4000000")
+    val prevBits = spark.conf.get(bitsKey, "67108864")
+    val build = Tables.table(spark, sf, "customer").select("c_custkey")
+    // 5M keys exceeds both default caps (4M items / 64M bits) so both
+    // raises fire, while the bitmap stays a test-sized ~14 MB
+    val bloom = BloomPrune.buildFilter(build, "c_custkey", 5_000_000L)
+    assert(bloom != null)
+    assert(spark.conf.get(itemsKey, "4000000") == prevItems)
+    assert(spark.conf.get(bitsKey, "67108864") == prevBits)
+  }
+
   test("d07b: bloom-pruned incremental ingest equals the plain d07 path") {
     import graft.operators.Dedup
     val plain = Dedup.incremental(spark, sf)

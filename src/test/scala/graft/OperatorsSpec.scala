@@ -1174,6 +1174,24 @@ class OperatorsSpec extends SparkSpec {
       Set("added", "removed", "changed", "retained"))
   }
 
+  test("p20 snapshot diff: null-text documents fingerprint on BOTH sides") {
+    // advisor r8: an asymmetric coalesce made fp_curr NULL for null
+    // texts, misclassifying a doc present in both snapshots as 'removed'
+    import graft.operators.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("p20-null").toString
+    val retainedId = 10L + 0L // slot 0: present in both, unchanged
+    val editedId = 10L + Sampling.DiffEditedSlot
+    Seq((retainedId, null: String), (editedId, null: String),
+        (1L, "plain text"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Sampling.snapshotDiff(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got(retainedId) == "retained", got.toString)
+    assert(got(editedId) == "changed", got.toString)
+    assert(got(1L) == "retained")
+  }
+
   test("s16 refine: chooses from s15's candidates and never loses recall") {
     import graft.operators.Similarity
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
