@@ -282,12 +282,25 @@ object Bench {
     val prevJson =
       s""","prev":"$prevName","prev_n":$prevN,"prev_delta_sec":$deltas"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3","queries":$qs,"queries_spread_sec":$spreadJson$corpusJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
+    // Stdout protocol (VERDICT r08 item 2): the driver FRONT-truncates its
+    // stdout tail to 2,000 chars, and the full line above is ~8 kB — four
+    // rounds of `"parsed": null` because only a mid-line fragment
+    // survived. So the full per-query line prints FIRST (and persists to
+    // BENCH_LOCAL.json, which the committed BENCH_LOCAL_r{N} snapshots
+    // carry forward), and stdout ENDS with a compact summary line —
+    // headline total, the three streaming rates, sweep optimum — that
+    // fits the tail whole. Its `{"metric"` prefix is the first such
+    // marker in the surviving tail (the big line's own prefix is cut),
+    // so the driver's tail-parse finds a complete JSON object.
     println(line)
     // belt-and-braces: the driver's r01 record shows its stdout parse can
     // fail on sbt log prefixes ("parsed": null) — persist the same line.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val nFailed = results.values.count(_ < 0)
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3","n_queries":${results.size},"n_failed":$nFailed,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+    println(compact)
     spark.stop()
   }
 }
