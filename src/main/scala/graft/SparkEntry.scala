@@ -79,7 +79,8 @@ object SparkEntry {
     "q41_cohort_retention" -> ExtendedQueries.q41CohortRetention _,
     "q42_event_funnel" -> ExtendedQueries.q42EventFunnel _,
     "q43_copurchase_pairs" -> ExtendedQueries.q43CopurchasePairs _,
-    "q44_series_topk" -> ExtendedQueries.q44SeriesTopK _,
+    "q44_series_topk" -> ((s: SparkSession, d: String) =>
+      ExtendedQueries.q44SeriesTopK(s, d)),
     "q45_smallqty_revenue" -> ExtendedQueries.q45SmallQtyRevenue _,
     "q46_waiting_suppliers" -> ExtendedQueries.q46WaitingSuppliers _,
     "q47_dormant_highbal" -> ExtendedQueries.q47DormantHighBalance _,

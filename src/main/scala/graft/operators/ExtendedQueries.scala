@@ -595,6 +595,12 @@ object ExtendedQueries {
         .as("avg_yearly"))
   }
 
+  /** Grid width for [[q44SeriesTopK]]'s band decomposition: the hot
+    * band's n² pair work spreads over salts² join cells. 8 bounds any
+    * single cell at (n_b/8)² while replicating only the 2-column peak
+    * table 8× per side. */
+  val Q44BandSalts = 8
+
   // --- Q44: per-user activity-series similarity search ----------------------
   /** Time-series similarity search over the event stream (the streaming
     * series-similarity problem of the EDBT 2019 line in PAPERS.md, recast
@@ -609,9 +615,18 @@ object ExtendedQueries {
     * independent — a float sum would hash-differ per partition layout);
     * doubles appear only at the final cosine boundary, the s01 contract.
     * Shape at 100 TB: the profile is one fact aggregation (24 rows/user),
-    * the band join keys on peak_hour, and the per-pair dot re-joins the
-    * narrow profile on (user, hour) — three exchanges total, all keyed. */
-  def q44SeriesTopK(s: SparkSession, dir: String): DataFrame = {
+    * and the per-pair dot re-joins the narrow profile on (user, hour).
+    * The candidate band join does NOT key on bare peak_hour: 24 values
+    * with human activity clustered into a few of them is the skewed
+    * low-cardinality key whose hot band does Σ n_b² work in ONE shuffle
+    * partition at 100× users (VERDICT r08 item 1). Every band is hot by
+    * construction, so the pairing grid-decomposes unconditionally
+    * ([[graft.ops.SaltedJoin.selfPairsGridDirected]]): the join keys on
+    * (peak_hour, cell_i, cell_j) — 24·salts² cells of (n_b/salts)²
+    * comparisons — and the output is bit-identical to the plain band
+    * self-join, so the oracle is unchanged. */
+  def q44SeriesTopK(s: SparkSession, dir: String,
+      salts: Int = Q44BandSalts): DataFrame = {
     val d18 = (c: Column) => c.cast(DecimalType(18, 6))
     val prof = Tables.events(s, dir)
       .select(col("user_id"),
@@ -626,10 +641,9 @@ object ExtendedQueries {
         .orderBy(col("v").desc, col("hour").asc)))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("hour").as("peak_hour"))
-    val cand = peak.as("a").join(peak.as("b"),
-        col("a.peak_hour") === col("b.peak_hour") &&
-          col("a.user_id") =!= col("b.user_id"))
-      .select(col("a.user_id").as("qa"), col("b.user_id").as("qb"))
+    val cand = graft.ops.SaltedJoin
+      .selfPairsGridDirected(peak, Seq("peak_hour"), "user_id", salts)
+      .select(col("a").as("qa"), col("b").as("qb"))
     val pa = prof.select(col("user_id").as("qa"), col("hour"),
       col("v").as("va"))
     val pb = prof.select(col("user_id").as("qb"), col("hour"),

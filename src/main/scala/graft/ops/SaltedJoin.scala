@@ -79,6 +79,32 @@ object SaltedJoin {
     coldPairs.unionByName(hotPairs)
   }
 
+  /** Grid decomposition of EVERY group, directed: all (a, b) pairs with
+    * `a.idCol =!= b.idCol` inside each `keys` group, each emitted exactly
+    * once per direction. For keys that are STRUCTURALLY low-cardinality
+    * and dense — a 24-value hour-of-day band, a handful of categories —
+    * every group is hot by construction, so the occupancy probe and the
+    * cold/hot split of [[selfPairsSalted]] are pure overhead: decompose
+    * unconditionally. A directed pair (a, b) meets in exactly grid cell
+    * (cell(a), cell(b)), so the output is bit-identical to the plain
+    * directed self-join while the join key widens to (keys, i, j) —
+    * |keys|·salts² shuffle cells of (n_group/salts)² comparisons each,
+    * instead of one partition per group doing n_group². Replication is
+    * `salts` copies per side of rows that are one key + one id wide. */
+  def selfPairsGridDirected(df: DataFrame, keys: Seq[String], idCol: String,
+      salts: Int): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    val cell = pmod(xxhash64(col(idCol)), lit(salts.toLong)).cast("int")
+    val grid = array((0 until salts).map(lit): _*)
+    val xs = df.withColumn("__gi", cell).withColumn("__gj", explode(grid))
+    val ys = df.withColumn("__gi", explode(grid)).withColumn("__gj", cell)
+    val cond = (keys :+ "__gi" :+ "__gj")
+      .map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col(s"x.$idCol") =!= col(s"y.$idCol")
+    xs.as("x").join(ys.as("y"), cond)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+  }
+
   /** Skew-proof count/sum aggregation: partial agg on (key, salt) — which
     * distributes the hot key across `salts` partitions — then final agg on
     * key. Spark's own partial aggregation already does this for algebraic

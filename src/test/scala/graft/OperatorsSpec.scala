@@ -538,6 +538,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q44 band grid: pair-exact vs the plain self-join, bounded cells, " +
+      "no exchange keyed on bare peak_hour") {
+    import graft.operators.ExtendedQueries
+    import graft.ops.SaltedJoin
+    import spark.implicits._
+    // a skewed 24-band peak table: 70% of users in one hot hour — the
+    // shape the raw peak_hour self-join serializes at scale
+    val salts = 4
+    val peak = spark.range(200).select($"id".as("user_id"),
+      when($"id" < 140, lit(9L)).otherwise($"id" % 23).as("peak_hour"))
+    val plain = peak.as("a").join(peak.as("b"),
+        $"a.peak_hour" === $"b.peak_hour" && $"a.user_id" =!= $"b.user_id")
+      .select($"a.user_id".as("a"), $"b.user_id".as("b"))
+      .as[(Long, Long)].collect().toSet
+    val grid = SaltedJoin
+      .selfPairsGridDirected(peak, Seq("peak_hour"), "user_id", salts)
+    // bit-identical directed pair set, each pair emitted exactly once
+    assert(grid.as[(Long, Long)].collect().toSet == plain)
+    assert(grid.count() == plain.size)
+    // the hot band's rows spread across every grid cell, each well under
+    // the undecomposed band size (140 rows in ONE join partition before)
+    val cell = pmod(xxhash64($"user_id"), lit(salts.toLong)).cast("int")
+    val cells = peak.filter($"peak_hour" === 9L).withColumn("c", cell)
+      .groupBy("c").count().as[(Int, Long)].collect().toMap
+    assert(cells.size == salts, "hot band must occupy every grid cell")
+    assert(cells.values.max < 140 / 2,
+      s"cell of ${cells.values.max} rows is not a spread")
+    // plan shape on the LIVE query: every hash partitioning that involves
+    // peak_hour also carries the grid cells — no exchange keys on the
+    // bare 24-value band (VERDICT r08 item 1)
+    val planStr = ExtendedQueries.q44SeriesTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("__gi"), "grid decomposition missing from plan")
+    val bare = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(planStr).map(_.group(1))
+      .filter(ks => ks.contains("peak_hour") && !ks.contains("__gi"))
+      .toSeq
+    assert(bare.isEmpty, s"exchange keyed on bare peak_hour: $bare")
+  }
+
   test("small-quantity revenue matches a plain-Scala recompute") {
     import graft.operators.ExtendedQueries
     import spark.implicits._
