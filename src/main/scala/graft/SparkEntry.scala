@@ -119,6 +119,7 @@ object SparkEntry {
     "d18_semantic_dedup" -> canon("vec_id")(Dedup.semanticDedup),
     "d19_dedup_method_agreement" -> Dedup.dedupMethodAgreement _,
     "d21_dedup_nfc" -> Dedup.nfcDedup _,
+    "d22_dedup_canonical" -> Dedup.canonicalDedup _,
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -1370,6 +1371,18 @@ object SparkEntry {
       """SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
         |  count(DISTINCT text) AS n_raw_variants
         |FROM documents GROUP BY nfc_normalize(text) ORDER BY rep_id""".stripMargin,
+    // d22: the canonical ladder key — same NFC + casefold + ASCII-punct
+    // + whitespace composition as TextPrep.canonicalKey; the punct class
+    // is explicit ASCII ranges so Java regex and RE2 agree
+    "d22_dedup_canonical" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_copies,
+        |  count(DISTINCT text) AS n_raw_variants,
+        |  count(DISTINCT nfc_normalize(text)) AS n_nfc_variants
+        |FROM documents
+        |GROUP BY trim(regexp_replace(regexp_replace(
+        |  lower(nfc_normalize(text)), '[!-/:-@\[-`{-~]+', ' ', 'g'),
+        |  '\s+', ' ', 'g'))
+        |ORDER BY rep_id""".stripMargin,
     "d02_dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
          |SELECT da, db, jaccard FROM pairs ORDER BY da, db""".stripMargin,

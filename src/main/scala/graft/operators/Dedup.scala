@@ -52,6 +52,30 @@ object Dedup {
       .select(col("rep_id"), col("n_copies"), col("n_raw_variants"))
       .orderBy("rep_id")
 
+  // --- canonical-ladder exact dedup ----------------------------------------
+  /** Canonical-key exact dedup (d22) — the ladder rung between [[nfcDedup]]
+    * and [[bagDedup]]: groups on [[TextPrep.canonicalKey]] (NFC + casefold
+    * + punctuation/whitespace collapse — the C4/CCNet canonical form), so
+    * case, spacing, and punctuation variants of one document coalesce.
+    * NFC alone (d21) misses exactly these, and they are the most common
+    * near-exact duplicates in web corpora; the bag rung (d12) goes one
+    * step further by also ignoring token ORDER. Same 100-TB shape as
+    * d01/d21: one per-doc key, one hash-shuffle groupBy.
+    * `n_raw_variants > 1` rows are the duplicates d01 misses;
+    * `n_nfc_variants > 1` rows are the ones d21 ALSO misses. */
+  def canonicalDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextPrep.canonicalKey(col("text")).as("ck"),
+        graft.functions.NfcNormalize.nfc_normalize(col("text")).as("nfc"))
+      .groupBy(col("ck"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_raw_variants"),
+        countDistinct(col("nfc")).as("n_nfc_variants"))
+      .select(col("rep_id"), col("n_copies"), col("n_raw_variants"),
+        col("n_nfc_variants"))
+      .orderBy("rep_id")
+
   // --- canonical bag-fingerprint dedup -------------------------------------
   /** Bag-of-words canonical dedup (d12) — exact dedup after an
     * order-insensitive normal form: lowercase, collapse whitespace, SORT

@@ -21,6 +21,21 @@ object TextPrep {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(norm(text), "\\s+")
 
+  /** The C4/CCNet-style canonical dedup key (d22) — the full ladder rung
+    * above NFC alone: NFC canonical normalization, casefold, ASCII
+    * punctuation runs to a single space, whitespace collapse, trim. The
+    * punctuation class is the explicit ASCII range set `!-/ :-@ [-\x60
+    * {-~` (never `\p{Punct}`/POSIX classes, whose membership differs
+    * between Java regex and DuckDB's RE2); case/whitespace/punctuation
+    * variants — the most common near-exact web duplicates — then share
+    * one key. DuckDB oracle: the same composition over `nfc_normalize`
+    * + `lower` + two `regexp_replace(..., 'g')`. */
+  def canonicalKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(graft.functions.NfcNormalize.nfc_normalize(text)),
+        "[!-/:-@\\[-`{-~]+", " "),
+      "\\s+", " "))
+
   /** Distinct word n-gram shingles (default 3), space-joined — the unit of
     * near-duplicate detection.
     *

@@ -1167,6 +1167,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d22: canonical key coalesces case, whitespace, punctuation, " +
+      "and accent-encoding variants") {
+    import graft.operators.{Dedup, TextPrep}
+    // goldens: one logical document under the variant axes the canonical
+    // ladder must flatten — case, whitespace runs, punctuation, composed
+    // vs decomposed accents — plus a token-REORDER which must NOT merge
+    // (that is d12's bag rung, one step further down the ladder)
+    val df = Seq(
+      (1L, "Caf\u00e9 du Monde, New Orleans!"),   // composed accent
+      (2L, "cafe\u0301 du  monde   new orleans"), // decomposed + ws + case
+      (3L, "CAF\u00c9 DU MONDE -- NEW ORLEANS"),  // upper + punct run
+      (4L, "monde du caf\u00e9 new orleans"),     // reorder: stays separate
+      (5L, "an unrelated document")
+    ).toDF("doc_id", "text")
+    val keys = df.select(col("doc_id"),
+        TextPrep.canonicalKey(col("text")).as("ck"))
+      .as[(Long, String)].collect().toMap
+    assert(keys(1L) == "caf\u00e9 du monde new orleans")
+    assert(keys(2L) == keys(1L) && keys(3L) == keys(1L))
+    assert(keys(4L) != keys(1L) && keys(5L) != keys(1L))
+    // live-corpus d22 is a refinement of d21 which refines d01: each
+    // ladder rung can only merge groups, and copy mass conserves
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    val d22 = Dedup.canonicalDedup(spark, sf).collect()
+    assert(d22.length <= Dedup.nfcDedup(spark, sf).count())
+    assert(d22.map(_.getAs[Long]("n_copies")).sum == nDocs)
+    d22.foreach { r =>
+      assert(r.getAs[Long]("n_nfc_variants") >= 1)
+      assert(r.getAs[Long]("n_nfc_variants") <= r.getAs[Long]("n_raw_variants"))
+      assert(r.getAs[Long]("n_raw_variants") <= r.getAs[Long]("n_copies"))
+    }
+  }
+
   test("q54: explicit mode and discrete median match a plain recompute") {
     import graft.operators.ExtendedQueries
     val got = ExtendedQueries.q54ModeMedian(spark, sf).collect()
