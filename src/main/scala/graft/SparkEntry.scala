@@ -87,6 +87,10 @@ object SparkEntry {
     "q48_large_volume_cust" -> ExtendedQueries.q48LargeVolumeCustomers _,
     "q49_disjunctive_revenue" -> ExtendedQueries.q49DisjunctiveRevenue _,
     "q50_custdist" -> ExtendedQueries.q50CustDist _,
+    "q55_mincost_supplier" -> ExtendedQueries.q55MinCostSupplier _,
+    "q56_top_supplier_revenue" -> ExtendedQueries.q56TopSupplierRevenue _,
+    "q57_part_supplier_counts" -> ExtendedQueries.q57PartSupplierCounts _,
+    "q58_majority_share_supp" -> ExtendedQueries.q58MajorityShareSuppliers _,
     "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
     "q52_stats_moments" -> ExtendedQueries.q52StatsMoments _,
     "q53_distribution_rank" -> ExtendedQueries.q53DistributionRank _,
@@ -1219,6 +1223,74 @@ object SparkEntry {
         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM k GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q55: TPC-H Q2 shape — the oracle keeps the LITERAL correlated
+    // scalar min subquery; the engine's decorrelated min-join must agree
+    "q55_mincost_supplier" ->
+      s"""WITH asia AS (
+         |  SELECT l.l_partkey, l.l_extendedprice, s.s_suppkey, s.s_name,
+         |    s.s_acctbal, n.n_name
+         |  FROM lineitem l
+         |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name = '${ExtendedQueries.Q55Region}')
+         |SELECT DISTINCT a.s_acctbal, a.s_name, a.n_name, p.p_partkey,
+         |  p.p_brand, a.l_extendedprice AS min_price
+         |FROM asia a JOIN part p ON p.p_partkey = a.l_partkey
+         |WHERE p.p_size <= ${ExtendedQueries.Q55MaxPartSize}
+         |  AND a.l_extendedprice = (SELECT min(a2.l_extendedprice)
+         |                           FROM asia a2
+         |                           WHERE a2.l_partkey = a.l_partkey)
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    // q56: TPC-H Q15 shape — max over an aggregated revenue view; the
+    // max/tie comparison stays on the DECIMAL sums
+    "q56_top_supplier_revenue" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey,
+         |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * (CAST(1 AS DECIMAL(18,2))
+         |         - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '${ExtendedQueries.Q56WindowStart}'
+         |    AND l_shipdate < TIMESTAMP '${ExtendedQueries.Q56WindowEnd}'
+         |  GROUP BY l_suppkey)
+         |SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+         |FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+         |WHERE r.rev = (SELECT max(rev) FROM revenue)
+         |ORDER BY s.s_suppkey""".stripMargin,
+    // q57: TPC-H Q16 shape — NOT IN exclusion + distinct supplier counts
+    "q57_part_supplier_counts" ->
+      s"""SELECT p.p_brand, p.p_type, p.p_size,
+         |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_brand <> '${ExtendedQueries.Q57ExcludedBrand}'
+         |  AND p.p_type <> '${ExtendedQueries.Q57ExcludedType}'
+         |  AND p.p_size IN (${ExtendedQueries.Q57Sizes.mkString(", ")})
+         |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |                          WHERE s_acctbal < 0)
+         |GROUP BY p.p_brand, p.p_type, p.p_size
+         |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin,
+    // q58: TPC-H Q20 shape — the oracle keeps the literal nested
+    // IN-over-grouped-HAVING with a correlated per-part total
+    "q58_majority_share_supp" ->
+      s"""WITH qty AS (
+         |  SELECT l_suppkey, l_partkey,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '${ExtendedQueries.Q58WindowStart}'
+         |    AND l_shipdate < TIMESTAMP '${ExtendedQueries.Q58WindowEnd}'
+         |  GROUP BY l_suppkey, l_partkey)
+         |SELECT s.s_name, s.s_acctbal
+         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE n.n_name = '${ExtendedQueries.Q58Nation}'
+         |  AND s.s_suppkey IN (
+         |    SELECT q.l_suppkey FROM qty q
+         |    WHERE q.l_partkey IN (SELECT p_partkey FROM part
+         |                          WHERE p_name LIKE '${ExtendedQueries.Q58PartPrefix}%')
+         |      AND q.sq * 2 > (SELECT SUM(q2.sq) FROM qty q2
+         |                      WHERE q2.l_partkey = q.l_partkey))
+         |ORDER BY s.s_name""".stripMargin,
     // q51: TimescaleDB gapfill/locf/interpolate — dense hour spine via
     // generate_series, IGNORE NULLS windows, identical double op order
     "q51_gapfill_interpolate" ->

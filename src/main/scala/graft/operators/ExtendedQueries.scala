@@ -971,4 +971,156 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
+
+  // --- Q55: min-cost supplier (TPC-H Q2 shape) ------------------------------
+  /** Region and part-size binding for [[q55MinCostSupplier]]. */
+  val Q55Region = "ASIA"
+  val Q55MaxPartSize = 15
+
+  /** Per-part minimum-cost supplier inside one region — TPC-H Q2, the
+    * classic correlated-scalar-subquery decorrelation: the literal form
+    * re-runs `min(price) WHERE partkey = outer.partkey` per candidate
+    * row. Spark-first: the region-filtered supplier dim broadcasts into
+    * ONE pass over the fact, the per-part minimum is ONE aggregation of
+    * that pass, and the correlation collapses into an equi-join back on
+    * (partkey, price == min) — the q46/q47 pattern; no per-row re-probe
+    * exists in the plan. The corpus has no partsupp table, so lineitem
+    * plays the part-supplier price list (`l_extendedprice` per
+    * (l_partkey, l_suppkey) line); DISTINCT collapses repeat lines at
+    * the same min price, as Q2's unique partsupp key would. `min` of a
+    * raw double involves no arithmetic, so no decimal ladder is needed;
+    * the top-100 sort is fully tie-broken (p_partkey + s_name). */
+  def q55MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.table(s, dir, "nation")
+    val r = Tables.table(s, dir, "region").filter(col("r_name") === Q55Region)
+    val sup = Tables.table(s, dir, "supplier")
+      .join(broadcast(n.join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val asia = Tables.table(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val minp = asia.groupBy("l_partkey")
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    val parts = Tables.table(s, dir, "part")
+      .filter(col("p_size") <= Q55MaxPartSize)
+      .select("p_partkey", "p_brand")
+    asia.join(minp, "l_partkey")
+      .filter(col("l_extendedprice") === col("min_price"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("min_price"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  // --- Q56: top revenue supplier (TPC-H Q15 shape) --------------------------
+  /** Quarter window for [[q56TopSupplierRevenue]]. */
+  val Q56WindowStart = "1997-01-01"
+  val Q56WindowEnd = "1997-04-01"
+
+  /** Supplier(s) with the maximum windowed revenue — TPC-H Q15's
+    * max-over-aggregated-view: the view aggregates once, and the
+    * `revenue = (SELECT max(revenue) FROM view)` correlation is a 1-row
+    * scalar broadcast joined as a filter, not a per-row subquery. The
+    * revenue sums are DECIMAL (order-independent) and the max/equality
+    * comparison happens ON the decimal, so the "which suppliers tie"
+    * decision is exact — a double sum would make the tie set partition-
+    * layout-dependent; doubles appear only in the output column. At
+    * 100 TB: one shuffle (the suppkey agg) + two broadcasts. */
+  def q56TopSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val rev = Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit(Q56WindowStart)) &&
+        col("l_shipdate") < to_timestamp(lit(Q56WindowEnd)))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .as("rev"))
+    val mx = rev.agg(max(col("rev")).as("mx"))
+    val sup = Tables.table(s, dir, "supplier").select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev") === col("mx"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast(DoubleType).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // --- Q57: supplier-count by part attributes (TPC-H Q16 shape) -------------
+  /** Exclusions for [[q57PartSupplierCounts]]: brand/type screened out,
+    * the size whitelist, and the "customer complaints" analog — the
+    * corpus has no s_comment, so a negative account balance plays the
+    * excluded-supplier predicate. */
+  val Q57ExcludedBrand = "Brand#5"
+  val Q57ExcludedType = "PROMO"
+  val Q57Sizes: Seq[Int] = Seq(1, 9, 14, 19, 23, 36, 45, 49)
+
+  /** Distinct-supplier counts per (brand, type, size) with a NOT-IN
+    * exclusion list — TPC-H Q16. The NOT IN subquery is a broadcast
+    * ANTI join (s_suppkey is non-null, so NOT IN ≡ anti join — the
+    * null-poisoning caveat doesn't arise); part attributes broadcast;
+    * the only shuffle is the distinct-count aggregation. */
+  def q57PartSupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.table(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.table(s, dir, "part")
+      .filter(col("p_brand") =!= Q57ExcludedBrand &&
+        col("p_type") =!= Q57ExcludedType &&
+        col("p_size").isin(Q57Sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.table(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  // --- Q58: majority-share suppliers (TPC-H Q20 shape) ----------------------
+  /** Bindings for [[q58MajorityShareSuppliers]]: the supplier nation,
+    * the part-name prefix, and the ship-year window. */
+  val Q58Nation = "NATION_3"
+  val Q58PartPrefix = "red"
+  val Q58WindowStart = "1997-01-01"
+  val Q58WindowEnd = "1998-01-01"
+
+  /** Suppliers holding a majority share of some matching part's windowed
+    * volume — TPC-H Q20's nested semi-over-aggregation (IN over a
+    * grouped HAVING over a correlated total). Decorrelated the
+    * warehouse way: ONE (partkey, suppkey) aggregation of the windowed
+    * fact, the per-part total derived by RE-AGGREGATING that partial (never
+    * rescanning the fact), the share predicate cross-multiplied on
+    * exact DECIMALs (`sq · 2 > tot` — no division), and the qualifying
+    * supplier set applied as a LEFT SEMI join to the nation-filtered
+    * dim. The corpus has no partsupp/availqty, so "majority of this
+    * part's shipped volume" plays Q20's half-of-availqty predicate. */
+  def q58MajorityShareSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val perSP = Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit(Q58WindowStart)) &&
+        col("l_shipdate") < to_timestamp(lit(Q58WindowEnd)))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+    val perP = perSP.groupBy(col("l_partkey"))
+      .agg(sum(col("sq")).as("tot"))
+    val redParts = Tables.table(s, dir, "part")
+      .filter(col("p_name").startsWith(Q58PartPrefix))
+      .select("p_partkey")
+    val qual = perSP.join(perP, "l_partkey")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .filter(col("sq") * 2 > col("tot"))
+      .select(col("l_suppkey")).distinct()
+    val nat = Tables.table(s, dir, "nation")
+      .filter(col("n_name") === Q58Nation)
+    Tables.table(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
 }

@@ -1400,6 +1400,74 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.toSeq == expected)
   }
 
+  test("q55-q58: decorrelated quantifier semantics hold on the live corpus") {
+    import graft.operators.ExtendedQueries
+    // q55: every row's price IS the regional minimum for its part, and
+    // the candidate row set is distinct
+    val asia = Tables.table(spark, sf, "lineitem")
+      .join(Tables.table(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.table(spark, sf, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.table(spark, sf, "region")
+        .filter(col("r_name") === ExtendedQueries.Q55Region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("l_partkey", "l_extendedprice")
+      .as[(Long, Double)].collect()
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).min }
+    val q55 = ExtendedQueries.q55MinCostSupplier(spark, sf).collect()
+    assert(q55.nonEmpty && q55.length == q55.distinct.length)
+    q55.foreach { r =>
+      assert(r.getAs[Double]("min_price") ==
+        asia(r.getAs[Long]("p_partkey")), r.toString)
+    }
+    // q56: the reported suppliers all carry the view's exact max revenue
+    val q56 = ExtendedQueries.q56TopSupplierRevenue(spark, sf).collect()
+    assert(q56.nonEmpty)
+    val revs = q56.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, s"non-tied rows reported: ${revs.toSeq}")
+    // q57: no excluded (negative-balance) supplier contributes
+    val excluded = Tables.table(spark, sf, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+      .as[Long].collect().toSet
+    val maxCnt = Tables.table(spark, sf, "supplier").count() - excluded.size
+    val q57 = ExtendedQueries.q57PartSupplierCounts(spark, sf).collect()
+    assert(q57.nonEmpty)
+    q57.foreach(r =>
+      assert(r.getAs[Long]("supplier_cnt") <= maxCnt))
+    // q58: each reported supplier holds a strict majority of some
+    // matching part's windowed volume (BigDecimal recompute)
+    val win = Tables.table(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >=
+          to_timestamp(lit(ExtendedQueries.Q58WindowStart)) &&
+        col("l_shipdate") < to_timestamp(lit(ExtendedQueries.Q58WindowEnd)))
+      .join(Tables.table(spark, sf, "part")
+        .filter(col("p_name").startsWith(ExtendedQueries.Q58PartPrefix)),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .as[(Long, Long, Double)].collect()
+    val byPart = win.groupBy(_._1)
+    def qsum(xs: Iterable[Double]) =
+      xs.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    val majoritySupps = byPart.values.flatMap { xs =>
+      val tot = qsum(xs.map(_._3))
+      xs.groupBy(_._2).collect {
+        case (sk, ys) if qsum(ys.map(_._3)) * 2 > tot => sk
+      }
+    }.toSet
+    val nation3 = Tables.table(spark, sf, "supplier")
+      .join(Tables.table(spark, sf, "nation")
+        .filter(col("n_name") === ExtendedQueries.Q58Nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name").as[(Long, String)].collect().toMap
+    val expect58 = nation3.collect {
+      case (sk, name) if majoritySupps.contains(sk) => name
+    }.toSeq.sorted
+    val q58 = ExtendedQueries.q58MajorityShareSuppliers(spark, sf).collect()
+      .map(_.getAs[String]("s_name")).toSeq
+    assert(q58 == expect58)
+  }
+
   test("p19 dsir: bucket classes and doc scores match a BigInt mirror") {
     import graft.operators.Sampling
     val got = Sampling.dsirWeighting(spark, sf).collect()
