@@ -140,6 +140,8 @@ object SparkEntry {
     "s14_pq_tuning_sweep" -> canon("pq_m")(Similarity.pqTuningSweep),
     "s15_sim_ivfpq_topk" -> canon("qid", "rank")(Similarity.ivfPqTopK),
     "s16_sim_ivfpq_refine" -> canon("qid", "rank")(Similarity.ivfPqRefineTopK),
+    "s17_ivfpq_ingest" -> canon("cid")(Similarity.ivfPqIngest),
+    "s17b_ingest_recall" -> canon("method")(Similarity.ivfPqIngestRecall),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -489,14 +491,83 @@ object SparkEntry {
        |SELECT qid, rank, neighbor_id, cos_sim FROM rr
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** s17 ingest-membership predicates (the frozen-artifact exclusions):
+    * batch rows are `vec_id % IngestMod = IngestRem`. */
+  private def s17NewPred =
+    s"vec_id % ${Similarity.IngestMod} = ${Similarity.IngestRem}"
+  private def s17NotNewPred = s" AND NOT ($s17NewPred)"
+
+  /** s15's search data flow with the quantizer artifacts frozen to the
+    * pre-ingest corpus — the post-ingest retrieval the s17b recall
+    * oracle scores. */
+  private def s15IngestSql: String =
+    s"""${s15CtesFor(s17NotNewPred, s17NotNewPred)}
+       |SELECT qid, rank, neighbor_id, pq_score FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** s17 maintenance-audit oracle: assignment over index members against
+    * the existing-only centroid sample, PQ codes through the
+    * existing-only codebook, per-list before/added/after occupancy. */
+  private def s17Sql: String = {
+    val nq = Similarity.NumQueries
+    s"""WITH $embCte,
+       |${pqCtes(Similarity.PqM, Similarity.PqSubDim, s17NotNewPred)},
+       |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+       |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+       |            AND vec_id >= $nq$s17NotNewPred),
+       |mem AS (SELECT * FROM e WHERE vec_id >= $nq),
+       |ac AS (SELECT a.vec_id, c.cid,
+       |    list_sum(list_transform(list_zip(a.embedding, c.cv),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+       |      AS ccos
+       |  FROM mem a, cents c),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+       |  WHERE rn = 1),
+       |before AS (SELECT cid, count(*) AS n_before FROM assign
+       |           WHERE NOT ($s17NewPred) GROUP BY cid),
+       |csum AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
+       |         FROM codes WHERE $s17NewPred AND vec_id >= $nq
+       |         GROUP BY vec_id),
+       |added AS (SELECT a.cid, count(*) AS n_added,
+       |            CAST(SUM(code_sum) AS BIGINT) AS code_mass_added
+       |          FROM assign a JOIN csum USING (vec_id)
+       |          WHERE a.$s17NewPred GROUP BY a.cid),
+       |tot AS (SELECT
+       |    CAST((SELECT SUM(n_before) FROM before) AS BIGINT) AS tot_before,
+       |    CAST((SELECT count(*) FROM mem WHERE $s17NewPred) AS BIGINT)
+       |      AS n_batch)
+       |SELECT b.cid, b.n_before,
+       |  COALESCE(a.n_added, 0) AS n_added,
+       |  b.n_before + COALESCE(a.n_added, 0) AS n_after,
+       |  CAST(b.n_before AS DOUBLE) / tot_before AS share_before,
+       |  CAST(b.n_before + COALESCE(a.n_added, 0) AS DOUBLE)
+       |    / (tot_before + n_batch) AS share_after,
+       |  CAST(b.n_before + COALESCE(a.n_added, 0) AS DOUBLE)
+       |      / (tot_before + n_batch)
+       |    - CAST(b.n_before AS DOUBLE) / tot_before AS share_drift,
+       |  COALESCE(a.code_mass_added, 0) AS code_mass_added
+       |FROM before b LEFT JOIN added a USING (cid) CROSS JOIN tot
+       |ORDER BY b.cid""".stripMargin
+  }
+
   /** The s15 IVF-PQ pipeline through its ranked CTE `r` — shared by the
     * s15 top-3 and the s16 refine oracle. */
-  private def s15Ctes: String =
+  private def s15Ctes: String = s15CtesFor("", "")
+
+  /** [[s15Ctes]] with extra membership predicates on the quantizer
+    * artifacts — `centsPred` narrows the coarse-centroid sample,
+    * `cbPred` the PQ codebook source rows. The s17b ingest-recall
+    * oracle uses them to freeze both artifacts to the EXISTING corpus
+    * while the search data flow stays verbatim s15. */
+  private def s15CtesFor(centsPred: String, cbPred: String): String =
     s"""WITH $embCte,
-         |${pqCtes(Similarity.PqM, Similarity.PqSubDim)},
+         |${pqCtes(Similarity.PqM, Similarity.PqSubDim, cbPred)},
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
          |          WHERE vec_id % ${Similarity.CentroidStride} = 0
-         |            AND vec_id >= ${Similarity.NumQueries}),
+         |            AND vec_id >= ${Similarity.NumQueries}$centsPred),
          |ac AS (SELECT a.vec_id, c.cid,
          |    list_sum(list_transform(list_zip(a.embedding, c.cv),
          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
@@ -534,14 +605,14 @@ object SparkEntry {
     * production config; the s14 sweep embeds one body per M. */
   /** PQ CTE chain (ms…codes…lut) over the `e` CTE — shared by the s07
     * all-candidates oracle and the s15 IVF-pruned composition. */
-  private def pqCtes(m: Int, sd: Int): String = {
+  private def pqCtes(m: Int, sd: Int, cbPred: String = ""): String = {
     def d(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(12,6))"
     val nq = Similarity.NumQueries
     val k = Similarity.PqK
     s"""ms AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
        |cb AS (SELECT ms.m AS m, CAST(vec_id - $nq AS INT) AS c,
        |         list_slice(embedding, ms.m*$sd+1, ms.m*$sd+$sd) AS csub
-       |       FROM e, ms WHERE vec_id >= $nq AND vec_id < ${nq + k}),
+       |       FROM e, ms WHERE vec_id >= $nq AND vec_id < ${nq + k}$cbPred),
        |cbn AS (SELECT m, c, csub,
        |         list_sum(list_transform(csub, x -> ${d("x")} * ${d("x")}))
        |           AS cn2 FROM cb),
@@ -2032,6 +2103,28 @@ object SparkEntry {
     // — candidates restricted to the query's probed inverted lists
     "s15_sim_ivfpq_topk" -> s15Sql,
     "s16_sim_ivfpq_refine" -> s16Sql,
+    // s17: incremental IVF-PQ ingest — assignment/codes replayed with the
+    // quantizer artifacts frozen to the pre-ingest (NOT new-batch) corpus
+    "s17_ivfpq_ingest" -> s17Sql,
+    "s17b_ingest_recall" -> {
+      val np = 3 * Similarity.NumQueries
+      s"""WITH bf AS (SELECT qid, neighbor_id FROM ($s01Sql)
+         |           WHERE rank <= 3),
+         |base AS (SELECT qid, neighbor_id FROM ($s15Sql)),
+         |ing AS (SELECT qid, neighbor_id FROM ($s15IngestSql)),
+         |c AS (SELECT
+         |  CAST((SELECT count(*) FROM ing JOIN bf USING (qid, neighbor_id))
+         |    AS BIGINT) AS n_hits,
+         |  CAST((SELECT count(*) FROM base JOIN bf USING (qid, neighbor_id))
+         |    AS BIGINT) AS n_base)
+         |SELECT 'ivfpq_ingest' AS method, n_hits,
+         |  CAST($np AS BIGINT) AS n_possible,
+         |  CAST(n_hits AS DOUBLE) / $np AS recall_at_3,
+         |  CAST(n_base AS DOUBLE) / $np AS baseline_recall_at_3,
+         |  CAST(n_hits AS DOUBLE) / $np - CAST(n_base AS DOUBLE) / $np
+         |    AS recall_delta
+         |FROM c""".stripMargin
+    },
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,
          |        list_sum(list_transform(embedding,

@@ -32,7 +32,7 @@ object Similarity {
   /** Width-normalized scan ([[graft.Tables.spread]]): the small corpus
     * arrives as ONE parquet split, and every exact-decimal dot/norm
     * downstream would run on a single core. */
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embeddings(s: SparkSession, dir: String): DataFrame =
     withNorm(Tables.spread(s, dir, "embeddings", "vec_id"))
 
   /** Attach the exact-decimal L2 norm to a (vec_id, embedding) frame. */
@@ -128,7 +128,7 @@ object Similarity {
     * definition shared by every IVF consumer (search, audits, IVF-PQ), so
     * a change to the quantizer cannot silently diverge between the
     * oracle-pinned variants. */
-  private def centsOf(e: DataFrame): DataFrame =
+  private[graft] def centsOf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % CentroidStride === 0 &&
         col("vec_id") >= NumQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
@@ -508,8 +508,15 @@ object Similarity {
     * `min(struct(k, c))` buffer forced a SortAggregate into the encode
     * path (VERDICT r04 ask #4). */
   private[graft] def pqCodes(e: DataFrame, m: Int = PqM,
-      subDim: Int = PqSubDim): DataFrame = {
-    val cb = pqCodebook(e, m, subDim)
+      subDim: Int = PqSubDim): DataFrame =
+    pqCodesFor(e, pqCodebook(e, m, subDim), m, subDim)
+
+  /** [[pqCodes]] against an EXPLICIT codebook — the seam the s17
+    * incremental-ingest path encodes through: the codebook is a frozen
+    * artifact of the existing index, not a function of the frame being
+    * encoded. */
+  private[graft] def pqCodesFor(e: DataFrame, cb: DataFrame, m: Int,
+      subDim: Int): DataFrame = {
     val sub = e.select(col("vec_id"), col("nrm"), subM(m).as("m"), col("embedding"))
       .select(col("vec_id"), col("nrm"), col("m"),
         sliceM(col("embedding"), subDim).as("xsub"))
@@ -525,13 +532,18 @@ object Similarity {
   /** ADC table: query-subvector · codebook-entry exact dots (Q·M·K rows,
     * broadcast) — shared by [[pqRanked]] and [[ivfPqRanked]]. */
   private def pqLut(e: DataFrame, m: Int, subDim: Int): DataFrame =
+    pqLutFor(e, pqCodebook(e, m, subDim), m, subDim)
+
+  /** [[pqLut]] against an explicit codebook (the s17 frozen-artifact
+    * seam, mirroring [[pqCodesFor]]). */
+  private def pqLutFor(e: DataFrame, cb: DataFrame, m: Int,
+      subDim: Int): DataFrame =
     e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("nrm").as("qn"),
         subM(m).as("m"), col("embedding"))
       .select(col("qid"), col("qn"), col("m"),
         sliceM(col("embedding"), subDim).as("qsub"))
-      .join(broadcast(pqCodebook(e, m, subDim)
-        .select(col("m"), col("c"), col("csub"))), "m")
+      .join(broadcast(cb.select(col("m"), col("c"), col("csub"))), "m")
       .select(col("qid"), col("qn"), col("m"), col("c"),
         dotDec(col("qsub"), col("csub")).as("pdot"))
 
@@ -581,14 +593,23 @@ object Similarity {
   }
 
   private[graft] def ivfPqRanked(e: DataFrame, nProbe: Int = NProbe,
-      m: Int = PqM, subDim: Int = PqSubDim, topK: Int = 3): DataFrame = {
-    val cents = centsOf(e)
+      m: Int = PqM, subDim: Int = PqSubDim, topK: Int = 3): DataFrame =
+    ivfPqRankedFor(e, centsOf(e), pqCodebook(e, m, subDim), nProbe, m,
+      subDim, topK)
+
+  /** [[ivfPqRanked]] against EXPLICIT coarse centroids and PQ codebook —
+    * how a maintained 100 TB index actually serves: the quantizer
+    * artifacts are frozen at build time; data (including post-build
+    * ingest batches, s17) flows through them. */
+  private[graft] def ivfPqRankedFor(e: DataFrame, cents: DataFrame,
+      cb: DataFrame, nProbe: Int = NProbe, m: Int = PqM,
+      subDim: Int = PqSubDim, topK: Int = 3): DataFrame = {
     val probes = coarseProbes(e, cents, NumQueries, nProbe)
       .select("qid", "cid")
     val cand = ivfAssign(e, cents).join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
-    val codes = pqCodes(e, m, subDim)
-    val lut = pqLut(e, m, subDim)
+    val codes = pqCodesFor(e, cb, m, subDim)
+    val lut = pqLutFor(e, cb, m, subDim)
       .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
         col("pdot"))
     val scored = cand.join(codes, "vec_id")
@@ -650,6 +671,102 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "neighbor_id", "cos_sim")
+  }
+
+  // --- s17: incremental IVF-PQ index ingest --------------------------------
+  /** New-batch membership for [[ivfPqIngest]]: `vec_id % IngestMod ==
+    * IngestRem` plays the arriving batch, everything else (query vectors
+    * aside) is the already-built index. The remainder is chosen OFF the
+    * centroid stride's residue class (stride-sample ids are ≡ 0 mod
+    * [[IngestMod]]), so the frozen coarse quantizer lives entirely in
+    * the existing corpus — as it must: a maintained index never loses
+    * its centroids to a batch boundary. */
+  val IngestMod = 5
+  val IngestRem = 3
+
+  private def isIngestBatch = col("vec_id") % IngestMod === IngestRem
+
+  /** Incremental IVF-PQ index maintenance (s17) — the similarity mirror
+    * of d07's incremental dedup ingest: a 100 TB ANN index is MAINTAINED,
+    * not rebuilt. The coarse centroids and the PQ codebook are FROZEN
+    * artifacts of the existing index ([[centsOf]]/[[pqCodebook]] over
+    * the existing corpus only — no retrain); the arriving batch is
+    * assigned to its nearest existing inverted list and PQ-encoded
+    * through the frozen codebook, with cost proportional to the BATCH
+    * (one broadcast-centroid pass + one broadcast-codebook encode),
+    * never the corpus. Assignment and encoding are per-vector functions
+    * of the frozen artifacts, so ingest-then-union is bit-identical to
+    * building from scratch on the union — the spec proves it.
+    *
+    * Output: the maintenance audit, one row per inverted list — members
+    * before/after, the batch's additions, occupancy share drift (the
+    * s10 balance alarm applied to ingest: drifting shares mean the
+    * frozen quantizer no longer fits the data distribution and a
+    * retrain+rebuild is due), and the integer mass of appended PQ codes
+    * (exact proof the batch was encoded through the FROZEN codebook).
+    * All counts exact; shares/drift are boundary divisions. */
+  def ivfPqIngest(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val members = e.filter(col("vec_id") >= NumQueries)
+    val existing = members.filter(!isIngestBatch)
+    val batch = members.filter(isIngestBatch)
+    val cents = centsOf(existing)
+    val cb = pqCodebook(existing)
+    val before = ivfAssign(existing, cents)
+      .groupBy("cid").agg(count(lit(1)).as("n_before"))
+    val batchCodeSums = pqCodesFor(batch, cb, PqM, PqSubDim)
+      .groupBy("vec_id").agg(sum(col("code")).as("code_sum"))
+    val added = ivfAssign(batch, cents)
+      .join(batchCodeSums, "vec_id")
+      .groupBy("cid").agg(count(lit(1)).as("n_added"),
+        sum(col("code_sum")).as("code_mass_added"))
+    val totals = before.agg(sum(col("n_before")).as("tot_before"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+    before.join(added, Seq("cid"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("cid"), col("n_before"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        (col("n_before") + coalesce(col("n_added"), lit(0L))).as("n_after"),
+        (col("n_before").cast(DoubleType) / col("tot_before"))
+          .as("share_before"),
+        ((col("n_before") + coalesce(col("n_added"), lit(0L)))
+          .cast(DoubleType) / (col("tot_before") + col("n_batch")))
+          .as("share_after"),
+        ((col("n_before") + coalesce(col("n_added"), lit(0L)))
+          .cast(DoubleType) / (col("tot_before") + col("n_batch")) -
+          col("n_before").cast(DoubleType) / col("tot_before"))
+          .as("share_drift"),
+        coalesce(col("code_mass_added"), lit(0L)).as("code_mass_added"))
+  }
+
+  /** Post-ingest retrieval quality (s17b) — the recall check that
+    * closes s17's loop: search the UNION corpus through the FROZEN
+    * (existing-trained) artifacts and compare recall@3 against the s15
+    * baseline whose quantizer was built on the full corpus — the delta
+    * IS the price of not retraining, the number an index operator
+    * watches to schedule rebuilds (the s06-recall methodology, one
+    * composed row). */
+  def ivfPqIngestRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).persist()
+    val existing = e.filter(col("vec_id") >= NumQueries && !isIngestBatch)
+    val afterIngest = ivfPqRankedFor(e, centsOf(existing),
+      pqCodebook(existing)).select("qid", "neighbor_id")
+    val baseline = ivfPqRanked(e).select("qid", "neighbor_id")
+    val bf = bruteForceRanked(e)
+      .filter(col("rank") <= 3).select("qid", "neighbor_id")
+    val nPossible = 3L * NumQueries
+    val out = afterIngest.join(bf, Seq("qid", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(baseline.join(bf, Seq("qid", "neighbor_id"))
+        .agg(count(lit(1)).as("n_base"))))
+      .select(lit("ivfpq_ingest").as("method"), col("n_hits"),
+        lit(nPossible).as("n_possible"),
+        (col("n_hits").cast(DoubleType) / nPossible).as("recall_at_3"),
+        (col("n_base").cast(DoubleType) / nPossible)
+          .as("baseline_recall_at_3"),
+        (col("n_hits").cast(DoubleType) / nPossible -
+          col("n_base").cast(DoubleType) / nPossible).as("recall_delta"))
+    evictAfter(out, e)
   }
 
   /** Subspace counts [[pqTuningSweep]] sweeps — 64-dim vectors split

@@ -1292,6 +1292,53 @@ class OperatorsSpec extends SparkSpec {
       "refine lost recall vs the raw ADC top-3")
   }
 
+  test("s17: ingest into frozen artifacts equals a scratch build on the " +
+      "union; audit accounting closes") {
+    import graft.operators.Similarity
+    val e = Similarity.embeddings(spark, sf)
+    val members = e.filter(col("vec_id") >= Similarity.NumQueries)
+    val isNew = col("vec_id") % Similarity.IngestMod === Similarity.IngestRem
+    val existing = members.filter(!isNew)
+    val batch = members.filter(isNew)
+    val cents = Similarity.centsOf(existing)
+    val cb = Similarity.pqCodebook(existing)
+    // assignment through FIXED centroids is per-vector: incremental
+    // (existing-then-batch) union equals one scratch pass over the union
+    def assignSet(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(df, cents).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"))).toSet
+    val incremental = assignSet(existing) ++ assignSet(batch)
+    val scratch = assignSet(members)
+    assert(incremental == scratch && scratch.nonEmpty)
+    // same for PQ codes through the FIXED codebook
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqCodesFor(df, cb, Similarity.PqM, Similarity.PqSubDim)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+          r.getAs[Int]("code"))).toSet
+    assert(codeSet(existing) ++ codeSet(batch) == codeSet(members))
+    // the maintenance audit's accounting closes against the raw counts
+    val audit = Similarity.ivfPqIngest(spark, sf).collect()
+    assert(audit.nonEmpty)
+    assert(audit.map(_.getAs[Long]("n_before")).sum == existing.count())
+    assert(audit.map(_.getAs[Long]("n_added")).sum == batch.count())
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") + r.getAs[Long]("n_added"))
+    }
+    // shares on each side each sum to 1
+    assert(math.abs(audit.map(_.getAs[Double]("share_before")).sum - 1.0)
+      < 1e-9)
+    assert(math.abs(audit.map(_.getAs[Double]("share_after")).sum - 1.0)
+      < 1e-9)
+    // the recall row is internally consistent and bounded
+    val rec = Similarity.ivfPqIngestRecall(spark, sf).head()
+    assert(rec.getAs[Long]("n_possible") == 3L * Similarity.NumQueries)
+    val r3 = rec.getAs[Double]("recall_at_3")
+    assert(r3 >= 0.0 && r3 <= 1.0)
+    assert(math.abs(rec.getAs[Double]("recall_delta") -
+      (r3 - rec.getAs[Double]("baseline_recall_at_3"))) < 1e-12)
+  }
+
   test("q52 moments: identity-form stats agree with Spark's built-ins") {
     import graft.operators.ExtendedQueries
     val got = ExtendedQueries.q52StatsMoments(spark, sf).collect()
