@@ -138,13 +138,21 @@ object Similarity {
     * the coarse search every IVF variant starts from (same single
     * definition rationale as [[centsOf]]). */
   private def coarseProbes(e: DataFrame, cents: DataFrame,
-      numQueries: Int, maxRank: Int): DataFrame = {
+      numQueries: Int, maxRank: Int): DataFrame =
+    coarseProbesQ(e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding"),
+        col("nrm").as("qn")), cents, maxRank)
+
+  /** [[coarseProbes]] over an EXPLICIT `(qid, embedding, qn)` query
+    * frame — the serving seam ([[ivfPqServe]]): arriving queries are not
+    * rows of the indexed corpus. */
+  private[graft] def coarseProbesQ(q: DataFrame, cents: DataFrame,
+      maxRank: Int): DataFrame = {
     val ccos =
       (graft.functions.FloatVecDot.float_vec_dot(col("embedding"), col("cv")) /
-        (col("nrm") * col("cn"))).as("ccos")
-    e.filter(col("vec_id") < numQueries)
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id").as("qid"), col("cid"), ccos)
+        (col("qn") * col("cn"))).as("ccos")
+    q.join(broadcast(cents), lit(true))
+      .select(col("qid"), col("cid"), ccos)
       .withColumn("probe_rank",
         row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("ccos").desc, col("cid").asc)))
@@ -538,9 +546,15 @@ object Similarity {
     * seam, mirroring [[pqCodesFor]]). */
   private def pqLutFor(e: DataFrame, cb: DataFrame, m: Int,
       subDim: Int): DataFrame =
-    e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
-        subM(m).as("m"), col("embedding"))
+    pqLutQ(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding"),
+        col("nrm").as("qn")), cb, m, subDim)
+
+  /** [[pqLutFor]] over an explicit `(qid, embedding, qn)` query frame
+    * (the serving seam, mirroring [[coarseProbesQ]]). */
+  private[graft] def pqLutQ(q: DataFrame, cb: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    q.select(col("qid"), col("qn"), subM(m).as("m"), col("embedding"))
       .select(col("qid"), col("qn"), col("m"),
         sliceM(col("embedding"), subDim).as("qsub"))
       .join(broadcast(cb.select(col("m"), col("c"), col("csub"))), "m")
@@ -655,11 +669,17 @@ object Similarity {
     * the corpus scan, so the only corpus-side work is fetching the
     * candidates' vectors. */
   private def exactCosRankedPairs(e: DataFrame, cand: DataFrame,
-      k: Int): DataFrame = {
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
-    val scored = e
+      k: Int): DataFrame =
+    exactCosRankedPairsQ(e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding"),
+        col("nrm").as("qn")), e, cand, k)
+
+  /** [[exactCosRankedPairs]] with an explicit `(qid, embedding, qn)`
+    * query frame (the serving seam, mirroring [[coarseProbesQ]]). */
+  private[graft] def exactCosRankedPairsQ(q0: DataFrame, corpus: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
+    val q = q0.select(col("qid"), col("embedding").as("qv"), col("qn"))
+    val scored = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
       .join(broadcast(cand), "neighbor_id")
       .join(broadcast(q), "qid")
@@ -671,6 +691,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** End-to-end ANN serving of an EXTERNAL query frame against a built
+    * index — the full s15+s16 retrieval (coarse probe → ADC top-
+    * [[RefineK]] → exact-decimal re-rank to top-`k`) where the queries
+    * arrive as their own `(qid, embedding)` frame instead of living
+    * inside the corpus, and the quantizer artifacts are EXPLICIT frozen
+    * inputs. This is the batch kernel
+    * [[graft.streaming.StreamingSimScorer]] runs per micro-batch; fed
+    * the corpus's own query rows it reproduces [[ivfPqRefineTopK]]
+    * bit-for-bit (spec-proven). Self-matches (an external qid colliding
+    * with a corpus vec_id) are excluded, matching s15/s16 semantics. */
+  def ivfPqServe(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+      cb: DataFrame, nProbe: Int = NProbe, m: Int = PqM,
+      subDim: Int = PqSubDim, refineK: Int = RefineK,
+      k: Int = 3): DataFrame = {
+    val q = withNorm(queries.select(col("qid").as("vec_id"),
+        col("embedding")))
+      .select(col("vec_id").as("qid"), col("embedding"),
+        col("nrm").as("qn"))
+    val probes = coarseProbesQ(q, cents, nProbe).select("qid", "cid")
+    val cand = ivfAssign(corpus, cents).join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
+    val codes = pqCodesFor(corpus, cb, m, subDim)
+    val lut = pqLutQ(q, cb, m, subDim)
+      .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
+        col("pdot"))
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdot")).as("adc"), max(col("nrm")).as("nrm"),
+        max(col("qn")).as("qn"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        (col("adc").cast(DoubleType) / (col("qn") * col("nrm")))
+          .as("pq_score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("pq_score").desc, col("neighbor_id").asc)
+    val retrieved = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= refineK)
+      .select("qid", "neighbor_id")
+    exactCosRankedPairsQ(q, corpus, retrieved, k)
   }
 
   // --- s17: incremental IVF-PQ index ingest --------------------------------

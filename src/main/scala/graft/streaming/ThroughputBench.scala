@@ -158,4 +158,42 @@ object ThroughputBench {
           graft.sinks.HypertableSink.write(
             df, base.resolve("hyper").toString, "captured_at", "day")))
     })
+
+  /** ANN-serving throughput: queries/second through the streaming
+    * serving loop ([[StreamingSimScorer]] — per micro-batch, the FULL
+    * two-stage s16 retrieval against the prebuilt index, results landing
+    * in parquet). The index build is offline deploy work and runs
+    * outside the clock; the measured span covers probe + ADC + exact
+    * refine + sink for every arriving query batch. */
+  def runAnnServe(spark: SparkSession, sfDir: String, nQueries: Int = 200,
+      batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = StreamingSimScorer.buildIndex(spark, sfDir)
+    try {
+      // query load: corpus vectors re-tagged with external serving ids
+      val vecs = graft.Tables.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).limit(nQueries)
+        .as[(Long, Seq[Float])].collect()
+      val queries = vecs.zipWithIndex.map { case ((_, v), i) =>
+        AnnQuery(1000000L + i, v) }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[AnnQuery]
+      val base = Files.createTempDirectory("graft-ann-serve")
+      val t0 = System.nanoTime()
+      val q = StreamingSimScorer.attach(input.toDF(), idx,
+        base.resolve("answers").toString, base.resolve("ckpt").toString)
+      queries.grouped(math.max(1, queries.length / batches)).foreach { g =>
+        input.addData(g.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      queries.length / ((System.nanoTime() - t0) / 1e9)
+    } finally idx.unpersistAll()
+  }
 }
+
+/** [[ThroughputBench.runAnnServe]]'s stream element (top-level: Spark
+  * encoders cannot instantiate a method-local case class). */
+final case class AnnQuery(qid: Long, embedding: Seq[Float])

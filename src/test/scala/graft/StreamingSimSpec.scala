@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.streaming.StreamingSimScorer
+
+/** [[StreamingSimSpec]]'s stream element (top-level: Spark encoders
+  * cannot instantiate a suite-inner case class). */
+case class SimQuery(qid: Long, embedding: Seq[Float])
+
+/** Build-offline / serve-online parity for the ANN index: query vectors
+  * arriving on a stream, answered per micro-batch through the frozen
+  * s15 artifacts, must reproduce the batch s16 retrieval exactly. */
+class StreamingSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def answerKey(r: Row) =
+    (r.getAs[Long]("qid"), r.getAs[Int]("rank"))
+  private def answerBody(r: Row) =
+    (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))
+
+  test("streamed ANN answers equal batch s16 query-for-query") {
+    val idx = StreamingSimScorer.buildIndex(spark, sf)
+    try {
+      // the corpus's own query vectors, fed as an EXTERNAL stream
+      val queries = Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .as[SimQuery].collect()
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[SimQuery]
+      val base = Files.createTempDirectory("sim-serve")
+      val outDir = base.resolve("answers").toString
+      val q = StreamingSimScorer.attach(input.toDF(), idx, outDir,
+        base.resolve("ckpt").toString)
+      // two micro-batches: answers must not depend on arrival batching
+      val (first, second) = queries.splitAt(queries.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.read.parquet(outDir).collect()
+        .map(r => answerKey(r) -> answerBody(r)).toMap
+      val batch = Similarity.ivfPqRefineTopK(spark, sf).collect()
+        .map(r => answerKey(r) -> answerBody(r)).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        "stream-served answers must match the batch s16 output exactly")
+    } finally idx.unpersistAll()
+  }
+
+  test("the serving-throughput bench path completes and reports a rate") {
+    val qps = graft.streaming.ThroughputBench
+      .runAnnServe(spark, sf, nQueries = 20, batches = 2)
+    assert(qps > 0.0)
+  }
+
+  test("serve() answers external qids that do not collide with the corpus") {
+    val idx = StreamingSimScorer.buildIndex(spark, sf)
+    try {
+      // same vectors under fresh external ids: answers must be the same
+      // neighbor sets (no self-exclusion is triggered by the new ids —
+      // except the vector's own corpus twin, which IS a legitimate
+      // nearest neighbor for an external query)
+      val off = 1000000L
+      val ext = Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") < Similarity.NumQueries)
+        .select((col("vec_id") + off).as("qid"), col("embedding"))
+      val got = StreamingSimScorer.serve(ext, idx).collect()
+      assert(got.nonEmpty)
+      got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+        assert(qid >= off)
+        assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.size))
+        // the external twin of corpus vector (qid - off) now retrieves
+        // that twin itself at cosine ~1 as its top answer
+        val top = rs.minBy(_.getAs[Int]("rank"))
+        assert(top.getAs[Long]("neighbor_id") == qid - off)
+        assert(math.abs(top.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+      }
+    } finally idx.unpersistAll()
+  }
+}
