@@ -263,4 +263,107 @@ class StreamingSpec extends SparkSpec {
     assert(hist.map(_.version) == List(1, 2))
     assert(hist.map(_.hash).distinct.size == 2)
   }
+
+  test("restart on schema change: events arriving in the kill window " +
+      "survive the version flip exactly-once, old state widens") {
+    // SURVEY §7.6's operational sequence, end-to-end: the stream is
+    // KILLED, generation-2 events (new column + a value needing the
+    // widened type) land while nothing is running, the registry flips
+    // v1→v2 (ADD_COLUMN phone + ALTER age INT→BIGINT, the
+    // test_add_column/test_alter_type pair), and the restart drains the
+    // backlog from the checkpoint — every event lands exactly once, a
+    // generation-1 row UPDATED post-flip carries the new column, and a
+    // further no-input restart replays nothing
+    import graft.schema._
+    import graft.streaming.FanOut
+    val base = Files.createTempDirectory("cdc-flip")
+    val events = Files.createDirectories(base.resolve("events"))
+    val typedOut = base.resolve("typed").toString
+    val registry = new SchemaRegistry
+
+    def typedWrite(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val v = registry.latest("ecommerce", "users").get
+      SchemaEvolution.applyTyped(df, v.schema)
+        .write.mode("append").parquet(s"$typedOut/gen=${v.version}")
+    }
+    def drain(): Unit = {
+      val q = CdcPipeline.start(spark, events.toString,
+        base.resolve("state").toString, base.resolve("ckpt").toString,
+        base.resolve("dlq").toString, extraSinks = Seq(
+          FanOut.Destination("typed-warehouse", write = typedWrite)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    def userJson(id: String, typ: String, user: String, ts: Long,
+        cols: String): String =
+      s"""{"event_id":"$id","event_type":"$typ","table_name":"users",""" +
+        s""""keyspace":"ecommerce","partition_key":{"user_id":"$user"},""" +
+        s""""clustering_key":{},"columns":$cols,""" +
+        s""""timestamp_micros":$ts,"captured_at_micros":$ts}"""
+
+    // generation 1 under v1 (age is INT)
+    val v1 = org.apache.spark.sql.types.StructType(Seq(
+      SchemaMeta.field("user_id", "TEXT", partitionKey = true),
+      SchemaMeta.field("email", "TEXT"),
+      SchemaMeta.field("age", "INT")))
+    assert(SchemaEvolution.evolve(registry, "ecommerce", "users", v1)
+      == SchemaEvolution.Discovered(1))
+    writeFile(events, "g1.json", Seq(
+      userJson("e1", "INSERT", "u1", 1000, """{"email":"a@x.com","age":"30"}"""),
+      userJson("e2", "INSERT", "u2", 1000, """{"email":"b@x.com","age":"40"}""")))
+    drain() // ...and the stream is now KILLED
+
+    // the kill window: generation-2 events land while nothing runs —
+    // an UPDATE to a generation-1 user using the NEW column, and an
+    // insert whose age value needs the WIDENED type
+    writeFile(events, "g2.json", Seq(
+      userJson("e3", "UPDATE", "u1", 2000, """{"phone":"555","age":"31"}"""),
+      userJson("e4", "INSERT", "u3", 2000,
+        """{"email":"c@x.com","phone":"777","age":"9999999999"}""")))
+    // the registry flip that motivated the restart
+    val v2 = org.apache.spark.sql.types.StructType(Seq(
+      SchemaMeta.field("user_id", "TEXT", partitionKey = true),
+      SchemaMeta.field("email", "TEXT"),
+      SchemaMeta.field("age", "BIGINT"),
+      SchemaMeta.field("phone", "TEXT")))
+    SchemaEvolution.evolve(registry, "ecommerce", "users", v2) match {
+      case SchemaEvolution.Applied(2, changes) =>
+        assert(changes.toSet == Set(AddColumn("phone", "TEXT"),
+          AlterType("age", "INT", "BIGINT", keyRole = false)))
+      case other => fail(s"expected Applied(2, _), got $other")
+    }
+    drain() // restart from the same checkpoint drains the backlog
+
+    val store = new UpsertStateStore(base.resolve("state").toString,
+      Seq("event_key_cols"), Seq("timestamp_micros"))
+    def stateSnapshot() = store.current(spark).get
+      .select(col("event_key_cols"),
+        element_at(col("columns"), "phone").as("phone"),
+        element_at(col("columns"), "age").as("age"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    val s1 = stateSnapshot()
+    assert(s1.size == 3, s"expected u1,u2,u3 — got $s1") // no loss, no dup
+    // the generation-1 row took the post-flip UPDATE: new column present
+    // (masked — phone is PII from its first post-evolution batch)
+    val u1 = s1.find(_._1.contains("u1")).get
+    assert(u1._2 != null && u1._2.length == 64 && u1._2 != "555")
+    assert(u1._3 == "31")
+    // typed landings: gen-1 has INT age, gen-2 has the widened BIGINT
+    // carrying the value an INT cannot hold
+    val g1 = spark.read.parquet(s"$typedOut/gen=1")
+    assert(g1.schema("age").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(g1.count() == 2)
+    val g2 = spark.read.parquet(s"$typedOut/gen=2")
+    assert(g2.schema("age").dataType == org.apache.spark.sql.types.LongType)
+    assert(g2.select("age").as[Long].collect().toSet ==
+      Set(31L, 9999999999L))
+    // a further restart with NO new input replays nothing
+    drain()
+    assert(stateSnapshot() == s1)
+    assert(spark.read.parquet(s"$typedOut/gen=2").count() == g2.count())
+    assert(registry.history("ecommerce", "users").map(_.version) ==
+      List(1, 2))
+  }
 }
