@@ -91,6 +91,14 @@ object SparkEntry {
     "q56_top_supplier_revenue" -> ExtendedQueries.q56TopSupplierRevenue _,
     "q57_part_supplier_counts" -> ExtendedQueries.q57PartSupplierCounts _,
     "q58_majority_share_supp" -> ExtendedQueries.q58MajorityShareSuppliers _,
+    "q59_late_order_priorities" -> ExtendedQueries.q59LateOrderPriorities _,
+    "q60_forecast_revenue" -> ExtendedQueries.q60ForecastRevenue _,
+    "q61_volume_shipping" -> ExtendedQueries.q61VolumeShipping _,
+    "q62_market_share" -> ExtendedQueries.q62MarketShare _,
+    "q63_product_profit" -> ExtendedQueries.q63ProductProfit _,
+    "q64_returned_items" -> ExtendedQueries.q64ReturnedItems _,
+    "q65_priority_shipclass" -> ExtendedQueries.q65PriorityShipClass _,
+    "q66_promo_revenue" -> ExtendedQueries.q66PromoRevenue _,
     "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
     "q52_stats_moments" -> ExtendedQueries.q52StatsMoments _,
     "q53_distribution_rank" -> ExtendedQueries.q53DistributionRank _,
@@ -1362,6 +1370,130 @@ object SparkEntry {
          |      AND q.sq * 2 > (SELECT SUM(q2.sq) FROM qty q2
          |                      WHERE q2.l_partkey = q.l_partkey))
          |ORDER BY s.s_name""".stripMargin,
+    // q59: TPC-H Q4 shape — the oracle keeps the literal EXISTS; the
+    // engine's left-semi with the lateness predicate on the join must agree
+    "q59_late_order_priorities" ->
+      s"""SELECT o.o_orderpriority, count(*) AS order_count
+         |FROM orders o
+         |WHERE o.o_orderdate >= TIMESTAMP '${ExtendedQueries.Q59WindowStart}'
+         |  AND o.o_orderdate < TIMESTAMP '${ExtendedQueries.Q59WindowEnd}'
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_shipdate > CAST(o.o_orderdate AS DATE)
+         |                  + INTERVAL ${ExtendedQueries.LateShipDays} DAY)
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    // q60: TPC-H Q6 shape — pure pushdown + one decimal product sum
+    "q60_forecast_revenue" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         |         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '${ExtendedQueries.Q60WindowStart}'
+         |  AND l_shipdate < TIMESTAMP '${ExtendedQueries.Q60WindowEnd}'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    // q61: TPC-H Q7 shape — bilateral nation volume per ship year
+    "q61_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(CAST(l.l_shipdate AS TIMESTAMP)) AS l_year,
+         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+         |    * (CAST(1 AS DECIMAL(18,2))
+         |       - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         |WHERE l.l_shipdate >= TIMESTAMP '${ExtendedQueries.Q61WindowStart}'
+         |  AND l.l_shipdate < TIMESTAMP '${ExtendedQueries.Q61WindowEnd}'
+         |  AND ((n1.n_name = '${ExtendedQueries.Q61NationA}'
+         |        AND n2.n_name = '${ExtendedQueries.Q61NationB}')
+         |    OR (n1.n_name = '${ExtendedQueries.Q61NationB}'
+         |        AND n2.n_name = '${ExtendedQueries.Q61NationA}'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q62: TPC-H Q8 shape — conditional/total decimal sums in ONE pass,
+    // share division at the double boundary
+    "q62_market_share" ->
+      s"""SELECT year(CAST(o.o_orderdate AS TIMESTAMP)) AS o_year,
+         |  CAST(SUM(CASE WHEN sn.n_name = '${ExtendedQueries.Q62Nation}'
+         |    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+         |      * (CAST(1 AS DECIMAL(18,2))
+         |         - CAST(l.l_discount AS DECIMAL(18,2)))
+         |    ELSE 0 END) AS DOUBLE)
+         |  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+         |      * (CAST(1 AS DECIMAL(18,2))
+         |         - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         |    AS mkt_share
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |WHERE p.p_type = '${ExtendedQueries.Q62PartType}'
+         |  AND o.o_orderdate >= TIMESTAMP '${ExtendedQueries.Q61WindowStart}'
+         |  AND o.o_orderdate < TIMESTAMP '${ExtendedQueries.Q61WindowEnd}'
+         |  AND o.o_custkey IN (SELECT c.c_custkey FROM customer c
+         |    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |    JOIN region r ON cn.n_regionkey = r.r_regionkey
+         |    WHERE r.r_name = '${ExtendedQueries.Q62Region}')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q63: TPC-H Q9 shape — per-line profit from exact decimals
+    "q63_product_profit" ->
+      s"""SELECT n.n_name AS nation,
+         |  year(CAST(o.o_orderdate AS TIMESTAMP)) AS o_year,
+         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+         |      * (CAST(1 AS DECIMAL(18,2))
+         |         - CAST(l.l_discount AS DECIMAL(18,2)))
+         |    - CAST(p.p_retailprice AS DECIMAL(12,2))
+         |      * CAST(l.l_quantity AS DECIMAL(12,2))
+         |      * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE p.p_name LIKE '%${ExtendedQueries.Q63PartWord}%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // q64: TPC-H Q10 shape — returned-revenue top 20
+    "q64_returned_items" ->
+      s"""SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+         |    * (CAST(1 AS DECIMAL(18,2))
+         |       - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '${ExtendedQueries.Q64WindowStart}'
+         |  AND o.o_orderdate < TIMESTAMP '${ExtendedQueries.Q64WindowEnd}'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    // q65: TPC-H Q12 shape — lateness class plays the shipmode dimension
+    "q65_priority_shipclass" ->
+      s"""SELECT CASE WHEN l.l_shipdate > CAST(o.o_orderdate AS DATE)
+         |         + INTERVAL ${ExtendedQueries.LateShipDays} DAY
+         |       THEN 'late' ELSE 'ontime' END AS ship_class,
+         |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q66: TPC-H Q14 shape — promo share, percentage at the double boundary
+    "q66_promo_revenue" ->
+      s"""SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+         |    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+         |      * (CAST(1 AS DECIMAL(18,2))
+         |         - CAST(l.l_discount AS DECIMAL(18,2)))
+         |    ELSE 0 END) AS DOUBLE) * 100.0
+         |  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+         |      * (CAST(1 AS DECIMAL(18,2))
+         |         - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         |    AS promo_revenue
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE l.l_shipdate >= TIMESTAMP '${ExtendedQueries.Q66WindowStart}'
+         |  AND l.l_shipdate < TIMESTAMP '${ExtendedQueries.Q66WindowEnd}'""".stripMargin,
     // q51: TimescaleDB gapfill/locf/interpolate — dense hour spine via
     // generate_series, IGNORE NULLS windows, identical double op order
     "q51_gapfill_interpolate" ->

@@ -1082,6 +1082,244 @@ object ExtendedQueries {
         col("p_size"))
   }
 
+  // --- Q59: priority counts of late orders (TPC-H Q4 shape) -----------------
+  /** Order-priority window for [[q59LateOrderPriorities]]. */
+  val Q59WindowStart = "1997-01-01"
+  val Q59WindowEnd = "1997-04-01"
+
+  /** Per-priority counts of orders with at least one late line — TPC-H
+    * Q4's EXISTS quantifier. The corpus carries no commit/receipt dates,
+    * so order→ship latency beyond [[LateShipDays]] is the lateness
+    * signal (the q46 convention). Spark-first: EXISTS is ONE left-semi
+    * join of the date-pruned orders against their late lines (the
+    * lateness predicate rides the join condition — no fact re-probe per
+    * row), then a 5-group count. */
+  def q59LateOrderPriorities(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit(Q59WindowStart)) &&
+        col("o_orderdate") < to_timestamp(lit(Q59WindowEnd)))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.table(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    o.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > date_add(col("o_orderdate"), LateShipDays),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // --- Q60: forecast revenue change (TPC-H Q6 shape) ------------------------
+  /** Discount corridor and quantity cap for [[q60ForecastRevenue]]. */
+  val Q60WindowStart = "1997-01-01"
+  val Q60WindowEnd = "1998-01-01"
+
+  /** The what-if revenue of eliminating a discount band — TPC-H Q6: one
+    * scan, every predicate pushed, one exact-decimal product sum. The
+    * simplest query in the benchmark and the purest pushdown proof: at
+    * 100 TB the plan is scan→filter(pushed)→partial-agg→1-row exchange. */
+  def q60ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit(Q60WindowStart)) &&
+        col("l_shipdate") < to_timestamp(lit(Q60WindowEnd)) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+
+  // --- Q61: volume shipping between two nations (TPC-H Q7 shape) ------------
+  val Q61NationA = "NATION_1"
+  val Q61NationB = "NATION_2"
+  val Q61WindowStart = "1996-01-01"
+  val Q61WindowEnd = "1998-01-01"
+
+  /** Bilateral shipping volume per (supplier nation, customer nation,
+    * year) — TPC-H Q7: the two-nation disjunction stays on the BROADCAST
+    * dim pair (supplier-nation × customer-nation both tiny), the fact
+    * shuffles once into the 3-key aggregation, and the year derivation
+    * is a scan-side projection. Volume sums exact DECIMAL. */
+  def q61VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val n = Tables.table(s, dir, "nation").select("n_nationkey", "n_name")
+    val sup = Tables.table(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.table(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.table(s, dir, "orders").select("o_orderkey", "o_custkey")
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit(Q61WindowStart)) &&
+        col("l_shipdate") < to_timestamp(lit(Q61WindowEnd)))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === Q61NationA &&
+          col("cust_nation") === Q61NationB) ||
+        (col("supp_nation") === Q61NationB &&
+          col("cust_nation") === Q61NationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // --- Q62: national market share (TPC-H Q8 shape) --------------------------
+  val Q62Nation = "NATION_3"
+  val Q62Region = "ASIA"
+  val Q62PartType = "ECONOMY"
+
+  /** One nation's share of a region's market for a part type, per order
+    * year — TPC-H Q8: the share is a conditional sum over the SAME
+    * aggregated rows (one pass — never two scans), both sums exact
+    * DECIMAL, the division at the double boundary. All five dims
+    * broadcast; the fact shuffles once into the year aggregation. */
+  def q62MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val p = Tables.table(s, dir, "part")
+      .filter(col("p_type") === Q62PartType).select("p_partkey")
+    val n = Tables.table(s, dir, "nation")
+    val r = Tables.table(s, dir, "region")
+      .filter(col("r_name") === Q62Region)
+    val custAsia = Tables.table(s, dir, "customer")
+      .join(broadcast(n.join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supNation = Tables.table(s, dir, "supplier")
+      .join(broadcast(Tables.table(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val o = Tables.table(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit(Q61WindowStart)) &&
+        col("o_orderdate") < to_timestamp(lit(Q61WindowEnd)))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val vol = (sum(when(col("supp_nation") === Q62Nation,
+        dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      .otherwise(lit(0))))
+    val tot = sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+    Tables.table(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((vol.cast(DoubleType) / tot.cast(DoubleType)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  // --- Q63: product-type profit (TPC-H Q9 shape) ----------------------------
+  /** Unit-cost proxy for [[q63ProductProfit]]: the corpus has no
+    * partsupp.ps_supplycost, so half the part's retail price plays the
+    * supply cost — the arithmetic SHAPE (per-line profit = revenue −
+    * cost·qty, aggregated by nation × year) is Q9's. */
+  val Q63PartWord = "bolt"
+
+  def q63ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val d12 = (c: Column) => c.cast(DecimalType(12, 2))
+    val half = lit(new java.math.BigDecimal("0.5"))
+    val p = Tables.table(s, dir, "part")
+      .filter(col("p_name").contains(Q63PartWord))
+      .select("p_partkey", "p_retailprice")
+    val n = Tables.table(s, dir, "nation").select("n_nationkey", "n_name")
+    val sup = Tables.table(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val o = Tables.table(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    val profit =
+      dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) -
+        dec(col("l_discount"))) -
+        d12(col("p_retailprice")) * d12(col("l_quantity")) * half
+    Tables.table(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit).cast(DoubleType).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  // --- Q64: returned-item reporting (TPC-H Q10 shape) -----------------------
+  val Q64WindowStart = "1997-01-01"
+  val Q64WindowEnd = "1997-04-01"
+
+  /** Top-20 customers by revenue lost to returns in a quarter — TPC-H
+    * Q10: returnflag filter pushed into the fact scan, date filter into
+    * the orders scan, customer/nation broadcast, one (custkey ×
+    * attributes) aggregation, deterministic top-20. */
+  def q64ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val o = Tables.table(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit(Q64WindowStart)) &&
+        col("o_orderdate") < to_timestamp(lit(Q64WindowEnd)))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.table(s, dir, "customer")
+      .join(broadcast(Tables.table(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // --- Q65: lateness class vs order priority (TPC-H Q12 shape) --------------
+  /** Late/on-time line classes vs priority mix — TPC-H Q12's CASE-sum
+    * pivot. The corpus carries no l_shipmode, so the lateness class
+    * ([[LateShipDays]], the q46/q59 signal) plays the shipmode
+    * dimension; the priority mix per class is exactly Q12's
+    * high/low-line-count pair. One fact join, one 2-group aggregation. */
+  def q65PriorityShipClass(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.table(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(col("l_shipdate") >
+          date_add(col("o_orderdate"), LateShipDays), "late")
+        .otherwise("ontime").as("ship_class"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
+  // --- Q66: promotion revenue share (TPC-H Q14 shape) -----------------------
+  val Q66WindowStart = "1997-03-01"
+  val Q66WindowEnd = "1997-04-01"
+
+  /** Share of a month's revenue from promotional parts — TPC-H Q14: one
+    * fact-month scan, part type broadcast, conditional and total
+    * exact-DECIMAL sums from the SAME aggregation, percentage at the
+    * double boundary. */
+  def q66PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val p = Tables.table(s, dir, "part").select("p_partkey", "p_type")
+    val volume = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit(Q66WindowStart)) &&
+        col("l_shipdate") < to_timestamp(lit(Q66WindowEnd)))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg((sum(when(col("p_type") === "PROMO", volume).otherwise(lit(0)))
+          .cast(DoubleType) * 100.0 /
+        sum(volume).cast(DoubleType)).as("promo_revenue"))
+  }
+
   // --- Q58: majority-share suppliers (TPC-H Q20 shape) ----------------------
   /** Bindings for [[q58MajorityShareSuppliers]]: the supplier nation,
     * the part-name prefix, and the ship-year window. */

