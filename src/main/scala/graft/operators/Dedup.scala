@@ -65,9 +65,11 @@ object Dedup {
     * `n_nfc_variants > 1` rows are the ones d21 ALSO misses. */
   def canonicalDedup(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
+      // normalize ONCE per row; the key derives from the nfc column
       .select(col("doc_id"), col("text"),
-        TextPrep.canonicalKey(col("text")).as("ck"),
         graft.functions.NfcNormalize.nfc_normalize(col("text")).as("nfc"))
+      .select(col("doc_id"), col("text"), col("nfc"),
+        TextPrep.canonicalKeyOfNfc(col("nfc")).as("ck"))
       .groupBy(col("ck"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"),
         countDistinct(col("text")).as("n_raw_variants"),

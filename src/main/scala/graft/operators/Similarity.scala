@@ -626,19 +626,7 @@ object Similarity {
     val lut = pqLutFor(e, cb, m, subDim)
       .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
         col("pdot"))
-    val scored = cand.join(codes, "vec_id")
-      .join(broadcast(lut), Seq("qid", "m", "code"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("pdot")).as("adc"), max(col("nrm")).as("nrm"),
-        max(col("qn")).as("qn"))
-      .select(col("qid"), col("vec_id").as("neighbor_id"),
-        (col("adc").cast(DoubleType) / (col("qn") * col("nrm")))
-          .as("pq_score"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("pq_score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("qid", "rank", "neighbor_id", "pq_score")
+    adcRanked(cand, codes, lut, topK)
   }
 
   /** Compressed-retrieval budget for [[ivfPqRefineTopK]]: the refine
@@ -705,19 +693,39 @@ object Similarity {
     * with a corpus vec_id) are excluded, matching s15/s16 semantics. */
   def ivfPqServe(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
       cb: DataFrame, nProbe: Int = NProbe, m: Int = PqM,
-      subDim: Int = PqSubDim, refineK: Int = RefineK,
-      k: Int = 3): DataFrame = {
+      subDim: Int = PqSubDim, refineK: Int = RefineK, k: Int = 3,
+      assigned: Option[DataFrame] = None,
+      corpusCodes: Option[DataFrame] = None,
+      excludeSelfIds: Boolean = false): DataFrame = {
     val q = withNorm(queries.select(col("qid").as("vec_id"),
         col("embedding")))
       .select(col("vec_id").as("qid"), col("embedding"),
         col("nrm").as("qn"))
     val probes = coarseProbesQ(q, cents, nProbe).select("qid", "cid")
-    val cand = ivfAssign(corpus, cents).join(broadcast(probes), "cid")
-      .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
-    val codes = pqCodesFor(corpus, cb, m, subDim)
+    val cand0 = assigned.getOrElse(ivfAssign(corpus, cents))
+      .join(broadcast(probes), "cid")
+    // Self-exclusion on raw id equality is ONLY meaningful when qids ARE
+    // corpus row ids (the s15/s16 batch-parity case); for genuinely
+    // external query ids it would silently drop a legitimate neighbor
+    // whose vec_id happens to collide, so it is opt-in, default OFF.
+    val cand = (if (excludeSelfIds) cand0.filter(col("vec_id") =!= col("qid"))
+      else cand0).select("qid", "vec_id")
+    val codes = corpusCodes.getOrElse(pqCodesFor(corpus, cb, m, subDim))
     val lut = pqLutQ(q, cb, m, subDim)
       .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
         col("pdot"))
+    val retrieved = adcRanked(cand, codes, lut, refineK)
+      .select("qid", "neighbor_id")
+    exactCosRankedPairsQ(q, corpus, retrieved, k)
+  }
+
+  /** The shared ADC scoring + per-query ranking stage: candidate codes
+    * meet the broadcast LUT, M partial dots sum map-side, the score
+    * normalizes at the double boundary, and a per-query window keeps
+    * top-`topK` — ONE definition, so the batch s15/s16 flow and the
+    * serving path ([[ivfPqServe]]) cannot drift in score or tie-break. */
+  private def adcRanked(cand: DataFrame, codes: DataFrame, lut: DataFrame,
+      topK: Int): DataFrame = {
     val scored = cand.join(codes, "vec_id")
       .join(broadcast(lut), Seq("qid", "m", "code"))
       .groupBy("qid", "vec_id")
@@ -728,10 +736,9 @@ object Similarity {
           .as("pq_score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("pq_score").desc, col("neighbor_id").asc)
-    val retrieved = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= refineK)
-      .select("qid", "neighbor_id")
-    exactCosRankedPairsQ(q, corpus, retrieved, k)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "neighbor_id", "pq_score")
   }
 
   // --- s17: incremental IVF-PQ index ingest --------------------------------

@@ -31,9 +31,15 @@ object TextPrep {
     * one key. DuckDB oracle: the same composition over `nfc_normalize`
     * + `lower` + two `regexp_replace(..., 'g')`. */
   def canonicalKey(text: Column): Column =
+    canonicalKeyOfNfc(graft.functions.NfcNormalize.nfc_normalize(text))
+
+  /** [[canonicalKey]] over an ALREADY-NFC-normalized column — for
+    * callers that also need the NFC form itself (d22 counts NFC
+    * variants per group), so the normalizer runs once per row, not
+    * twice. */
+  def canonicalKeyOfNfc(nfc: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(graft.functions.NfcNormalize.nfc_normalize(text)),
-        "[!-/:-@\\[-`{-~]+", " "),
+      regexp_replace(lower(nfc), "[!-/:-@\\[-`{-~]+", " "),
       "\\s+", " "))
 
   /** Distinct word n-gram shingles (default 3), space-joined — the unit of

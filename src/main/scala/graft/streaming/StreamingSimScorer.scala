@@ -28,44 +28,67 @@ import graft.operators.Similarity
   */
 object StreamingSimScorer {
 
-  /** The frozen serving artifacts: coarse centroids, PQ codebook, and
-    * the indexed corpus (vectors + norms; the ADC stage reads only its
-    * encoded form, the refine stage only the retrieved candidates).
-    * All three are cached so every micro-batch re-reads memory, not
-    * parquet. */
-  final case class Index(cents: DataFrame, cb: DataFrame, corpus: DataFrame) {
+  /** The frozen serving artifacts — the BUILT index, not just its
+    * inputs: coarse centroids, PQ codebook, the inverted-list assignment
+    * (`assign`: vec_id → cid), the encoded corpus (`codes`: the M-byte
+    * PQ form the ADC stage scores), and the raw vectors + norms the
+    * refine stage fetches candidates from. All cached AND materialized
+    * at build time, so a micro-batch's cost is probe + ADC over the
+    * probed lists + RefineK·|batch| exact re-scores — proportional to
+    * the QUERY BATCH, never the corpus (assignment/encoding happen once,
+    * at deploy). */
+  final case class Index(cents: DataFrame, cb: DataFrame, corpus: DataFrame,
+      assign: DataFrame, codes: DataFrame) {
     def unpersistAll(): Unit = {
       cents.unpersist(); cb.unpersist(); corpus.unpersist()
+      assign.unpersist(); codes.unpersist()
     }
   }
 
-  /** Build (and cache) the serving index from the corpus — the batch
-    * side of the deploy: [[Similarity.centsOf]]/[[Similarity
-    * .pqCodebook]] over the index members, exactly the artifacts the
-    * batch s15/s16 queries search with. */
+  /** Build (and cache + materialize) the serving index from the corpus —
+    * the batch side of the deploy: [[Similarity.centsOf]]/[[Similarity
+    * .pqCodebook]] over the index members plus the derived assignment
+    * and code tables, exactly the artifacts the batch s15/s16 queries
+    * search with. The counts force materialization so the FIRST arriving
+    * query batch doesn't pay the corpus-scale build. */
   def buildIndex(s: SparkSession, dir: String): Index = {
-    val e = Similarity.embeddings(s, dir)
-    Index(Similarity.centsOf(e).persist(), Similarity.pqCodebook(e).persist(),
-      e.persist())
+    val e = Similarity.embeddings(s, dir).persist()
+    val cents = Similarity.centsOf(e).persist()
+    val cb = Similarity.pqCodebook(e).persist()
+    val assign = Similarity.ivfAssign(e, cents).persist()
+    val codes = Similarity
+      .pqCodesFor(e, cb, Similarity.PqM, Similarity.PqSubDim).persist()
+    Seq(e, cents, cb, assign, codes).foreach(_.count())
+    Index(cents, cb, e, assign, codes)
   }
 
   /** The per-micro-batch kernel: serve a `(qid, embedding)` query frame
     * against the index — works identically on a stream's micro-batch or
-    * a plain batch frame (the parity proof in the spec runs both). */
-  def serve(queries: DataFrame, idx: Index): DataFrame =
-    Similarity.ivfPqServe(queries, idx.corpus, idx.cents, idx.cb)
+    * a plain batch frame (the parity proof in the spec runs both).
+    * `excludeSelfIds` drops corpus rows whose vec_id EQUALS a query's
+    * qid — only correct when the qid space IS the corpus id space (the
+    * s16 batch-parity case); leave false for external query ids. */
+  def serve(queries: DataFrame, idx: Index,
+      excludeSelfIds: Boolean = false): DataFrame =
+    Similarity.ivfPqServe(queries, idx.corpus, idx.cents, idx.cb,
+      assigned = Some(idx.assign), corpusCodes = Some(idx.codes),
+      excludeSelfIds = excludeSelfIds)
 
   /** Attach the scorer to a streaming `(qid, embedding)` frame: each
-    * micro-batch is served through [[serve]] and appended to `outDir`
-    * as parquet (foreachBatch — the CdcPipeline sink pattern; answers
-    * are exactly-once per batch under the checkpoint). */
+    * micro-batch is served through [[serve]] and written to its own
+    * `outDir/batch_id=N` partition with overwrite (foreachBatch — the
+    * CdcPipeline sink pattern). A crash-replayed batch OVERWRITES its
+    * own partition with byte-identical answers, so the sink is
+    * idempotent — read `outDir` whole and batch_id appears as a
+    * partition column. */
   def attach(queryStream: DataFrame, idx: Index, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, excludeSelfIds: Boolean = false): StreamingQuery =
     queryStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        serve(batch, idx).write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        serve(batch, idx, excludeSelfIds)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()

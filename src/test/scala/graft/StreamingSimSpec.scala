@@ -5,11 +5,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
-import graft.streaming.StreamingSimScorer
-
-/** [[StreamingSimSpec]]'s stream element (top-level: Spark encoders
-  * cannot instantiate a suite-inner case class). */
-case class SimQuery(qid: Long, embedding: Seq[Float])
+import graft.streaming.{AnnQuery, StreamingSimScorer}
 
 /** Build-offline / serve-online parity for the ANN index: query vectors
   * arriving on a stream, answered per micro-batch through the frozen
@@ -27,18 +23,20 @@ class StreamingSimSpec extends SparkSpec {
   test("streamed ANN answers equal batch s16 query-for-query") {
     val idx = StreamingSimScorer.buildIndex(spark, sf)
     try {
-      // the corpus's own query vectors, fed as an EXTERNAL stream
+      // the corpus's own query vectors, fed as an EXTERNAL stream — the
+      // qid space IS the corpus id space here, so self-exclusion is on
+      // (the s16 convention; external deployments leave it off)
       val queries = Tables.table(spark, sf, "embeddings")
         .filter(col("vec_id") < Similarity.NumQueries)
         .select(col("vec_id").as("qid"), col("embedding"))
-        .as[SimQuery].collect()
+        .as[AnnQuery].collect()
 
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val input = MemoryStream[SimQuery]
+      val input = MemoryStream[AnnQuery]
       val base = Files.createTempDirectory("sim-serve")
       val outDir = base.resolve("answers").toString
       val q = StreamingSimScorer.attach(input.toDF(), idx, outDir,
-        base.resolve("ckpt").toString)
+        base.resolve("ckpt").toString, excludeSelfIds = true)
       // two micro-batches: answers must not depend on arrival batching
       val (first, second) = queries.splitAt(queries.length / 2)
       input.addData(first.toIndexedSeq)
@@ -54,6 +52,15 @@ class StreamingSimSpec extends SparkSpec {
       assert(batch.nonEmpty)
       assert(streamed == batch,
         "stream-served answers must match the batch s16 output exactly")
+
+      // the sink is idempotent under batch replay: re-serving a batch
+      // into its own partition overwrites byte-identical answers
+      StreamingSimScorer.serve(first.toSeq.toDF(), idx,
+          excludeSelfIds = true)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
+      val replayed = spark.read.parquet(outDir).collect()
+        .map(r => answerKey(r) -> answerBody(r)).toMap
+      assert(replayed == batch, "a replayed batch must change nothing")
     } finally idx.unpersistAll()
   }
 
@@ -63,13 +70,13 @@ class StreamingSimSpec extends SparkSpec {
     assert(qps > 0.0)
   }
 
-  test("serve() answers external qids that do not collide with the corpus") {
+  test("serve() answers external qids without self-exclusion by default") {
     val idx = StreamingSimScorer.buildIndex(spark, sf)
     try {
-      // same vectors under fresh external ids: answers must be the same
-      // neighbor sets (no self-exclusion is triggered by the new ids —
-      // except the vector's own corpus twin, which IS a legitimate
-      // nearest neighbor for an external query)
+      // same vectors under fresh external ids: the external twin of
+      // corpus vector (qid - off) retrieves that twin itself at cosine
+      // ~1 as its top answer — id-space collisions can no longer
+      // silently drop a legitimate neighbor (review r9 finding)
       val off = 1000000L
       val ext = Tables.table(spark, sf, "embeddings")
         .filter(col("vec_id") < Similarity.NumQueries)
@@ -79,11 +86,20 @@ class StreamingSimSpec extends SparkSpec {
       got.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
         assert(qid >= off)
         assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.size))
-        // the external twin of corpus vector (qid - off) now retrieves
-        // that twin itself at cosine ~1 as its top answer
         val top = rs.minBy(_.getAs[Int]("rank"))
         assert(top.getAs[Long]("neighbor_id") == qid - off)
         assert(math.abs(top.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+      }
+      // and with a COLLIDING qid space, the default keeps the collided
+      // corpus row as a candidate (it is a legitimate neighbor)
+      val colliding = Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val self = StreamingSimScorer.serve(colliding, idx).collect()
+        .filter(_.getAs[Int]("rank") == 1)
+      self.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("qid"))
+        assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9)
       }
     } finally idx.unpersistAll()
   }
