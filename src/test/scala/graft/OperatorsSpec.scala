@@ -1200,6 +1200,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d22 canonical key: idempotent and invariant under random " +
+      "case/whitespace/punctuation perturbation") {
+    import graft.operators.TextPrep
+    val rnd = new scala.util.Random(42)
+    val words = Vector("café", "naïve", "data", "spark", "α", "mixed", "42")
+    val base = Seq.tabulate(100) { _ =>
+      Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    }
+    // a canonical-equivalent perturbation: random upcasing, whitespace
+    // runs, injected ASCII punctuation, trailing punctuation
+    def perturb(s: String): String = s.flatMap {
+      case ' ' => if (rnd.nextBoolean()) "  ,  " else " "
+      case c => if (rnd.nextBoolean()) c.toUpper.toString else c.toString
+    } + (if (rnd.nextBoolean()) "!!" else "")
+    val df = base.map(s => (s, perturb(s))).toDF("orig", "pert")
+    val rows = df.select(
+        TextPrep.canonicalKey(col("orig")).as("k1"),
+        TextPrep.canonicalKey(col("pert")).as("k2"),
+        TextPrep.canonicalKey(TextPrep.canonicalKey(col("orig"))).as("kk"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"perturbation changed the key: '${r.getString(0)}' vs '${r.getString(1)}'")
+      assert(r.getString(0) == r.getString(2), "canonicalKey not idempotent")
+    }
+  }
+
   test("q54: explicit mode and discrete median match a plain recompute") {
     import graft.operators.ExtendedQueries
     val got = ExtendedQueries.q54ModeMedian(spark, sf).collect()
