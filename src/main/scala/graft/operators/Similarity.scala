@@ -837,6 +837,21 @@ object Similarity {
     evictAfter(out, e)
   }
 
+  /** Default absolute recall@3 loss an operator tolerates before
+    * scheduling a retrain+rebuild ([[shouldRebuild]]). */
+  val MaxIngestRecallLoss = 0.1
+
+  /** The rebuild decision [[ivfPqIngestRecall]]'s delta feeds — the
+    * consumption seam of the s17b audit, mirroring how the d15/s12/s14
+    * sweeps feed `recommended*`: true when serving through the frozen
+    * artifacts costs MORE than `maxRecallLoss` absolute recall@3 versus
+    * the full-trained baseline. One driver-side read of a 1-row audit —
+    * inherently a deploy-time decision, not a data path. */
+  def shouldRebuild(s: SparkSession, dir: String,
+      maxRecallLoss: Double = MaxIngestRecallLoss): Boolean =
+    -ivfPqIngestRecall(s, dir).head().getAs[Double]("recall_delta") >
+      maxRecallLoss
+
   /** Subspace counts [[pqTuningSweep]] sweeps — 64-dim vectors split
     * into 4×16-dim, 8×8-dim (production [[PqM]]) or 16×4-dim codes. */
   val PqSweepMs: Seq[Int] = Seq(4, 8, 16)

@@ -1365,6 +1365,14 @@ class OperatorsSpec extends SparkSpec {
     assert(r3 >= 0.0 && r3 <= 1.0)
     assert(math.abs(rec.getAs[Double]("recall_delta") -
       (r3 - rec.getAs[Double]("baseline_recall_at_3"))) < 1e-12)
+    // the rebuild decision consumes the delta deterministically: a
+    // tolerance wider than any possible loss never triggers, a negative
+    // tolerance always does (when any loss exists) or never (when the
+    // frozen artifacts match/beat baseline)
+    assert(!Similarity.shouldRebuild(spark, sf, maxRecallLoss = 1.0))
+    val delta = rec.getAs[Double]("recall_delta")
+    assert(Similarity.shouldRebuild(spark, sf, maxRecallLoss = -2.0)
+      == (-delta > -2.0))
   }
 
   test("q52 moments: identity-form stats agree with Spark's built-ins") {
