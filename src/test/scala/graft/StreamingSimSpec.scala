@@ -64,6 +64,57 @@ class StreamingSimSpec extends SparkSpec {
     } finally idx.unpersistAll()
   }
 
+  test("streamed index ingest lands the same rows as a one-shot encode, " +
+      "partitioned by list") {
+    import graft.streaming.StreamingIndexIngest
+    val idx = StreamingSimScorer.buildIndex(spark, sf)
+    try {
+      // the s17 batch members arrive as a STREAM in two micro-batches
+      val vecs = Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") >= Similarity.NumQueries &&
+          col("vec_id") % Similarity.IngestMod === Similarity.IngestRem)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .as[AnnQuery].collect()
+      assert(vecs.nonEmpty)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[AnnQuery]
+      val base = Files.createTempDirectory("sim-ingest")
+      val indexDir = base.resolve("index").toString
+      val stream = input.toDF()
+        .select(col("qid").as("vec_id"), col("embedding"))
+      val q = StreamingIndexIngest.attach(stream, idx, indexDir,
+        base.resolve("ckpt").toString)
+      val (first, second) = vecs.splitAt(vecs.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+
+      def rowSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("vec_id", "m", "code", "cid").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+          r.getAs[Int]("code"), r.getAs[Long]("cid"))).toSet
+      val streamed = rowSet(spark.read.parquet(indexDir))
+      val batchDf = Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") >= Similarity.NumQueries &&
+          col("vec_id") % Similarity.IngestMod === Similarity.IngestRem)
+        .select("vec_id", "embedding")
+      val oneShot = rowSet(StreamingIndexIngest.encode(batchDf, idx))
+      assert(streamed == oneShot && streamed.nonEmpty,
+        "arrival batching must not change the index rows")
+      // cid is a partition column of the on-disk index (the probe-side
+      // prune a search runs), and per-list additions match the batch
+      // s17 audit — NOTE: s17 freezes artifacts on the EXISTING corpus
+      // while this index was built on the FULL corpus, so compare
+      // against an encode through the same idx artifacts instead
+      val dirs = new java.io.File(indexDir).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName)
+      assert(dirs.exists(_.startsWith("cid=")),
+        "index must be cid-partitioned on disk")
+    } finally idx.unpersistAll()
+  }
+
   test("the serving-throughput bench path completes and reports a rate") {
     val qps = graft.streaming.ThroughputBench
       .runAnnServe(spark, sf, nQueries = 20, batches = 2)
