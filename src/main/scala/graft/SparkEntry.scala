@@ -132,6 +132,7 @@ object SparkEntry {
     "d19_dedup_method_agreement" -> Dedup.dedupMethodAgreement _,
     "d21_dedup_nfc" -> Dedup.nfcDedup _,
     "d22_dedup_canonical" -> Dedup.canonicalDedup _,
+    "d23_dedup_winnow" -> Dedup.winnowPairs _,
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -1661,6 +1662,38 @@ object SparkEntry {
     "d02_dedup_minhash_lsh" ->
       s"""WITH $minhashPairCtes
          |SELECT da, db, jaccard FROM pairs ORDER BY da, db""".stripMargin,
+    // d23: winnowing (MOSS) — positional k-gram hashes, window-min
+    // selection, df-capped fingerprint pair join; same md5-prefix hash
+    // primitive as the d02 shingle base
+    "d23_dedup_winnow" -> {
+      val k = Dedup.WinnowK
+      val w = Dedup.WinnowW
+      s"""WITH $toksCte,
+         |ps AS (SELECT doc_id, t,
+         |         unnest(generate_series(1, len(t) - ${k - 1})) AS i,
+         |         len(t) - ${k - 1} AS n_sh
+         |       FROM toks WHERE len(t) >= ${k - 1 + w}),
+         |ph AS (SELECT doc_id, i - 1 AS pos, n_sh,
+         |         CAST('0x' || substr(md5(concat_ws(' ',
+         |           ${(0 until k).map(j => s"t[i+$j]").mkString(", ")})),
+         |           1, 8) AS BIGINT) AS h
+         |       FROM ps),
+         |wm AS (SELECT doc_id, pos, n_sh,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+         |       FROM ph),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+         |        WHERE pos <= n_sh - $w),
+         |keptf AS (SELECT fp FROM (SELECT fp, count(*) AS d FROM fps
+         |                          GROUP BY fp)
+         |          WHERE d <= ${Dedup.WinnowDfCap}),
+         |fk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keptf USING (fp))
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= ${Dedup.WinnowMinShared}
+         |ORDER BY 1, 2""".stripMargin
+    },
     // incremental ingest = the straddling subset of the all-pairs result:
     // a (new, index) pair collides in a band iff the same unordered pair
     // does, so `pairs` restricted to one-endpoint-new replays the

@@ -78,6 +78,72 @@ object Dedup {
         col("n_nfc_variants"))
       .orderBy("rep_id")
 
+  // --- winnowing fingerprint near-dup --------------------------------------
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS fingerprinting scheme): k-gram size, selection window, the
+    * minimum shared fingerprints for a reported pair, and a fingerprint
+    * document-frequency cap (the d04 df-cap guard — a boilerplate
+    * fingerprint shared by thousands of documents must not quadratically
+    * pair them all). Guarantee: any shared token run of length
+    * ≥ k + w − 1 yields at least one shared fingerprint. */
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowMinShared = 2L
+  val WinnowDfCap = 100L
+
+  /** Winnowed fingerprint set per document: the MINIMUM k-gram hash of
+    * every w consecutive shingle positions, distinct per document —
+    * density ≈ 2/(w+1) of the shingle count, POSITION-ROBUST unlike
+    * d16's fixed-stride windows (an insertion shifts every d16 window
+    * hash downstream; winnowing re-selects the same minima). Hash is
+    * [[TextPrep.shingleBase]] — one md5 per shingle, the d02 primitive. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import TextPrep.{shingleBase, tokens}
+    val ph = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= WinnowK - 1 + WinnowW) // ≥ one full window
+      .select(col("doc_id"),
+        (size(col("t")) - (WinnowK - 1)).cast("long").as("n_sh"),
+        explode(sequence(lit(0L), (size(col("t")) - WinnowK).cast("long")))
+          .as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("n_sh"), col("pos"),
+        shingleBase(concat_ws(" ",
+          slice(col("t"), (col("pos") + 1).cast("int"), lit(WinnowK))))
+          .as("h"))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinnowW - 1)
+    ph.withColumn("fp", min(col("h")).over(wD))
+      .filter(col("pos") <= col("n_sh") - WinnowW) // full windows only
+      .select("doc_id", "fp").distinct()
+  }
+
+  /** Winnowing near-dup pairs (d23): documents sharing at least
+    * [[WinnowMinShared]] winnowed fingerprints, with hot (boilerplate)
+    * fingerprints df-capped out of pair generation. The robust
+    * fingerprint rung between d16 (exact fixed windows — insertion-
+    * fragile) and d02 (MinHash — probabilistic): detection of shared
+    * runs ≥ k+w−1 tokens is GUARANTEED, while the pair join touches the
+    * ~2/(w+1)-density fingerprint table, never all shingles. Shape at
+    * 100 TB: one narrow (doc, fp) table, one fp-keyed equi-self-join
+    * bounded by the df cap. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(Tables.spread(s, dir, "documents", "doc_id"))
+
+  private[graft] def winnowPairsOf(docs: DataFrame): DataFrame = {
+    val fps = winnowFingerprints(docs)
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("d"))
+        .filter(col("d") <= WinnowDfCap).select("fp"),
+      "fp")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("da", "db")
+  }
+
   // --- canonical bag-fingerprint dedup -------------------------------------
   /** Bag-of-words canonical dedup (d12) — exact dedup after an
     * order-insensitive normal form: lowercase, collapse whitespace, SORT

@@ -1200,6 +1200,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d23 winnowing: the shared-run guarantee holds and selection is " +
+      "insertion-robust") {
+    import graft.operators.Dedup
+    // a 20-token run embedded in two different documents — far above the
+    // k+w-1 = 6-token guarantee threshold, so the pair MUST surface
+    val run = (1 to 20).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"completely different prefix words here $run and other tail"),
+      (3L, "unrelated text with nothing shared at all beyond plain words"),
+      // doc 4 = doc 1 with ONE token inserted mid-run: winnowing must
+      // still pair it with 1 and 2 (d16's fixed windows all shift)
+      (4L, s"alpha beta gamma ${(1 to 9).map(i => s"run$i").mkString(" ")} " +
+        s"INSERTED ${(10 to 20).map(i => s"run$i").mkString(" ")} delta")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairsOf(docs).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missing: $pairs")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)),
+      s"insertion broke winnowing robustness: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+    // density: per-doc fingerprints are a strict subset of the shingle
+    // positions — at most one per full window start, at least one total
+    val fps = Dedup.winnowFingerprints(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    docs.select(col("doc_id"), size(split(col("text"), "\\s+")).as("n"))
+      .collect().foreach { r =>
+        val nWindows = r.getAs[Int]("n") - Dedup.WinnowK + 1 -
+          (Dedup.WinnowW - 1)
+        val got = fps.getOrElse(r.getAs[Long]("doc_id"), 0)
+        assert(got >= 1 && got <= nWindows,
+          s"doc ${r.getAs[Long]("doc_id")}: $got fps vs $nWindows windows")
+      }
+    // live corpus: pairs exist and every reported pair shares >= the
+    // configured fingerprint count
+    val live = Dedup.winnowPairs(spark, sf).collect()
+    assert(live.nonEmpty)
+    live.foreach(r =>
+      assert(r.getAs[Long]("n_shared") >= Dedup.WinnowMinShared))
+  }
+
   test("d22 canonical key: idempotent and invariant under random " +
       "case/whitespace/punctuation perturbation") {
     import graft.operators.TextPrep
