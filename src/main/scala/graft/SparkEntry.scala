@@ -147,6 +147,7 @@ object SparkEntry {
     "s12_ivf_probe_audit" -> canon("n_probe")(Similarity.ivfProbeAudit),
     "s13_embedding_drift" -> Similarity.embeddingDrift _,
     "s14_pq_tuning_sweep" -> canon("pq_m")(Similarity.pqTuningSweep),
+    "s19_dim_tuning_sweep" -> canon("dims")(Similarity.dimTuningSweep),
     "s15_sim_ivfpq_topk" -> canon("qid", "rank")(Similarity.ivfPqTopK),
     "s16_sim_ivfpq_refine" -> canon("qid", "rank")(Similarity.ivfPqRefineTopK),
     "s17_ivfpq_ingest" -> canon("cid")(Similarity.ivfPqIngest),
@@ -2198,6 +2199,56 @@ object SparkEntry {
            |       THEN 0 ELSE 1 END,
            |     bytes_per_vec, pq_m) = 1) AS recommended
            |FROM sel ORDER BY pq_m""".stripMargin
+    },
+    // s19: prefix-truncated exact search per width vs the full-dim
+    // truth; same decimal-dot contract as embCte at every width
+    "s19_dim_tuning_sweep" -> {
+      def d6(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(12,6))"
+      val np = 3 * Similarity.NumQueries
+      val perD = Similarity.DimSweep.map { d =>
+        s"""e_$d AS (SELECT vec_id, list_slice(embedding, 1, $d) AS embedding,
+           |    list_sum(list_transform(list_slice(embedding, 1, $d),
+           |      x -> ${d6("x")} * ${d6("x")})) AS n2
+           |  FROM embeddings),
+           |r_$d AS (SELECT qid, neighbor_id FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           |        CAST($dotAB AS DOUBLE)
+           |          / (sqrt(CAST(a.n2 AS DOUBLE))
+           |             * sqrt(CAST(b.n2 AS DOUBLE))) DESC,
+           |        b.vec_id) AS rank
+           |    FROM e_$d a JOIN e_$d b ON b.vec_id <> a.vec_id
+           |    WHERE a.vec_id < ${Similarity.NumQueries})
+           |  WHERE rank <= 3),
+           |h_$d AS (SELECT count(*) AS n FROM r_$d
+           |  JOIN bf USING (qid, neighbor_id))""".stripMargin
+      }.mkString(",\n")
+      val rows = Similarity.DimSweep.map { d =>
+        s"""SELECT $d AS dims, CAST(${4L * d} AS BIGINT) AS bytes_per_vec,
+           |  (SELECT n FROM h_$d) AS n_hits,
+           |  CAST($np AS BIGINT) AS n_possible,
+           |  CAST((SELECT n FROM h_$d) AS DOUBLE) / $np AS recall_at_3"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $embCte,
+         |bfr AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         |    CAST($dotAB AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < ${Similarity.NumQueries}),
+         |bf AS (SELECT qid, neighbor_id FROM (
+         |    SELECT qid, neighbor_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rank FROM bfr)
+         |  WHERE rank <= 3),
+         |""".stripMargin + perD + ",\nbase AS (\n" + rows + "),\n" +
+        s"""sel AS (SELECT *, max(recall_at_3) OVER () AS qmax FROM base)
+           |SELECT * EXCLUDE (qmax),
+           |  (ROW_NUMBER() OVER (ORDER BY
+           |     CASE WHEN recall_at_3 >= ${Dedup.SweepRetention} * qmax
+           |       THEN 0 ELSE 1 END,
+           |     bytes_per_vec, dims) = 1) AS recommended
+           |FROM sel ORDER BY dims""".stripMargin
     },
     // s12: the s03 IVF CTE chain widened with probe_rank; one scored CTE
     // serves every sweep point via per-np rank/count CTEs

@@ -893,6 +893,49 @@ object Similarity {
     pqTuningSweep(s, dir).filter(col("recommended")).head()
       .getAs[Int]("pq_m")
 
+  /** Prefix widths [[dimTuningSweep]] evaluates (full [[Dim]] last — its
+    * recall is 1.0 by construction, anchoring the curve). */
+  val DimSweep: Seq[Int] = Seq(16, 32, 64)
+
+  /** Truncated-dimension search sweep (s19) — the Matryoshka-
+    * representation cost lever, the THIRD axis of the tuning cube beside
+    * the probe budget (s12) and the PQ subspace count (s14): search with
+    * only the FIRST d dimensions of every vector (prefix truncation —
+    * the MRL convention of information ordered by prefix) and report
+    * recall@3 against the full-dimension exact truth, with the bytes per
+    * vector the width costs. Dimension cut is LINEAR in both storage and
+    * dot-product work at 100 TB and composes multiplicatively with
+    * IVF pruning and PQ compression. Exact-decimal dots at every width
+    * (the s01 contract), so the sweep is oracle-replayable;
+    * `recommended` marks the cheapest width retaining ≥ 95% of the best
+    * recall (the d15/s12/s14 selection rule). */
+  def dimTuningSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).persist()
+    val bf = bruteForceRanked(e).filter(col("rank") <= 3)
+      .select("qid", "neighbor_id").persist()
+    val rows = DimSweep.map { d =>
+      val te = withNorm(e.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding")))
+      bruteForceRanked(te).filter(col("rank") <= 3)
+        .select("qid", "neighbor_id")
+        .join(broadcast(bf), Seq("qid", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("dims"), lit(4L * d).as("bytes_per_vec"),
+          col("n_hits"), lit(3L * NumQueries).as("n_possible"),
+          (col("n_hits").cast(DoubleType) / (3L * NumQueries))
+            .as("recall_at_3"))
+    }
+    evictAfter(Dedup.markRecommended(rows.reduce(_.unionByName(_)),
+      quality = col("recall_at_3"), cost = col("bytes_per_vec"),
+      param = col("dims")), e, bf)
+  }
+
+  /** The prefix width [[dimTuningSweep]] recommends — the width a
+    * truncated index would be built at. */
+  def recommendedDims(s: SparkSession, dir: String): Int =
+    dimTuningSweep(s, dir).filter(col("recommended")).head()
+      .getAs[Int]("dims")
+
   // --- filtered (predicated) vector search ---------------------------------
   /** Filtered top-k — the "hybrid search" every production vector store
     * exposes: nearest neighbors AMONG vectors satisfying a metadata

@@ -1417,6 +1417,33 @@ class OperatorsSpec extends SparkSpec {
       == (-delta > -2.0))
   }
 
+  test("s19 dim sweep: full width anchors recall at 1, the recommended " +
+      "row follows the retention rule") {
+    import graft.operators.{Dedup, Similarity}
+    val rows = Similarity.dimTuningSweep(spark, sf).collect()
+      .sortBy(_.getAs[Int]("dims"))
+    assert(rows.map(_.getAs[Int]("dims")).toSeq == Similarity.DimSweep)
+    rows.foreach { r =>
+      val rc = r.getAs[Double]("recall_at_3")
+      assert(rc >= 0.0 && rc <= 1.0)
+      assert(r.getAs[Long]("bytes_per_vec") == 4L * r.getAs[Int]("dims"))
+      assert(r.getAs[Long]("n_possible") == 3L * Similarity.NumQueries)
+    }
+    // truncating to the FULL width is the identity search
+    assert(rows.last.getAs[Int]("dims") == Similarity.Dim)
+    assert(rows.last.getAs[Double]("recall_at_3") == 1.0)
+    // the recommended row is the cheapest retaining >= 95% of best
+    val qmax = rows.map(_.getAs[Double]("recall_at_3")).max
+    val eligible = rows.filter(
+      _.getAs[Double]("recall_at_3") >= Dedup.SweepRetention * qmax)
+    val rec = rows.filter(_.getAs[Boolean]("recommended"))
+    assert(rec.length == 1)
+    assert(rec.head.getAs[Int]("dims") ==
+      eligible.minBy(_.getAs[Long]("bytes_per_vec")).getAs[Int]("dims"))
+    assert(Similarity.recommendedDims(spark, sf) ==
+      rec.head.getAs[Int]("dims"))
+  }
+
   test("q52 moments: identity-form stats agree with Spark's built-ins") {
     import graft.operators.ExtendedQueries
     val got = ExtendedQueries.q52StatsMoments(spark, sf).collect()
