@@ -780,11 +780,16 @@ object Similarity {
     val batch = members.filter(isIngestBatch)
     val cents = centsOf(existing)
     val cb = pqCodebook(existing)
-    val before = ivfAssign(existing, cents)
+    // ONE centroid-scoring pass over all members (assignment is
+    // per-vector, so splitting after costs nothing — the oracle's `mem`
+    // shape); batch membership is a function of vec_id, recomputable on
+    // the assignment output without a rejoin
+    val assign = ivfAssign(members, cents)
+    val before = assign.filter(!isIngestBatch)
       .groupBy("cid").agg(count(lit(1)).as("n_before"))
     val batchCodeSums = pqCodesFor(batch, cb, PqM, PqSubDim)
       .groupBy("vec_id").agg(sum(col("code")).as("code_sum"))
-    val added = ivfAssign(batch, cents)
+    val added = assign.filter(isIngestBatch)
       .join(batchCodeSums, "vec_id")
       .groupBy("cid").agg(count(lit(1)).as("n_added"),
         sum(col("code_sum")).as("code_mass_added"))
