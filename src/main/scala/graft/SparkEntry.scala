@@ -152,6 +152,9 @@ object SparkEntry {
     "s16_sim_ivfpq_refine" -> canon("qid", "rank")(Similarity.ivfPqRefineTopK),
     "s17_ivfpq_ingest" -> canon("cid")(Similarity.ivfPqIngest),
     "s17b_ingest_recall" -> canon("method")(Similarity.ivfPqIngestRecall),
+    "s18_ivfpq_delete" -> canon("cid")(Similarity.ivfPqDelete),
+    "s18b_delete_serve" -> canon("qid", "rank")(Similarity.ivfPqDeleteServe),
+    "s20_ivfpq_shard_merge" -> canon("cid")(Similarity.ivfPqShardMerge),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -522,20 +525,7 @@ object SparkEntry {
     val nq = Similarity.NumQueries
     s"""WITH $embCte,
        |${pqCtes(Similarity.PqM, Similarity.PqSubDim, s17NotNewPred)},
-       |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-       |          WHERE vec_id % ${Similarity.CentroidStride} = 0
-       |            AND vec_id >= $nq$s17NotNewPred),
-       |mem AS (SELECT * FROM e WHERE vec_id >= $nq),
-       |ac AS (SELECT a.vec_id, c.cid,
-       |    list_sum(list_transform(list_zip(a.embedding, c.cv),
-       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
-       |      AS ccos
-       |  FROM mem a, cents c),
-       |assign AS (SELECT vec_id, cid FROM (
-       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY ccos DESC, cid) AS rn FROM ac)
-       |  WHERE rn = 1),
+       |${memberAssignCtes(s17NotNewPred)},
        |before AS (SELECT cid, count(*) AS n_before FROM assign
        |           WHERE NOT ($s17NewPred) GROUP BY cid),
        |csum AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
@@ -563,6 +553,102 @@ object SparkEntry {
        |ORDER BY b.cid""".stripMargin
   }
 
+  /** Shared audit CTE chain over index MEMBERS (vec_id >= NumQueries):
+    * the coarse-centroid sample (optionally membership-filtered by
+    * `centsPred`), the member×centroid cosine table, and the
+    * argmax-cosine inverted-list assignment — the replay every
+    * maintenance-audit oracle (s17 ingest / s18 delete / s20 shard
+    * merge) starts from. Expects the `e` CTE in scope. */
+  private def memberAssignCtes(centsPred: String): String = {
+    val nq = Similarity.NumQueries
+    s"""cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+       |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+       |            AND vec_id >= $nq$centsPred),
+       |mem AS (SELECT * FROM e WHERE vec_id >= $nq),
+       |ac AS (SELECT a.vec_id, c.cid,
+       |    list_sum(list_transform(list_zip(a.embedding, c.cv),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+       |      AS ccos
+       |  FROM mem a, cents c),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** s18 tombstone predicate (the CDC delete-feed membership), with an
+    * optional table alias for qualified contexts. */
+  private def s18TombPred(a: String = ""): String =
+    s"(${a}vec_id % ${Similarity.DeleteMod} = ${Similarity.DeleteRem}" +
+      s" AND ${a}vec_id >= ${Similarity.NumQueries})"
+
+  /** s18 compaction-audit oracle: assignment over ALL pre-delete members
+    * against the full-corpus (frozen) centroid sample, PQ code mass of
+    * the tombstoned rows through the full-corpus codebook, per-list
+    * before/removed/after occupancy. */
+  private def s18Sql: String = {
+    s"""WITH $embCte,
+       |${pqCtes(Similarity.PqM, Similarity.PqSubDim)},
+       |${memberAssignCtes("")},
+       |before AS (SELECT cid, count(*) AS n_before FROM assign GROUP BY cid),
+       |csum AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
+       |         FROM codes WHERE ${s18TombPred()} GROUP BY vec_id),
+       |removed AS (SELECT a.cid, count(*) AS n_removed,
+       |              CAST(SUM(code_sum) AS BIGINT) AS code_mass_removed
+       |            FROM assign a JOIN csum USING (vec_id) GROUP BY a.cid),
+       |tot AS (SELECT
+       |    CAST((SELECT SUM(n_before) FROM before) AS BIGINT) AS tot_before,
+       |    CAST((SELECT count(*) FROM mem WHERE ${s18TombPred()}) AS BIGINT)
+       |      AS n_tomb)
+       |SELECT b.cid, b.n_before,
+       |  COALESCE(r.n_removed, 0) AS n_removed,
+       |  b.n_before - COALESCE(r.n_removed, 0) AS n_after,
+       |  CAST(b.n_before AS DOUBLE) / tot_before AS share_before,
+       |  CAST(b.n_before - COALESCE(r.n_removed, 0) AS DOUBLE)
+       |    / (tot_before - n_tomb) AS share_after,
+       |  CAST(b.n_before - COALESCE(r.n_removed, 0) AS DOUBLE)
+       |      / (tot_before - n_tomb)
+       |    - CAST(b.n_before AS DOUBLE) / tot_before AS share_drift,
+       |  COALESCE(r.code_mass_removed, 0) AS code_mass_removed
+       |FROM before b LEFT JOIN removed r USING (cid) CROSS JOIN tot
+       |ORDER BY b.cid""".stripMargin
+  }
+
+  /** s18b post-delete retrieval oracle: the verbatim s15 search flow
+    * with tombstoned members excluded from the candidate (inverted-list)
+    * side only — artifacts stay the full pre-delete corpus's. */
+  private def s18bSql: String =
+    s"""${s15CtesFor("", "", s" AND NOT ${s18TombPred("a.")}")}
+       |SELECT qid, rank, neighbor_id, pq_score FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** s20 shard-merge oracle: per-list member counts and exact PQ code
+    * mass split by build shard (`vec_id % ShardMod`), artifacts frozen
+    * to the full corpus — the merge planner's audit replayed. */
+  private def s20Sql: String = {
+    val nq = Similarity.NumQueries
+    val sm = Similarity.ShardMod
+    s"""WITH $embCte,
+       |${pqCtes(Similarity.PqM, Similarity.PqSubDim)},
+       |${memberAssignCtes("")},
+       |csum AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
+       |         FROM codes WHERE vec_id >= $nq GROUP BY vec_id)
+       |SELECT a.cid,
+       |  CAST(SUM(CASE WHEN a.vec_id % $sm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shard0,
+       |  CAST(SUM(CASE WHEN a.vec_id % $sm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shard1,
+       |  CAST(count(*) AS BIGINT) AS n_merged,
+       |  CAST(SUM(CASE WHEN a.vec_id % $sm = 0 THEN code_sum ELSE 0 END)
+       |    AS BIGINT) AS code_mass_shard0,
+       |  CAST(SUM(CASE WHEN a.vec_id % $sm = 1 THEN code_sum ELSE 0 END)
+       |    AS BIGINT) AS code_mass_shard1,
+       |  CAST(SUM(code_sum) AS BIGINT) AS code_mass_merged
+       |FROM assign a JOIN csum USING (vec_id)
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+  }
+
   /** The s15 IVF-PQ pipeline through its ranked CTE `r` — shared by the
     * s15 top-3 and the s16 refine oracle. */
   private def s15Ctes: String = s15CtesFor("", "")
@@ -571,8 +657,12 @@ object SparkEntry {
     * artifacts — `centsPred` narrows the coarse-centroid sample,
     * `cbPred` the PQ codebook source rows. The s17b ingest-recall
     * oracle uses them to freeze both artifacts to the EXISTING corpus
-    * while the search data flow stays verbatim s15. */
-  private def s15CtesFor(centsPred: String, cbPred: String): String =
+    * while the search data flow stays verbatim s15. `candPred` narrows
+    * the CANDIDATE side instead (alias `a.`): the s18b post-delete
+    * oracle uses it to drop tombstoned members from the inverted lists
+    * while the artifacts stay the full pre-delete corpus's. */
+  private def s15CtesFor(centsPred: String, cbPred: String,
+      candPred: String = ""): String =
     s"""WITH $embCte,
          |${pqCtes(Similarity.PqM, Similarity.PqSubDim, cbPred)},
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
@@ -594,7 +684,7 @@ object SparkEntry {
          |    FROM ac WHERE vec_id < ${Similarity.NumQueries})
          |  WHERE rn <= ${Similarity.NProbe}),
          |cand AS (SELECT p.qid, a.vec_id FROM probes p
-         |         JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |         JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid$candPred),
          |scored AS (SELECT c.qid, codes.vec_id AS neighbor_id, SUM(pdot) AS adc
          |           FROM cand c JOIN codes ON codes.vec_id = c.vec_id
          |           JOIN lut ON codes.m = lut.m AND codes.code = lut.c
@@ -2341,6 +2431,13 @@ object SparkEntry {
          |    AS recall_delta
          |FROM c""".stripMargin
     },
+    // s18: tombstone delete + compaction — the CDC delete feed applied to
+    // the index; artifacts frozen to the FULL pre-delete corpus
+    "s18_ivfpq_delete" -> s18Sql,
+    "s18b_delete_serve" -> s18bSql,
+    // s20: shard-parallel build merge — per-list shard contributions
+    // under one shared frozen quantizer
+    "s20_ivfpq_shard_merge" -> s20Sql,
     "s08_sim_filtered_topk" ->
       s"""WITH el AS (SELECT vec_id, label, embedding,
          |        list_sum(list_transform(embedding,

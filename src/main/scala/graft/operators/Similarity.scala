@@ -857,6 +857,117 @@ object Similarity {
     -ivfPqIngestRecall(s, dir).head().getAs[Double]("recall_delta") >
       maxRecallLoss
 
+  // --- s18: tombstone delete + compaction audit ----------------------------
+  /** Tombstone membership for [[ivfPqDelete]]: `vec_id % DeleteMod ==
+    * DeleteRem` among index members plays the CDC delete feed — the
+    * delete-propagation side of index maintenance (q04's semantics
+    * applied to the ANN index, completing s17's insert side). The
+    * residue class is chosen to OVERLAP the centroid stride (e.g.
+    * vec_id 100 is both a centroid source and a tombstone): the frozen
+    * coarse quantizer deliberately SURVIVES deletion of its training
+    * rows — an index's artifacts outlive any individual vector, exactly
+    * as a trained k-means quantizer would. */
+  val DeleteMod = 7
+  val DeleteRem = 2
+
+  private[graft] def isTombstoned =
+    col("vec_id") % DeleteMod === DeleteRem && col("vec_id") >= NumQueries
+
+  /** Tombstone-delete compaction audit (s18) — the maintenance mirror of
+    * [[ivfPqIngest]] for the OTHER CDC op: a delete feed tombstones
+    * index members; compaction drops their list entries and their PQ
+    * codes. Artifacts (centroids, codebook) stay FROZEN — deletes never
+    * retrain a quantizer. Output: one row per inverted list — members
+    * before, tombstoned members removed, members after, occupancy share
+    * drift (a list hollowed out by deletes is wasted probe budget — the
+    * rebalance alarm), and the integer mass of the PQ codes the
+    * compaction reclaims (exact proof of WHICH encoded rows left the
+    * index). Cost: one broadcast-centroid assignment pass over members
+    * plus a codebook encode of the TOMBSTONED rows only — compaction
+    * work is proportional to the delete feed, never the corpus. */
+  def ivfPqDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val members = e.filter(col("vec_id") >= NumQueries)
+    val cents = centsOf(e)
+    val cb = pqCodebook(e)
+    val assign = ivfAssign(members, cents)
+    val before = assign.groupBy("cid").agg(count(lit(1)).as("n_before"))
+    val tombCodeSums = pqCodesFor(members.filter(isTombstoned), cb,
+        PqM, PqSubDim)
+      .groupBy("vec_id").agg(sum(col("code")).as("code_sum"))
+    val removed = assign.join(tombCodeSums, "vec_id")
+      .groupBy("cid").agg(count(lit(1)).as("n_removed"),
+        sum(col("code_sum")).as("code_mass_removed"))
+    val totals = before.agg(sum(col("n_before")).as("tot_before"))
+      .crossJoin(members.filter(isTombstoned)
+        .agg(count(lit(1)).as("n_tomb")))
+    before.join(removed, Seq("cid"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("cid"), col("n_before"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_before") - coalesce(col("n_removed"), lit(0L))).as("n_after"),
+        (col("n_before").cast(DoubleType) / col("tot_before"))
+          .as("share_before"),
+        ((col("n_before") - coalesce(col("n_removed"), lit(0L)))
+          .cast(DoubleType) / (col("tot_before") - col("n_tomb")))
+          .as("share_after"),
+        ((col("n_before") - coalesce(col("n_removed"), lit(0L)))
+          .cast(DoubleType) / (col("tot_before") - col("n_tomb")) -
+          col("n_before").cast(DoubleType) / col("tot_before"))
+          .as("share_drift"),
+        coalesce(col("code_mass_removed"), lit(0L)).as("code_mass_removed"))
+  }
+
+  /** Post-delete retrieval (s18b) — the s15 search data flow over the
+    * COMPACTED corpus through the PRE-DELETE frozen artifacts: tombstoned
+    * vectors can never surface as candidates (they left the inverted
+    * lists), while centroids and codebook are unchanged — a delete feed
+    * must never silently degrade surviving neighbors' scores. The spec
+    * proves this equals a scratch rebuild on the remaining corpus under
+    * the same frozen artifacts (per-vector assignment/encoding is pure),
+    * so compaction is just dropping rows — no re-encode of survivors. */
+  def ivfPqDeleteServe(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    ivfPqRankedFor(e.filter(!isTombstoned), centsOf(e), pqCodebook(e))
+  }
+
+  // --- s20: shard-parallel build + merge audit ------------------------------
+  /** Shard split for [[ivfPqShardMerge]]: members build in `ShardMod`
+    * independent worker partitions. */
+  val ShardMod = 2
+
+  /** Shard-parallel index build merge audit (s20) — HOW a 100 TB IVF-PQ
+    * index is actually constructed: the quantizer artifacts (centroids +
+    * codebook) are trained once and SHIPPED to every build worker; each
+    * worker assigns + PQ-encodes its own shard of the corpus
+    * independently (embarrassingly parallel — per-vector pure functions
+    * of the frozen artifacts); the merge step is pure list
+    * concatenation. Output: one row per inverted list — each shard's
+    * contribution (member count and exact PQ code mass: the list-file
+    * sizes a merge planner schedules by) and the merged totals. The spec
+    * proves the merge invariant: encode(shard₀) ∪ encode(shard₁) is
+    * bit-identical to a one-shot build over the union, so merging never
+    * re-encodes. */
+  def ivfPqShardMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val members = e.filter(col("vec_id") >= NumQueries)
+    val cents = centsOf(e)
+    val cb = pqCodebook(e)
+    val codeSums = pqCodesFor(members, cb, PqM, PqSubDim)
+      .groupBy("vec_id").agg(sum(col("code")).as("code_sum"))
+    val shard = col("vec_id") % ShardMod
+    ivfAssign(members, cents).join(codeSums, "vec_id")
+      .groupBy("cid")
+      .agg(sum(when(shard === 0, 1L).otherwise(0L)).as("n_shard0"),
+        sum(when(shard === 1, 1L).otherwise(0L)).as("n_shard1"),
+        count(lit(1)).as("n_merged"),
+        sum(when(shard === 0, col("code_sum")).otherwise(0L))
+          .as("code_mass_shard0"),
+        sum(when(shard === 1, col("code_sum")).otherwise(0L))
+          .as("code_mass_shard1"),
+        sum(col("code_sum")).as("code_mass_merged"))
+  }
+
   /** Subspace counts [[pqTuningSweep]] sweeps — 64-dim vectors split
     * into 4×16-dim, 8×8-dim (production [[PqM]]) or 16×4-dim codes. */
   val PqSweepMs: Seq[Int] = Seq(4, 8, 16)

@@ -1417,6 +1417,86 @@ class OperatorsSpec extends SparkSpec {
       == (-delta > -2.0))
   }
 
+  test("s18: compacting tombstones equals a rebuild on survivors; " +
+      "deleted vectors never serve; audit accounting closes") {
+    import graft.operators.Similarity
+    val e = Similarity.embeddings(spark, sf)
+    val members = e.filter(col("vec_id") >= Similarity.NumQueries)
+    val survivors = members.filter(!Similarity.isTombstoned)
+    val tombIds = members.filter(Similarity.isTombstoned)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty)
+    val cents = Similarity.centsOf(e)
+    val cb = Similarity.pqCodebook(e)
+    // compaction is row-dropping: survivors' codes through the FROZEN
+    // codebook equal the full encode minus the tombstoned rows — no
+    // survivor is ever re-encoded by a delete
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqCodesFor(df, cb, Similarity.PqM, Similarity.PqSubDim)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+          r.getAs[Int]("code"))).toSet
+    assert(codeSet(survivors) ==
+      codeSet(members).filterNot(c => tombIds(c._1)))
+    // same for list assignment through the FROZEN centroids — even where
+    // a tombstone was a centroid's source row (the stride and the
+    // delete residue overlap by construction), the centroid survives
+    def assignSet(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(df, cents).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"))).toSet
+    assert(assignSet(survivors) ==
+      assignSet(members).filterNot(a => tombIds(a._1)))
+    // the delete actually propagates: no tombstoned id ever serves as a
+    // neighbor post-compaction
+    val served = Similarity.ivfPqDeleteServe(spark, sf).collect()
+    assert(served.nonEmpty)
+    served.foreach(r => assert(!tombIds(r.getAs[Long]("neighbor_id"))))
+    // the compaction audit's accounting closes against the raw counts
+    val audit = Similarity.ivfPqDelete(spark, sf).collect()
+    assert(audit.map(_.getAs[Long]("n_before")).sum == members.count())
+    assert(audit.map(_.getAs[Long]("n_removed")).sum == tombIds.size)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_removed"))
+      assert(r.getAs[Long]("n_after") >= 0L)
+    }
+    assert(math.abs(audit.map(_.getAs[Double]("share_before")).sum - 1.0)
+      < 1e-9)
+    assert(math.abs(audit.map(_.getAs[Double]("share_after")).sum - 1.0)
+      < 1e-9)
+  }
+
+  test("s20: shard-built lists merge by concatenation — the union of " +
+      "per-shard encodes is bit-identical to the one-shot build") {
+    import graft.operators.Similarity
+    val e = Similarity.embeddings(spark, sf)
+    val members = e.filter(col("vec_id") >= Similarity.NumQueries)
+    val shard0 = members.filter(col("vec_id") % Similarity.ShardMod === 0)
+    val shard1 = members.filter(col("vec_id") % Similarity.ShardMod === 1)
+    val cents = Similarity.centsOf(e)
+    val cb = Similarity.pqCodebook(e)
+    def assignSet(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(df, cents).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"))).toSet
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqCodesFor(df, cb, Similarity.PqM, Similarity.PqSubDim)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+          r.getAs[Int]("code"))).toSet
+    val (a0, a1) = (assignSet(shard0), assignSet(shard1))
+    assert(a0.nonEmpty && a1.nonEmpty)
+    assert((a0 ++ a1) == assignSet(members))
+    assert((codeSet(shard0) ++ codeSet(shard1)) == codeSet(members))
+    // the merge-planner audit closes: shard contributions concatenate
+    val audit = Similarity.ivfPqShardMerge(spark, sf).collect()
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_merged") ==
+        r.getAs[Long]("n_shard0") + r.getAs[Long]("n_shard1"))
+      assert(r.getAs[Long]("code_mass_merged") ==
+        r.getAs[Long]("code_mass_shard0") +
+          r.getAs[Long]("code_mass_shard1"))
+    }
+    assert(audit.map(_.getAs[Long]("n_merged")).sum == members.count())
+  }
+
   test("s19 dim sweep: full width anchors recall at 1, the recommended " +
       "row follows the retention rule") {
     import graft.operators.{Dedup, Similarity}
