@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.streaming.{StreamingIndexCdc, StreamingIndexIngest,
+  StreamingSimScorer, VecChange}
+
+/** CDC-feed parity for the ANN index: a mixed I/U/D change stream
+  * applied per micro-batch must leave the index in exactly the state a
+  * one-shot encode of the FINAL surviving corpus produces — arrival
+  * batching, op interleaving, replays, and compaction all invisible. */
+class StreamingIndexCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rowSet(df: DataFrame) = df
+    .select("vec_id", "m", "code", "cid").collect()
+    .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+      r.getAs[Int]("code"), r.getAs[Long]("cid"))).toSet
+
+  test("a mixed I/U/D change stream resolves to the one-shot encode of " +
+      "the final state; replay and compaction change nothing") {
+    val idx = StreamingSimScorer.buildIndex(spark, sf)
+    try {
+      val vecs = Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") >= Similarity.NumQueries &&
+          col("vec_id") < Similarity.NumQueries + 30)
+        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      assert(vecs.length == 30)
+      val byId = vecs.toMap
+      val ids = vecs.map(_._1).sorted
+
+      // batch 1: insert all 30; batch 2: delete 10, update 10 to ANOTHER
+      // vector's embedding (so the re-encode is visible); batch 3:
+      // re-insert 5 of the deleted (CDC's delete-then-reinsert)
+      var seq = 0L
+      def nxt = { seq += 1; seq }
+      val b1 = ids.map(i => VecChange(nxt, i, "I", byId(i)))
+      val (toDelete, toUpdate) = (ids.take(10), ids.slice(10, 20))
+      val b2 = toDelete.map(i => VecChange(nxt, i, "D", Seq.empty)) ++
+        toUpdate.map(i => VecChange(nxt, i, "U", byId(ids.last)))
+      val reborn = toDelete.take(5)
+      val b3 = reborn.map(i => VecChange(nxt, i, "I", byId(ids.head)))
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[VecChange]
+      val base = Files.createTempDirectory("idx-cdc")
+      val (indexDir, tombDir) = (base.resolve("index").toString,
+        base.resolve("tomb").toString)
+      val stream = input.toDF().select(col("seq"), col("vecId").as("vec_id"),
+        col("op"), col("embedding"))
+      val q = StreamingIndexCdc.attach(stream, idx, indexDir, tombDir,
+        base.resolve("ckpt").toString)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      q.stop()
+
+      // the final surviving state, resolved driver-side from the op log
+      val gone = toDelete.drop(5).toSet
+      val finalState = ids.filterNot(gone).map { i =>
+        val emb = if (reborn.contains(i)) byId(ids.head)
+        else if (toUpdate.contains(i)) byId(ids.last)
+        else byId(i)
+        (i, emb)
+      }
+      val oneShot = rowSet(StreamingIndexIngest.encode(
+        finalState.toSeq.toDF("vec_id", "embedding"), idx))
+      val live = StreamingIndexCdc.readIndex(spark, indexDir, tombDir)
+      assert(rowSet(live) == oneShot && oneShot.nonEmpty,
+        "the CDC-maintained view must equal a scratch encode of the final state")
+      // exactly M rows per survivor — no superseded version leaks through
+      assert(live.count() == finalState.size.toLong * Similarity.PqM)
+
+      // crash replay: re-applying a completed batch overwrites its own
+      // partitions byte-identically
+      StreamingIndexCdc.applyBatch(
+        b2.toSeq.toDF("seq", "vec_id", "op", "embedding"),
+        idx, indexDir, tombDir, batchId = 1L)
+      assert(rowSet(StreamingIndexCdc.readIndex(spark, indexDir, tombDir))
+        == oneShot, "a replayed batch must change nothing")
+
+      // compaction erases history: the compacted index serves the same
+      // rows with NO tombstone side at all
+      val compactDir = base.resolve("compacted").toString
+      StreamingIndexCdc.compact(spark, indexDir, tombDir, compactDir)
+      val emptyTomb = base.resolve("no-tomb").toString
+      assert(rowSet(StreamingIndexCdc.readIndex(spark, compactDir,
+        emptyTomb)) == oneShot)
+      // and superseded/deleted vec_ids are physically gone post-compaction
+      val onDisk = spark.read.parquet(compactDir)
+        .select("vec_id").distinct().as[Long].collect().toSet
+      assert(gone.forall(!onDisk(_)))
+    } finally idx.unpersistAll()
+  }
+
+  test("a delete-free feed reads with an empty tombstone side") {
+    val idx = StreamingSimScorer.buildIndex(spark, sf)
+    try {
+      val base = Files.createTempDirectory("idx-cdc-nodel")
+      val (indexDir, tombDir) = (base.resolve("index").toString,
+        base.resolve("tomb").toString)
+      val batch = Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") >= Similarity.NumQueries &&
+          col("vec_id") < Similarity.NumQueries + 5)
+        .select(monotonically_increasing_id().as("seq"), col("vec_id"),
+          lit("I").as("op"), col("embedding"))
+      StreamingIndexCdc.applyBatch(batch, idx, indexDir, tombDir, 0L)
+      val live = StreamingIndexCdc.readIndex(spark, indexDir, tombDir)
+      assert(live.count() == 5L * Similarity.PqM)
+    } finally idx.unpersistAll()
+  }
+}
