@@ -133,6 +133,7 @@ object SparkEntry {
     "d21_dedup_nfc" -> Dedup.nfcDedup _,
     "d22_dedup_canonical" -> Dedup.canonicalDedup _,
     "d23_dedup_winnow" -> Dedup.winnowPairs _,
+    "d24_dedup_template" -> Dedup.skeletonDedup _,
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -177,6 +178,7 @@ object SparkEntry {
     "p03_split_leakage" -> canon("da", "db")(Sampling.splitLeakage),
     "p04_sequence_packing" -> Sampling.sequencePacking _,
     "p10_packing_efficiency" -> Sampling.packingEfficiency _,
+    "p21_padding_audit" -> canon("lang")(Sampling.paddingAudit),
     "p05_decontamination" -> Sampling.decontamination _,
     "p06_token_budget_sample" -> Sampling.tokenBudgetSample _,
     "p07_domain_mixture" -> canon("lang")(Sampling.domainMixture),
@@ -206,6 +208,7 @@ object SparkEntry {
     "t17_readability" -> TextAnalysis.readability _,
     "t18_bigram_xent" -> canon("doc_id")(TextAnalysis.bigramXent),
     "t19_cms_heavy_hitters" -> canon("rank")(TextAnalysis.cmsHeavyHitters),
+    "t20_encoding_scan" -> TextAnalysis.encodingScan _,
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------
@@ -1785,6 +1788,20 @@ object SparkEntry {
          |GROUP BY 1, 2 HAVING count(*) >= ${Dedup.WinnowMinShared}
          |ORDER BY 1, 2""".stripMargin
     },
+    // d24: template-skeleton families — alnum runs to '#', whitespace
+    // collapsed; families with >= 2 distinct payloads are the template
+    // duplicates the exact/canonical ladder cannot see
+    "d24_dedup_template" ->
+      """WITH sk AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(text,
+        |      '[0-9A-Za-z]+', '#', 'g'), '\s+', ' ', 'g')) AS sk
+        |  FROM documents),
+        |g AS (SELECT sk, min(doc_id) AS rep_id, count(*) AS n_docs,
+        |        count(DISTINCT text) AS n_distinct_texts
+        |      FROM sk GROUP BY sk)
+        |SELECT rep_id, n_docs, n_distinct_texts,
+        |  CAST(length(sk) AS BIGINT) AS skeleton_chars
+        |FROM g WHERE n_distinct_texts >= 2 ORDER BY rep_id""".stripMargin,
     // incremental ingest = the straddling subset of the all-pairs result:
     // a (new, index) pair collides in a band iff the same unordered pair
     // does, so `pairs` restricted to one-endpoint-new replays the
@@ -2497,6 +2514,29 @@ object SparkEntry {
          |  CAST((max(end_bin) + 1) * ${Sampling.ContextLen} - sum(n_tokens)
          |    AS BIGINT) AS tail_waste_tokens
          |FROM ($p04OracleSql) GROUP BY lang ORDER BY lang""".stripMargin,
+    // p21: pad-vs-pack — the padded (per-doc, PadMaxLen-budget) layout's
+    // truncation/padding losses against p04's packed layout, per language
+    "p21_padding_audit" -> {
+      val pl = Sampling.PadMaxLen
+      val cl = Sampling.ContextLen
+      s"""WITH pk AS ($p04OracleSql),
+         |pb AS (SELECT lang, CAST(max(end_bin) + 1 AS BIGINT) AS n_bins
+         |       FROM pk GROUP BY lang),
+         |ag AS (SELECT lang, count(*) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(LEAST(n_tokens, $pl)) AS BIGINT) AS kept,
+         |         CAST(SUM(GREATEST(n_tokens - $pl, 0)) AS BIGINT)
+         |           AS trunc_loss_tokens,
+         |         CAST(SUM(GREATEST($pl - n_tokens, 0)) AS BIGINT)
+         |           AS pad_waste_tokens
+         |       FROM pk GROUP BY lang)
+         |SELECT ag.lang, n_docs, n_tokens, pb.n_bins AS packed_bins,
+         |  CAST(pb.n_bins * $cl - n_tokens AS BIGINT) AS packed_waste_tokens,
+         |  trunc_loss_tokens, pad_waste_tokens,
+         |  CAST(n_tokens AS DOUBLE) / (pb.n_bins * $cl) AS packed_util,
+         |  CAST(kept AS DOUBLE) / (n_docs * $pl) AS padded_util
+         |FROM ag JOIN pb USING (lang) ORDER BY ag.lang""".stripMargin
+    },
     "p05_decontamination" -> p05OracleSql,
     // p18: p05 with the sides swapped — the train docs overlapping the
     // (df-capped) eval shingle set are dropped; survivors emitted
@@ -3155,6 +3195,31 @@ object SparkEntry {
          |  tok AS token, freq, cms_est, cms_est - freq AS overestimate
          |FROM est ORDER BY rank""".stripMargin
     },
+    // t20: byte-hygiene scan — length-difference counting for the
+    // single-char artifact classes, occurrence counting for the two-char
+    // mojibake signatures; \x{...} escapes for Java<->RE2 parity
+    "t20_encoding_scan" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '\x{FFFD}', '', 'g')) AS BIGINT) AS n_replacement,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[\x{0080}-\x{009F}]', '', 'g')) AS BIGINT) AS n_c1_controls,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT)
+        |    AS n_ctrl_chars,
+        |  CAST(len(regexp_extract_all(text,
+        |    '([\x{00C3}\x{00C2}][\x{0080}-\x{00BF}]|\x{00E2}\x{20AC})'))
+        |    AS BIGINT) AS n_mojibake_sigs,
+        |  (length(text) - length(regexp_replace(text,
+        |     '\x{FFFD}', '', 'g')) = 0
+        |   AND length(text) - length(regexp_replace(text,
+        |     '[\x{0080}-\x{009F}]', '', 'g')) = 0
+        |   AND length(text) - length(regexp_replace(text,
+        |     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) = 0
+        |   AND len(regexp_extract_all(text,
+        |     '([\x{00C3}\x{00C2}][\x{0080}-\x{00BF}]|\x{00E2}\x{20AC})')) = 0)
+        |    AS is_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Geometry contract with the asset synthesizer (Multimodal.assets):
     // even doc_id -> 24-bpp BMP, w = 4*(len%3+1), h = len // (3w), decoded
     // pixel array = first 3wh text bytes; odd doc_id -> 16-bit mono WAV,

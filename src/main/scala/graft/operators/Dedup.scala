@@ -78,6 +78,36 @@ object Dedup {
         col("n_nfc_variants"))
       .orderBy("rep_id")
 
+  // --- template-skeleton dedup ---------------------------------------------
+  /** Template-skeleton family detection (d24) — the rung PAST [[
+    * canonicalDedup]]'s ladder: collapse every ASCII alphanumeric run to
+    * one `#` marker and whitespace runs to one space, leaving only the
+    * document's punctuation/layout SKELETON. Documents generated from
+    * one boilerplate template (same structure, different payload words
+    * and numbers — machine-generated listings, error pages, mail-merge
+    * spam) share a skeleton while every exact/NFC/canonical key still
+    * differs, so families with ≥ 2 DISTINCT texts are exactly the
+    * duplicate mass d01/d21/d22 cannot see. Emits one row per template
+    * family: representative, member count, distinct payloads, and the
+    * skeleton's size. Same 100-TB shape as the whole exact-dedup ladder:
+    * one per-row key projection, one hash-shuffle groupBy. Explicit
+    * ASCII classes (never `\w`/POSIX), the d22 Java↔RE2 parity rule. */
+  def skeletonDedup(s: SparkSession, dir: String): DataFrame =
+    skeletonDedupOf(Tables.table(s, dir, "documents"))
+
+  private[graft] def skeletonDedupOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        trim(regexp_replace(regexp_replace(col("text"),
+          "[0-9A-Za-z]+", "#"), "\\s+", " ")).as("sk"))
+      .groupBy(col("sk"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      .filter(col("n_distinct_texts") >= 2)
+      .select(col("rep_id"), col("n_docs"), col("n_distinct_texts"),
+        length(col("sk")).cast("long").as("skeleton_chars"))
+      .orderBy("rep_id")
+
   // --- winnowing fingerprint near-dup --------------------------------------
   /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS fingerprinting scheme): k-gram size, selection window, the

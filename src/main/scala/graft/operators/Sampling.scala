@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Deterministic sampling / splitting — the reproducibility layer of a
   * training-data pipeline. RNG-based `TABLESAMPLE` gives a different
@@ -133,6 +133,52 @@ object Sampling {
         (col("n_bins") * ContextLen - col("n_tokens"))
           .as("tail_waste_tokens"))
       .orderBy("lang")
+
+  /** Fixed-length example budget for the PADDED (one-document-per-
+    * sequence, SFT-style) layout [[paddingAudit]] compares against
+    * [[ContextLen]] packing — short enough that the corpus exercises
+    * BOTH failure modes (padding waste on short docs, truncation loss
+    * on long ones). */
+  val PadMaxLen = 64
+
+  /** Pad-vs-pack layout audit (p21) — the OTHER way to fill training
+    * windows, measured against p04's: the padded layout gives every
+    * document its own [[PadMaxLen]]-token example (truncating past the
+    * budget, padding up to it — no cross-document attention, the SFT
+    * default), the packed layout concatenates ([[sequencePacking]]).
+    * Per language: both layouts' exact token accounting — truncation
+    * loss and pad waste on one side, tail waste on the other — and the
+    * utilization ratios a pipeline multiplies by GPU-hours to choose a
+    * layout (p10's decision widened to the layout axis). One token-count
+    * pass feeds both sides; all integers, divisions at the boundary. */
+  def paddingAudit(s: SparkSession, dir: String): DataFrame = {
+    import TextPrep.tokens
+    val tok = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val packed = packingOf(tok).groupBy("lang")
+      .agg((max(col("end_bin")) + 1).as("n_bins"))
+    tok.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(least(col("n_tokens"), lit(PadMaxLen.toLong)))
+          .as("padded_kept_tokens"),
+        sum(greatest(col("n_tokens") - PadMaxLen, lit(0L)))
+          .as("trunc_loss_tokens"),
+        sum(greatest(lit(PadMaxLen.toLong) - col("n_tokens"), lit(0L)))
+          .as("pad_waste_tokens"))
+      .join(packed, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_bins").as("packed_bins"),
+        (col("n_bins") * ContextLen - col("n_tokens"))
+          .as("packed_waste_tokens"),
+        col("trunc_loss_tokens"), col("pad_waste_tokens"),
+        (col("n_tokens").cast(DoubleType) / (col("n_bins") * ContextLen))
+          .as("packed_util"),
+        (col("padded_kept_tokens").cast(DoubleType) /
+          (col("n_docs") * PadMaxLen)).as("padded_util"))
+      .orderBy("lang")
+  }
 
   /** Context windows per output shard for [[shardManifest]] — the file
     * granularity a packed-dataset writer emits. */

@@ -681,4 +681,38 @@ object TextAnalysis {
         (col("xent_sum").cast(DoubleType) / col("n_transitions"))
           .as("mean_xent"))
   }
+
+  // --- encoding-artifact scan ----------------------------------------------
+  /** Byte-hygiene scan (t20) — the ftfy-shaped curation stage upstream
+    * of every text signal: per document, counts of the four standard
+    * encoding-damage artifacts a crawled corpus carries — U+FFFD
+    * replacement characters (decoder already gave up), C1 control
+    * characters U+0080–U+009F (Latin-1 misreads of continuation bytes),
+    * raw ASCII control characters outside tab/newline/CR (binary
+    * spillage), and the classic UTF-8-read-as-Latin-1/cp1252 mojibake
+    * signatures (`Ã`/`Â` + continuation-range char, `â€`). `is_clean`
+    * gates the doc. Pure per-row column expressions — map-side only, no
+    * shuffle, streaming-applicable like [[gopherSignals]]. Counting is
+    * length-difference after class removal (engine-exact on both sides;
+    * occurrence counting only for the two-char signatures); classes use
+    * explicit `\\x{…}` escapes, the d22 Java↔RE2 parity rule. */
+  def encodingScan(s: SparkSession, dir: String): DataFrame =
+    encodingScanOf(Tables.table(s, dir, "documents")).orderBy("doc_id")
+
+  private[graft] def encodingScanOf(docs: DataFrame): DataFrame = {
+    def charsOf(pattern: String): Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), pattern, ""))).cast("long")
+    val moji = size(regexp_extract_all(col("text"),
+      lit("([\\x{00C3}\\x{00C2}][\\x{0080}-\\x{00BF}]|\\x{00E2}\\x{20AC})"),
+      lit(0))).cast("long")
+    docs.select(col("doc_id"),
+        charsOf("\\x{FFFD}").as("n_replacement"),
+        charsOf("[\\x{0080}-\\x{009F}]").as("n_c1_controls"),
+        charsOf("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").as("n_ctrl_chars"),
+        moji.as("n_mojibake_sigs"))
+      .withColumn("is_clean",
+        col("n_replacement") === 0 && col("n_c1_controls") === 0 &&
+          col("n_ctrl_chars") === 0 && col("n_mojibake_sigs") === 0)
+  }
 }

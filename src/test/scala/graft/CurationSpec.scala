@@ -571,4 +571,92 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(viaParams == viaDefault)
   }
+
+  test("encoding scan flags each artifact class; clean unicode prose " +
+      "passes (t20)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "café résumé naïve"), // real accents: clean
+      (2L, "broken � twice � here"),       // replacement chars
+      (3L, "cafÃ© was cp1252-decoded"),    // Ã© mojibake pair
+      (4L, "itâ€™s a smart quote"),   // â€™ mojibake
+      (5L, "latin1 c1: \u0085 and \u0093"),          // C1 controls
+      (6L, "binary\u0000spill\u0007age"),            // raw control chars
+      (7L, "tabs\tand\nnewlines are fine")           // allowed whitespace
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingScanOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def counts(id: Long) = {
+      val r = got(id)
+      (r.getAs[Long]("n_replacement"), r.getAs[Long]("n_c1_controls"),
+        r.getAs[Long]("n_ctrl_chars"), r.getAs[Long]("n_mojibake_sigs"),
+        r.getAs[Boolean]("is_clean"))
+    }
+    assert(counts(1L) == (0L, 0L, 0L, 0L, true),
+      "real accented text must not be flagged")
+    assert(counts(2L) == (2L, 0L, 0L, 0L, false))
+    assert(counts(3L) == (0L, 0L, 0L, 1L, false))
+    assert(counts(4L) == (0L, 0L, 0L, 1L, false))
+    assert(counts(5L) == (0L, 2L, 0L, 0L, false))
+    assert(counts(6L) == (0L, 0L, 2L, 0L, false))
+    assert(counts(7L) == (0L, 0L, 0L, 0L, true),
+      "tab/newline/CR are whitespace, not binary spillage")
+  }
+
+  test("template-skeleton dedup groups payload variants the exact " +
+      "ladder misses, and excludes exact-dup-only families (d24)") {
+    import spark.implicits._
+    val docs = Seq(
+      // one template family: same skeleton, three distinct payloads
+      (1L, "Order #123 shipped to Berlin!"),
+      (2L, "Order #99 shipped to Austin!"),
+      (3L, "Order #4711 shipped to Lyon!"),
+      // exact duplicates only: same skeleton AND same text -> excluded
+      (4L, "hello world."),
+      (5L, "hello world."),
+      // singleton: excluded
+      (6L, "something (entirely) different?")
+    ).toDF("doc_id", "text")
+    val fams = Dedup.skeletonDedupOf(docs).collect()
+    assert(fams.length == 1)
+    val f = fams.head
+    assert(f.getAs[Long]("rep_id") == 1L)
+    assert(f.getAs[Long]("n_docs") == 3L)
+    assert(f.getAs[Long]("n_distinct_texts") == 3L)
+    // skeleton of "Order #123 shipped to Berlin!" -> "# ## # # #!"
+    assert(f.getAs[Long]("skeleton_chars") ==
+      "# ## # # #!".length.toLong)
+    // corpus sanity: every reported family has >= 2 docs and >= 2 texts
+    Dedup.skeletonDedup(spark, "/root/testdata/sf0.001").collect().foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_distinct_texts"))
+      assert(r.getAs[Long]("n_distinct_texts") >= 2L)
+    }
+  }
+
+  test("pad-vs-pack audit: token accounting closes on both layouts (p21)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Sampling.paddingAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, nt) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))
+      val bins = r.getAs[Long]("packed_bins")
+      // packed side: waste is exactly the unfilled window tail
+      assert(r.getAs[Long]("packed_waste_tokens") ==
+        bins * Sampling.ContextLen - nt)
+      // padded side: kept + truncated == corpus, kept + waste == budget
+      val kept = nd * Sampling.PadMaxLen - r.getAs[Long]("pad_waste_tokens")
+      assert(kept + r.getAs[Long]("trunc_loss_tokens") == nt)
+      val pu = r.getAs[Double]("padded_util")
+      assert(pu > 0.0 && pu <= 1.0)
+      assert(math.abs(pu - kept.toDouble /
+        (nd * Sampling.PadMaxLen)) < 1e-12)
+      val ku = r.getAs[Double]("packed_util")
+      assert(ku > 0.0 && ku <= 1.0)
+    }
+    // the packed-bin counts agree with p10's independent rollup
+    val p10 = Sampling.packingEfficiency(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_bins")).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("packed_bins") == p10(r.getAs[String]("lang"))))
+  }
 }
