@@ -153,12 +153,13 @@ object Sampling {
     * pass feeds both sides; all integers, divisions at the boundary. */
   def paddingAudit(s: SparkSession, dir: String): DataFrame = {
     import TextPrep.tokens
-    val tok = Tables.table(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val packed = packingOf(tok).groupBy("lang")
-      .agg((max(col("end_bin")) + 1).as("n_bins"))
-    tok.groupBy("lang")
+    // ONE tokenize pass: packingOf's layout already carries n_tokens per
+    // document, so both layouts' accounting folds into one per-language
+    // aggregation over it — no second documents scan, no join
+    packingOf(Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")))
+      .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(least(col("n_tokens"), lit(PadMaxLen.toLong)))
@@ -166,8 +167,8 @@ object Sampling {
         sum(greatest(col("n_tokens") - PadMaxLen, lit(0L)))
           .as("trunc_loss_tokens"),
         sum(greatest(lit(PadMaxLen.toLong) - col("n_tokens"), lit(0L)))
-          .as("pad_waste_tokens"))
-      .join(packed, "lang")
+          .as("pad_waste_tokens"),
+        (max(col("end_bin")) + 1).as("n_bins"))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         col("n_bins").as("packed_bins"),
         (col("n_bins") * ContextLen - col("n_tokens"))

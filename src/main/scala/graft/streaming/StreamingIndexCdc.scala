@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
+  StructField, StructType}
 
 /** A change event on the vector corpus — the commit-log op convention
   * (I insert / U update / D delete, `ChangeEvent`'s op byte) aimed at
@@ -27,39 +28,64 @@ final case class VecChange(seq: Long, vecId: Long, op: String,
   * [[graft.sinks.AppendVersionedSink]]'s dedup view: per vector the
   * highest-`seq` event wins; a winning tombstone removes the vector, a
   * winning upsert serves its (single) encode. [[compact]] materializes
-  * the view and discards superseded versions + tombstones — the
-  * OPTIMIZE FINAL analog for the index.
+  * the view into a reserved `batch_id=-1` base partition and RETAINS
+  * the still-winning tombstones (the AppendVersionedSink rule: a
+  * replayed pre-compaction batch must still find the tombstone that
+  * outranks it, or deleted keys resurrect) — the OPTIMIZE FINAL analog
+  * for the index. Resuming maintenance onto the compacted pair with a
+  * fresh checkpoint is safe: streaming batch ids start at 0 and never
+  * touch the base partition.
   *
   * Shape at 100 TB: per-batch cost is batch-proportional (broadcast
-  * artifacts; no corpus reads on the write path). The version
-  * resolution in the read view is one shuffle keyed on vec_id over
-  * index rows — the read-amplification compaction exists to erase, on
-  * the same cadence a versioned warehouse sink compacts. */
+  * artifacts; no corpus reads on the write path; the micro-batch frame
+  * is persisted across its two sink writes). The version resolution in
+  * the read view is one shuffle keyed on vec_id over index rows — the
+  * read-amplification compaction exists to erase, on the same cadence a
+  * versioned warehouse sink compacts. All paths go through the Hadoop
+  * filesystem of the index URI, never the local filesystem. */
 object StreamingIndexCdc {
+
+  /** The reserved base partition [[compact]] writes; streaming batch ids
+    * are non-negative, so maintenance resumed on a compacted index can
+    * never overwrite it. */
+  val CompactedBatchId = -1L
 
   private val TombSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("seq", LongType)))
+
+  /** Data-file schema of one encoded index row ([[StreamingIndexIngest
+    * .encode]] plus the version stamp); `batch_id`/`cid` live in the
+    * directory structure and are appended by partition discovery. */
+  private val EncSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("nrm", DoubleType),
+    StructField("m", IntegerType), StructField("code", IntegerType),
+    StructField("seq", LongType)))
 
   /** Apply ONE batch of change events `(seq, vec_id, op, embedding)` to
     * the on-disk index — the foreachBatch body, callable directly for
     * batch backfills and replay. Last op per key (highest `seq`) wins
     * within the batch; I and U are the same operation against an index
-    * (encode + version-append), as in any upsert sink. */
+    * (encode + version-append), as in any upsert sink. The resolved
+    * frame is persisted across the two sink writes (index + tombstones)
+    * so the LWW window and the source scan run once per batch. */
   def applyBatch(batch: DataFrame, idx: StreamingSimScorer.Index,
       indexDir: String, tombDir: String, batchId: Long): Unit = {
     val latest = batch
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("seq").desc)))
       .filter(col("rn") === 1)
-    val ups = latest.filter(col("op") =!= "D")
-      .select(col("vec_id"), col("seq"), col("embedding"))
-    val dels = latest.filter(col("op") === "D").select("vec_id", "seq")
-    StreamingIndexIngest
-      .encode(ups.select("vec_id", "embedding"), idx)
-      .join(ups.select("vec_id", "seq"), "vec_id")
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$indexDir/batch_id=$batchId")
-    dels.write.mode("overwrite").parquet(s"$tombDir/batch_id=$batchId")
+      .persist()
+    try {
+      val ups = latest.filter(col("op") =!= "D")
+        .select(col("vec_id"), col("seq"), col("embedding"))
+      val dels = latest.filter(col("op") === "D").select("vec_id", "seq")
+      StreamingIndexIngest
+        .encode(ups.select("vec_id", "embedding"), idx)
+        .join(ups.select("vec_id", "seq"), "vec_id")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$indexDir/batch_id=$batchId")
+      dels.write.mode("overwrite").parquet(s"$tombDir/batch_id=$batchId")
+    } finally { latest.unpersist(); () }
   }
 
   /** Attach the maintainer to a streaming change frame
@@ -75,16 +101,51 @@ object StreamingIndexCdc {
       }
       .start()
 
-  /** Tombstones, tolerant of a delete-free feed (missing/empty dir reads
-    * as an empty frame — the DLQ convention). */
+  /** Existence through the path's OWN filesystem — `java.io.File` would
+    * silently report `false` for every hdfs://
+    * URI and make [[readIndex]] resurrect deleted vectors at scale. */
+  private def dirExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def emptyOf(s: SparkSession, schema: StructType): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+
+  /** Tombstones, tolerant of a delete-free feed: schema-explicit read, so
+    * `batch_id=N` dirs with no part files (or no dir at all) read as an
+    * empty frame, never a schema-inference error. */
   private def tombstones(s: SparkSession, tombDir: String): DataFrame =
-    // schema-explicit read: a delete-free feed leaves `batch_id=N` dirs
-    // with no part files (or no dir at all) — both must read as empty,
-    // never throw schema inference errors
-    if (new java.io.File(tombDir).isDirectory)
+    if (dirExists(s, tombDir))
       s.read.schema(TombSchema).parquet(tombDir).select("vec_id", "seq")
-    else s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], TombSchema)
+    else emptyOf(s, TombSchema)
+
+  /** Versioned encode rows, with the same empty-feed tolerance as
+    * [[tombstones]] (a delete-only feed leaves upsert partitions with no
+    * part files), and `cid` normalized back to the LongType the encode
+    * contract writes — partition-column inference would otherwise hand
+    * readers an IntegerType `cid`. */
+  private def encoded(s: SparkSession, indexDir: String): DataFrame = {
+    val base =
+      if (dirExists(s, indexDir)) s.read.schema(EncSchema).parquet(indexDir)
+      else emptyOf(s, EncSchema)
+    val withCid =
+      if (base.columns.contains("cid")) base
+      else base.withColumn("cid", lit(null))
+    withCid.select(col("vec_id"), col("seq"), col("nrm"), col("m"),
+      col("code"), col("cid").cast(LongType).as("cid"))
+  }
+
+  /** Per-vector winning version across encodes and tombstones: `(vec_id,
+    * seq, deleted)` — the single resolution rule [[readIndex]] and
+    * [[compact]] share. */
+  private def winners(enc: DataFrame, tmb: DataFrame): DataFrame =
+    enc.select("vec_id", "seq").withColumn("deleted", lit(false))
+      .unionByName(tmb.withColumn("deleted", lit(true)))
+      .groupBy("vec_id")
+      .agg(max(struct(col("seq"), col("deleted"))).as("v"))
+      .select(col("vec_id"), col("v.seq").as("seq"),
+        col("v.deleted").as("deleted"))
 
   /** The live index — version resolution over the raw versioned rows:
     * per vector, the highest-`seq` event wins across encodes AND
@@ -93,27 +154,38 @@ object StreamingIndexCdc {
     * `(vec_id, nrm, m, code, cid)` plus `seq`. */
   def readIndex(s: SparkSession, indexDir: String,
       tombDir: String): DataFrame = {
-    val enc = s.read.parquet(indexDir)
-    val versions = enc.select("vec_id", "seq").distinct()
-      .withColumn("deleted", lit(false))
-      .unionByName(tombstones(s, tombDir).withColumn("deleted", lit(true)))
-    val live = versions.groupBy("vec_id")
-      .agg(max(struct(col("seq"), col("deleted"))).as("v"))
-      .filter(!col("v.deleted"))
-      .select(col("vec_id"), col("v.seq").as("seq"))
+    val enc = encoded(s, indexDir)
+    val live = winners(enc, tombstones(s, tombDir))
+      .filter(!col("deleted")).select("vec_id", "seq")
     enc.join(live, Seq("vec_id", "seq"))
+      // a batch replayed ONTO a compacted index duplicates its rows
+      // byte-identically (base partition + replayed batch_id) — encode
+      // is deterministic, so collapsing per (vector, subspace) is
+      // value-deterministic: exactly M rows per live vector
+      .dropDuplicates("vec_id", "m")
       .select("vec_id", "seq", "nrm", "m", "code", "cid")
   }
 
-  /** Materialize the live view into a fresh cid-partitioned index and
-    * drop superseded versions + tombstones — the explicit compaction
-    * (OPTIMIZE FINAL analog). A reader of `outDir` needs no tombstone
-    * side at all ([[readIndex]] with an empty tombstone dir returns the
-    * same rows — spec-proven). */
+  /** Materialize the live view into a fresh index whose base partition is
+    * the reserved [[CompactedBatchId]], drop superseded versions, and
+    * RETAIN the still-winning tombstones in `outTombDir` — the explicit
+    * compaction (OPTIMIZE FINAL analog). Resuming the CDC stream onto
+    * `(outIndexDir, outTombDir)` is safe: batch 0 of a fresh checkpoint
+    * cannot collide with the base partition, and a crash-replayed
+    * pre-compaction batch carrying a deleted key's old encode still
+    * finds the tombstone that outranks it. */
   def compact(s: SparkSession, indexDir: String, tombDir: String,
-      outDir: String): Unit =
-    readIndex(s, indexDir, tombDir)
-      .withColumn("batch_id", lit(0L))
-      .write.mode("overwrite").partitionBy("batch_id", "cid")
-      .parquet(outDir)
+      outIndexDir: String, outTombDir: String): Unit = {
+    val enc = encoded(s, indexDir)
+    val win = winners(enc, tombstones(s, tombDir)).persist()
+    try {
+      enc.join(win.filter(!col("deleted")).select("vec_id", "seq"),
+          Seq("vec_id", "seq"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$outIndexDir/batch_id=$CompactedBatchId")
+      win.filter(col("deleted")).select("vec_id", "seq")
+        .write.mode("overwrite")
+        .parquet(s"$outTombDir/batch_id=$CompactedBatchId")
+    } finally { win.unpersist(); () }
+  }
 }

@@ -84,17 +84,53 @@ class StreamingIndexCdcSpec extends SparkSpec {
       assert(rowSet(StreamingIndexCdc.readIndex(spark, indexDir, tombDir))
         == oneShot, "a replayed batch must change nothing")
 
-      // compaction erases history: the compacted index serves the same
-      // rows with NO tombstone side at all
-      val compactDir = base.resolve("compacted").toString
-      StreamingIndexCdc.compact(spark, indexDir, tombDir, compactDir)
-      val emptyTomb = base.resolve("no-tomb").toString
-      assert(rowSet(StreamingIndexCdc.readIndex(spark, compactDir,
-        emptyTomb)) == oneShot)
-      // and superseded/deleted vec_ids are physically gone post-compaction
-      val onDisk = spark.read.parquet(compactDir)
+      // compaction erases superseded history but RETAINS winning
+      // tombstones (the AppendVersionedSink rule)
+      val compactIdx = base.resolve("compacted-index").toString
+      val compactTomb = base.resolve("compacted-tomb").toString
+      StreamingIndexCdc.compact(spark, indexDir, tombDir, compactIdx,
+        compactTomb)
+      assert(rowSet(StreamingIndexCdc.readIndex(spark, compactIdx,
+        compactTomb)) == oneShot)
+      // superseded/deleted vec_ids are physically gone post-compaction
+      val onDisk = spark.read.parquet(compactIdx)
         .select("vec_id").distinct().as[Long].collect().toSet
       assert(gone.forall(!onDisk(_)))
+      // exactly the still-deleted keys keep their tombstones (a reborn
+      // key's outranked tombstone is dropped)
+      val keptTombs = spark.read.parquet(compactTomb)
+        .select("vec_id").as[Long].collect().toSet
+      assert(keptTombs == gone)
+      // resume-safety: a crash-replayed PRE-compaction batch (old encodes
+      // of since-deleted keys, batch id 0 — which must not collide with
+      // the compacted base partition) cannot resurrect deleted keys
+      StreamingIndexCdc.applyBatch(
+        b1.toSeq.toDF("seq", "vec_id", "op", "embedding"),
+        idx, compactIdx, compactTomb, batchId = 0L)
+      val afterReplay = StreamingIndexCdc.readIndex(spark, compactIdx,
+        compactTomb)
+      assert(rowSet(afterReplay) == oneShot,
+        "a replayed old batch onto the compacted pair must change nothing")
+      // ...including multiplicity: the physically-duplicated rows (base
+      // partition + replayed batch) collapse to M rows per survivor
+      assert(afterReplay.count() ==
+        finalState.size.toLong * Similarity.PqM)
+    } finally idx.unpersistAll()
+  }
+
+  test("a delete-only feed leaves a readable (empty-upsert) index") {
+    val idx = StreamingSimScorer.buildIndex(spark, sf)
+    try {
+      val base = Files.createTempDirectory("idx-cdc-delonly")
+      val (indexDir, tombDir) = (base.resolve("index").toString,
+        base.resolve("tomb").toString)
+      val dels = Seq((1L, 42L, "D", Seq.empty[Float]),
+        (2L, 43L, "D", Seq.empty[Float]))
+        .toDF("seq", "vec_id", "op", "embedding")
+      StreamingIndexCdc.applyBatch(dels, idx, indexDir, tombDir, 0L)
+      // no upsert has ever landed: the read view is EMPTY, not an error
+      assert(StreamingIndexCdc.readIndex(spark, indexDir, tombDir)
+        .count() == 0L)
     } finally idx.unpersistAll()
   }
 
