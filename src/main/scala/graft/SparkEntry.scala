@@ -156,6 +156,7 @@ object SparkEntry {
     "s18_ivfpq_delete" -> canon("cid")(Similarity.ivfPqDelete),
     "s18b_delete_serve" -> canon("qid", "rank")(Similarity.ivfPqDeleteServe),
     "s20_ivfpq_shard_merge" -> canon("cid")(Similarity.ivfPqShardMerge),
+    "s21_filtered_ann_audit" -> canon("method")(Similarity.filteredAnnAudit),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -650,6 +651,82 @@ object SparkEntry {
        |  CAST(SUM(code_sum) AS BIGINT) AS code_mass_merged
        |FROM assign a JOIN csum USING (vec_id)
        |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+  }
+
+  /** Full s08 exact filtered-top-3 oracle body — its own entry, and the
+    * truth term of the s21 strategy audit. */
+  private def s08Sql: String =
+    s"""WITH el AS (SELECT vec_id, label, embedding,
+       |        list_sum(list_transform(embedding,
+       |          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))
+       |            * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
+       |      FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS neighbor_id,
+       |    CAST($dotAB AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |      AS cos_sim
+       |  FROM el a JOIN el b ON b.label = a.label AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < ${Similarity.NumQueries}),
+       |r AS (SELECT qid, qlabel, neighbor_id, cos_sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |      FROM scored)
+       |SELECT qid, qlabel, rank, neighbor_id, cos_sim FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** s21 filtered-ANN strategy audit oracle: the unfiltered s15 ranked
+    * flow (post-filter base) plus a label-restricted ADC scoring pass
+    * (pre-filter), both scored against the nested s08 exact truth. */
+  private def s21Sql: String = {
+    val nq = Similarity.NumQueries
+    s"""${s15CtesFor("", "")},
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |ql AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+       |       WHERE vec_id < $nq),
+       |cm AS (SELECT c.qid, c.vec_id, (lb.label = ql.qlabel) AS is_match
+       |       FROM cand c JOIN lb ON lb.vec_id = c.vec_id
+       |       JOIN ql ON ql.qid = c.qid),
+       |scoredpre AS (SELECT c.qid, codes.vec_id AS neighbor_id,
+       |           SUM(pdot) AS adc
+       |         FROM cm c JOIN codes ON codes.vec_id = c.vec_id
+       |         JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+       |           AND lut.qid = c.qid
+       |         WHERE c.is_match GROUP BY c.qid, codes.vec_id),
+       |finpre AS (SELECT qid, neighbor_id FROM (
+       |    SELECT s.qid, s.neighbor_id, ROW_NUMBER() OVER (
+       |        PARTITION BY s.qid ORDER BY
+       |        CAST(s.adc AS DOUBLE) / (sqrt(CAST(qe.n2 AS DOUBLE))
+       |          * sqrt(CAST(ne.n2 AS DOUBLE))) DESC, s.neighbor_id) AS rnk
+       |    FROM scoredpre s JOIN e qe ON s.qid = qe.vec_id
+       |      JOIN e ne ON s.neighbor_id = ne.vec_id)
+       |  WHERE rnk <= 3),
+       |post AS (SELECT qid, neighbor_id FROM (
+       |    SELECT r.qid, r.neighbor_id, ROW_NUMBER() OVER (
+       |        PARTITION BY r.qid ORDER BY r.rank) AS rr
+       |    FROM r JOIN lb ON lb.vec_id = r.neighbor_id
+       |      JOIN ql ON ql.qid = r.qid
+       |    WHERE r.rank <= ${Similarity.RefineK} AND lb.label = ql.qlabel)
+       |  WHERE rr <= 3),
+       |truth AS (SELECT qid, neighbor_id FROM ($s08Sql)),
+       |met AS (SELECT 'prefilter' AS method,
+       |    CAST((SELECT count(*) FROM finpre) AS BIGINT) AS n_retrieved,
+       |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |    CAST((SELECT count(*) FROM finpre JOIN truth
+       |      USING (qid, neighbor_id)) AS BIGINT) AS n_hits,
+       |    CAST((SELECT count(*) FROM cm WHERE is_match) AS BIGINT)
+       |      AS n_candidates
+       |  UNION ALL
+       |  SELECT 'postfilter',
+       |    CAST((SELECT count(*) FROM post) AS BIGINT),
+       |    CAST((SELECT count(*) FROM truth) AS BIGINT),
+       |    CAST((SELECT count(*) FROM post JOIN truth
+       |      USING (qid, neighbor_id)) AS BIGINT),
+       |    CAST((SELECT count(*) FROM cm) AS BIGINT))
+       |SELECT method, n_retrieved, n_truth, n_hits,
+       |  CAST(n_hits AS DOUBLE) / n_truth AS recall_vs_exact,
+       |  CAST(n_candidates AS DOUBLE) / $nq AS mean_candidates_per_query
+       |FROM met ORDER BY method""".stripMargin
   }
 
   /** The s15 IVF-PQ pipeline through its ranked CTE `r` — shared by the
@@ -2455,25 +2532,10 @@ object SparkEntry {
     // s20: shard-parallel build merge — per-list shard contributions
     // under one shared frozen quantizer
     "s20_ivfpq_shard_merge" -> s20Sql,
-    "s08_sim_filtered_topk" ->
-      s"""WITH el AS (SELECT vec_id, label, embedding,
-         |        list_sum(list_transform(embedding,
-         |          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))
-         |            * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
-         |      FROM embeddings),
-         |scored AS (
-         |  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS neighbor_id,
-         |    CAST($dotAB AS DOUBLE)
-         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
-         |      AS cos_sim
-         |  FROM el a JOIN el b ON b.label = a.label AND b.vec_id <> a.vec_id
-         |  WHERE a.vec_id < ${Similarity.NumQueries}),
-         |r AS (SELECT qid, qlabel, neighbor_id, cos_sim,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-         |      FROM scored)
-         |SELECT qid, qlabel, rank, neighbor_id, cos_sim FROM r
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "s08_sim_filtered_topk" -> s08Sql,
+    // s21: pre-filter vs post-filter through the compressed index,
+    // scored against s08's exact filtered truth
+    "s21_filtered_ann_audit" -> s21Sql,
     "p01_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

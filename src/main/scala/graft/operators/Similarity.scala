@@ -968,6 +968,80 @@ object Similarity {
         sum(col("code_sum")).as("code_mass_merged"))
   }
 
+  // --- s21: filtered-ANN strategy audit ------------------------------------
+  /** Pre-filter vs post-filter through the compressed index (s21) — THE
+    * standing design decision of filtered vector search, measured on the
+    * actual corpus before a deployment commits to one:
+    *  - POST-filter: retrieve [[RefineK]] by unfiltered ADC (the plain
+    *    s15 flow), then drop label mismatches and keep the first 3
+    *    survivors. Cheap (shares the unfiltered index) but STARVES when
+    *    few of the top-K match the predicate — it can return fewer than
+    *    3 answers and miss matches sitting just below the cutoff.
+    *  - PRE-filter: restrict the probed inverted lists to label matches
+    *    BEFORE ADC scoring, ranking the full top-3 budget inside the
+    *    filter. Never starves within the probed lists; scores fewer
+    *    candidates (the work column shows exactly how many).
+    * Both strategies are scored against s08's exact filtered truth.
+    * Output: one row per strategy — answers returned, exact-truth size,
+    * hits, recall, and mean scored candidates per query (the cost axis).
+    * At 100 TB both run on the same compressed index; the audit is the
+    * go/no-go between them, the filtered companion of [[annRecall]]. */
+  def filteredAnnAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).persist()
+    val lbl = Tables.spread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), col("label"))
+    val qlbl = lbl.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    val cents = centsOf(e)
+    val cb = pqCodebook(e)
+    val probes = coarseProbes(e, cents, NumQueries, NProbe)
+      .select("qid", "cid")
+    // ONE candidate materialization carries the match flag; both
+    // strategies (and both work counters) read it
+    val candAll = ivfAssign(e, cents).join(lbl, "vec_id")
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qlbl), "qid")
+      .select(col("qid"), col("vec_id"),
+        (col("label") === col("qlabel")).as("is_match"))
+      .persist()
+    val codes = pqCodesFor(e, cb, PqM, PqSubDim)
+    val lut = pqLutFor(e, cb, PqM, PqSubDim)
+      .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
+        col("pdot"))
+    val pre = adcRanked(candAll.filter(col("is_match"))
+      .select("qid", "vec_id"), codes, lut, 3)
+    val post = adcRanked(candAll.select("qid", "vec_id"), codes, lut,
+        RefineK)
+      .join(lbl.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(qlbl), "qid")
+      .filter(col("label") === col("qlabel"))
+      .withColumn("rr", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rank"))))
+      .filter(col("rr") <= 3)
+    val truthPairs = filteredTopK(s, dir)
+      .select("qid", "neighbor_id").persist()
+    val nTruth = truthPairs.agg(count(lit(1)).as("n_truth"))
+    def strategyRow(name: String, res: DataFrame,
+        cand: DataFrame): DataFrame =
+      res.select("qid", "neighbor_id")
+        .join(broadcast(truthPairs), Seq("qid", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(res.agg(count(lit(1)).as("n_retrieved")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(broadcast(nTruth))
+        .select(lit(name).as("method"), col("n_retrieved"), col("n_truth"),
+          col("n_hits"),
+          (col("n_hits").cast(DoubleType) / col("n_truth"))
+            .as("recall_vs_exact"),
+          (col("n_candidates").cast(DoubleType) / NumQueries)
+            .as("mean_candidates_per_query"))
+    val out = strategyRow("prefilter", pre,
+      candAll.filter(col("is_match")))
+      .unionByName(strategyRow("postfilter", post, candAll))
+    evictAfter(out, e, candAll, truthPairs)
+  }
+
   /** Subspace counts [[pqTuningSweep]] sweeps — 64-dim vectors split
     * into 4×16-dim, 8×8-dim (production [[PqM]]) or 16×4-dim codes. */
   val PqSweepMs: Seq[Int] = Seq(4, 8, 16)

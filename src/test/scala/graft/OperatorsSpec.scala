@@ -1497,6 +1497,31 @@ class OperatorsSpec extends SparkSpec {
     assert(audit.map(_.getAs[Long]("n_merged")).sum == members.count())
   }
 
+  test("s21: pre-filter dominates post-filter in answers returned and " +
+      "scores only the matching candidates") {
+    import graft.operators.Similarity
+    val rows = Similarity.filteredAnnAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet == Set("prefilter", "postfilter"))
+    val (pre, post) = (rows("prefilter"), rows("postfilter"))
+    val nTruth = pre.getAs[Long]("n_truth")
+    assert(nTruth == post.getAs[Long]("n_truth") && nTruth > 0)
+    Seq(pre, post).foreach { r =>
+      assert(r.getAs[Long]("n_retrieved") <= 3L * Similarity.NumQueries)
+      assert(r.getAs[Long]("n_hits") <=
+        math.min(r.getAs[Long]("n_retrieved"), nTruth))
+      assert(math.abs(r.getAs[Double]("recall_vs_exact") -
+        r.getAs[Long]("n_hits").toDouble / nTruth) < 1e-12)
+      assert(r.getAs[Double]("mean_candidates_per_query") >= 0.0)
+    }
+    // per query, the matches inside the top-RefineK are a subset of the
+    // matches inside the probed lists — post-filter can never return
+    // MORE than pre-filter, and never scores fewer candidates
+    assert(post.getAs[Long]("n_retrieved") <= pre.getAs[Long]("n_retrieved"))
+    assert(post.getAs[Double]("mean_candidates_per_query") >=
+      pre.getAs[Double]("mean_candidates_per_query"))
+  }
+
   test("s19 dim sweep: full width anchors recall at 1, the recommended " +
       "row follows the retention rule") {
     import graft.operators.{Dedup, Similarity}
