@@ -166,6 +166,23 @@ object StreamingIndexCdc {
       .select("vec_id", "seq", "nrm", "m", "code", "cid")
   }
 
+  /** Answer queries THROUGH the CDC-maintained index — the end of the
+    * loop: change feed → [[applyBatch]] → [[readIndex]] → answers. The
+    * live view supplies the inverted-list assignment and the PQ codes
+    * (so tombstoned vectors can never be candidates, let alone
+    * answers); the frozen artifacts supply probing and the ADC table;
+    * `corpus` supplies raw vectors for the exact refine stage — it MAY
+    * still contain deleted vectors (an upstream table is compacted on
+    * its own cadence): the candidate set, not the corpus scan, is what
+    * delete propagation gates. Spec-proven bit-equal to serving a
+    * scratch-built index over the surviving vectors. */
+  def serve(queries: DataFrame, live: DataFrame, corpus: DataFrame,
+      idx: StreamingSimScorer.Index): DataFrame =
+    graft.operators.Similarity.ivfPqServe(queries, corpus, idx.cents,
+      idx.cb,
+      assigned = Some(live.select("vec_id", "cid")),
+      corpusCodes = Some(live.select("vec_id", "nrm", "m", "code")))
+
   /** Materialize the live view into a fresh index whose base partition is
     * the reserved [[CompactedBatchId]], drop superseded versions, and
     * RETAIN the still-winning tombstones in `outTombDir` — the explicit

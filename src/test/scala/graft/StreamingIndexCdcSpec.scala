@@ -115,6 +115,27 @@ class StreamingIndexCdcSpec extends SparkSpec {
       // partition + replayed batch) collapse to M rows per survivor
       assert(afterReplay.count() ==
         finalState.size.toLong * Similarity.PqM)
+
+      // the maintained index SERVES: the full two-stage retrieval
+      // through the live view answers external queries identically to a
+      // scratch encode of the survivors — and a deleted vector can
+      // never be an answer even though it still sits in the raw corpus
+      // frame the refine stage reads
+      val queries = Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val served = StreamingIndexCdc.serve(queries,
+        StreamingIndexCdc.readIndex(spark, indexDir, tombDir),
+        idx.corpus, idx).collect()
+      assert(served.nonEmpty)
+      served.foreach(r => assert(!gone(r.getAs[Long]("neighbor_id"))))
+      val scratchServed = StreamingIndexCdc.serve(queries,
+        StreamingIndexIngest.encode(
+          finalState.toSeq.toDF("vec_id", "embedding"), idx),
+        idx.corpus, idx).collect()
+      assert(served.map(_.toString).sorted.toSeq ==
+        scratchServed.map(_.toString).sorted.toSeq,
+        "serving through the maintained view must equal a scratch build")
     } finally idx.unpersistAll()
   }
 
