@@ -98,8 +98,7 @@ object Dedup {
   private[graft] def skeletonDedupOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"),
-        trim(regexp_replace(regexp_replace(col("text"),
-          "[0-9A-Za-z]+", "#"), "\\s+", " ")).as("sk"))
+        TextPrep.skeletonKey(col("text")).as("sk"))
       .groupBy(col("sk"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"),
         countDistinct(col("text")).as("n_distinct_texts"))

@@ -42,6 +42,16 @@ object TextPrep {
       regexp_replace(lower(nfc), "[!-/:-@\\[-`{-~]+", " "),
       "\\s+", " "))
 
+  /** The d24 template-skeleton key: every ASCII alphanumeric run becomes
+    * one `#` marker, whitespace runs collapse — only the document's
+    * punctuation/layout structure survives, so documents generated from
+    * one boilerplate template share a key while every canonical-ladder
+    * key still differs. Explicit ASCII classes (the [[canonicalKey]]
+    * Java↔RE2 parity rule). */
+  def skeletonKey(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text,
+      "[0-9A-Za-z]+", "#"), "\\s+", " "))
+
   /** Distinct word n-gram shingles (default 3), space-joined — the unit of
     * near-duplicate detection.
     *

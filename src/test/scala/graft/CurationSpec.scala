@@ -206,6 +206,54 @@ class CurationSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L))
   }
 
+  test("encoding gate runs in-stream: damaged docs drop before the sink") {
+    // t20 is pure per-row expressions like the gopher gate: the SAME
+    // operator is the streaming byte-hygiene admission filter
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val gated = TextAnalysis.encodingScanOf(
+        input.toDF().toDF("doc_id", "text"))
+      .filter(org.apache.spark.sql.functions.col("is_clean"))
+      .select("doc_id")
+    val q = gated.writeStream.format("memory").queryName("encgate")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    input.addData((1L, "clean prose here"), (2L, "broken � text"),
+      (3L, "mojibake cafÃ© latte"))
+    q.processAllAvailable()
+    input.addData((4L, "still clean"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("encgate").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
+  test("d24 skeleton key: invariant under alnum payload substitution, " +
+      "sensitive to structure") {
+    import graft.operators.TextPrep
+    val rnd = new scala.util.Random(7)
+    def pay(): String =
+      Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString +
+        (if (rnd.nextBoolean()) rnd.nextInt(1000).toString else "")
+    // punctuation/layout shapes; every '#' is a payload slot, and the
+    // skeleton of any filled instance is exactly the shape string
+    val shapes = Seq("[#] # - #!", "# (#): #, #.", "#: # #?",
+      "# #, # ... #")
+    def fill(s: String): String =
+      s.flatMap { case '#' => pay(); case c => c.toString }
+    val rows = Seq.tabulate(100) { i =>
+      val sh = shapes(i % shapes.size); (fill(sh), fill(sh), sh)
+    }.toDF("a", "b", "shape")
+    rows.select(TextPrep.skeletonKey(col("a")).as("ka"),
+        TextPrep.skeletonKey(col("b")).as("kb"), col("shape"))
+      .collect().foreach { r =>
+        assert(r.getString(0) == r.getString(2),
+          s"skeleton '${r.getString(0)}' != shape '${r.getString(2)}'")
+        assert(r.getString(1) == r.getString(2),
+          "payload substitution altered the skeleton")
+      }
+  }
+
   test("readability matches a hand-computed Flesch score") {
     val r = TextAnalysis.readabilityOf(
       Seq((1L, "The cat. The dog runs!")).toDF("doc_id", "text"))
