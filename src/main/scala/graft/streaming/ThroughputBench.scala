@@ -192,6 +192,44 @@ object ThroughputBench {
       queries.length / ((System.nanoTime() - t0) / 1e9)
     } finally idx.unpersistAll()
   }
+
+  /** Index-maintenance throughput: change events/second through the
+    * streaming CDC maintainer ([[StreamingIndexCdc]] — per micro-batch,
+    * LWW resolution + frozen-artifact assignment/PQ-encode + versioned
+    * index append + tombstone write). The load mixes 80% upserts with
+    * 20% deletes, the shape a replicated embedding table actually
+    * sends; artifact build runs outside the clock. */
+  def runIndexCdc(spark: SparkSession, sfDir: String, nEvents: Int = 200,
+      batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = StreamingSimScorer.buildIndex(spark, sfDir)
+    try {
+      val vecs = graft.Tables.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).limit(nEvents)
+        .as[(Long, Seq[Float])].collect()
+      val changes = vecs.zipWithIndex.map { case ((_, v), i) =>
+        if (i % 5 == 4) VecChange(i.toLong, 2000000L + i % 40, "D", Seq.empty)
+        else VecChange(i.toLong, 2000000L + i, "I", v)
+      }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[VecChange]
+      val base = Files.createTempDirectory("graft-idx-cdc")
+      val stream = input.toDF().select(col("seq"), col("vecId").as("vec_id"),
+        col("op"), col("embedding"))
+      val t0 = System.nanoTime()
+      val q = StreamingIndexCdc.attach(stream, idx,
+        base.resolve("index").toString, base.resolve("tomb").toString,
+        base.resolve("ckpt").toString)
+      changes.grouped(math.max(1, changes.length / batches)).foreach { g =>
+        input.addData(g.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      changes.length / ((System.nanoTime() - t0) / 1e9)
+    } finally idx.unpersistAll()
+  }
 }
 
 /** [[ThroughputBench.runAnnServe]]'s stream element (top-level: Spark

@@ -121,6 +121,12 @@ class StreamingSimSpec extends SparkSpec {
     assert(qps > 0.0)
   }
 
+  test("the index-maintenance bench path completes and reports a rate") {
+    val vps = graft.streaming.ThroughputBench
+      .runIndexCdc(spark, sf, nEvents = 30, batches = 2)
+    assert(vps > 0.0)
+  }
+
   test("serve() answers external qids without self-exclusion by default") {
     val idx = StreamingSimScorer.buildIndex(spark, sf)
     try {
