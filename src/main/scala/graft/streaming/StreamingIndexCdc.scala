@@ -147,6 +147,20 @@ object StreamingIndexCdc {
       .select(col("vec_id"), col("v.seq").as("seq"),
         col("v.deleted").as("deleted"))
 
+  /** Surviving encode rows for the given winner set — the single
+    * resolution-and-dedup rule [[readIndex]] AND [[compact]] read
+    * through (a compaction that skipped the dedup would bake a
+    * replayed batch's byte-identical duplicates into its base
+    * partition permanently). A batch replayed ONTO a compacted index
+    * duplicates its rows byte-identically (base partition + replayed
+    * batch_id) — encode is deterministic, so collapsing per (vector,
+    * subspace) is value-deterministic: exactly M rows per live
+    * vector. */
+  private def liveRows(enc: DataFrame, win: DataFrame): DataFrame =
+    enc.join(win.filter(!col("deleted")).select("vec_id", "seq"),
+        Seq("vec_id", "seq"))
+      .dropDuplicates("vec_id", "m")
+
   /** The live index — version resolution over the raw versioned rows:
     * per vector, the highest-`seq` event wins across encodes AND
     * tombstones; survivors serve exactly their winning encode's rows.
@@ -155,14 +169,7 @@ object StreamingIndexCdc {
   def readIndex(s: SparkSession, indexDir: String,
       tombDir: String): DataFrame = {
     val enc = encoded(s, indexDir)
-    val live = winners(enc, tombstones(s, tombDir))
-      .filter(!col("deleted")).select("vec_id", "seq")
-    enc.join(live, Seq("vec_id", "seq"))
-      // a batch replayed ONTO a compacted index duplicates its rows
-      // byte-identically (base partition + replayed batch_id) — encode
-      // is deterministic, so collapsing per (vector, subspace) is
-      // value-deterministic: exactly M rows per live vector
-      .dropDuplicates("vec_id", "m")
+    liveRows(enc, winners(enc, tombstones(s, tombDir)))
       .select("vec_id", "seq", "nrm", "m", "code", "cid")
   }
 
@@ -180,7 +187,12 @@ object StreamingIndexCdc {
       idx: StreamingSimScorer.Index): DataFrame =
     graft.operators.Similarity.ivfPqServe(queries, corpus, idx.cents,
       idx.cb,
-      assigned = Some(live.select("vec_id", "cid")),
+      // the live view carries M rows per vector (one per subspace);
+      // the assignment seam wants ONE — all M share the vector's cid,
+      // so the collapse is value-deterministic, and without it every
+      // candidate row fans the ADC join out M× for nothing
+      assigned = Some(live.select("vec_id", "cid")
+        .dropDuplicates("vec_id")),
       corpusCodes = Some(live.select("vec_id", "nrm", "m", "code")))
 
   /** Materialize the live view into a fresh index whose base partition is
@@ -196,8 +208,7 @@ object StreamingIndexCdc {
     val enc = encoded(s, indexDir)
     val win = winners(enc, tombstones(s, tombDir)).persist()
     try {
-      enc.join(win.filter(!col("deleted")).select("vec_id", "seq"),
-          Seq("vec_id", "seq"))
+      liveRows(enc, win)
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$outIndexDir/batch_id=$CompactedBatchId")
       win.filter(col("deleted")).select("vec_id", "seq")

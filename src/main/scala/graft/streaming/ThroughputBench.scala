@@ -169,7 +169,6 @@ object ThroughputBench {
       batches: Int = 4): Double = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val idx = StreamingSimScorer.buildIndex(spark, sfDir)
     try {
       // query load: corpus vectors re-tagged with external serving ids
@@ -178,18 +177,10 @@ object ThroughputBench {
         .as[(Long, Seq[Float])].collect()
       val queries = vecs.zipWithIndex.map { case ((_, v), i) =>
         AnnQuery(1000000L + i, v) }
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val input = MemoryStream[AnnQuery]
       val base = Files.createTempDirectory("graft-ann-serve")
-      val t0 = System.nanoTime()
-      val q = StreamingSimScorer.attach(input.toDF(), idx,
-        base.resolve("answers").toString, base.resolve("ckpt").toString)
-      queries.grouped(math.max(1, queries.length / batches)).foreach { g =>
-        input.addData(g.toIndexedSeq)
-        q.processAllAvailable()
-      }
-      q.stop()
-      queries.length / ((System.nanoTime() - t0) / 1e9)
+      timedStreamRate(spark, queries.toIndexedSeq, batches)(df =>
+        StreamingSimScorer.attach(df, idx,
+          base.resolve("answers").toString, base.resolve("ckpt").toString))
     } finally idx.unpersistAll()
   }
 
@@ -203,7 +194,6 @@ object ThroughputBench {
       batches: Int = 4): Double = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val idx = StreamingSimScorer.buildIndex(spark, sfDir)
     try {
       val vecs = graft.Tables.table(spark, sfDir, "embeddings")
@@ -213,22 +203,41 @@ object ThroughputBench {
         if (i % 5 == 4) VecChange(i.toLong, 2000000L + i % 40, "D", Seq.empty)
         else VecChange(i.toLong, 2000000L + i, "I", v)
       }
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val input = MemoryStream[VecChange]
       val base = Files.createTempDirectory("graft-idx-cdc")
-      val stream = input.toDF().select(col("seq"), col("vecId").as("vec_id"),
-        col("op"), col("embedding"))
-      val t0 = System.nanoTime()
-      val q = StreamingIndexCdc.attach(stream, idx,
-        base.resolve("index").toString, base.resolve("tomb").toString,
-        base.resolve("ckpt").toString)
-      changes.grouped(math.max(1, changes.length / batches)).foreach { g =>
-        input.addData(g.toIndexedSeq)
+      timedStreamRate(spark, changes.toIndexedSeq, batches) { df =>
+        StreamingIndexCdc.attach(
+          df.select(org.apache.spark.sql.functions.col("seq"),
+            org.apache.spark.sql.functions.col("vecId").as("vec_id"),
+            org.apache.spark.sql.functions.col("op"),
+            org.apache.spark.sql.functions.col("embedding")),
+          idx, base.resolve("index").toString,
+          base.resolve("tomb").toString, base.resolve("ckpt").toString)
+      }
+    } finally idx.unpersistAll()
+  }
+
+  /** The shared streaming-rate harness: feed `items` through a
+    * MemoryStream in `batches` micro-batches into whatever query
+    * `attach` starts, stop the query even on a mid-run throw, return
+    * items/second wall-clock. One definition, so a harness fix (the
+    * stop-in-finally) cannot drift between the serving and maintenance
+    * benches. */
+  private def timedStreamRate[T <: Product : org.apache.spark.sql.Encoder](
+      spark: SparkSession, items: IndexedSeq[T], batches: Int)(
+      attach: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.streaming.StreamingQuery): Double = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[T]
+    val t0 = System.nanoTime()
+    val q = attach(input.toDF())
+    try {
+      items.grouped(math.max(1, items.length / batches)).foreach { g =>
+        input.addData(g)
         q.processAllAvailable()
       }
-      q.stop()
-      changes.length / ((System.nanoTime() - t0) / 1e9)
-    } finally idx.unpersistAll()
+    } finally q.stop()
+    items.length / ((System.nanoTime() - t0) / 1e9)
   }
 }
 

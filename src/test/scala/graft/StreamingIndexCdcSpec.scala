@@ -115,6 +115,17 @@ class StreamingIndexCdcSpec extends SparkSpec {
       // partition + replayed batch) collapse to M rows per survivor
       assert(afterReplay.count() ==
         finalState.size.toLong * Similarity.PqM)
+      // and a SECOND compaction from this replayed-onto-compacted state
+      // must not bake those duplicates into its base partition: the
+      // on-disk artifact itself (not just the read view) carries
+      // exactly M rows per survivor
+      val compact2Idx = base.resolve("compacted2-index").toString
+      val compact2Tomb = base.resolve("compacted2-tomb").toString
+      StreamingIndexCdc.compact(spark, compactIdx, compactTomb,
+        compact2Idx, compact2Tomb)
+      assert(spark.read.parquet(compact2Idx).count() ==
+        finalState.size.toLong * Similarity.PqM,
+        "re-compaction wrote duplicate rows into the base partition")
 
       // the maintained index SERVES: the full two-stage retrieval
       // through the live view answers external queries identically to a
