@@ -99,6 +99,7 @@ object SparkEntry {
     "q64_returned_items" -> ExtendedQueries.q64ReturnedItems _,
     "q65_priority_shipclass" -> ExtendedQueries.q65PriorityShipClass _,
     "q66_promo_revenue" -> ExtendedQueries.q66PromoRevenue _,
+    "q67_fuzzy_match" -> canon("a_key", "b_key")(ExtendedQueries.q67FuzzyMatch),
     "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
     "q52_stats_moments" -> ExtendedQueries.q52StatsMoments _,
     "q53_distribution_rank" -> ExtendedQueries.q53DistributionRank _,
@@ -1666,6 +1667,21 @@ object SparkEntry {
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |WHERE l.l_shipdate >= TIMESTAMP '${ExtendedQueries.Q66WindowStart}'
          |  AND l.l_shipdate < TIMESTAMP '${ExtendedQueries.Q66WindowEnd}'""".stripMargin,
+    // q67: blocked fuzzy self-join (entity resolution) — candidates only
+    // inside the prefix block, standard unit-cost Levenshtein on both
+    // sides (the engine's threshold form equals it for kept pairs)
+    "q67_fuzzy_match" -> {
+      val pfx = ExtendedQueries.Q67BlockPrefix
+      s"""WITH b AS (SELECT c_custkey, c_name,
+         |             substr(c_name, 1, $pfx) AS blk FROM customer)
+         |SELECT a.c_custkey AS a_key, bb.c_custkey AS b_key,
+         |  CAST(levenshtein(a.c_name, bb.c_name) AS INT) AS edit_dist
+         |FROM b a JOIN b bb ON a.blk = bb.blk
+         |  AND a.c_custkey < bb.c_custkey
+         |WHERE levenshtein(a.c_name, bb.c_name)
+         |  <= ${ExtendedQueries.Q67MaxEdit}
+         |ORDER BY a_key, b_key""".stripMargin
+    },
     // q51: TimescaleDB gapfill/locf/interpolate — dense hour spine via
     // generate_series, IGNORE NULLS windows, identical double op order
     "q51_gapfill_interpolate" ->

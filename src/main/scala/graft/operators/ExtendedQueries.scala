@@ -1361,4 +1361,37 @@ object ExtendedQueries {
       .select("s_name", "s_acctbal")
       .orderBy("s_name")
   }
+
+  // --- Q67: approximate string join (entity resolution) --------------------
+  /** Blocking-key prefix width and edit-distance budget for
+    * [[q67FuzzyMatch]]. */
+  val Q67BlockPrefix = 16
+  val Q67MaxEdit = 1
+
+  /** Blocked fuzzy self-join on customer names — the entity-resolution
+    * primitive every CDC-fed warehouse eventually runs (the same
+    * logical record arriving under slightly different spellings):
+    * candidate pairs are generated ONLY inside a blocking key (the name
+    * prefix — at 100 TB Σ block² bounds the quadratic, the standard ER
+    * blocking move; a hot block gets the d05b salting treatment), then
+    * filtered by Levenshtein distance ≤ [[Q67MaxEdit]]. The engine uses
+    * the THRESHOLD form of the edit distance (bails out past the
+    * budget: O(k·n) per pair, not O(n²)) — the value equals the true
+    * distance for every kept pair, so the plain-distance oracle
+    * replays it exactly. Output: the match-pair table a resolution
+    * pipeline feeds to its cluster step (d06's connected components). */
+  def q67FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, Q67BlockPrefix).as("blk"))
+    val a = c.select(col("blk"), col("c_custkey").as("a_key"),
+      col("c_name").as("a_name"))
+    val b = c.select(col("blk"), col("c_custkey").as("b_key"),
+      col("c_name").as("b_name"))
+    a.join(b, Seq("blk")).filter(col("a_key") < col("b_key"))
+      .withColumn("edit_dist",
+        levenshtein(col("a_name"), col("b_name"), Q67MaxEdit))
+      .filter(col("edit_dist") >= 0)
+      .select("a_key", "b_key", "edit_dist")
+  }
 }

@@ -1497,6 +1497,48 @@ class OperatorsSpec extends SparkSpec {
     assert(audit.map(_.getAs[Long]("n_merged")).sum == members.count())
   }
 
+  test("q67 fuzzy match: equals a plain-Scala blocked-Levenshtein " +
+      "mirror; blocking excludes near pairs across blocks") {
+    import graft.operators.ExtendedQueries
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.table(spark, sf, "customer")
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_name"))
+    val expected = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb &&
+        na.take(ExtendedQueries.Q67BlockPrefix) ==
+          nb.take(ExtendedQueries.Q67BlockPrefix) &&
+        lev(na, nb) <= ExtendedQueries.Q67MaxEdit
+    } yield (ka, kb, lev(na, nb))).toSet
+    val got = ExtendedQueries.q67FuzzyMatch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"),
+        r.getAs[Int]("edit_dist"))).toSet
+    assert(got == expected && got.nonEmpty)
+    // the blocking is doing real work: some cross-block pair sits within
+    // the edit budget but is (correctly, by design) not emitted
+    val crossBlock = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb &&
+        na.take(ExtendedQueries.Q67BlockPrefix) !=
+          nb.take(ExtendedQueries.Q67BlockPrefix) &&
+        lev(na, nb) <= ExtendedQueries.Q67MaxEdit
+    } yield (ka, kb)).headOption
+    assert(crossBlock.nonEmpty,
+      "fixture should contain a near pair straddling blocks")
+    crossBlock.foreach { case (ka, kb) =>
+      assert(!got.exists(p => p._1 == ka && p._2 == kb))
+    }
+  }
+
   test("s21: pre-filter dominates post-filter in answers returned and " +
       "scores only the matching candidates") {
     import graft.operators.Similarity
