@@ -100,6 +100,7 @@ object SparkEntry {
     "q65_priority_shipclass" -> ExtendedQueries.q65PriorityShipClass _,
     "q66_promo_revenue" -> ExtendedQueries.q66PromoRevenue _,
     "q67_fuzzy_match" -> canon("a_key", "b_key")(ExtendedQueries.q67FuzzyMatch),
+    "q68_entity_clusters" -> ExtendedQueries.q68EntityClusters _,
     "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
     "q52_stats_moments" -> ExtendedQueries.q52StatsMoments _,
     "q53_distribution_rank" -> ExtendedQueries.q53DistributionRank _,
@@ -1681,6 +1682,30 @@ object SparkEntry {
          |WHERE levenshtein(a.c_name, bb.c_name)
          |  <= ${ExtendedQueries.Q67MaxEdit}
          |ORDER BY a_key, b_key""".stripMargin
+    },
+    // q68: q67's pairs resolved to entities — recursive-CTE transitive
+    // closure (the d06 rule), min reachable key as the entity id
+    "q68_entity_clusters" -> {
+      val pfx = ExtendedQueries.Q67BlockPrefix
+      s"""WITH RECURSIVE
+         |b AS (SELECT c_custkey, c_name, substr(c_name, 1, $pfx) AS blk
+         |      FROM customer),
+         |fpairs AS (SELECT a.c_custkey AS da, bb.c_custkey AS db
+         |           FROM b a JOIN b bb ON a.blk = bb.blk
+         |             AND a.c_custkey < bb.c_custkey
+         |           WHERE levenshtein(a.c_name, bb.c_name)
+         |             <= ${ExtendedQueries.Q67MaxEdit}),
+         |edges AS (SELECT da AS ea, db AS eb FROM fpairs
+         |          UNION ALL SELECT db, da FROM fpairs),
+         |reach AS (SELECT ea, eb FROM edges
+         |          UNION
+         |          SELECT r.ea, e.eb FROM reach r JOIN edges e ON r.eb = e.ea),
+         |cl AS (SELECT ea AS c_custkey, least(ea, min(eb)) AS cluster
+         |       FROM reach GROUP BY ea)
+         |SELECT c.c_custkey, coalesce(cl.cluster, c.c_custkey) AS entity_id,
+         |  coalesce(cl.cluster, c.c_custkey) = c.c_custkey AS is_canonical
+         |FROM customer c LEFT JOIN cl USING (c_custkey)
+         |ORDER BY c.c_custkey""".stripMargin
     },
     // q51: TimescaleDB gapfill/locf/interpolate — dense hour spine via
     // generate_series, IGNORE NULLS windows, identical double op order

@@ -1394,4 +1394,27 @@ object ExtendedQueries {
       .filter(col("edit_dist") >= 0)
       .select("a_key", "b_key", "edit_dist")
   }
+
+  /** Resolved entity table (q68) — [[q67FuzzyMatch]]'s match pairs
+    * collapsed to entity ids by d06's min-label propagation (the same
+    * proven-fixpoint loop, reused): every customer carries the smallest
+    * key reachable through the fuzzy-match graph, `is_canonical` marks
+    * the golden record that survives resolution. Together with q67 this
+    * is the complete entity-resolution pipeline a CDC-fed warehouse
+    * runs — match (blocked approximate join) → resolve (connected
+    * components) → keep one canonical row per entity. Components are
+    * block-bounded by construction, so the propagation's per-round
+    * joins stay proportional to the match-pair table, never customers².
+    * Oracle: DuckDB recursive-CTE transitive closure (the d06 rule). */
+  def q68EntityClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q67FuzzyMatch(s, dir)
+      .select(col("a_key").as("da"), col("b_key").as("db"))
+    val nodes = Tables.table(s, dir, "customer")
+      .select(col("c_custkey").as("doc_id"))
+    val (labels, _) = Dedup.propagateMinLabels(nodes, pairs)
+    labels.select(col("doc_id").as("c_custkey"),
+        col("cluster").as("entity_id"),
+        (col("cluster") === col("doc_id")).as("is_canonical"))
+      .orderBy("c_custkey")
+  }
 }

@@ -1539,6 +1539,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q68: fuzzy pairs resolve to entities — min key is the id, " +
+      "exactly one canonical member, pair endpoints co-resolve") {
+    import graft.operators.ExtendedQueries
+    val labels = ExtendedQueries.q68EntityClusters(spark, sf).collect()
+    assert(labels.nonEmpty)
+    labels.groupBy(_.getAs[Long]("entity_id")).foreach {
+      case (eid, members) =>
+        assert(members.map(_.getAs[Long]("c_custkey")).min == eid)
+        val canon = members.filter(_.getAs[Boolean]("is_canonical"))
+        assert(canon.length == 1 &&
+          canon.head.getAs[Long]("c_custkey") == eid)
+    }
+    val ent = labels.map(r =>
+      r.getAs[Long]("c_custkey") -> r.getAs[Long]("entity_id")).toMap
+    val pairs = ExtendedQueries.q67FuzzyMatch(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(p =>
+      assert(ent(p.getAs[Long]("a_key")) == ent(p.getAs[Long]("b_key")),
+        "a match pair's endpoints resolved to different entities"))
+  }
+
   test("s21: pre-filter dominates post-filter in answers returned and " +
       "scores only the matching candidates") {
     import graft.operators.Similarity
