@@ -150,6 +150,58 @@ class StreamingIndexCdcSpec extends SparkSpec {
     } finally idx.unpersistAll()
   }
 
+  test("kill/restart: the maintainer resumes from its checkpoint " +
+      "exactly-once — the recovered view equals a one-shot encode") {
+    val idx = StreamingSimScorer.buildIndex(spark, sf)
+    try {
+      val vecs = Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") >= Similarity.NumQueries &&
+          col("vec_id") < Similarity.NumQueries + 20)
+        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      val byId = vecs.toMap
+      val ids = vecs.map(_._1).sorted
+      val inserts = ids.zipWithIndex.map { case (i, n) =>
+        VecChange(n + 1L, i, "I", byId(i)) }
+      // after the restart: delete 5 of the first half's keys, update 3
+      val dels = ids.take(5).zipWithIndex.map { case (i, n) =>
+        VecChange(100L + n, i, "D", Seq.empty) }
+      val upds = ids.slice(5, 8).zipWithIndex.map { case (i, n) =>
+        VecChange(200L + n, i, "U", byId(ids.last)) }
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[VecChange]
+      val base = Files.createTempDirectory("idx-cdc-restart")
+      val (indexDir, tombDir) = (base.resolve("index").toString,
+        base.resolve("tomb").toString)
+      val ckpt = base.resolve("ckpt").toString
+      def run() = StreamingIndexCdc.attach(
+        input.toDF().select(col("seq"), col("vecId").as("vec_id"),
+          col("op"), col("embedding")),
+        idx, indexDir, tombDir, ckpt)
+
+      val q1 = run()
+      input.addData(inserts.toIndexedSeq)
+      q1.processAllAvailable()
+      q1.stop()
+      // kill window: these arrive while no query is running
+      input.addData((dels ++ upds).toIndexedSeq)
+      val q2 = run()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val goneIds = ids.take(5).toSet
+      val finalState = ids.filterNot(goneIds).map { i =>
+        (i, if (ids.slice(5, 8).contains(i)) byId(ids.last) else byId(i))
+      }
+      val oneShot = rowSet(StreamingIndexIngest.encode(
+        finalState.toSeq.toDF("vec_id", "embedding"), idx))
+      val live = StreamingIndexCdc.readIndex(spark, indexDir, tombDir)
+      assert(rowSet(live) == oneShot && oneShot.nonEmpty,
+        "the restarted maintainer must land exactly the final state")
+      assert(live.count() == finalState.size.toLong * Similarity.PqM)
+    } finally idx.unpersistAll()
+  }
+
   test("a delete-only feed leaves a readable (empty-upsert) index") {
     val idx = StreamingSimScorer.buildIndex(spark, sf)
     try {
