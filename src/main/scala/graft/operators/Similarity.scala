@@ -1019,7 +1019,7 @@ object Similarity {
       .withColumn("rr", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("rank"))))
       .filter(col("rr") <= 3)
-    val truthPairs = filteredTopK(s, dir)
+    val truthPairs = filteredTopKOf(e.join(lbl, "vec_id"))
       .select("qid", "neighbor_id").persist()
     val nTruth = truthPairs.agg(count(lit(1)).as("n_truth"))
     def strategyRow(name: String, res: DataFrame,
@@ -1138,10 +1138,16 @@ object Similarity {
     * the label's partition, and exact re-scoring runs only there. Scoring
     * is the s01 exact-decimal contract.
     */
-  def filteredTopK(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.spread(s, dir, "embeddings", "vec_id")
+  def filteredTopK(s: SparkSession, dir: String): DataFrame =
+    filteredTopKOf(Tables.spread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), col("label"), col("embedding"),
-        normD(col("embedding")).as("nrm"))
+        normD(col("embedding")).as("nrm")))
+
+  /** [[filteredTopK]] over an explicit `(vec_id, label, embedding, nrm)`
+    * frame — the seam the s21 strategy audit feeds its already-normed
+    * (persisted) scan through instead of paying a second exact-decimal
+    * norm pass over the corpus. */
+  private[graft] def filteredTopKOf(base: DataFrame): DataFrame = {
     val q = base.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("embedding").as("qv"), col("nrm").as("qn"))
