@@ -100,7 +100,7 @@ object SparkEntry {
     "q65_priority_shipclass" -> ExtendedQueries.q65PriorityShipClass _,
     "q66_promo_revenue" -> ExtendedQueries.q66PromoRevenue _,
     "q67_fuzzy_match" -> canon("a_key", "b_key")(ExtendedQueries.q67FuzzyMatch),
-    "q68_entity_clusters" -> ExtendedQueries.q68EntityClusters _,
+    "q68_entity_clusters" -> canon("c_custkey")(ExtendedQueries.q68EntityClusters),
     "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
     "q52_stats_moments" -> ExtendedQueries.q52StatsMoments _,
     "q53_distribution_rank" -> ExtendedQueries.q53DistributionRank _,

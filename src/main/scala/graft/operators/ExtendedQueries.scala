@@ -1412,9 +1412,10 @@ object ExtendedQueries {
     val nodes = Tables.table(s, dir, "customer")
       .select(col("c_custkey").as("doc_id"))
     val (labels, _) = Dedup.propagateMinLabels(nodes, pairs)
+    // unsorted distributed frame: presentation order is the harness's
+    // concern (SparkEntry.canon), never an operator-imposed global sort
     labels.select(col("doc_id").as("c_custkey"),
         col("cluster").as("entity_id"),
         (col("cluster") === col("doc_id")).as("is_canonical"))
-      .orderBy("c_custkey")
   }
 }

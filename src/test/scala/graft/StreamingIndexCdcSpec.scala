@@ -22,17 +22,40 @@ class StreamingIndexCdcSpec extends SparkSpec {
     .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
       r.getAs[Int]("code"), r.getAs[Long]("cid"))).toSet
 
+  /** The first `n` index-member vectors, as (id -> embedding) plus the
+    * sorted id list — the change-feed fixture every test carves ops
+    * from. */
+  private def loadVecs(n: Int): (Map[Long, Seq[Float]], Array[Long]) = {
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .filter(col("vec_id") >= Similarity.NumQueries &&
+        col("vec_id") < Similarity.NumQueries + n)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    assert(vecs.length == n)
+    (vecs.toMap, vecs.map(_._1).sorted)
+  }
+
+  /** Attach the maintainer to a fresh MemoryStream under `base`,
+    * returning (input, query, indexDir, tombDir) — the one place the
+    * change-stream column mapping (vecId -> vec_id) lives. */
+  private def attachTo(idx: StreamingSimScorer.Index,
+      base: java.nio.file.Path): (MemoryStream[VecChange],
+      org.apache.spark.sql.streaming.StreamingQuery, String, String) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[VecChange]
+    val (indexDir, tombDir) = (base.resolve("index").toString,
+      base.resolve("tomb").toString)
+    val q = StreamingIndexCdc.attach(
+      input.toDF().select(col("seq"), col("vecId").as("vec_id"),
+        col("op"), col("embedding")),
+      idx, indexDir, tombDir, base.resolve("ckpt").toString)
+    (input, q, indexDir, tombDir)
+  }
+
   test("a mixed I/U/D change stream resolves to the one-shot encode of " +
       "the final state; replay and compaction change nothing") {
     val idx = StreamingSimScorer.buildIndex(spark, sf)
     try {
-      val vecs = Tables.table(spark, sf, "embeddings")
-        .filter(col("vec_id") >= Similarity.NumQueries &&
-          col("vec_id") < Similarity.NumQueries + 30)
-        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
-      assert(vecs.length == 30)
-      val byId = vecs.toMap
-      val ids = vecs.map(_._1).sorted
+      val (byId, ids) = loadVecs(30)
 
       // batch 1: insert all 30; batch 2: delete 10, update 10 to ANOTHER
       // vector's embedding (so the re-encode is visible); batch 3:
@@ -46,15 +69,8 @@ class StreamingIndexCdcSpec extends SparkSpec {
       val reborn = toDelete.take(5)
       val b3 = reborn.map(i => VecChange(nxt, i, "I", byId(ids.head)))
 
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val input = MemoryStream[VecChange]
       val base = Files.createTempDirectory("idx-cdc")
-      val (indexDir, tombDir) = (base.resolve("index").toString,
-        base.resolve("tomb").toString)
-      val stream = input.toDF().select(col("seq"), col("vecId").as("vec_id"),
-        col("op"), col("embedding"))
-      val q = StreamingIndexCdc.attach(stream, idx, indexDir, tombDir,
-        base.resolve("ckpt").toString)
+      val (input, q, indexDir, tombDir) = attachTo(idx, base)
       Seq(b1, b2, b3).foreach { b =>
         input.addData(b.toIndexedSeq); q.processAllAvailable()
       }
@@ -154,12 +170,7 @@ class StreamingIndexCdcSpec extends SparkSpec {
       "exactly-once — the recovered view equals a one-shot encode") {
     val idx = StreamingSimScorer.buildIndex(spark, sf)
     try {
-      val vecs = Tables.table(spark, sf, "embeddings")
-        .filter(col("vec_id") >= Similarity.NumQueries &&
-          col("vec_id") < Similarity.NumQueries + 20)
-        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
-      val byId = vecs.toMap
-      val ids = vecs.map(_._1).sorted
+      val (byId, ids) = loadVecs(20)
       val inserts = ids.zipWithIndex.map { case (i, n) =>
         VecChange(n + 1L, i, "I", byId(i)) }
       // after the restart: delete 5 of the first half's keys, update 3
@@ -168,24 +179,19 @@ class StreamingIndexCdcSpec extends SparkSpec {
       val upds = ids.slice(5, 8).zipWithIndex.map { case (i, n) =>
         VecChange(200L + n, i, "U", byId(ids.last)) }
 
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val input = MemoryStream[VecChange]
       val base = Files.createTempDirectory("idx-cdc-restart")
-      val (indexDir, tombDir) = (base.resolve("index").toString,
-        base.resolve("tomb").toString)
-      val ckpt = base.resolve("ckpt").toString
-      def run() = StreamingIndexCdc.attach(
-        input.toDF().select(col("seq"), col("vecId").as("vec_id"),
-          col("op"), col("embedding")),
-        idx, indexDir, tombDir, ckpt)
-
-      val q1 = run()
+      val (input, q1, indexDir, tombDir) = attachTo(idx, base)
       input.addData(inserts.toIndexedSeq)
       q1.processAllAvailable()
       q1.stop()
-      // kill window: these arrive while no query is running
+      // kill window: these arrive while no query is running; the restart
+      // reuses the SAME MemoryStream and checkpoint (attachTo is only
+      // the wiring — the second attach recovers from base's checkpoint)
       input.addData((dels ++ upds).toIndexedSeq)
-      val q2 = run()
+      val q2 = StreamingIndexCdc.attach(
+        input.toDF().select(col("seq"), col("vecId").as("vec_id"),
+          col("op"), col("embedding")),
+        idx, indexDir, tombDir, base.resolve("ckpt").toString)
       q2.processAllAvailable()
       q2.stop()
 
