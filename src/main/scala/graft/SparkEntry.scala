@@ -136,6 +136,7 @@ object SparkEntry {
     "d22_dedup_canonical" -> Dedup.canonicalDedup _,
     "d23_dedup_winnow" -> Dedup.winnowPairs _,
     "d24_dedup_template" -> Dedup.skeletonDedup _,
+    "d25_keeper_quality" -> canon("cluster")(Dedup.qualityKeeper),
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
     "s03_sim_ann_ivf" -> canon("qid", "rank")(Similarity.annIvf),
@@ -1920,6 +1921,45 @@ object SparkEntry {
         |SELECT rep_id, n_docs, n_distinct_texts,
         |  CAST(length(sk) AS BIGINT) AS skeleton_chars
         |FROM g WHERE n_distinct_texts >= 2 ORDER BY rep_id""".stripMargin,
+    // d25: per-cluster keeper policies — the d06 closure joined with the
+    // t02 quality chain (fresh CTE names; the closure brings its own
+    // toks), argmax-quality keeper vs the min-id label
+    "d25_keeper_quality" -> {
+      val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(",")
+      s"""WITH RECURSIVE $closureCtes,
+         |labels AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id)
+         |             AS cluster
+         |           FROM documents d LEFT JOIN cl USING (doc_id)),
+         |qtoks AS (SELECT doc_id,
+         |            string_split_regex(lower(trim(text)), '\\s+') AS t
+         |          FROM documents),
+         |qtok AS (SELECT doc_id, unnest(t) AS tok FROM qtoks),
+         |qst AS (SELECT doc_id, count(*) AS n_tokens,
+         |          count(DISTINCT tok) AS n_distinct,
+         |          CAST(sum(CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS stop_hits
+         |        FROM qtok GROUP BY doc_id),
+         |qq AS (SELECT doc_id,
+         |         0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         |           + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |           + 0.2 * (CAST(stop_hits AS DOUBLE) / n_tokens) AS score
+         |       FROM qst),
+         |m AS (SELECT l.cluster, l.doc_id, qq.score
+         |      FROM labels l JOIN qq USING (doc_id)),
+         |best AS (SELECT cluster, doc_id AS keeper_id,
+         |           score AS keeper_quality FROM (
+         |    SELECT cluster, doc_id, score, ROW_NUMBER() OVER (
+         |        PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn
+         |    FROM m) WHERE rn = 1),
+         |minq AS (SELECT cluster, score AS minid_quality FROM m
+         |         WHERE doc_id = cluster),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM labels GROUP BY cluster)
+         |SELECT b.cluster, sz.n_members, b.keeper_id, b.keeper_quality,
+         |  minq.minid_quality, b.keeper_id <> b.cluster AS keeper_differs
+         |FROM best b JOIN minq USING (cluster) JOIN sz USING (cluster)
+         |ORDER BY b.cluster""".stripMargin
+    },
     // incremental ingest = the straddling subset of the all-pairs result:
     // a (new, index) pair collides in a band iff the same unordered pair
     // does, so `pairs` restricted to one-endpoint-new replays the

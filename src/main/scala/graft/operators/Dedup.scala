@@ -107,6 +107,42 @@ object Dedup {
         length(col("sk")).cast("long").as("skeleton_chars"))
       .orderBy("rep_id")
 
+  // --- quality-aware keeper selection --------------------------------------
+  /** Quality-aware canonical keeper selection (d25) — the keeper POLICY
+    * rung above the whole ladder: every dedup stage here keeps
+    * `min(doc_id)` (deterministic, cheap, order-stable), but a curation
+    * pipeline keeps the BEST member of each near-dup cluster — the
+    * version with intact boilerplate-free text wins, not the one that
+    * happened to be crawled first. Composes the d06 cluster labels with
+    * t02's quality score: per cluster, keeper = argmax quality (ties to
+    * the smallest doc_id — both engines compare the hash-proven
+    * identical doubles). Emits one row per cluster with BOTH policies'
+    * keepers, their scores, and whether they differ — the audit of what
+    * min-id keeping costs in kept quality. Shape: label and score
+    * tables join on doc_id, one per-cluster window — all ∝ corpus, the
+    * cluster table materialized once per snapshot in production. */
+  def qualityKeeper(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusters(s, dir).select("doc_id", "cluster")
+    val q = TextAnalysis.quality(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val m = labels.join(q, "doc_id")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val best = m.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keeper_id"),
+        col("quality_score").as("keeper_quality"))
+    // the min-id keeper IS the cluster label (cluster = min reachable id)
+    val minq = m.filter(col("doc_id") === col("cluster"))
+      .select(col("cluster"), col("quality_score").as("minid_quality"))
+    val sizes = labels.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+    best.join(minq, "cluster").join(sizes, "cluster")
+      .select(col("cluster"), col("n_members"), col("keeper_id"),
+        col("keeper_quality"), col("minid_quality"),
+        (col("keeper_id") =!= col("cluster")).as("keeper_differs"))
+  }
+
   // --- winnowing fingerprint near-dup --------------------------------------
   /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS fingerprinting scheme): k-gram size, selection window, the

@@ -1539,6 +1539,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d25: the quality keeper dominates the min-id keeper and is the " +
+      "exact per-cluster argmax") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val rows = Dedup.qualityKeeper(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val quality = TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    val labels = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    val members = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(rows.map(_.getAs[Long]("n_members")).sum == labels.length)
+    rows.foreach { r =>
+      val (cl, keeper) = (r.getAs[Long]("cluster"), r.getAs[Long]("keeper_id"))
+      // the chosen keeper is a member and IS the (score desc, id asc) argmax
+      val ms = members(cl)
+      assert(ms.contains(keeper))
+      assert(keeper == ms.minBy(d => (-quality(d), d)))
+      // argmax quality can never lose to the min-id member's quality
+      assert(r.getAs[Double]("keeper_quality") >=
+        r.getAs[Double]("minid_quality"))
+      assert(r.getAs[Double]("keeper_quality") == quality(keeper))
+      assert(r.getAs[Boolean]("keeper_differs") == (keeper != cl))
+    }
+  }
+
   test("q68: fuzzy pairs resolve to entities — min key is the id, " +
       "exactly one canonical member, pair endpoints co-resolve") {
     import graft.operators.ExtendedQueries
