@@ -35,6 +35,8 @@ object SparkEntry {
     "q02_mask_sha256" -> CoreQueries.q02MaskSha256 _,
     "q03_latest_state" -> CoreQueries.q03LatestState _,
     "q04_delete_propagation" -> CoreQueries.q04DeletePropagation _,
+    "q69_scd2_history" ->
+      canon("user_id", "valid_from_us")(CoreQueries.q69Scd2History),
     "q05_type_cast" -> CoreQueries.q05TypeCast _,
     "q06_max_progress" -> CoreQueries.q06MaxProgress _,
     "q07_join_inner" -> CoreQueries.q07JoinInner _,
@@ -937,6 +939,19 @@ object SparkEntry {
         |SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
         |       value AS last_value, ts_us AS last_ts_us
         |FROM ranked WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    // q69: SCD2 — the closing LEAD runs over ALL events (deletes close
+    // the open version), delete markers open no row of their own
+    "q69_scd2_history" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |v AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) AS valid_to_us FROM e)
+        |SELECT user_id, event_id AS version_event_id,
+        |  event_type AS state_type, value AS state_value,
+        |  ts_us AS valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v WHERE event_type <> 'error'
+        |ORDER BY user_id, valid_from_us""".stripMargin,
     "q04_delete_propagation" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type,

@@ -75,6 +75,32 @@ object CoreQueries {
     latest.join(deleted, Seq("user_id"), "left_anti").orderBy("user_id")
   }
 
+  // --- Q69: SCD Type-2 historization (q03's history-complete dual) -------
+  /** Slowly-changing-dimension history — what the warehouse keeps when
+    * it does NOT overwrite on upsert: every state change opens a
+    * version row with a validity interval, the next change (INCLUDING
+    * the delete marker) closes it, and `is_current` marks the open
+    * version. q03 materializes only the last rung of this table; a
+    * point-in-time query (`valid_from <= t < valid_to`) reads any
+    * historical state without replaying the log. A user whose final
+    * event is the delete marker ends with NO current row — the delete
+    * terminates the history, exactly the q04 propagation rule. Shape:
+    * one shuffle on the entity key, one LEAD window — history size is
+    * the change count, never entities × time. */
+  def q69Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      // the closing edge comes from ALL events (a delete closes the
+      // last open version), then delete markers drop — they open nothing
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("version_event_id"),
+        col("event_type").as("state_type"), col("value").as("state_value"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
   // --- Q5: type casting / widening (reference §1.2 type matrix) ----------
   // price_dec is exact-2-decimal, so DOUBLE at the output boundary round-trips
   // exactly; raw DECIMAL columns hash differently in the driver's harness.

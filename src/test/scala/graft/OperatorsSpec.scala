@@ -1539,6 +1539,53 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q69 SCD2: intervals chain per entity, the current slice IS q03's " +
+      "latest state, and a point-in-time read matches log replay") {
+    import graft.operators.CoreQueries
+    val hist = CoreQueries.q69Scd2History(spark, sf).collect()
+    assert(hist.nonEmpty)
+    hist.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("valid_from_us"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // every non-final version is closed, at or before the next opens
+          assert(!a.isNullAt(a.fieldIndex("valid_to_us")))
+          assert(a.getAs[Long]("valid_to_us") <=
+            b.getAs[Long]("valid_from_us"))
+        case _ => ()
+      }
+      assert(rows.count(_.getAs[Boolean]("is_current")) <= 1)
+    }
+    // duality: the open versions ARE q03's materialized latest state
+    val current = hist.filter(_.getAs[Boolean]("is_current"))
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("version_event_id"), r.getAs[String]("state_type"),
+        r.getAs[Double]("state_value"))).toSet
+    val q03 = CoreQueries.q03LatestState(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[String]("last_event_type"),
+        r.getAs[Double]("last_value"))).toSet
+    assert(current == q03 && q03.nonEmpty)
+    // point-in-time: the interval containing t equals replaying the log
+    // up to t (deletes erase the entity)
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts_us").collect()
+    val t = ev.map(_.getAs[Long]("ts_us")).sorted.apply(ev.length / 2)
+    val pit = hist.filter(r => r.getAs[Long]("valid_from_us") <= t &&
+        (r.isNullAt(r.fieldIndex("valid_to_us")) ||
+          r.getAs[Long]("valid_to_us") > t))
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("version_event_id")).toMap
+    val replay = ev.filter(_.getAs[Long]("ts_us") <= t)
+      .groupBy(_.getAs[Long]("user_id")).flatMap { case (u, es) =>
+        val last = es.maxBy(e =>
+          (e.getAs[Long]("ts_us"), e.getAs[Long]("event_id")))
+        if (last.getAs[String]("event_type") == "error") None
+        else Some(u -> last.getAs[Long]("event_id"))
+      }.toMap
+    assert(pit == replay)
+  }
+
   test("d25: the quality keeper dominates the min-id keeper and is the " +
       "exact per-cluster argmax") {
     import graft.operators.{Dedup, TextAnalysis}
