@@ -35,8 +35,12 @@ object SparkEntry {
     "q02_mask_sha256" -> CoreQueries.q02MaskSha256 _,
     "q03_latest_state" -> CoreQueries.q03LatestState _,
     "q04_delete_propagation" -> CoreQueries.q04DeletePropagation _,
+    // version_event_id completes the total order: the window itself
+    // tie-breaks equal timestamps on event_id, so the presentation key
+    // must too or tied rows hash nondeterministically
     "q69_scd2_history" ->
-      canon("user_id", "valid_from_us")(CoreQueries.q69Scd2History),
+      canon("user_id", "valid_from_us", "version_event_id")(
+        CoreQueries.q69Scd2History),
     "q05_type_cast" -> CoreQueries.q05TypeCast _,
     "q06_max_progress" -> CoreQueries.q06MaxProgress _,
     "q07_join_inner" -> CoreQueries.q07JoinInner _,
@@ -951,7 +955,7 @@ object SparkEntry {
         |  ts_us AS valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
         |FROM v WHERE event_type <> 'error'
-        |ORDER BY user_id, valid_from_us""".stripMargin,
+        |ORDER BY user_id, valid_from_us, version_event_id""".stripMargin,
     "q04_delete_propagation" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type,
@@ -1937,18 +1941,15 @@ object SparkEntry {
         |  CAST(length(sk) AS BIGINT) AS skeleton_chars
         |FROM g WHERE n_distinct_texts >= 2 ORDER BY rep_id""".stripMargin,
     // d25: per-cluster keeper policies — the d06 closure joined with the
-    // t02 quality chain (fresh CTE names; the closure brings its own
-    // toks), argmax-quality keeper vs the min-id label
+    // t02 quality chain (reusing the closure's own `toks` tokenization,
+    // the t13 pattern), argmax-quality keeper vs the min-id label
     "d25_keeper_quality" -> {
       val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(",")
       s"""WITH RECURSIVE $closureCtes,
          |labels AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id)
          |             AS cluster
          |           FROM documents d LEFT JOIN cl USING (doc_id)),
-         |qtoks AS (SELECT doc_id,
-         |            string_split_regex(lower(trim(text)), '\\s+') AS t
-         |          FROM documents),
-         |qtok AS (SELECT doc_id, unnest(t) AS tok FROM qtoks),
+         |qtok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
          |qst AS (SELECT doc_id, count(*) AS n_tokens,
          |          count(DISTINCT tok) AS n_distinct,
          |          CAST(sum(CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END)

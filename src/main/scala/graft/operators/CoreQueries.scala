@@ -84,7 +84,9 @@ object CoreQueries {
     * point-in-time query (`valid_from <= t < valid_to`) reads any
     * historical state without replaying the log. A user whose final
     * event is the delete marker ends with NO current row — the delete
-    * terminates the history, exactly the q04 propagation rule. Shape:
+    * terminates the history, the same final-event rule q03's latest-
+    * state filter applies (q04's slice-marker deletion is a different,
+    * any-event contract). Shape:
     * one shuffle on the entity key, one LEAD window — history size is
     * the change count, never entities × time. */
   def q69Scd2History(s: SparkSession, dir: String): DataFrame = {
