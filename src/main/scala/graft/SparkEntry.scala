@@ -41,6 +41,7 @@ object SparkEntry {
     "q69_scd2_history" ->
       canon("user_id", "valid_from_us", "version_event_id")(
         CoreQueries.q69Scd2History),
+    "q70_pit_join" -> canon("purchase_event_id")(CoreQueries.q70PitJoin),
     "q05_type_cast" -> CoreQueries.q05TypeCast _,
     "q06_max_progress" -> CoreQueries.q06MaxProgress _,
     "q07_join_inner" -> CoreQueries.q07JoinInner _,
@@ -956,6 +957,26 @@ object SparkEntry {
         |  valid_to_us IS NULL AS is_current
         |FROM v WHERE event_type <> 'error'
         |ORDER BY user_id, valid_from_us, version_event_id""".stripMargin,
+    // q70: fact x SCD2 dimension AS OF fact.ts — the unique covering
+    // interval (valid_from < ts <= valid_to), null prior when deleted
+    // or first-event
+    "q70_pit_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |v AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) AS valid_to_us FROM e),
+        |hist AS (SELECT * FROM v WHERE event_type <> 'error'),
+        |p AS (SELECT event_id AS purchase_event_id, user_id,
+        |        ts_us AS purchase_ts_us FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT p.purchase_event_id, p.user_id, p.purchase_ts_us,
+        |  h.event_id AS prior_event_id, h.event_type AS prior_state_type,
+        |  h.value AS prior_state_value
+        |FROM p LEFT JOIN hist h ON h.user_id = p.user_id
+        |  AND h.ts_us < p.purchase_ts_us
+        |  AND p.purchase_ts_us
+        |    <= COALESCE(h.valid_to_us, 9223372036854775807)
+        |ORDER BY p.purchase_event_id""".stripMargin,
     "q04_delete_propagation" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id, event_type,

@@ -103,6 +103,37 @@ object CoreQueries {
         col("valid_to_us").isNull.as("is_current"))
   }
 
+  // --- Q70: point-in-time temporal join against the SCD2 table -----------
+  /** The consumer [[q69Scd2History]] exists for — enrich a fact with the
+    * dimension state IN EFFECT when the fact happened (fact × SCD2
+    * dimension AS OF fact.ts): each purchase joins the version whose
+    * validity interval strictly precedes and covers its timestamp
+    * (`valid_from < ts <= valid_to` — the half-open chain makes the
+    * match unique; the purchase's OWN version opens at its timestamp
+    * and never matches). A purchase right after the delete marker finds
+    * no state (the error closed the open version) and a user's first
+    * event has no prior — both surface as a null prior, never a wrong
+    * one. Shape: equi-join on the entity key with range residuals —
+    * per-entity histories are bounded by change counts, so the
+    * sort-merge side stays proportional to changes, never entities ×
+    * time. */
+  def q70PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"),
+        col("user_id").as("p_user_id"), col("ts_us").as("purchase_ts_us"))
+    val h = q69Scd2History(s, dir)
+    p.join(h, col("p_user_id") === col("user_id") &&
+        col("valid_from_us") < col("purchase_ts_us") &&
+        col("purchase_ts_us") <=
+          coalesce(col("valid_to_us"), lit(Long.MaxValue)), "left")
+      .select(col("purchase_event_id"), col("p_user_id").as("user_id"),
+        col("purchase_ts_us"),
+        col("version_event_id").as("prior_event_id"),
+        col("state_type").as("prior_state_type"),
+        col("state_value").as("prior_state_value"))
+  }
+
   // --- Q5: type casting / widening (reference §1.2 type matrix) ----------
   // price_dec is exact-2-decimal, so DOUBLE at the output boundary round-trips
   // exactly; raw DECIMAL columns hash differently in the driver's harness.

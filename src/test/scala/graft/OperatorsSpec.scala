@@ -1586,6 +1586,35 @@ class OperatorsSpec extends SparkSpec {
     assert(pit == replay)
   }
 
+  test("q70: every purchase gets the uniquely-covering prior version — " +
+      "the immediately-preceding non-delete event, else a null prior") {
+    import graft.operators.CoreQueries
+    val got = CoreQueries.q70PitJoin(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts_us").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us")))
+    val purchases = ev.filter(_._3 == "purchase")
+    // the covering interval is unique: exactly one row per fact
+    assert(got.length == purchases.length && purchases.nonEmpty)
+    val byUser = ev.groupBy(_._1)
+    val gotBy = got.map(r => r.getAs[Long]("purchase_event_id") -> r).toMap
+    purchases.foreach { case (u, pid, _, ts) =>
+      val before = byUser(u).filter(_._4 < ts)
+      val expected = (if (before.isEmpty) None
+        else Some(before.maxBy(e => (e._4, e._2))))
+        .filter(_._3 != "error").map(_._2)
+      val r = gotBy(pid)
+      val gotPrior =
+        if (r.isNullAt(r.fieldIndex("prior_event_id"))) None
+        else Some(r.getAs[Long]("prior_event_id"))
+      assert(gotPrior == expected, s"purchase $pid expected $expected")
+    }
+    // both outcomes occur in the fixture: enriched facts AND null priors
+    assert(got.exists(_.isNullAt(got.head.fieldIndex("prior_event_id"))))
+    assert(got.exists(!_.isNullAt(got.head.fieldIndex("prior_event_id"))))
+  }
+
   test("d25: the quality keeper dominates the min-id keeper and is the " +
       "exact per-cluster argmax") {
     import graft.operators.{Dedup, TextAnalysis}
