@@ -1645,8 +1645,8 @@ object SparkEntry {
          |JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
          |WHERE p.p_type = '${ExtendedQueries.Q62PartType}'
-         |  AND o.o_orderdate >= TIMESTAMP '${ExtendedQueries.Q61WindowStart}'
-         |  AND o.o_orderdate < TIMESTAMP '${ExtendedQueries.Q61WindowEnd}'
+         |  AND o.o_orderdate >= TIMESTAMP '${ExtendedQueries.Q62WindowStart}'
+         |  AND o.o_orderdate < TIMESTAMP '${ExtendedQueries.Q62WindowEnd}'
          |  AND o.o_custkey IN (SELECT c.c_custkey FROM customer c
          |    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
          |    JOIN region r ON cn.n_regionkey = r.r_regionkey

@@ -1170,6 +1170,10 @@ object ExtendedQueries {
   val Q62Nation = "NATION_3"
   val Q62Region = "ASIA"
   val Q62PartType = "ECONOMY"
+  // dedicated window bindings (same values as Q61's today, but q62's
+  // semantics must not silently move when Q61's window is retuned)
+  val Q62WindowStart = "1996-01-01"
+  val Q62WindowEnd = "1998-01-01"
 
   /** One nation's share of a region's market for a part type, per order
     * year — TPC-H Q8: the share is a conditional sum over the SAME
@@ -1194,8 +1198,8 @@ object ExtendedQueries {
         col("s_nationkey") === col("sn_key"))
       .select("s_suppkey", "supp_nation")
     val o = Tables.table(s, dir, "orders")
-      .filter(col("o_orderdate") >= to_timestamp(lit(Q61WindowStart)) &&
-        col("o_orderdate") < to_timestamp(lit(Q61WindowEnd)))
+      .filter(col("o_orderdate") >= to_timestamp(lit(Q62WindowStart)) &&
+        col("o_orderdate") < to_timestamp(lit(Q62WindowEnd)))
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val vol = (sum(when(col("supp_nation") === Q62Nation,
         dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
@@ -1368,31 +1372,56 @@ object ExtendedQueries {
   val Q67BlockPrefix = 16
   val Q67MaxEdit = 1
 
+  /** Hot-block occupancy threshold and grid width for [[q67FuzzyMatch]]
+    * — the d05b rule applied to ER blocks: a block holding more names
+    * than this gets its candidate self-join grid-decomposed. Sized so
+    * TPC-H's uniform name prefixes (~100 keys/block) stay on the plain
+    * path while a Zipfian surname block — the real-world alarm shape —
+    * triggers decomposition. */
+  val Q67HotBlockThreshold = 1000L
+  val Q67Salts = 8
+
   /** Blocked fuzzy self-join on customer names — the entity-resolution
     * primitive every CDC-fed warehouse eventually runs (the same
     * logical record arriving under slightly different spellings):
     * candidate pairs are generated ONLY inside a blocking key (the name
     * prefix — at 100 TB Σ block² bounds the quadratic, the standard ER
-    * blocking move; a hot block gets the d05b salting treatment), then
-    * filtered by Levenshtein distance ≤ [[Q67MaxEdit]]. The engine uses
-    * the THRESHOLD form of the edit distance (bails out past the
-    * budget: O(k·n) per pair, not O(n²)) — the value equals the true
-    * distance for every kept pair, so the plain-distance oracle
-    * replays it exactly. Output: the match-pair table a resolution
-    * pipeline feeds to its cluster step (d06's connected components). */
-  def q67FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.table(s, dir, "customer")
-      .select(col("c_custkey"), col("c_name"),
-        substring(col("c_name"), 1, Q67BlockPrefix).as("blk"))
-    val a = c.select(col("blk"), col("c_custkey").as("a_key"),
-      col("c_name").as("a_name"))
-    val b = c.select(col("blk"), col("c_custkey").as("b_key"),
-      col("c_name").as("b_name"))
-    a.join(b, Seq("blk")).filter(col("a_key") < col("b_key"))
+    * blocking move), then filtered by Levenshtein distance ≤
+    * [[Q67MaxEdit]]. A hot block gets the d05b salting treatment: the
+    * same occupancy probe + [[graft.ops.SaltedJoin.selfPairsSalted]]
+    * grid that de-skews the LSH bands — on real name distributions
+    * (Zipfian surnames) one dominant block would otherwise serialize a
+    * partition with its n² pair workload, exactly the q44 disease; the
+    * grid spreads it over salts² shuffle cells, output bit-identical,
+    * and both names ride the grid join (`keep`) so no id→name join
+    * re-shuffles the pair table. The engine uses the THRESHOLD form of
+    * the edit distance (bails out past the budget: O(k·n) per pair,
+    * not O(n²)) — the value equals the true distance for every kept
+    * pair, so the plain-distance oracle replays it exactly. Output:
+    * the match-pair table a resolution pipeline feeds to its cluster
+    * step (d06's connected components). */
+  def q67FuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    fuzzyMatchPairs(Tables.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name")))
+
+  /** [[q67FuzzyMatch]] over an explicit `(c_custkey, c_name)` frame —
+    * the seam the skew-stress spec injects a Zipfian block through. */
+  private[graft] def fuzzyMatchPairs(names: DataFrame,
+      hotThreshold: Long = Q67HotBlockThreshold,
+      salts: Int = Q67Salts): DataFrame = {
+    val c = names.select(col("c_custkey"), col("c_name"),
+      substring(col("c_name"), 1, Q67BlockPrefix).as("blk"))
+    // the occupancy probe, computed on the blocked index itself — the
+    // same evidence d05b reads; one tiny aggregate, broadcast back
+    val hot = c.groupBy(col("blk")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > hotThreshold)
+    graft.ops.SaltedJoin
+      .selfPairsSalted(c, Seq("blk"), "c_custkey", hot, salts,
+        keep = Seq("c_name"))
       .withColumn("edit_dist",
-        levenshtein(col("a_name"), col("b_name"), Q67MaxEdit))
+        levenshtein(col("a_c_name"), col("b_c_name"), Q67MaxEdit))
       .filter(col("edit_dist") >= 0)
-      .select("a_key", "b_key", "edit_dist")
+      .select(col("a").as("a_key"), col("b").as("b_key"), col("edit_dist"))
   }
 
   /** Resolved entity table (q68) — [[q67FuzzyMatch]]'s match pairs

@@ -54,12 +54,19 @@ object BloomPrune {
     // own auto-injected runtime blooms, so leaving a 100M-key raise on
     // the shared session conf would silently inflate every later query's
     // injected filters — capture and restore around the build
-    val prevItems = conf.get(itemsKey, "4000000")
-    val prevBits = conf.get(bitsKey, "67108864")
-    if (prevItems.toLong < expectedKeys)
+    // getOption-based capture: a key the session never set must come back
+    // UNSET (not pinned to today's hardcoded default) or the restore
+    // itself changes conf.isModifiable/getOption observations downstream
+    val prevItems = conf.getOption(itemsKey)
+    val prevBits = conf.getOption(bitsKey)
+    if (prevItems.getOrElse("4000000").toLong < expectedKeys)
       conf.set(itemsKey, expectedKeys.toString)
-    if (prevBits.toLong < expectedKeys * BitsPerKey)
+    if (prevBits.getOrElse("67108864").toLong < expectedKeys * BitsPerKey)
       conf.set(bitsKey, (expectedKeys * BitsPerKey).toString)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
     val row =
       try {
         val agg = ColumnBridge.column(
@@ -69,8 +76,8 @@ object BloomPrune {
             .toAggregateExpression())
         build.select(agg.as("bf")).head()
       } finally {
-        conf.set(itemsKey, prevItems)
-        conf.set(bitsKey, prevBits)
+        restore(itemsKey, prevItems)
+        restore(bitsKey, prevBits)
       }
     // empty build side → NULL sketch; an empty filter matches nothing,
     // which a zero-key bloom also guarantees, so normalize to null and

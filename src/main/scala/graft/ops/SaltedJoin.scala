@@ -51,9 +51,16 @@ object SaltedJoin {
     * plainly. `hotKeys` must be small (it is broadcast): by construction
     * it holds groups above an occupancy threshold, and there can only be
     * total/threshold of those.
+    *
+    * `keep` columns of each side ride along into the output as
+    * `a_<col>` / `b_<col>` — for callers whose pair verification needs
+    * the payload (q67's Levenshtein reads both names); carrying it
+    * through the grid join beats two post-hoc id→payload joins (each a
+    * full extra shuffle of the pair table).
     */
   def selfPairsSalted(df: DataFrame, keys: Seq[String], idCol: String,
-      hotKeys: DataFrame, salts: Int): DataFrame = {
+      hotKeys: DataFrame, salts: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     require(salts > 1, "salts must be > 1")
     val HotCol = "__graft_hot"
     val flagged = df.join(
@@ -65,17 +72,19 @@ object SaltedJoin {
     def pairCond(keyCols: Seq[String]) = keyCols
       .map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
-    val coldPairs = cold.as("x").join(cold.as("y"), pairCond(keys))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    def pairSelect(j: DataFrame): DataFrame = j.select(
+      col(s"x.$idCol").as("a") +: col(s"y.$idCol").as("b") +:
+        (keep.map(k => col(s"x.$k").as(s"a_$k")) ++
+          keep.map(k => col(s"y.$k").as(s"b_$k"))): _*)
+    val coldPairs = pairSelect(cold.as("x").join(cold.as("y"), pairCond(keys)))
     // deterministic cell from the id, not monotonically_increasing_id:
     // both sides must agree on a row's cell for the grid to cover pairs
     val cell = pmod(xxhash64(col(idCol)), lit(salts.toLong)).cast("int")
     val grid = array((0 until salts).map(lit): _*)
     val xs = hot.withColumn("__gi", cell).withColumn("__gj", explode(grid))
     val ys = hot.withColumn("__gi", explode(grid)).withColumn("__gj", cell)
-    val hotPairs = xs.as("x").join(ys.as("y"),
-        pairCond(keys :+ "__gi" :+ "__gj"))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    val hotPairs = pairSelect(xs.as("x").join(ys.as("y"),
+      pairCond(keys :+ "__gi" :+ "__gj")))
     coldPairs.unionByName(hotPairs)
   }
 

@@ -65,14 +65,20 @@ object StreamingIndexCdc {
     * the on-disk index — the foreachBatch body, callable directly for
     * batch backfills and replay. Last op per key (highest `seq`) wins
     * within the batch; I and U are the same operation against an index
-    * (encode + version-append), as in any upsert sink. The resolved
-    * frame is persisted across the two sink writes (index + tombstones)
-    * so the LWW window and the source scan run once per batch. */
+    * (encode + version-append), as in any upsert sink. CDC guarantees a
+    * per-key total order on `seq`, but a feed that violates it must not
+    * break crash-replay idempotence — equal-seq ties resolve
+    * deterministically: delete outranks upsert (the tombstone tie rule
+    * [[LatestStateProcessor]] applies), then op byte descending. The
+    * resolved frame is persisted across the two sink writes (index +
+    * tombstones) so the LWW window and the source scan run once per
+    * batch. */
   def applyBatch(batch: DataFrame, idx: StreamingSimScorer.Index,
       indexDir: String, tombDir: String, batchId: Long): Unit = {
     val latest = batch
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("seq").desc)))
+        Window.partitionBy(col("vec_id")).orderBy(col("seq").desc,
+          (col("op") === "D").desc, col("op").desc)))
       .filter(col("rn") === 1)
       .persist()
     try {

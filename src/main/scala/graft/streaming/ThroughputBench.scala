@@ -199,9 +199,21 @@ object ThroughputBench {
       val vecs = graft.Tables.table(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding")).limit(nEvents)
         .as[(Long, Seq[Float])].collect()
+      val batchSize = math.max(1, nEvents / batches)
       val changes = vecs.zipWithIndex.map { case ((_, v), i) =>
-        if (i % 5 == 4) VecChange(i.toLong, 2000000L + i % 40, "D", Seq.empty)
-        else VecChange(i.toLong, 2000000L + i, "I", v)
+        if (i % 5 == 4) {
+          // delete a key a PRIOR batch inserted (stepping past delete
+          // positions), so the measured delete path tombstones a live
+          // indexed key — the delete-after-insert supersession a
+          // replicated table actually sends, not tombstoning of
+          // never-inserted ids. The first batch, having no prior,
+          // deletes an insert earlier in its own batch (within-batch
+          // LWW, the other real delete shape).
+          val back = i - batchSize - 3
+          val j0 = if (back >= 0) back else i - 1
+          val j = if (j0 % 5 == 4) j0 - 1 else j0
+          VecChange(i.toLong, 2000000L + j, "D", Seq.empty)
+        } else VecChange(i.toLong, 2000000L + i, "I", v)
       }
       val base = Files.createTempDirectory("graft-idx-cdc")
       timedStreamRate(spark, changes.toIndexedSeq, batches) { df =>

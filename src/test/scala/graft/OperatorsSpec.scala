@@ -920,6 +920,56 @@ class OperatorsSpec extends SparkSpec {
       s"largest grid cell $maxCell vs hot group $plainMax — not a spread")
   }
 
+  test("q67 hot block: occupancy salting pair-exact on a Zipfian block, " +
+      "names ride the grid, bounded cells, TPC-H stays cold") {
+    import graft.operators.ExtendedQueries
+    // Zipfian name corpus: one dominant block (30% mass — the surname
+    // skew real-world ER hits) sharing a 16-char prefix, uniform tail
+    val names = spark.range(300).select($"id".as("c_custkey"),
+      when($"id" < 90,
+          concat(lit("AAAAAAAAAAAAAAAA"), ($"id" % 10).cast("string")))
+        .otherwise(format_string("C%015d", $"id")) // unique 16-char prefix
+        .as("c_name"))
+    val c = names.select($"c_custkey", $"c_name",
+      substring($"c_name", 1, ExtendedQueries.Q67BlockPrefix).as("blk"))
+    // in-test reference: the plain blocked join + full edit distance
+    val plain = c.as("a").join(c.as("b"),
+        $"a.blk" === $"b.blk" && $"a.c_custkey" < $"b.c_custkey")
+      .withColumn("ed", levenshtein($"a.c_name", $"b.c_name"))
+      .filter($"ed" <= ExtendedQueries.Q67MaxEdit)
+      .select($"a.c_custkey", $"b.c_custkey", $"ed")
+      .as[(Long, Long, Int)].collect().toSet
+    val salted = ExtendedQueries.fuzzyMatchPairs(names,
+      hotThreshold = 20, salts = 4)
+    assert(salted.as[(Long, Long, Int)].collect().toSet == plain)
+    // exactly-once emission: no pair met in two grid cells
+    assert(salted.count() == plain.size)
+    assert(plain.size >= 90 * 89 / 2 / 10,
+      "fixture must generate dense in-block matches") // sanity on the fixture
+    // the occupancy probe fires on the dominant block only
+    val hot = c.groupBy("blk").agg(count(lit(1)).as("sz"))
+      .filter($"sz" > 20).collect()
+    assert(hot.length == 1 && hot(0).getAs[Long]("sz") == 90)
+    // the grid spreads the hot block: largest per-cell slice ≪ block size
+    val maxCell = c.filter($"blk" === "AAAAAAAAAAAAAAAA")
+      .withColumn("cell",
+        pmod(xxhash64($"c_custkey"), lit(4L)).cast("int"))
+      .groupBy("cell").count().agg(max("count")).head().getLong(0)
+    assert(maxCell < 90 / 2, s"grid cell of $maxCell rows is not a spread")
+    // grid decomposition is in the physical plan (not optimized away)
+    val planStr = salted.queryExecution.executedPlan.toString
+    assert(planStr.contains("__gi"), "grid decomposition missing from plan")
+    // and the REAL corpus stays on the cold path at the default
+    // threshold: uniform TPC-H prefixes never trip the probe
+    val realHot = Tables.table(spark, sf, "customer")
+      .select(substring(col("c_name"), 1,
+        ExtendedQueries.Q67BlockPrefix).as("blk"))
+      .groupBy("blk").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > ExtendedQueries.Q67HotBlockThreshold)
+    assert(realHot.count() == 0,
+      "TPC-H names must not trigger hot-block decomposition")
+  }
+
   test("d09 suite: one shared shingle pass, fewer exchanges than three audits") {
     import graft.operators.Sampling
     import graft.tools.PlanAudit
