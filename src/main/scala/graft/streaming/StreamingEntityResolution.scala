@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+import graft.operators.{Dedup, ExtendedQueries}
+
+/** An arriving name record — the ER input shape (the reference's
+  * `orders.user_id → users` FK rows landing from the change feed,
+  * `setup-local-env.sh:57,110`). */
+final case class EntityRecord(custkey: Long, name: String)
+
+/** Online entity resolution — the streaming twin of the batch q67→q68
+  * pipeline: arriving records are blocked (name prefix), matched by
+  * threshold Levenshtein against the already-resolved store AND their
+  * own micro-batch, and entity ids are assigned incrementally, so the
+  * canonical-record table a CDC pipeline feeds is correct after every
+  * batch instead of after a nightly sweep.
+  *
+  * Per micro-batch (foreachBatch, callable directly for backfills):
+  *
+  *  1. newcomers = batch records whose key the store has not resolved
+  *     yet (ER is insert-shaped: a re-delivered key is a no-op);
+  *  2. candidate pairs = newcomers × (store ∪ this batch) INSIDE the
+  *     block, filtered by the threshold edit distance — the exact q67
+  *     rule, so the stream discovers precisely the batch operator's
+  *     edge set: a pair whose members arrive in batches i ≤ j is found
+  *     at batch j (newcomer × store) or i = j (newcomer × newcomer);
+  *  3. the incremental min-label step: only components TOUCHED by a new
+  *     edge can change, so the propagation graph is newcomers plus the
+  *     members of affected entities, with each old member contributing
+  *     its (member → entity) edge — the entity label is itself the
+  *     component's min member, so connected components over this
+  *     contracted graph equal components over the full edge history
+  *     (min of mins is the min);
+  *  4. re-labeled members and newcomers land in an idempotent
+  *     `batch_id=N` overwrite partition; [[readResolved]] resolves the
+  *     latest row per key, exactly like the versioned index view.
+  *
+  * Crash-replay safe by construction: [[applyBatch]] reads the store
+  * AS OF batches `< N`, so a replayed batch recomputes byte-identical
+  * rows into its own partition regardless of whether its first attempt
+  * landed. Kill/restart resumes from the checkpoint with no dropped or
+  * doubled records.
+  *
+  * Shape at 100 TB: per-batch cost ∝ batch size + affected-component
+  * mass, never the corpus (untouched entities are neither read into the
+  * propagation nor rewritten); the store read is one key-grouped
+  * version resolution, the same shuffle the versioned sinks pay. Block
+  * skew on the candidate join is bounded by the batch on the newcomer
+  * side; the full-corpus de-skew story lives in the batch operator
+  * (q67's occupancy-probed grid).
+  */
+object StreamingEntityResolution {
+
+  private val RowSchema = StructType(Seq(
+    StructField("custkey", LongType), StructField("name", StringType),
+    StructField("blk", StringType), StructField("entity_id", LongType)))
+
+  private def dirExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The resolved entity table as of batches `< beforeBatch` — latest
+    * row per key (a member re-labeled by a merge carries its new entity
+    * in a later partition). Schema-explicit read so a store with empty
+    * partitions (or none at all) is an empty frame, and `batch_id`
+    * normalized to Long against partition-column inference. */
+  def readResolved(s: SparkSession, storeDir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val base =
+      if (dirExists(s, storeDir)) s.read.schema(RowSchema).parquet(storeDir)
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row], RowSchema)
+    val withB =
+      if (base.columns.contains("batch_id")) base
+      else base.withColumn("batch_id", lit(null))
+    withB.filter(col("batch_id").cast(LongType) < beforeBatch)
+      .groupBy("custkey")
+      .agg(max(struct(col("batch_id").cast(LongType).as("batch_id"),
+        col("entity_id"), col("name"), col("blk"))).as("v"))
+      .select(col("custkey"), col("v.name").as("name"),
+        col("v.blk").as("blk"), col("v.entity_id").as("entity_id"))
+  }
+
+  /** Apply ONE batch of `(custkey, name)` records to the store — the
+    * foreachBatch body. */
+  def applyBatch(batch: DataFrame, storeDir: String, batchId: Long,
+      maxEdit: Int = ExtendedQueries.Q67MaxEdit,
+      blockPrefix: Int = ExtendedQueries.Q67BlockPrefix): Unit = {
+    val s = batch.sparkSession
+    val prior = readResolved(s, storeDir, beforeBatch = batchId).persist()
+    val incoming = batch
+      .select(col("custkey"), col("name"),
+        substring(col("name"), 1, blockPrefix).as("blk"))
+      .dropDuplicates("custkey")
+      .join(prior.select("custkey"), Seq("custkey"), "left_anti")
+      .persist()
+    try {
+      // q67's edge rule, newcomer-sided: new × (resolved ∪ this batch)
+      // within the block; threshold Levenshtein (−1 past the budget)
+      val pool = prior.select("custkey", "name", "blk")
+        .unionByName(incoming.select("custkey", "name", "blk"))
+      val pairs = incoming.as("x").join(pool.as("y"),
+          col("x.blk") === col("y.blk") &&
+            col("x.custkey") =!= col("y.custkey"))
+        .filter(levenshtein(col("x.name"), col("y.name"), maxEdit) >= 0)
+        .select(least(col("x.custkey"), col("y.custkey")).as("da"),
+          greatest(col("x.custkey"), col("y.custkey")).as("db"))
+        .distinct()
+      // contracted propagation graph: newcomers + members of entities a
+      // new edge touches, old members contributing (member → entity)
+      val pairKeys = pairs.select(col("da").as("custkey"))
+        .unionByName(pairs.select(col("db").as("custkey"))).distinct()
+      val affectedEnt = prior.join(pairKeys, Seq("custkey"))
+        .select("entity_id").distinct()
+      val affectedOld = prior.join(affectedEnt, Seq("entity_id"))
+        .select("custkey", "name", "blk", "entity_id").persist()
+      try {
+        val nodes = incoming.select(col("custkey").as("doc_id"))
+          .unionByName(affectedOld.select(col("custkey").as("doc_id")))
+        val edges = pairs.unionByName(affectedOld
+          .select(col("custkey").as("da"), col("entity_id").as("db")))
+        val (labels, _) = Dedup.propagateMinLabels(nodes, edges)
+        incoming.unionByName(affectedOld.drop("entity_id"))
+          .join(labels, col("custkey") === col("doc_id"))
+          .select(col("custkey"), col("name"), col("blk"),
+            col("cluster").as("entity_id"))
+          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+      } finally { affectedOld.unpersist(); () }
+    } finally { incoming.unpersist(); prior.unpersist(); () }
+  }
+
+  /** Attach the resolver to a streaming `(custkey, name)` frame. */
+  def attach(records: DataFrame, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, storeDir, batchId)
+      }
+      .start()
+
+  /** The q68 output contract over the maintained store: `(c_custkey,
+    * entity_id, is_canonical)` — what a consumer diffing against the
+    * batch pipeline reads. */
+  def entityTable(s: SparkSession, storeDir: String): DataFrame =
+    readResolved(s, storeDir)
+      .select(col("custkey").as("c_custkey"), col("entity_id"),
+        (col("entity_id") === col("custkey")).as("is_canonical"))
+}

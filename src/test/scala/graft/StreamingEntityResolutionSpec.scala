@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.ExtendedQueries
+import graft.streaming.{EntityRecord, StreamingEntityResolution}
+
+/** Stream↔batch parity for entity resolution: the per-micro-batch
+  * resolver must end at exactly the q68 entity table, with per-batch
+  * writes bounded by newcomers + affected components, and crash replay
+  * a no-op. */
+class StreamingEntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def entitySet(df: DataFrame): Set[(Long, Long, Boolean)] = df
+    .select("c_custkey", "entity_id", "is_canonical").collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  test("stream-final entity table equals batch q68 on the customer corpus") {
+    val cust = Tables.table(spark, sf, "customer")
+      .select($"c_custkey", $"c_name").as[(Long, String)].collect()
+      .sortBy(_._1).map { case (k, n) => EntityRecord(k, n) }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EntityRecord]
+    val base = Files.createTempDirectory("graft-ser")
+    val store = base.resolve("store").toString
+    val q = StreamingEntityResolution.attach(input.toDF(), store,
+      base.resolve("ckpt").toString)
+    try {
+      cust.grouped(math.max(1, cust.length / 3)).foreach { g =>
+        input.addData(g.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = entitySet(
+      StreamingEntityResolution.entityTable(spark, store))
+    val batch = entitySet(ExtendedQueries.q68EntityClusters(spark, sf))
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("incremental writes are bounded, cross-batch merges re-label, " +
+      "and replaying a batch changes nothing") {
+    val base = Files.createTempDirectory("graft-ser-inc")
+    val store = base.resolve("store").toString
+    def apply(batchId: Long, recs: (Long, String)*): Unit =
+      StreamingEntityResolution.applyBatch(
+        recs.toDF("custkey", "name"), store, batchId)
+    def resolved: Map[Long, Long] = StreamingEntityResolution
+      .readResolved(spark, store).select("custkey", "entity_id")
+      .as[(Long, Long)].collect().toMap
+    def partitionKeys(batchId: Long): Set[Long] =
+      spark.read.parquet(s"$store/batch_id=$batchId")
+        .select("custkey").as[Long].collect().toSet
+
+    // batch 0: two separate entities in one block ("...A"/"...B" are 2
+    // edits apart — no match) plus an unrelated block
+    val blkA = "AAAAAAAAAAAAAAAA" // 16-char block key
+    apply(0L, 10L -> s"${blkA}xA", 20L -> s"${blkA}yB", 30L -> "C000000000000030")
+    assert(resolved == Map(10L -> 10L, 20L -> 20L, 30L -> 30L))
+
+    // batch 1: a far-away block — writes ONLY its own rows (no affected
+    // components), the incremental-cost claim made checkable
+    apply(1L, 40L -> "D000000000000040")
+    assert(partitionKeys(1L) == Set(40L))
+    assert(resolved == Map(10L -> 10L, 20L -> 20L, 30L -> 30L, 40L -> 40L))
+
+    // batch 2: a bridge record one edit from BOTH members — merges the
+    // two entities; the whole merged component re-labels to the min,
+    // and the untouched entities (30, 40) are NOT rewritten
+    apply(2L, 5L -> s"${blkA}xB")
+    assert(partitionKeys(2L) == Set(5L, 10L, 20L))
+    assert(resolved == Map(5L -> 5L, 10L -> 5L, 20L -> 5L,
+      30L -> 30L, 40L -> 40L))
+
+    // crash replay of batch 2: recomputed from the AS-OF-<2 store view,
+    // byte-identical state — a re-delivered batch cannot double or drop
+    apply(2L, 5L -> s"${blkA}xB")
+    assert(partitionKeys(2L) == Set(5L, 10L, 20L))
+    assert(resolved == Map(5L -> 5L, 10L -> 5L, 20L -> 5L,
+      30L -> 30L, 40L -> 40L))
+
+    // a re-delivered already-resolved key is a no-op (insert-shaped ER)
+    apply(3L, 10L -> s"${blkA}xA")
+    assert(partitionKeys(3L).isEmpty && resolved.size == 5)
+  }
+
+  test("kill mid-stream, restart from checkpoint: final state still q68-exact") {
+    val cust = Tables.table(spark, sf, "customer")
+      .select($"c_custkey", $"c_name").as[(Long, String)].collect()
+      .sortBy(_._1).map { case (k, n) => EntityRecord(k, n) }
+    val (first, rest) = cust.splitAt(cust.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft-ser-restart")
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val input = MemoryStream[EntityRecord]
+    val q1 = StreamingEntityResolution.attach(input.toDF(), store, ckpt)
+    try { input.addData(first.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    // kill window: the second half arrives while nothing is running;
+    // the restart recovers from the SAME checkpoint (batch ids continue
+    // monotonically, so the store's version order stays intact)
+    input.addData(rest.toIndexedSeq)
+    val q2 = StreamingEntityResolution.attach(input.toDF(), store, ckpt)
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val streamed = entitySet(
+      StreamingEntityResolution.entityTable(spark, store))
+    val batch = entitySet(ExtendedQueries.q68EntityClusters(spark, sf))
+    assert(batch.nonEmpty && streamed == batch)
+  }
+}
