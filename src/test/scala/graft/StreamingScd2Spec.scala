@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.CoreQueries
+import graft.streaming.{Scd2Event, StreamingScd2}
+
+/** Stream↔batch parity for SCD Type-2 historization: the per-event
+  * close-and-open maintainer must materialize exactly the q69 validity
+  * table, across batching, within-batch disorder, and a kill-window
+  * restart. */
+class StreamingScd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def historySet(df: DataFrame) = df.collect().map { r =>
+    (r.getAs[Long]("user_id"), r.getAs[Long]("version_event_id"),
+      r.getAs[String]("state_type"), r.getAs[Double]("state_value"),
+      r.getAs[Long]("valid_from_us"),
+      if (r.isNullAt(r.fieldIndex("valid_to_us"))) None
+      else Some(r.getAs[Long]("valid_to_us")),
+      r.getAs[Boolean]("is_current"))
+  }.toSet
+
+  /** The full event feed in commit-log order (global (ts, id) sort
+    * preserves every per-key order). */
+  private def feed(): Array[Scd2Event] = Tables.events(spark, sf)
+    .select($"user_id", $"event_id", $"event_type", $"value", $"ts_us")
+    .as[(Long, Long, String, Double, Long)].collect()
+    .sortBy(e => (e._5, e._2))
+    .map { case (u, id, t, v, ts) => Scd2Event(u, id, t, v, ts) }
+
+  test("stream-materialized history equals batch q69 after the last batch") {
+    graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = feed()
+    val input = MemoryStream[Scd2Event]
+    val base = Files.createTempDirectory("graft-scd2")
+    val store = base.resolve("store").toString
+    val q = StreamingScd2.attach(input.toDS(), store,
+      base.resolve("ckpt").toString)
+    try {
+      // chunks arrive in order; WITHIN a chunk arrival order is
+      // scrambled — the processor must re-establish (ts, id) order
+      val rnd = new scala.util.Random(7)
+      events.grouped(math.max(1, events.length / 4)).foreach { g =>
+        input.addData(rnd.shuffle(g.toSeq).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = historySet(StreamingScd2.readHistory(spark, store))
+    val batch = historySet(CoreQueries.q69Scd2History(spark, sf))
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("kill mid-feed, restart from checkpoint: history still q69-exact") {
+    graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = feed()
+    val (first, rest) = events.splitAt(events.length / 2)
+    val input = MemoryStream[Scd2Event]
+    val base = Files.createTempDirectory("graft-scd2-restart")
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q1 = StreamingScd2.attach(input.toDS(), store, ckpt)
+    try { input.addData(first.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    // kill window: the tail arrives while nothing runs; the restart
+    // recovers open-version state from the checkpoint — versions left
+    // open at the kill must close at their NEXT event, exactly once
+    input.addData(rest.toIndexedSeq)
+    val q2 = StreamingScd2.attach(input.toDS(), store, ckpt)
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val streamed = historySet(StreamingScd2.readHistory(spark, store))
+    val batch = historySet(CoreQueries.q69Scd2History(spark, sf))
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("delete closes without opening; point-in-time reads through the " +
+      "maintained store match the batch table") {
+    graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one entity: open A, update to B, delete, reopen C — the full
+    // close/open/terminate cycle in three batches
+    val input = MemoryStream[Scd2Event]
+    val base = Files.createTempDirectory("graft-scd2-del")
+    val store = base.resolve("store").toString
+    val q = StreamingScd2.attach(input.toDS(), store,
+      base.resolve("ckpt").toString)
+    try {
+      Seq(
+        Seq(Scd2Event(1L, 10L, "view", 1.0, 1000L)),
+        Seq(Scd2Event(1L, 11L, "purchase", 2.0, 2000L),
+          Scd2Event(1L, 12L, "error", 0.0, 3000L)),
+        Seq(Scd2Event(1L, 13L, "view", 3.0, 4000L))
+      ).foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val h = StreamingScd2.readHistory(spark, store)
+    assert(historySet(h) == Set(
+      (1L, 10L, "view", 1.0, 1000L, Some(2000L), false),
+      (1L, 11L, "purchase", 2.0, 2000L, Some(3000L), false),
+      // the delete marker closed 11 and opened NOTHING; 13 reopens
+      (1L, 13L, "view", 3.0, 4000L, None, true)))
+    // a point-in-time read at t=2500 sees version 11; at t=3500 (inside
+    // the deleted gap) sees nothing — the q70 AS-OF rule over the
+    // maintained store
+    def asOf(t: Long) = h.filter(col("valid_from_us") < t &&
+      (col("valid_to_us").isNull || col("valid_to_us") >= t))
+      .select("version_event_id").as[Long].collect().toSeq
+    assert(asOf(2500L) == Seq(11L))
+    assert(asOf(3500L).isEmpty)
+    assert(asOf(4500L) == Seq(13L))
+  }
+}
