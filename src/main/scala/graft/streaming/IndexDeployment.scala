@@ -1,0 +1,220 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DoubleType
+import graft.operators.Similarity
+
+/** Blue/green ANN index deployment — the executor of
+  * [[graft.operators.Similarity.shouldRebuild]]'s decision, completing
+  * the index lifecycle (ingest, delete, merge, CDC, serve — and now
+  * REBUILD):
+  * each index GENERATION lives under its own `gen=N` directory
+  * (quantizer artifacts + assignment + codes + corpus — everything
+  * [[StreamingSimScorer.Index]] serves from), and a one-line `CURRENT`
+  * pointer names the live generation. A rebuild retrains the quantizers
+  * on the CURRENT corpus, builds the green index offline via the s20
+  * shard path (frozen artifacts shipped to shard builders, merge = list
+  * concatenation), and then swaps the pointer ATOMICALLY (temp-write +
+  * overwrite-rename, the AppendVersionedSink move) — serving never sees
+  * a half-built index, and queries in flight finish on the generation
+  * their micro-batch started on.
+  *
+  * Shape at 100 TB: the build runs beside serving (blue keeps
+  * answering), shard encodes are embarrassingly parallel per-vector
+  * functions of broadcast artifacts, and the swap costs one metadata
+  * rename. Old generations stay on disk for rollback until an operator
+  * garbage-collects them. */
+object IndexDeployment {
+
+  private val Pointer = "CURRENT"
+
+  private def fs(s: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
+  /** The live generation, or None before the first deploy. */
+  def currentGen(s: SparkSession, rootDir: String): Option[Long] = {
+    val (f, root) = fs(s, rootDir)
+    val ptr = new org.apache.hadoop.fs.Path(root, Pointer)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Atomic pointer flip: write `CURRENT.tmp`, rename over `CURRENT`
+    * with OVERWRITE — readers observe either the old or the new
+    * generation, never a partial write. */
+  private def flipPointer(s: SparkSession, rootDir: String,
+      gen: Long): Unit = {
+    val (f, root) = fs(s, rootDir)
+    f.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$Pointer.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$gen\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(root.toUri, s.sessionState.newHadoopConf())
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, Pointer),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def genDir(rootDir: String, gen: Long) = s"$rootDir/gen=$gen"
+
+  /** Build one generation's full artifact set and PUBLISH it: quantizers
+    * (centroids + codebook) trained on `train`, then the s20
+    * shard-parallel build of the serving tables over `corpus` — each
+    * shard assigns + PQ-encodes its own slice through the FROZEN
+    * artifacts, and the merge is a plain union (spec-proven bit-equal
+    * to a one-shot build by `ivfPqShardMerge`'s invariant). The pointer
+    * flips only after every table is fully written — the green index
+    * becomes visible all-or-nothing. Returns the new generation.
+    *
+    * `train` vs `corpus` is the real lifecycle seam: a CDC-maintained
+    * index serves a GROWN corpus through artifacts trained on an older
+    * one (the s17 situation this module exists to repair) — a rebuild
+    * passes the same frame for both. */
+  def deploy(s: SparkSession, train: DataFrame, corpus: DataFrame,
+      rootDir: String, shards: Int = Similarity.ShardMod): Long = {
+    val gen = currentGen(s, rootDir).map(_ + 1).getOrElse(0L)
+    val dir = genDir(rootDir, gen)
+    val e = corpus.persist()
+    try {
+      val cents = Similarity.centsOf(train).persist()
+      val cb = Similarity.pqCodebook(train).persist()
+      try {
+        cents.write.mode("overwrite").parquet(s"$dir/cents")
+        cb.write.mode("overwrite").parquet(s"$dir/cb")
+        e.write.mode("overwrite").parquet(s"$dir/corpus")
+        // s20 shard path: per-shard assign/encode through the frozen
+        // artifacts, merged by union — never a re-encode
+        def sharded(build: DataFrame => DataFrame): DataFrame =
+          (0 until shards).map(k =>
+            build(e.filter(col("vec_id") % shards === k)))
+            .reduce(_ unionByName _)
+        sharded(Similarity.ivfAssign(_, cents))
+          .write.mode("overwrite").parquet(s"$dir/assign")
+        sharded(Similarity.pqCodesFor(_, cb, Similarity.PqM,
+            Similarity.PqSubDim))
+          .write.mode("overwrite").parquet(s"$dir/codes")
+      } finally { cents.unpersist(); cb.unpersist(); () }
+      flipPointer(s, rootDir, gen)
+      gen
+    } finally { e.unpersist(); () }
+  }
+
+  /** Load a generation's serving artifacts (cached + materialized, the
+    * [[StreamingSimScorer.buildIndex]] contract). */
+  def loadGen(s: SparkSession, rootDir: String,
+      gen: Long): StreamingSimScorer.Index = {
+    val dir = genDir(rootDir, gen)
+    def rd(name: String) = s.read.parquet(s"$dir/$name").persist()
+    val idx = StreamingSimScorer.Index(rd("cents"), rd("cb"),
+      rd("corpus"), rd("assign"), rd("codes"))
+    Seq(idx.cents, idx.cb, idx.corpus, idx.assign, idx.codes)
+      .foreach(_.count())
+    idx
+  }
+
+  /** Absolute recall@3 loss of serving through the DEPLOYED quantizers
+    * versus a full-trained build, on the current corpus — the
+    * [[Similarity.shouldRebuild]] measurement taken through the live
+    * deployment instead of the s17 fixture. Driver-side read of a
+    * 1-row audit: a deploy-time decision, not a data path. */
+  def recallLoss(s: SparkSession, sfDir: String, rootDir: String): Double = {
+    val gen = currentGen(s, rootDir).getOrElse(
+      throw new IllegalStateException(s"no deployed index under $rootDir"))
+    val dir = genDir(rootDir, gen)
+    val e = Similarity.embeddings(s, sfDir).persist()
+    try {
+      val served = Similarity
+        .ivfPqRankedFor(e, s.read.parquet(s"$dir/cents"),
+          s.read.parquet(s"$dir/cb"))
+        .select("qid", "neighbor_id")
+      val baseline = Similarity.ivfPqRanked(e).select("qid", "neighbor_id")
+      val bf = Similarity.bruteForceRanked(e)
+        .filter(col("rank") <= 3).select("qid", "neighbor_id")
+      val nPossible = 3.0 * Similarity.NumQueries
+      val row = baseline.join(bf, Seq("qid", "neighbor_id"))
+        .agg(count(lit(1)).as("n_base"))
+        .crossJoin(broadcast(served.join(bf, Seq("qid", "neighbor_id"))
+          .agg(count(lit(1)).as("n_served"))))
+        .select((col("n_base").cast(DoubleType) / nPossible -
+          col("n_served").cast(DoubleType) / nPossible).as("loss"))
+        .head()
+      row.getAs[Double]("loss")
+    } finally { e.unpersist(); () }
+  }
+
+  /** Execute the `shouldRebuild` decision: measure [[recallLoss]]
+    * through the live generation; above the budget, retrain on the
+    * CURRENT corpus, shard-build the green index, and atomically swap.
+    * Returns the new generation when a rebuild ran. After the swap the
+    * quantizers ARE full-trained, so the measured loss returns to zero
+    * and the decision flips back to false — the lifecycle closes. */
+  def rebuildIfNeeded(s: SparkSession, sfDir: String, rootDir: String,
+      maxRecallLoss: Double = Similarity.MaxIngestRecallLoss)
+      : Option[Long] =
+    if (recallLoss(s, sfDir, rootDir) > maxRecallLoss) {
+      val e = Similarity.embeddings(s, sfDir)
+      Some(deploy(s, e, e, rootDir))
+    } else None
+
+  /** Serving session that follows the pointer: each micro-batch is
+    * answered ENTIRELY by the generation current at its start (the
+    * pointer is read once per batch), so a swap can never split a
+    * batch across indexes; on a flip the old generation's cache is
+    * dropped and the new one loaded — queries keep flowing through the
+    * swap. Not thread-safe across concurrent foreachBatch invocations
+    * (micro-batches of one query are sequential, which is the contract
+    * here). */
+  final class ServingSession(rootDir: String) {
+    private var loaded: Option[(Long, StreamingSimScorer.Index)] = None
+
+    /** The generation serving right now (None before the first batch). */
+    def servingGen: Option[Long] = loaded.map(_._1)
+
+    def serveBatch(batch: DataFrame): DataFrame = {
+      val s = batch.sparkSession
+      val gen = currentGen(s, rootDir).getOrElse(
+        throw new IllegalStateException(
+          s"no deployed index under $rootDir"))
+      val idx = loaded match {
+        case Some((g, i)) if g == gen => i
+        case prev =>
+          prev.foreach(_._2.unpersistAll())
+          val fresh = loadGen(s, rootDir, gen)
+          loaded = Some((gen, fresh))
+          fresh
+      }
+      StreamingSimScorer.serve(batch, idx)
+        .withColumn("index_gen", lit(gen))
+    }
+
+    def close(): Unit = { loaded.foreach(_._2.unpersistAll()); loaded = None }
+  }
+
+  /** Attach pointer-following serving to a streaming `(qid, embedding)`
+    * frame: answers land in idempotent `batch_id=N` partitions, each
+    * row stamped with the `index_gen` that produced it. */
+  def attach(queryStream: DataFrame, rootDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val session = new ServingSession(rootDir)
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        session.serveBatch(batch)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.streaming.{AnnQuery, IndexDeployment, StreamingSimScorer}
+
+/** Blue/green rebuild — the executor of shouldRebuild's decision: a
+  * degraded deployment rebuilds and atomically swaps; serving straddles
+  * the swap without ever mixing generations; the decision flips back to
+  * false once the quantizers are full-trained. */
+class IndexDeploymentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def answers(df: DataFrame) = df
+    .select("qid", "rank", "neighbor_id", "cos_sim").collect()
+    .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+
+  /** The s17 situation on disk: gen 0's quantizers trained on the
+    * pre-ingest members, serving the FULL grown corpus. */
+  private def deployStale(root: String): Long = {
+    val e = Similarity.embeddings(spark, sf)
+    val stale = e.filter(col("vec_id") >= Similarity.NumQueries &&
+      col("vec_id") % Similarity.IngestMod =!= Similarity.IngestRem)
+    IndexDeployment.deploy(spark, train = stale, corpus = e, root)
+  }
+
+  test("recallLoss through the deployment equals the s17b audit; " +
+      "rebuild executes, swaps, restores zero loss, flips the decision") {
+    val root = Files.createTempDirectory("graft-bg").toString
+    assert(IndexDeployment.currentGen(spark, root).isEmpty)
+    assert(deployStale(root) == 0L)
+    assert(IndexDeployment.currentGen(spark, root).contains(0L))
+
+    // the deployment measurement IS the s17b audit's recall_delta
+    val loss0 = IndexDeployment.recallLoss(spark, sf, root)
+    val auditDelta = Similarity.ivfPqIngestRecall(spark, sf)
+      .head().getAs[Double]("recall_delta")
+    assert(math.abs(loss0 - (-auditDelta)) < 1e-12)
+
+    // execute the decision (forced trigger — the s17 fixture's loss may
+    // legitimately be 0 at this SF; the execution path is what's under
+    // test, the decision arithmetic is spec'd at both polarities below)
+    val rebuilt = IndexDeployment.rebuildIfNeeded(spark, sf, root,
+      maxRecallLoss = -1.0)
+    assert(rebuilt.contains(1L))
+    assert(IndexDeployment.currentGen(spark, root).contains(1L))
+
+    // post-swap: quantizers are full-trained — loss is exactly zero and
+    // the default-budget decision flips back to false
+    val loss1 = IndexDeployment.recallLoss(spark, sf, root)
+    assert(math.abs(loss1) < 1e-12)
+    assert(IndexDeployment.rebuildIfNeeded(spark, sf, root).isEmpty)
+    assert(IndexDeployment.currentGen(spark, root).contains(1L),
+      "a below-budget measurement must not deploy a generation")
+
+    // post-swap serving ≡ a scratch-built index on the same corpus
+    val queries = Tables.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val viaDeployment = {
+      val idx = IndexDeployment.loadGen(spark, root, 1L)
+      try answers(StreamingSimScorer.serve(queries, idx))
+      finally idx.unpersistAll()
+    }
+    val scratch = {
+      val idx = StreamingSimScorer.buildIndex(spark, sf)
+      try answers(StreamingSimScorer.serve(queries, idx))
+      finally idx.unpersistAll()
+    }
+    assert(scratch.nonEmpty && viaDeployment == scratch)
+  }
+
+  test("serving across the swap: every batch answered by exactly one " +
+      "generation, each matching that generation's own index") {
+    val root = Files.createTempDirectory("graft-bg-swap").toString
+    deployStale(root)
+
+    val qvecs = Tables.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < Similarity.NumQueries)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val batch1 = qvecs.map { case (i, v) => AnnQuery(1000000L + i, v) }
+    val batch2 = qvecs.map { case (i, v) => AnnQuery(2000000L + i, v) }
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[AnnQuery]
+    val base = Files.createTempDirectory("graft-bg-out")
+    val outDir = base.resolve("answers").toString
+    val q = IndexDeployment.attach(input.toDF(), root, outDir,
+      base.resolve("ckpt").toString)
+    try {
+      input.addData(batch1.toIndexedSeq); q.processAllAvailable()
+      // the swap happens BETWEEN micro-batches, while the query is live
+      val e = Similarity.embeddings(spark, sf)
+      IndexDeployment.deploy(spark, train = e, corpus = e, root)
+      input.addData(batch2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(outDir)
+    // one generation per micro-batch — a swap never splits a batch
+    val gens = out.groupBy("batch_id")
+      .agg(countDistinct(col("index_gen")).as("n"),
+        max(col("index_gen")).as("g"))
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("g"))).toMap
+    assert(gens == Map(0L -> (1L, 0L), 1L -> (1L, 1L)))
+
+    // each batch's answers equal serving through its OWN generation
+    def expect(gen: Long, qs: Array[AnnQuery]) = {
+      val idx = IndexDeployment.loadGen(spark, root, gen)
+      try answers(StreamingSimScorer.serve(
+        qs.toSeq.toDF("qid", "embedding"), idx))
+      finally idx.unpersistAll()
+    }
+    assert(answers(out.filter(col("batch_id") === 0L)) ==
+      expect(0L, batch1))
+    assert(answers(out.filter(col("batch_id") === 1L)) ==
+      expect(1L, batch2))
+  }
+}
