@@ -184,6 +184,9 @@ object SparkEntry {
     "m08_image_patches" -> canon("doc_id")(Multimodal.imagePatchQuery),
     "m09_channel_stats" -> canon("doc_id")(Multimodal.channelStatsQuery),
     "m10_audio_decimate" -> canon("doc_id")(Multimodal.audioDecimateQuery),
+    "m11_visual_ann" -> canon("qid", "rank")(Multimodal.visualAnnQuery),
+    "m12_visual_dup_recall" ->
+      canon("qid", "partner")(Multimodal.visualDupRecallQuery),
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> canon("da", "db")(Sampling.splitLeakage),
@@ -499,11 +502,11 @@ object SparkEntry {
        |SELECT qid, rank, neighbor_id, pq_score FROM r
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
-  // s16: s15's compressed retrieval at rank <= RefineK, then exact-decimal
-  // re-rank (the dotAB contract) of just those candidates
-  private def s16Sql: String =
-    s"""${s15Ctes},
-       |ret AS (SELECT qid, neighbor_id FROM r
+  // s16 refine: exact-decimal re-rank (the dotAB contract) of the
+  // rank <= RefineK compressed retrieval — shared by the s16 oracle and
+  // the m11 visual-ANN composition (ONE definition of the refine stage)
+  private def s16RefineCtes: String =
+    s"""ret AS (SELECT qid, neighbor_id FROM r
        |        WHERE rank <= ${Similarity.RefineK}),
        |ex AS (SELECT ret.qid, ret.neighbor_id,
        |    CAST($dotAB AS DOUBLE)
@@ -514,9 +517,75 @@ object SparkEntry {
        |rr AS (SELECT qid, neighbor_id, cos_sim,
        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
        |          ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-       |      FROM ex)
+       |      FROM ex)""".stripMargin
+
+  private def s16Sql: String =
+    s"""${s15Ctes},
+       |$s16RefineCtes
        |SELECT qid, rank, neighbor_id, cos_sim FROM rr
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** m11 feature + truth CTEs: per-BMP 16-bin intensity histograms as
+    * the `e(vec_id, embedding, n2)` corpus (vec_id = doc_id / 2 — the
+    * m04 decode formulas over even docs), the m05 aHash fingerprints,
+    * exact-duplicate pairs, and the duplicate-query id set the IVF-PQ
+    * chain serves. */
+  private def m11FeatureCtes: String = {
+    val bcols = (0 until 16).map(b =>
+      s"CAST(sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS DOUBLE) AS b$b")
+      .mkString(",\n    ")
+    val arr = (0 until 16).map(b => s"b$b").mkString("[", ", ", "]")
+    s"""imgs AS (SELECT doc_id, text,
+       |    CAST(12*(length(text) % 3 + 1)
+       |      * (length(text) // (12*(length(text) % 3 + 1))) AS INT) AS declen
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |ci AS (SELECT doc_id // 2 AS vec_id,
+       |    ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, declen)) AS i FROM imgs)),
+       |hb AS (SELECT vec_id,
+       |    $bcols
+       |  FROM ci GROUP BY vec_id),
+       |e AS (SELECT vec_id, $arr AS embedding,
+       |    list_sum(list_transform($arr,
+       |      x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))
+       |        * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
+       |  FROM hb),
+       |px AS (SELECT doc_id // 2 AS vec_id,
+       |    list_transform(generate_series(0, 63),
+       |      i -> ord(substr(text, CAST((i * declen) // 64 AS INT) + 1, 1)))
+       |      AS pixels
+       |  FROM imgs),
+       |sgm AS (SELECT vec_id, pixels, list_sum(pixels) AS st FROM px),
+       |ah AS (SELECT vec_id, array_to_string(list_transform(pixels,
+       |      p -> CASE WHEN p * 64 > st THEN '1' ELSE '0' END), '') AS ahash
+       |  FROM sgm),
+       |duppairs AS (SELECT a.vec_id AS dqid, b.vec_id AS partner
+       |  FROM ah a JOIN ah b ON a.ahash = b.ahash AND b.vec_id <> a.vec_id),
+       |qids AS (SELECT DISTINCT dqid AS qid FROM duppairs)""".stripMargin
+  }
+
+  /** The verbatim s15+s16 retrieval chain over the image-feature corpus
+    * at the 16-dim PQ grid, querying the duplicate images. */
+  private def m11Ctes: String =
+    s"""${s15CtesFor("", "", src = m11FeatureCtes,
+         m = graft.operators.Multimodal.M11PqM,
+         sd = graft.operators.Multimodal.M11PqSubDim,
+         queryPred = a => s"${a}vec_id IN (SELECT qid FROM qids)")},
+       |$s16RefineCtes""".stripMargin
+
+  private def m11Sql: String =
+    s"""$m11Ctes
+       |SELECT qid, rank, neighbor_id, cos_sim FROM rr
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private def m12Sql: String =
+    s"""$m11Ctes,
+       |top3 AS (SELECT qid, neighbor_id FROM rr WHERE rank <= 3)
+       |SELECT dqid AS qid, partner, (t.neighbor_id IS NOT NULL) AS hit
+       |FROM duppairs LEFT JOIN top3 t
+       |  ON t.qid = dqid AND t.neighbor_id = partner
+       |ORDER BY qid, partner""".stripMargin
 
   /** s17 ingest-membership predicates (the frozen-artifact exclusions):
     * batch rows are `vec_id % IngestMod = IngestRem`. */
@@ -752,9 +821,13 @@ object SparkEntry {
     * oracle uses it to drop tombstoned members from the inverted lists
     * while the artifacts stay the full pre-delete corpus's. */
   private def s15CtesFor(centsPred: String, cbPred: String,
-      candPred: String = ""): String =
-    s"""WITH $embCte,
-         |${pqCtes(Similarity.PqM, Similarity.PqSubDim, cbPred)},
+      candPred: String = "",
+      src: String = embCte,
+      m: Int = Similarity.PqM, sd: Int = Similarity.PqSubDim,
+      queryPred: String => String =
+        a => s"${a}vec_id < ${Similarity.NumQueries}"): String =
+    s"""WITH $src,
+         |${pqCtes(m, sd, cbPred, queryPred)},
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
          |          WHERE vec_id % ${Similarity.CentroidStride} = 0
          |            AND vec_id >= ${Similarity.NumQueries}$centsPred),
@@ -771,7 +844,7 @@ object SparkEntry {
          |probes AS (SELECT vec_id AS qid, cid FROM (
          |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
          |      ORDER BY ccos DESC, cid) AS rn
-         |    FROM ac WHERE vec_id < ${Similarity.NumQueries})
+         |    FROM ac WHERE ${queryPred("")})
          |  WHERE rn <= ${Similarity.NProbe}),
          |cand AS (SELECT p.qid, a.vec_id FROM probes p
          |         JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid$candPred),
@@ -795,7 +868,9 @@ object SparkEntry {
     * production config; the s14 sweep embeds one body per M. */
   /** PQ CTE chain (ms…codes…lut) over the `e` CTE — shared by the s07
     * all-candidates oracle and the s15 IVF-pruned composition. */
-  private def pqCtes(m: Int, sd: Int, cbPred: String = ""): String = {
+  private def pqCtes(m: Int, sd: Int, cbPred: String = "",
+      queryPred: String => String =
+        a => s"${a}vec_id < ${Similarity.NumQueries}"): String = {
     def d(x: String) = s"CAST(CAST($x AS DOUBLE) AS DECIMAL(12,6))"
     val nq = Similarity.NumQueries
     val k = Similarity.PqK
@@ -821,7 +896,7 @@ object SparkEntry {
        |          list_sum(list_transform(list_zip(
        |            list_slice(q.embedding, cbn.m*$sd+1, cbn.m*$sd+$sd), csub),
        |            z -> ${d("z[1]")} * ${d("z[2]")})) AS pdot
-       |        FROM e q, cbn WHERE q.vec_id < $nq)""".stripMargin
+       |        FROM e q, cbn WHERE ${queryPred("q.")})""".stripMargin
   }
 
   private def s07SqlFor(m: Int, sd: Int): String =
@@ -3567,6 +3642,12 @@ object SparkEntry {
          |    THEN CAST(s AS BIGINT) * s ELSE 0 END) AS BIGINT)
          |    AS sum_sq_dropped
          |FROM w GROUP BY doc_id, declen ORDER BY doc_id""".stripMargin,
+    // m11/m12: the s15+s16 IVF-PQ retrieval chain replayed over the
+    // m04 histogram features of the BMP assets (vec_id = doc_id/2),
+    // querying the images whose m05 aHash has an exact duplicate;
+    // m12 audits the index answers against that truth pair by pair
+    "m11_visual_ann" -> m11Sql,
+    "m12_visual_dup_recall" -> m12Sql,
     // m08: 2x2 quadrant sums over the row-major decoded pixel array;
     // quadrant = integer index arithmetic, sums exact BIGINTs
     "m08_image_patches" ->

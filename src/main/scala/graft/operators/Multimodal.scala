@@ -435,4 +435,87 @@ object Multimodal {
         (-col("best.nv")).as("max_run_byte"),
         (-col("best.ns")).as("max_run_start"))
   }
+
+  // --- m11/m12: visual near-dup through the IVF-PQ index -------------------
+  /** PQ grid for the 16-dim image-feature space (M11PqM · M11PqSubDim =
+    * 16 histogram bins — the m-family's Dim). */
+  val M11PqM = 4
+  val M11PqSubDim = 4
+
+  /** Image feature vectors: m04's 16-bin intensity histogram per BMP
+    * asset, as the `(vec_id, embedding)` frame the whole similarity
+    * family operates on — the composition seam between the multimodal
+    * decode pipeline and the ANN index lifecycle. `vec_id = doc_id / 2`
+    * (BMPs are the even docs, so the id space is dense and the s15
+    * machinery's role conventions — queries, centroid stride, codebook
+    * slice — apply unchanged). At 100 TB this is ONE decode pass
+    * emitting a constant-width vector per asset; everything downstream
+    * is the index's problem, exactly as with text embeddings. */
+  private[graft] def imageFeatures(s: SparkSession, dir: String): DataFrame = {
+    val decoded = decodeAll(assets(s, dir))
+    import decoded.sparkSession.implicits._
+    decoded.filter(_.fmt == "bmp").map { d =>
+      val hist = new Array[Float](16)
+      d.data.foreach(v => hist(v >> 4) += 1f)
+      (d.doc_id / 2, hist.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** m05's aHash fingerprint per BMP asset, keyed into the image
+    * vec_id space — the EXACT visual-duplicate truth m12 audits the
+    * index against. */
+  private def imageAhash(s: SparkSession, dir: String): DataFrame = {
+    val px = resize(decodeAll(assets(s, dir)).filter(_.fmt == "bmp"),
+      target = 64)
+    px.select((col("doc_id") / 2).cast("long").as("vec_id"),
+        col("pixels"),
+        aggregate(col("pixels"), lit(0L), (a, x) => a + x).as("st"))
+      .select(col("vec_id"),
+        array_join(transform(col("pixels"),
+          p => when(p * 64 > col("st"), "1").otherwise("0")), "")
+          .as("ahash"))
+  }
+
+  /** Exact-duplicate image pairs (directed, both directions): same
+    * aHash, different asset. */
+  private def imageDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val h = imageAhash(s, dir)
+    h.as("a").join(h.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("partner"))
+  }
+
+  /** m11: visual ANN — every image that has an exact visual duplicate
+    * queries the IVF-PQ index built over the image-feature corpus (the
+    * m05-at-100-TB story: near-dup retrieval through inverted lists +
+    * compressed codes, never an all-pairs scan). The full s16 serving
+    * flow at the 16-dim grid: coarse probe → ADC top-[[Similarity
+    * .RefineK]] → exact-decimal re-rank to top-3, self excluded.
+    * Reference: the reference ships no media pipeline; this extends the
+    * engine's own s15/s16 contract to decoded image features. */
+  def visualAnnQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.withNorm(imageFeatures(s, dir))
+    val queries = e
+      .join(imageDupPairs(s, dir).select("qid").distinct(),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding"))
+    Similarity.ivfPqServe(queries, e, Similarity.centsOf(e),
+      Similarity.pqCodebook(e, M11PqM, M11PqSubDim),
+      m = M11PqM, subDim = M11PqSubDim, excludeSelfIds = true)
+  }
+
+  /** m12: the recall audit of m11 against m05's exact truth — one row
+    * per (duplicate image, partner): did the index serve the partner in
+    * the top-3? The never-lose-the-duplicate property is what makes
+    * index-backed visual dedup trustworthy at scale. */
+  def visualDupRecallQuery(s: SparkSession, dir: String): DataFrame = {
+    val top3 = visualAnnQuery(s, dir)
+      .select(col("qid").as("tqid"), col("neighbor_id"))
+    imageDupPairs(s, dir)
+      .join(top3, col("qid") === col("tqid") &&
+        col("partner") === col("neighbor_id"), "left")
+      .select(col("qid"), col("partner"),
+        col("neighbor_id").isNotNull.as("hit"))
+  }
 }

@@ -970,6 +970,26 @@ class OperatorsSpec extends SparkSpec {
       "TPC-H names must not trigger hot-block decomposition")
   }
 
+  test("m11/m12: exact visual duplicates are always retrieved through " +
+      "the IVF-PQ index at full recall") {
+    val recall = Multimodal.visualDupRecallQuery(spark, sf).collect()
+    assert(recall.nonEmpty, "fixture must contain duplicate images")
+    // identical images have identical histogram vectors: same inverted
+    // list, rank-1 probe covers it, ADC and exact cosine are maximal —
+    // the index must never lose an exact duplicate
+    assert(recall.forall(_.getAs[Boolean]("hit")),
+      "an exact visual duplicate fell out of the top-3")
+    // and m11's answers put a duplicate partner at cosine ~1.0
+    val pairsSet = recall
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("partner"))).toSet
+    val top = Multimodal.visualAnnQuery(spark, sf).collect()
+    val hitRows = top.filter(r => pairsSet.contains(
+      (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))))
+    assert(hitRows.nonEmpty)
+    hitRows.foreach(r =>
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9))
+  }
+
   test("d09 suite: one shared shingle pass, fewer exchanges than three audits") {
     import graft.operators.Sampling
     import graft.tools.PlanAudit
