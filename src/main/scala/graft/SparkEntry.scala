@@ -503,11 +503,22 @@ object SparkEntry {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // s16 refine: exact-decimal re-rank (the dotAB contract) of the
-  // rank <= RefineK compressed retrieval — shared by the s16 oracle and
-  // the m11 visual-ANN composition (ONE definition of the refine stage)
+  // rank <= RefineK compressed retrieval UNIONED with the exact-code
+  // channel (candidates whose packed PQ code key equals the query's own
+  // encoding always advance — quantization cannot separate exact
+  // duplicates) — shared by the s16 oracle and the m11 visual-ANN
+  // composition (ONE definition of the refine stage)
   private def s16RefineCtes: String =
-    s"""ret AS (SELECT qid, neighbor_id FROM r
-       |        WHERE rank <= ${Similarity.RefineK}),
+    s"""ck AS (SELECT vec_id,
+       |         CAST(SUM(code * CAST(pow(2, 4*m) AS BIGINT)) AS BIGINT)
+       |           AS ckey
+       |       FROM codes GROUP BY vec_id),
+       |ceq AS (SELECT c.qid, c.vec_id AS neighbor_id
+       |        FROM cand c JOIN ck nk ON nk.vec_id = c.vec_id
+       |        JOIN ck qk ON qk.vec_id = c.qid AND qk.ckey = nk.ckey),
+       |ret AS (SELECT qid, neighbor_id FROM r
+       |        WHERE rank <= ${Similarity.RefineK}
+       |        UNION SELECT qid, neighbor_id FROM ceq),
        |ex AS (SELECT ret.qid, ret.neighbor_id,
        |    CAST($dotAB AS DOUBLE)
        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
@@ -773,16 +784,16 @@ object SparkEntry {
        |           AND lut.qid = c.qid
        |         WHERE c.is_match GROUP BY c.qid, codes.vec_id),
        |finpre AS (SELECT qid, neighbor_id FROM (
-       |    SELECT s.qid, s.neighbor_id, ROW_NUMBER() OVER (
+       |    SELECT s.qid, s.neighbor_id, RANK() OVER (
        |        PARTITION BY s.qid ORDER BY
        |        CAST(s.adc AS DOUBLE) / (sqrt(CAST(qe.n2 AS DOUBLE))
-       |          * sqrt(CAST(ne.n2 AS DOUBLE))) DESC, s.neighbor_id) AS rnk
+       |          * sqrt(CAST(ne.n2 AS DOUBLE))) DESC) AS rnk
        |    FROM scoredpre s JOIN e qe ON s.qid = qe.vec_id
        |      JOIN e ne ON s.neighbor_id = ne.vec_id)
        |  WHERE rnk <= 3),
        |post AS (SELECT qid, neighbor_id FROM (
        |    SELECT r.qid, r.neighbor_id, ROW_NUMBER() OVER (
-       |        PARTITION BY r.qid ORDER BY r.rank) AS rr
+       |        PARTITION BY r.qid ORDER BY r.rank, r.neighbor_id) AS rr
        |    FROM r JOIN lb ON lb.vec_id = r.neighbor_id
        |      JOIN ql ON ql.qid = r.qid
        |    WHERE r.rank <= ${Similarity.RefineK} AND lb.label = ql.qlabel)
@@ -859,8 +870,8 @@ object SparkEntry {
          |        FROM scored JOIN e qe ON qid = qe.vec_id
          |          JOIN e ne ON neighbor_id = ne.vec_id),
          |r AS (SELECT qid, neighbor_id, pq_score,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |          ORDER BY pq_score DESC, neighbor_id) AS INT) AS rank
+         |        CAST(RANK() OVER (PARTITION BY qid
+         |          ORDER BY pq_score DESC) AS INT) AS rank
          |      FROM fin)""".stripMargin
 
 

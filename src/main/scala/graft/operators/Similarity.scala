@@ -629,6 +629,60 @@ object Similarity {
     adcRanked(cand, codes, lut, topK)
   }
 
+  /** Per-vector PQ code fingerprint: the M 4-bit codes packed into one
+    * long (`Σ code·2^{4m}` — collision-free for K ≤ 16, M ≤ 15). Two
+    * vectors share the key iff their full code vectors are identical;
+    * exact duplicates always do, because encoding is a pure function of
+    * the embedding under a frozen codebook. */
+  private def codeKeysOf(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(sum(col("code").cast("long") *
+        pow(lit(2.0), col("m") * 4).cast("long")).as("ck"))
+
+  /** The refine-stage candidate set: ADC top-`refineK` (ties-inclusive)
+    * UNIONED with the exact-code channel — any probed candidate whose
+    * full PQ code vector equals the query's own encoding advances to the
+    * exact re-rank unconditionally. ADC normalizes by the candidate's
+    * TRUE norm while the numerator rides the quantized reconstruction,
+    * so an exact duplicate's compressed score is NOT maximal: on
+    * code-collapsing corpora (16-dim histograms, m11) more than refineK
+    * near-proportional candidates can out-score it and no tie rule
+    * saves it. Code identity is the property quantization CANNOT
+    * destroy — the channel makes "an exact duplicate always reaches the
+    * exact re-rank" true by construction. Cost at 100 TB: one map-side
+    * key per already-encoded candidate + a broadcast join against Q
+    * query keys — no new corpus-scale exchange. */
+  private def refineCandidates(cand: DataFrame, codes: DataFrame,
+      lut: DataFrame, qCodes: DataFrame, refineK: Int): DataFrame = {
+    val nk = codeKeysOf(codes)
+    val qk = codeKeysOf(qCodes)
+      .select(col("vec_id").as("qid"), col("ck").as("qck"))
+    val ceq = cand.join(nk, "vec_id").join(broadcast(qk), "qid")
+      .filter(col("ck") === col("qck"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    adcRanked(cand, codes, lut, refineK).select("qid", "neighbor_id")
+      .union(ceq).distinct()
+  }
+
+  /** The two-stage retrieval's candidate pairs `(qid, neighbor_id)` for
+    * corpus-resident queries — [[refineCandidates]] over the s15
+    * cand/codes/LUT construction, query codes sliced from the corpus
+    * encode (queries ARE corpus rows here). */
+  private def ivfPqRetrieveFor(e: DataFrame, cents: DataFrame,
+      cb: DataFrame, nProbe: Int, m: Int, subDim: Int,
+      refineK: Int): DataFrame = {
+    val probes = coarseProbes(e, cents, NumQueries, nProbe)
+      .select("qid", "cid")
+    val cand = ivfAssign(e, cents).join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
+    val codes = pqCodesFor(e, cb, m, subDim)
+    val lut = pqLutFor(e, cb, m, subDim)
+      .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
+        col("pdot"))
+    refineCandidates(cand, codes, lut,
+      codes.filter(col("vec_id") < NumQueries), refineK)
+  }
+
   /** Compressed-retrieval budget for [[ivfPqRefineTopK]]: the refine
     * stage re-ranks this many ADC candidates per query exactly. */
   val RefineK = 10
@@ -646,8 +700,8 @@ object Similarity {
     * fidelity audits measure. */
   def ivfPqRefineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    exactCosRankedPairs(e, ivfPqRanked(e, topK = RefineK)
-      .select("qid", "neighbor_id"), k = 3)
+    exactCosRankedPairs(e, ivfPqRetrieveFor(e, centsOf(e), pqCodebook(e),
+      NProbe, PqM, PqSubDim, RefineK), k = 3)
   }
 
   /** Exact-decimal cosine scoring (the s01 contract) + top-k ranking of
@@ -714,8 +768,9 @@ object Similarity {
     val lut = pqLutQ(q, cb, m, subDim)
       .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
         col("pdot"))
-    val retrieved = adcRanked(cand, codes, lut, refineK)
-      .select("qid", "neighbor_id")
+    val qCodes = pqCodesFor(q.select(col("qid").as("vec_id"),
+      col("embedding"), col("qn").as("nrm")), cb, m, subDim)
+    val retrieved = refineCandidates(cand, codes, lut, qCodes, refineK)
     exactCosRankedPairsQ(q, corpus, retrieved, k)
   }
 
@@ -723,7 +778,16 @@ object Similarity {
     * meet the broadcast LUT, M partial dots sum map-side, the score
     * normalizes at the double boundary, and a per-query window keeps
     * top-`topK` — ONE definition, so the batch s15/s16 flow and the
-    * serving path ([[ivfPqServe]]) cannot drift in score or tie-break. */
+    * serving path ([[ivfPqServe]]) cannot drift in score or tie-break.
+    *
+    * The cut is TIES-INCLUSIVE (`rank()` over the score alone, no id
+    * tiebreak): every candidate tied with the k-th ADC score advances.
+    * Compressed scores collapse distinct vectors onto few values (16-dim
+    * histograms tie massively — m11), so a `row_number()` cut would let
+    * an id-ordered tie displace an EXACT duplicate out of the refine
+    * set; with `rank()` "a maximal-score candidate always reaches the
+    * refine stage" holds by construction, and output growth is bounded
+    * by the boundary tie mass. */
   private def adcRanked(cand: DataFrame, codes: DataFrame, lut: DataFrame,
       topK: Int): DataFrame = {
     val scored = cand.join(codes, "vec_id")
@@ -734,9 +798,8 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor_id"),
         (col("adc").cast(DoubleType) / (col("qn") * col("nrm")))
           .as("pq_score"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("pq_score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pq_score").desc)
+    scored.withColumn("rank", rank().over(w))
       .filter(col("rank") <= topK)
       .select("qid", "rank", "neighbor_id", "pq_score")
   }
@@ -1016,8 +1079,10 @@ object Similarity {
       .join(lbl.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
       .join(broadcast(qlbl), "qid")
       .filter(col("label") === col("qlabel"))
+      // ADC rank now carries ties — break on neighbor_id so keep-3 stays
+      // deterministic
       .withColumn("rr", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("rank"))))
+        .orderBy(col("rank"), col("neighbor_id"))))
       .filter(col("rr") <= 3)
     val truthPairs = filteredTopKOf(e.join(lbl, "vec_id"))
       .select("qid", "neighbor_id").persist()
