@@ -46,14 +46,25 @@ final case class EntityRecord(custkey: Long, name: String)
   * doubled records.
   *
   * Shape at 100 TB: per-batch cost ∝ batch size + affected-component
-  * mass, never the corpus (untouched entities are neither read into the
-  * propagation nor rewritten); the store read is one key-grouped
-  * version resolution, the same shuffle the versioned sinks pay. Block
-  * skew on the candidate join is bounded by the batch on the newcomer
-  * side; the full-corpus de-skew story lives in the batch operator
-  * (q67's occupancy-probed grid).
+  * mass, never the corpus — on the READ path too: store partitions are
+  * laid out by `blk` under each batch_id, edges exist only WITHIN a
+  * block (the q67 rule), so components are block-local and
+  * [[applyBatch]] prunes its store scan to exactly the arriving batch's
+  * blocks (PartitionFilters, spec-proven). [[compact]] folds the
+  * batch-partition history into a reserved `batch_id=-1` base on a
+  * cadence (the [[StreamingIndexCdc.compact]] move), so the version
+  * resolution reads base + tail instead of every partition ever
+  * written. Block skew on the candidate join is bounded by the batch on
+  * the newcomer side; the full-corpus de-skew story lives in the batch
+  * operator (q67's occupancy-probed grid).
   */
 object StreamingEntityResolution {
+
+  /** The reserved base partition [[compact]] writes; streaming batch ids
+    * are non-negative, so maintenance resumed on a compacted store can
+    * never overwrite it, and the latest-batch version resolution always
+    * lets a tail row supersede its compacted form. */
+  val CompactedBatchId = -1L
 
   private val RowSchema = StructType(Seq(
     StructField("custkey", LongType), StructField("name", StringType),
@@ -68,16 +79,26 @@ object StreamingEntityResolution {
     * row per key (a member re-labeled by a merge carries its new entity
     * in a later partition). Schema-explicit read so a store with empty
     * partitions (or none at all) is an empty frame, and `batch_id`
-    * normalized to Long against partition-column inference. */
+    * normalized to Long against partition-column inference.
+    *
+    * `blocks` prunes the scan to the named `blk` partitions BEFORE the
+    * version resolution — sound because a key's block is a pure function
+    * of its name and ER is insert-shaped (a key's rows all live in one
+    * block partition), so the per-block latest IS the global latest. */
   def readResolved(s: SparkSession, storeDir: String,
-      beforeBatch: Long = Long.MaxValue): DataFrame = {
+      beforeBatch: Long = Long.MaxValue,
+      blocks: Option[Seq[String]] = None): DataFrame = {
     val base =
       if (dirExists(s, storeDir)) s.read.schema(RowSchema).parquet(storeDir)
       else s.createDataFrame(s.sparkContext.emptyRDD[Row], RowSchema)
     val withB =
       if (base.columns.contains("batch_id")) base
       else base.withColumn("batch_id", lit(null))
-    withB.filter(col("batch_id").cast(LongType) < beforeBatch)
+    val pruned = blocks match {
+      case Some(bs) => withB.filter(col("blk").isin(bs: _*))
+      case None => withB
+    }
+    pruned.filter(col("batch_id").cast(LongType) < beforeBatch)
       .groupBy("custkey")
       .agg(max(struct(col("batch_id").cast(LongType).as("batch_id"),
         col("entity_id"), col("name"), col("blk"))).as("v"))
@@ -86,16 +107,29 @@ object StreamingEntityResolution {
   }
 
   /** Apply ONE batch of `(custkey, name)` records to the store — the
-    * foreachBatch body. */
+    * foreachBatch body. The store scan is pruned to the BATCH'S BLOCKS:
+    * q67 edges exist only within a block, so components are block-local
+    * and everything this batch can touch — newcomer checks, candidate
+    * pool, affected members — lives in the arriving blocks' partitions.
+    * The block list is a driver-side collect bounded by the batch's
+    * distinct prefixes (batch metadata, not a data path). */
   def applyBatch(batch: DataFrame, storeDir: String, batchId: Long,
       maxEdit: Int = ExtendedQueries.Q67MaxEdit,
       blockPrefix: Int = ExtendedQueries.Q67BlockPrefix): Unit = {
     val s = batch.sparkSession
-    val prior = readResolved(s, storeDir, beforeBatch = batchId).persist()
-    val incoming = batch
+    // deterministic in-batch collapse — one row per key (min name), so a
+    // crash-replayed batch recomputes byte-identical rows even when one
+    // delivery carries the same key twice with different names
+    val incoming0 = batch
+      .groupBy(col("custkey")).agg(min(col("name")).as("name"))
       .select(col("custkey"), col("name"),
         substring(col("name"), 1, blockPrefix).as("blk"))
-      .dropDuplicates("custkey")
+      .persist()
+    val batchBlocks = incoming0.select("blk").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val prior = readResolved(s, storeDir, beforeBatch = batchId,
+      blocks = Some(batchBlocks)).persist()
+    val incoming = incoming0
       .join(prior.select("custkey"), Seq("custkey"), "left_anti")
       .persist()
     try {
@@ -128,10 +162,34 @@ object StreamingEntityResolution {
           .join(labels, col("custkey") === col("doc_id"))
           .select(col("custkey"), col("name"), col("blk"),
             col("cluster").as("entity_id"))
-          .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+          .write.mode("overwrite").partitionBy("blk")
+          .parquet(s"$storeDir/batch_id=$batchId")
       } finally { affectedOld.unpersist(); () }
-    } finally { incoming.unpersist(); prior.unpersist(); () }
+    } finally {
+      incoming.unpersist(); prior.unpersist(); incoming0.unpersist(); ()
+    }
   }
+
+  /** Fold the batch-partition history into a fresh store whose ONLY
+    * partition is the reserved [[CompactedBatchId]] base (laid out by
+    * `blk`, like every batch partition) — the read-amplification erase
+    * [[StreamingIndexCdc.compact]] performs for the index, applied to
+    * the ER store: after N batches, [[readResolved]] over the compacted
+    * store reads base + tail instead of N partitions.
+    *
+    * Replay safety: resuming the stream onto `outStoreDir` with its
+    * original checkpoint is sound — a crash-replayed pre-compaction
+    * batch reads a prior that already contains its own (and all later)
+    * effects baked into the base, so its newcomer set is empty and it
+    * writes an empty partition; the resolved view is unchanged
+    * (spec-proven). ER is insert/re-label only — there is no delete to
+    * resurrect, hence no tombstone-retention analog to carry. */
+  def compact(s: SparkSession, storeDir: String,
+      outStoreDir: String): Unit =
+    readResolved(s, storeDir)
+      .select(col("custkey"), col("name"), col("blk"), col("entity_id"))
+      .write.mode("overwrite").partitionBy("blk")
+      .parquet(s"$outStoreDir/batch_id=$CompactedBatchId")
 
   /** Attach the resolver to a streaming `(custkey, name)` frame. */
   def attach(records: DataFrame, storeDir: String,

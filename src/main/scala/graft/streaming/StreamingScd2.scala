@@ -42,10 +42,27 @@ final case class Scd2Version(user_id: Long, version_event_id: Long,
   * history lives in the store, not in state), emission per batch ∝
   * 2× batch size, and the store write is an idempotent `batch_id`
   * overwrite partition — crash replay of a batch regenerates
-  * byte-identical rows from the checkpointed state. TTL evicts
-  * entities silent longer than the horizon, the offset-retention idea
-  * applied to dimension state. */
+  * byte-identical rows from the checkpointed state. [[compact]] folds
+  * the batch-partition history into a reserved `batch_id=-1` base on a
+  * cadence, so [[readHistory]]'s version resolution reads base + tail
+  * instead of every partition ever written.
+  *
+  * TTL evicts entities silent longer than the horizon — the
+  * offset-retention idea applied to dimension state — but eviction
+  * BREAKS the one-open-version invariant for the evicted key: its open
+  * row stays `is_current=true` with a null `valid_to_us` forever (no
+  * closing emission fires at eviction), and the key's next event opens
+  * a SECOND current version, so [[readHistory]] can report two current
+  * rows for one entity. Configure a TTL only when downstream tolerates
+  * an eviction-torn history (treat the later `valid_from_us` as the
+  * live one); the default [[TTLConfig.NONE]] keeps the invariant
+  * exact. */
 object StreamingScd2 {
+
+  /** The reserved base partition [[compact]] writes; streaming batch ids
+    * are non-negative, so a maintainer resumed on a compacted store can
+    * never overwrite it. */
+  val CompactedBatchId = -1L
 
   // `private[streaming]` for the same state-encoder codegen reason as
   // LatestStateProcessor.Stored
@@ -152,4 +169,22 @@ object StreamingScd2 {
         col("v.valid_to_us").as("valid_to_us"),
         col("v.is_current").as("is_current"))
   }
+
+  /** Fold the batch-partition history into a fresh store whose ONLY
+    * partition is the reserved [[CompactedBatchId]] base — the
+    * [[StreamingIndexCdc.compact]] move for the SCD2 store: after N
+    * batches, [[readHistory]] reads base + tail instead of N
+    * partitions. Replay safety: the resolution key is
+    * `(closed, batch_id, …)` and a version only ever closes once at one
+    * timestamp, so a crash-replayed pre-compaction batch's rows either
+    * lose to the base's closed form or duplicate it byte-identically —
+    * the resolved history is unchanged (spec-proven). Resume the
+    * maintainer with its ORIGINAL checkpoint (the open-version state
+    * lives there, not in the store); its batch ids keep ascending and
+    * can never collide with the base. */
+  def compact(s: SparkSession, storeDir: String,
+      outStoreDir: String): Unit =
+    readHistory(s, storeDir)
+      .write.mode("overwrite")
+      .parquet(s"$outStoreDir/batch_id=$CompactedBatchId")
 }

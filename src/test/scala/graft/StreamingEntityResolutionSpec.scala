@@ -20,6 +20,20 @@ class StreamingEntityResolutionSpec extends SparkSpec {
     .select("c_custkey", "entity_id", "is_canonical").collect()
     .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
 
+  /** Keys written into one batch partition. Batch dirs are laid out by
+    * `blk`; an empty batch leaves NO part files (just _SUCCESS), which
+    * plain parquet read can't schema-infer — walk first. */
+  private def readPartitionKeys(store: String, batchId: Long): Set[Long] = {
+    val dir = java.nio.file.Paths.get(s"$store/batch_id=$batchId")
+    val walk = java.nio.file.Files.walk(dir)
+    val hasData =
+      try walk.anyMatch(p => p.toString.endsWith(".parquet"))
+      finally walk.close()
+    if (!hasData) Set.empty
+    else spark.read.parquet(dir.toString)
+      .select("custkey").as[Long].collect().toSet
+  }
+
   test("stream-final entity table equals batch q68 on the customer corpus") {
     val cust = Tables.table(spark, sf, "customer")
       .select($"c_custkey", $"c_name").as[(Long, String)].collect()
@@ -52,8 +66,7 @@ class StreamingEntityResolutionSpec extends SparkSpec {
       .readResolved(spark, store).select("custkey", "entity_id")
       .as[(Long, Long)].collect().toMap
     def partitionKeys(batchId: Long): Set[Long] =
-      spark.read.parquet(s"$store/batch_id=$batchId")
-        .select("custkey").as[Long].collect().toSet
+      readPartitionKeys(store, batchId)
 
     // batch 0: two separate entities in one block ("...A"/"...B" are 2
     // edits apart — no match) plus an unrelated block
@@ -85,6 +98,75 @@ class StreamingEntityResolutionSpec extends SparkSpec {
     // a re-delivered already-resolved key is a no-op (insert-shaped ER)
     apply(3L, 10L -> s"${blkA}xA")
     assert(partitionKeys(3L).isEmpty && resolved.size == 5)
+  }
+
+  test("store scan is partition-pruned to the batch's blocks, and the " +
+      "pruned view equals the full view restricted to them") {
+    val base = Files.createTempDirectory("graft-ser-prune")
+    val store = base.resolve("store").toString
+    val blkA = "AAAAAAAAAAAAAAAA"
+    val blkB = "B000000000000000"
+    StreamingEntityResolution.applyBatch(
+      Seq(10L -> s"${blkA}xA", 20L -> s"${blkB}20").toDF("custkey", "name"),
+      store, 0L)
+    StreamingEntityResolution.applyBatch(
+      Seq(30L -> s"${blkA}xB").toDF("custkey", "name"), store, 1L)
+    // the block-restricted read prunes blk partitions in the PLAN (the
+    // CorpusShardSink proof: a real partition filter beyond IsNotNull),
+    // which is exactly the scan applyBatch pays per micro-batch
+    val pruned = StreamingEntityResolution.readResolved(spark, store,
+      blocks = Some(Seq(blkA)))
+    assert(graft.sinks.CorpusShardSink.prunesPartitions(pruned),
+      "blk restriction must reach the scan as a partition filter")
+    val full = StreamingEntityResolution.readResolved(spark, store)
+    assert(pruned.select("custkey", "entity_id").as[(Long, Long)]
+      .collect().toSet ==
+      full.filter($"blk" === blkA).select("custkey", "entity_id")
+        .as[(Long, Long)].collect().toSet)
+    assert(pruned.count() == 2 && full.count() == 3)
+  }
+
+  test("compaction folds history into the base partition: view unchanged, " +
+      "replay after compaction is a no-op, maintenance continues") {
+    val base = Files.createTempDirectory("graft-ser-compact")
+    val store = base.resolve("store").toString
+    val compacted = base.resolve("store2").toString
+    val blkA = "AAAAAAAAAAAAAAAA"
+    def apply(dir: String, batchId: Long, recs: (Long, String)*): Unit =
+      StreamingEntityResolution.applyBatch(
+        recs.toDF("custkey", "name"), dir, batchId)
+    def resolved(dir: String): Map[Long, Long] = StreamingEntityResolution
+      .readResolved(spark, dir).select("custkey", "entity_id")
+      .as[(Long, Long)].collect().toMap
+    // the inc-spec fixture: two entities, then a bridging merge
+    apply(store, 0L, 10L -> s"${blkA}xA", 20L -> s"${blkA}yB",
+      30L -> "C000000000000030")
+    apply(store, 1L, 40L -> "D000000000000040")
+    apply(store, 2L, 5L -> s"${blkA}xB")
+    val before = resolved(store)
+    assert(before == Map(5L -> 5L, 10L -> 5L, 20L -> 5L,
+      30L -> 30L, 40L -> 40L))
+
+    StreamingEntityResolution.compact(spark, store, compacted)
+    // base+tail view ≡ pre-compaction view, and ONLY the base exists
+    assert(resolved(compacted) == before)
+    assert(new java.io.File(compacted).listFiles().map(_.getName).toSet ==
+      Set(s"batch_id=${StreamingEntityResolution.CompactedBatchId}"))
+
+    // crash-replay of a pre-compaction batch onto the compacted store:
+    // its effects are already baked into the base, so the newcomer set
+    // is empty — an empty partition lands and the view is unchanged
+    apply(compacted, 2L, 5L -> s"${blkA}xB")
+    assert(readPartitionKeys(compacted, 2L).isEmpty)
+    assert(resolved(compacted) == before)
+
+    // maintenance continues on the compacted store: a NEW record one
+    // edit from 30 (same 16-char block) joins its entity and nothing
+    // else is rewritten
+    apply(compacted, 3L, 31L -> "C000000000000030Z")
+    assert(readPartitionKeys(compacted, 3L) == Set(30L, 31L))
+    assert(resolved(compacted) == Map(5L -> 5L, 10L -> 5L, 20L -> 5L,
+      30L -> 30L, 31L -> 30L, 40L -> 40L))
   }
 
   test("kill mid-stream, restart from checkpoint: final state still q68-exact") {

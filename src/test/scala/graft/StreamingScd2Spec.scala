@@ -80,6 +80,49 @@ class StreamingScd2Spec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("compaction folds history into the base partition: view unchanged, " +
+      "replay after compaction changes nothing, maintenance continues") {
+    graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = feed()
+    val (first, rest) = events.splitAt(events.length / 2)
+    val input = MemoryStream[Scd2Event]
+    val base = Files.createTempDirectory("graft-scd2-compact")
+    val store = base.resolve("store").toString
+    val compacted = base.resolve("store2").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q1 = StreamingScd2.attach(input.toDS(), store, ckpt)
+    try { input.addData(first.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val mid = historySet(StreamingScd2.readHistory(spark, store))
+
+    StreamingScd2.compact(spark, store, compacted)
+    // base+tail view ≡ pre-compaction view, and ONLY the base exists
+    assert(historySet(StreamingScd2.readHistory(spark, compacted)) == mid)
+    assert(new java.io.File(compacted).listFiles().map(_.getName).toSet ==
+      Set(s"batch_id=${StreamingScd2.CompactedBatchId}"))
+
+    // a crash-replayed pre-compaction batch lands its rows beside the
+    // base; every row either loses to the base's closed form or
+    // duplicates it byte-identically — the resolved view is unchanged
+    val batch0 = spark.read
+      .parquet(s"$store/batch_id=0")
+      .drop("batch_id")
+    batch0.write.mode("overwrite").parquet(s"$compacted/batch_id=0")
+    assert(historySet(StreamingScd2.readHistory(spark, compacted)) == mid)
+
+    // maintenance continues onto the compacted store with the ORIGINAL
+    // checkpoint (open-version state lives there): final history is
+    // q69-exact
+    input.addData(rest.toIndexedSeq)
+    val q2 = StreamingScd2.attach(input.toDS(), compacted, ckpt)
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val streamed = historySet(StreamingScd2.readHistory(spark, compacted))
+    val batch = historySet(CoreQueries.q69Scd2History(spark, sf))
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("delete closes without opening; point-in-time reads through the " +
       "maintained store match the batch table") {
     graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
