@@ -162,11 +162,17 @@ object SparkEntry {
     "s15_sim_ivfpq_topk" -> canon("qid", "rank")(Similarity.ivfPqTopK),
     "s16_sim_ivfpq_refine" -> canon("qid", "rank")(Similarity.ivfPqRefineTopK),
     "s17_ivfpq_ingest" -> canon("cid")(Similarity.ivfPqIngest),
+    "s17c_ingest_artifacts" -> canon("cid")(Similarity.ivfPqIngestArtifacts),
     "s17b_ingest_recall" -> canon("method")(Similarity.ivfPqIngestRecall),
     "s18_ivfpq_delete" -> canon("cid")(Similarity.ivfPqDelete),
+    "s18c_delete_artifacts" -> canon("cid")(Similarity.ivfPqDeleteArtifacts),
     "s18b_delete_serve" -> canon("qid", "rank")(Similarity.ivfPqDeleteServe),
     "s20_ivfpq_shard_merge" -> canon("cid")(Similarity.ivfPqShardMerge),
+    "s20c_merge_artifacts" ->
+      canon("cid")(Similarity.ivfPqShardMergeArtifacts),
     "s21_filtered_ann_audit" -> canon("method")(Similarity.filteredAnnAudit),
+    "s21c_filtered_artifacts" ->
+      canon("method")(Similarity.filteredAnnAuditArtifacts),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -2710,6 +2716,10 @@ object SparkEntry {
     // s17: incremental IVF-PQ ingest — assignment/codes replayed with the
     // quantizer artifacts frozen to the pre-ingest (NOT new-batch) corpus
     "s17_ivfpq_ingest" -> s17Sql,
+    // s17c/s18c/s20c/s21c: the persisted-artifact paths are value-equal
+    // by construction (assignment/encoding are pure functions of the
+    // frozen tables), so each replays its derive twin's oracle verbatim
+    "s17c_ingest_artifacts" -> s17Sql,
     "s17b_ingest_recall" -> {
       val np = 3 * Similarity.NumQueries
       s"""WITH bf AS (SELECT qid, neighbor_id FROM ($s01Sql)
@@ -2732,14 +2742,17 @@ object SparkEntry {
     // s18: tombstone delete + compaction — the CDC delete feed applied to
     // the index; artifacts frozen to the FULL pre-delete corpus
     "s18_ivfpq_delete" -> s18Sql,
+    "s18c_delete_artifacts" -> s18Sql,
     "s18b_delete_serve" -> s18bSql,
     // s20: shard-parallel build merge — per-list shard contributions
     // under one shared frozen quantizer
     "s20_ivfpq_shard_merge" -> s20Sql,
+    "s20c_merge_artifacts" -> s20Sql,
     "s08_sim_filtered_topk" -> s08Sql,
     // s21: pre-filter vs post-filter through the compressed index,
     // scored against s08's exact filtered truth
     "s21_filtered_ann_audit" -> s21Sql,
+    "s21c_filtered_artifacts" -> s21Sql,
     "p01_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

@@ -134,6 +134,38 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
 
+  /** Materialize the frozen quantizer artifacts for `(tag, corpus dir)`
+    * into a [[graft.streaming.IndexDeployment.loadGen]]-shaped directory
+    * (`cents` + `cb` parquet tables) under the JVM temp root, ONCE —
+    * artifacts are deterministic functions of the training frame, so the
+    * `_DONE` marker makes every later call a pure read. This is the
+    * persisted-artifact seam of the s17c/s18c/s20c/s21c audit variants:
+    * a real maintenance job reads its quantizers from the deployed
+    * generation instead of re-deriving them per run. Returns the
+    * artifact directory. Existence checks go through the path's own
+    * Hadoop filesystem (the non-local-FS lesson). */
+  private[graft] def ensureArtifacts(s: SparkSession, dir: String,
+      tag: String, train: => DataFrame): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-artifacts/" +
+      s"$tag-${Integer.toHexString(dir.hashCode)}"
+    val done = new org.apache.hadoop.fs.Path(s"$root/_DONE")
+    val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(done)) {
+      val t = train
+      centsOf(t).write.mode("overwrite").parquet(s"$root/cents")
+      pqCodebook(t).write.mode("overwrite").parquet(s"$root/cb")
+      fs.create(done, true).close()
+    }
+    root
+  }
+
+  /** Load the frozen `(cents, cb)` pair from an artifact directory —
+    * accepts [[ensureArtifacts]] output or any
+    * [[graft.streaming.IndexDeployment]] generation directory. */
+  private[graft] def loadArtifacts(s: SparkSession,
+      artDir: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$artDir/cents"), s.read.parquet(s"$artDir/cb"))
+
   /** Query→inverted-list probe map `(qid, cid, probe_rank <= maxRank)` —
     * the coarse search every IVF variant starts from (same single
     * definition rationale as [[centsOf]]). */
@@ -837,12 +869,30 @@ object Similarity {
     * (exact proof the batch was encoded through the FROZEN codebook).
     * All counts exact; shares/drift are boundary divisions. */
   def ivfPqIngest(s: SparkSession, dir: String): DataFrame = {
+    val existing = embeddings(s, dir)
+      .filter(col("vec_id") >= NumQueries && !isIngestBatch)
+    ivfPqIngestWith(s, dir, centsOf(existing), pqCodebook(existing))
+  }
+
+  /** [[ivfPqIngest]] through a PERSISTED artifact directory — the audit
+    * accepts the [[graft.streaming.IndexDeployment.loadGen]]-shaped
+    * `cents`/`cb` tables instead of re-deriving the quantizers from the
+    * corpus scan per call: how a real maintenance job runs, its
+    * artifacts read from the deployed generation, not retrained. Same
+    * output as [[ivfPqIngest]] bit-for-bit (spec-proven; assignment and
+    * encoding are pure functions of the artifacts). */
+  def ivfPqIngestArtifacts(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cb) = loadArtifacts(s, ensureArtifacts(s, dir, "existing",
+      embeddings(s, dir).filter(col("vec_id") >= NumQueries &&
+        !isIngestBatch)))
+    ivfPqIngestWith(s, dir, cents, cb)
+  }
+
+  private def ivfPqIngestWith(s: SparkSession, dir: String,
+      cents: DataFrame, cb: DataFrame): DataFrame = {
     val e = embeddings(s, dir)
     val members = e.filter(col("vec_id") >= NumQueries)
-    val existing = members.filter(!isIngestBatch)
     val batch = members.filter(isIngestBatch)
-    val cents = centsOf(existing)
-    val cb = pqCodebook(existing)
     // ONE centroid-scoring pass over all members (assignment is
     // per-vector, so splitting after costs nothing — the oracle's `mem`
     // shape); batch membership is a function of vec_id, recomputable on
@@ -950,9 +1000,21 @@ object Similarity {
     * work is proportional to the delete feed, never the corpus. */
   def ivfPqDelete(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
+    ivfPqDeleteWith(s, dir, centsOf(e), pqCodebook(e))
+  }
+
+  /** [[ivfPqDelete]] through a PERSISTED artifact directory (the
+    * [[ivfPqIngestArtifacts]] seam for the delete audit). */
+  def ivfPqDeleteArtifacts(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cb) = loadArtifacts(s,
+      ensureArtifacts(s, dir, "full", embeddings(s, dir)))
+    ivfPqDeleteWith(s, dir, cents, cb)
+  }
+
+  private def ivfPqDeleteWith(s: SparkSession, dir: String,
+      cents: DataFrame, cb: DataFrame): DataFrame = {
+    val e = embeddings(s, dir)
     val members = e.filter(col("vec_id") >= NumQueries)
-    val cents = centsOf(e)
-    val cb = pqCodebook(e)
     val assign = ivfAssign(members, cents)
     val before = assign.groupBy("cid").agg(count(lit(1)).as("n_before"))
     val tombCodeSums = pqCodesFor(members.filter(isTombstoned), cb,
@@ -1013,9 +1075,22 @@ object Similarity {
     * re-encodes. */
   def ivfPqShardMerge(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
+    ivfPqShardMergeWith(s, dir, centsOf(e), pqCodebook(e))
+  }
+
+  /** [[ivfPqShardMerge]] through a PERSISTED artifact directory — the
+    * exact production shape: build workers NEVER derive quantizers; they
+    * read the trained tables shipped to them. */
+  def ivfPqShardMergeArtifacts(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cb) = loadArtifacts(s,
+      ensureArtifacts(s, dir, "full", embeddings(s, dir)))
+    ivfPqShardMergeWith(s, dir, cents, cb)
+  }
+
+  private def ivfPqShardMergeWith(s: SparkSession, dir: String,
+      cents: DataFrame, cb: DataFrame): DataFrame = {
+    val e = embeddings(s, dir)
     val members = e.filter(col("vec_id") >= NumQueries)
-    val cents = centsOf(e)
-    val cb = pqCodebook(e)
     val codeSums = pqCodesFor(members, cb, PqM, PqSubDim)
       .groupBy("vec_id").agg(sum(col("code")).as("code_sum"))
     val shard = col("vec_id") % ShardMod
@@ -1050,13 +1125,25 @@ object Similarity {
     * At 100 TB both run on the same compressed index; the audit is the
     * go/no-go between them, the filtered companion of [[annRecall]]. */
   def filteredAnnAudit(s: SparkSession, dir: String): DataFrame = {
+    val e0 = embeddings(s, dir)
+    filteredAnnAuditWith(s, dir, centsOf(e0), pqCodebook(e0))
+  }
+
+  /** [[filteredAnnAudit]] through a PERSISTED artifact directory (the
+    * [[ivfPqIngestArtifacts]] seam for the strategy audit). */
+  def filteredAnnAuditArtifacts(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cb) = loadArtifacts(s,
+      ensureArtifacts(s, dir, "full", embeddings(s, dir)))
+    filteredAnnAuditWith(s, dir, cents, cb)
+  }
+
+  private def filteredAnnAuditWith(s: SparkSession, dir: String,
+      cents: DataFrame, cb: DataFrame): DataFrame = {
     val e = embeddings(s, dir).persist()
     val lbl = Tables.spread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), col("label"))
     val qlbl = lbl.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"))
-    val cents = centsOf(e)
-    val cb = pqCodebook(e)
     val probes = coarseProbes(e, cents, NumQueries, NProbe)
       .select("qid", "cid")
     // ONE candidate materialization carries the match flag; both

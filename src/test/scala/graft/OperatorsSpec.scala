@@ -1487,6 +1487,50 @@ class OperatorsSpec extends SparkSpec {
       == (-delta > -2.0))
   }
 
+  test("s17c/s18c/s20c/s21c: persisted-artifact audits equal their " +
+      "derive twins and never re-derive the quantizers") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // scan counter against a path substring, descending through AQE
+    // wrappers (the CorpusShardSink proof pattern, applied to counting)
+    def scansOf(df: org.apache.spark.sql.DataFrame, substr: String): Int = {
+      def go(p: SparkPlan): Int = p match {
+        case a: adaptive.AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: adaptive.QueryStageExec => go(q.plan)
+        case f: FileSourceScanExec =>
+          (if (f.relation.location.rootPaths
+            .exists(_.toString.contains(substr))) 1 else 0)
+        case p => p.children.map(go).sum
+      }
+      go(df.queryExecution.executedPlan)
+    }
+    val planPairs = Seq(
+      ("s17", Similarity.ivfPqIngest(spark, sf),
+        Similarity.ivfPqIngestArtifacts(spark, sf)),
+      ("s18", Similarity.ivfPqDelete(spark, sf),
+        Similarity.ivfPqDeleteArtifacts(spark, sf)),
+      ("s20", Similarity.ivfPqShardMerge(spark, sf),
+        Similarity.ivfPqShardMergeArtifacts(spark, sf)))
+    planPairs.foreach { case (name, derive, art) =>
+      assert(rows(derive) == rows(art), s"$name artifact path must be " +
+        "value-identical to the derive path")
+      // the frozen tables come from the artifact store, not the corpus:
+      // the artifact plan scans the store and pays strictly fewer
+      // corpus scans (the quantizer-derivation branches are gone)
+      assert(scansOf(art, "graft-artifacts") >= 2,
+        s"$name artifact path must scan the persisted cents+cb")
+      assert(scansOf(art, "embeddings.parquet") <
+        scansOf(derive, "embeddings.parquet"),
+        s"$name artifact path must not re-derive quantizers from the corpus")
+    }
+    // s21 eagerly materializes (evictAfter), so its plan is a checkpoint
+    // leaf — value equality is the provable contract
+    assert(rows(Similarity.filteredAnnAudit(spark, sf)) ==
+      rows(Similarity.filteredAnnAuditArtifacts(spark, sf)))
+  }
+
   test("s18: compacting tombstones equals a rebuild on survivors; " +
       "deleted vectors never serve; audit accounting closes") {
     import graft.operators.Similarity
