@@ -495,27 +495,41 @@ object Multimodal {
     * Reference: the reference ships no media pipeline; this extends the
     * engine's own s15/s16 contract to decoded image features. */
   def visualAnnQuery(s: SparkSession, dir: String): DataFrame = {
-    val e = Similarity.withNorm(imageFeatures(s, dir))
+    val (_, top, cached) = visualAnnFrames(s, dir)
+    Similarity.evictAfter(top, cached: _*)
+  }
+
+  /** The m11 retrieval with its shared inputs PERSISTED for the query's
+    * lifetime: the decoded feature corpus feeds the candidate side, both
+    * quantizer derivations, the LUT, AND the exact refine — unpersisted,
+    * every consumer pays its own full decode pass. Returns (dup pairs,
+    * top-k frame, cached frames to evict after materialization). */
+  private def visualAnnFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val e = Similarity.withNorm(imageFeatures(s, dir)).persist()
+    val pairs = imageDupPairs(s, dir).persist()
     val queries = e
-      .join(imageDupPairs(s, dir).select("qid").distinct(),
-        col("vec_id") === col("qid"))
+      .join(pairs.select("qid").distinct(), col("vec_id") === col("qid"))
       .select(col("qid"), col("embedding"))
-    Similarity.ivfPqServe(queries, e, Similarity.centsOf(e),
+    val top = Similarity.ivfPqServe(queries, e, Similarity.centsOf(e),
       Similarity.pqCodebook(e, M11PqM, M11PqSubDim),
       m = M11PqM, subDim = M11PqSubDim, excludeSelfIds = true)
+    (pairs, top, Seq(e, pairs))
   }
 
   /** m12: the recall audit of m11 against m05's exact truth — one row
     * per (duplicate image, partner): did the index serve the partner in
     * the top-3? The never-lose-the-duplicate property is what makes
-    * index-backed visual dedup trustworthy at scale. */
+    * index-backed visual dedup trustworthy at scale — true by
+    * construction since the refine stage's exact-code channel. */
   def visualDupRecallQuery(s: SparkSession, dir: String): DataFrame = {
-    val top3 = visualAnnQuery(s, dir)
-      .select(col("qid").as("tqid"), col("neighbor_id"))
-    imageDupPairs(s, dir)
+    val (pairs, top, cached) = visualAnnFrames(s, dir)
+    val top3 = top.select(col("qid").as("tqid"), col("neighbor_id"))
+    val out = pairs
       .join(top3, col("qid") === col("tqid") &&
         col("partner") === col("neighbor_id"), "left")
       .select(col("qid"), col("partner"),
         col("neighbor_id").isNotNull.as("hit"))
+    Similarity.evictAfter(out, cached: _*)
   }
 }

@@ -1362,7 +1362,8 @@ object Similarity {
     * later query over the same scan, so a standalone run of e.g. s07
     * would silently depend on whether s06 ran first — wrong plans in the
     * audit and cache-backed timings in the bench. */
-  private def evictAfter(out: DataFrame, cached: DataFrame*): DataFrame = {
+  private[graft] def evictAfter(out: DataFrame,
+      cached: DataFrame*): DataFrame = {
     val materialized = out.localCheckpoint(true)
     cached.foreach(_.unpersist())
     materialized
