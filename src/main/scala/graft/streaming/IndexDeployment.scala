@@ -128,11 +128,18 @@ object IndexDeployment {
     * [[Similarity.shouldRebuild]] measurement taken through the live
     * deployment instead of the s17 fixture. Driver-side read of a
     * 1-row audit: a deploy-time decision, not a data path. */
-  def recallLoss(s: SparkSession, sfDir: String, rootDir: String): Double = {
+  def recallLoss(s: SparkSession, sfDir: String, rootDir: String): Double =
+    recallLossOf(s, Similarity.embeddings(s, sfDir), rootDir)
+
+  /** [[recallLoss]] over an EXPLICIT `(vec_id, embedding, nrm)` corpus —
+    * the seam through which the CDC-maintained survivor view is
+    * measured ([[rebuildFromCdc]]). */
+  def recallLossOf(s: SparkSession, corpus: DataFrame,
+      rootDir: String): Double = {
     val gen = currentGen(s, rootDir).getOrElse(
       throw new IllegalStateException(s"no deployed index under $rootDir"))
     val dir = genDir(rootDir, gen)
-    val e = Similarity.embeddings(s, sfDir).persist()
+    val e = corpus.persist()
     try {
       val served = Similarity
         .ivfPqRankedFor(e, s.read.parquet(s"$dir/cents"),
@@ -166,6 +173,28 @@ object IndexDeployment {
       val e = Similarity.embeddings(s, sfDir)
       Some(deploy(s, e, e, rootDir))
     } else None
+
+  /** Close the lifecycle loop on ONE index: the corpus that gets
+    * MEASURED, REBUILT, and SWAPPED is the CDC maintainer's survivor
+    * view ([[StreamingIndexCdc.readSurvivors]] over its `corpusDir` +
+    * shared tombstones) — not a raw table the maintenance never touched.
+    * Measure [[recallLossOf]] through the live generation against the
+    * survivors; above budget, retrain on the survivors, shard-build the
+    * green index over them, swap. After the swap the quantizers are
+    * survivor-trained, so the measured loss returns to zero exactly as
+    * in [[rebuildIfNeeded]] — but now ingest, deletes, measurement, and
+    * rebuild all see the same corpus (spec-proven: post-swap serving
+    * equals a scratch build on the survivors). */
+  def rebuildFromCdc(s: SparkSession, corpusDir: String, tombDir: String,
+      rootDir: String,
+      maxRecallLoss: Double = Similarity.MaxIngestRecallLoss)
+      : Option[Long] = {
+    val survivors = Similarity.withNorm(
+      StreamingIndexCdc.readSurvivors(s, corpusDir, tombDir))
+    if (recallLossOf(s, survivors, rootDir) > maxRecallLoss)
+      Some(deploy(s, survivors, survivors, rootDir))
+    else None
+  }
 
   /** Serving session that follows the pointer: each micro-batch is
     * answered ENTIRELY by the generation current at its start (the

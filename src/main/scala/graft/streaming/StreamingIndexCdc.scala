@@ -74,7 +74,8 @@ object StreamingIndexCdc {
     * tombstones) so the LWW window and the source scan run once per
     * batch. */
   def applyBatch(batch: DataFrame, idx: StreamingSimScorer.Index,
-      indexDir: String, tombDir: String, batchId: Long): Unit = {
+      indexDir: String, tombDir: String, batchId: Long,
+      corpusDir: Option[String] = None): Unit = {
     val latest = batch
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("seq").desc,
@@ -91,19 +92,26 @@ object StreamingIndexCdc {
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$indexDir/batch_id=$batchId")
       dels.write.mode("overwrite").parquet(s"$tombDir/batch_id=$batchId")
+      // optionally maintain the RAW survivor corpus beside the encodes —
+      // the retrain input [[readSurvivors]] resolves and
+      // [[IndexDeployment.rebuildFromCdc]] closes the lifecycle loop on
+      // (tombstones are shared with the index store). Same idempotent
+      // batch_id overwrite; the persisted frame covers all three writes.
+      corpusDir.foreach(cd =>
+        ups.write.mode("overwrite").parquet(s"$cd/batch_id=$batchId"))
     } finally { latest.unpersist(); () }
   }
 
   /** Attach the maintainer to a streaming change frame
     * `(seq, vec_id, op, embedding)`. */
   def attach(changeStream: DataFrame, idx: StreamingSimScorer.Index,
-      indexDir: String, tombDir: String,
-      checkpointDir: String): StreamingQuery =
+      indexDir: String, tombDir: String, checkpointDir: String,
+      corpusDir: Option[String] = None): StreamingQuery =
     changeStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, idx, indexDir, tombDir, batchId)
+        applyBatch(batch, idx, indexDir, tombDir, batchId, corpusDir)
       }
       .start()
 
@@ -166,6 +174,35 @@ object StreamingIndexCdc {
     enc.join(win.filter(!col("deleted")).select("vec_id", "seq"),
         Seq("vec_id", "seq"))
       .dropDuplicates("vec_id", "m")
+
+  private val RawSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("seq", LongType),
+    StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+
+  /** The surviving RAW vectors `(vec_id, embedding)` of a maintained
+    * corpus store ([[applyBatch]]'s `corpusDir` side) — the [[readIndex]]
+    * version-resolution rule applied to raw rows: per vector the
+    * highest-seq event wins across corpus versions AND tombstones; a
+    * winning tombstone removes the vector. Replayed batches duplicate
+    * rows byte-identically, so the per-key collapse is
+    * value-deterministic. This view is the RETRAIN input that closes the
+    * lifecycle loop: quantizers rebuilt from it see exactly what the
+    * index serves. */
+  def readSurvivors(s: SparkSession, corpusDir: String,
+      tombDir: String): DataFrame = {
+    val raw =
+      if (dirExists(s, corpusDir))
+        s.read.schema(RawSchema).parquet(corpusDir)
+          .select("vec_id", "seq", "embedding")
+      else emptyOf(s, RawSchema)
+    raw.join(winners(raw, tombstones(s, tombDir))
+        .filter(!col("deleted")).select("vec_id", "seq"),
+        Seq("vec_id", "seq"))
+      .dropDuplicates("vec_id")
+      .select("vec_id", "embedding")
+  }
 
   /** The live index — version resolution over the raw versioned rows:
     * per vector, the highest-`seq` event wins across encodes AND
