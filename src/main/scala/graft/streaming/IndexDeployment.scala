@@ -24,8 +24,8 @@ import graft.operators.Similarity
   * Shape at 100 TB: the build runs beside serving (blue keeps
   * answering), shard encodes are embarrassingly parallel per-vector
   * functions of broadcast artifacts, and the swap costs one metadata
-  * rename. Old generations stay on disk for rollback until an operator
-  * garbage-collects them. */
+  * rename. Old generations stay on disk as [[rollback]] targets until
+  * [[gcGenerations]] prunes them on the operator's cadence. */
 object IndexDeployment {
 
   private val Pointer = "CURRENT"
@@ -194,6 +194,44 @@ object IndexDeployment {
     if (recallLossOf(s, survivors, rootDir) > maxRecallLoss)
       Some(deploy(s, survivors, survivors, rootDir))
     else None
+  }
+
+  /** Flip the pointer BACK to an existing generation — the operator's
+    * escape hatch after a bad rebuild: one atomic metadata rename, no
+    * data movement; serving sessions follow at their next micro-batch
+    * (the same single-generation-per-batch rule as a forward swap).
+    * Refuses a generation that is not on disk (GC'd or never built). */
+  def rollback(s: SparkSession, rootDir: String, gen: Long): Unit = {
+    val (f, root) = fs(s, rootDir)
+    require(f.exists(new org.apache.hadoop.fs.Path(root, s"gen=$gen")),
+      s"generation $gen does not exist under $rootDir")
+    flipPointer(s, rootDir, gen)
+  }
+
+  /** The on-disk generations, ascending. */
+  def generations(s: SparkSession, rootDir: String): Seq[Long] = {
+    val (f, root) = fs(s, rootDir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+      .sorted
+  }
+
+  /** Retention-prune old generations: the LIVE generation always
+    * survives, plus the `keep` highest-numbered others — the rollback
+    * window. Without a cleanup cadence old `gen=N` directories
+    * accumulate forever; with one, disk is bounded by (keep+1) index
+    * copies. Returns the deleted generations (ascending). */
+  def gcGenerations(s: SparkSession, rootDir: String,
+      keep: Int = 1): Seq[Long] = {
+    require(keep >= 0, s"keep must be non-negative, got $keep")
+    val live = currentGen(s, rootDir)
+    val drop = generations(s, rootDir).filterNot(live.contains)
+      .dropRight(keep)
+    val (f, root) = fs(s, rootDir)
+    drop.foreach(g =>
+      f.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true))
+    drop
   }
 
   /** Serving session that follows the pointer: each micro-batch is

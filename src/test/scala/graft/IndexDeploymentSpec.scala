@@ -76,6 +76,61 @@ class IndexDeploymentSpec extends SparkSpec {
     assert(scratch.nonEmpty && viaDeployment == scratch)
   }
 
+  test("generation GC keeps the live and rollback window; rollback flips " +
+      "the pointer atomically and serving follows, one generation per " +
+      "batch") {
+    val root = Files.createTempDirectory("graft-bg-gc").toString
+    val e = Similarity.embeddings(spark, sf)
+    // three generations on disk, live = 2
+    (0 to 2).foreach(_ => IndexDeployment.deploy(spark, e, e, root))
+    assert(IndexDeployment.generations(spark, root) == Seq(0L, 1L, 2L))
+    assert(IndexDeployment.currentGen(spark, root).contains(2L))
+
+    // keep=1 → the live gen plus ONE rollback target survive
+    assert(IndexDeployment.gcGenerations(spark, root, keep = 1) == Seq(0L))
+    assert(IndexDeployment.generations(spark, root) == Seq(1L, 2L))
+
+    // serving across a ROLLBACK: each batch answered by one generation
+    val qvecs = Tables.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < Similarity.NumQueries)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[AnnQuery]
+    val base = Files.createTempDirectory("graft-bg-gc-out")
+    val outDir = base.resolve("answers").toString
+    val q = IndexDeployment.attach(input.toDF(), root, outDir,
+      base.resolve("ckpt").toString)
+    try {
+      input.addData(qvecs.map { case (i, v) => AnnQuery(1000000L + i, v) }
+        .toIndexedSeq)
+      q.processAllAvailable()
+      IndexDeployment.rollback(spark, root, 1L)
+      assert(IndexDeployment.currentGen(spark, root).contains(1L))
+      input.addData(qvecs.map { case (i, v) => AnnQuery(2000000L + i, v) }
+        .toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val gens = spark.read.parquet(outDir).groupBy("batch_id")
+      .agg(countDistinct(col("index_gen")).as("n"),
+        max(col("index_gen")).as("g"))
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("g"))).toMap
+    assert(gens == Map(0L -> (1L, 2L), 1L -> (1L, 1L)))
+
+    // GC after the rollback: live is now 1 — it survives even at
+    // keep=0; the higher-numbered 2 is the prunable one
+    assert(IndexDeployment.gcGenerations(spark, root, keep = 0) == Seq(2L))
+    assert(IndexDeployment.generations(spark, root) == Seq(1L))
+    assert(IndexDeployment.currentGen(spark, root).contains(1L))
+
+    // a rollback to a GC'd generation refuses instead of serving air
+    intercept[IllegalArgumentException] {
+      IndexDeployment.rollback(spark, root, 0L)
+    }
+    // and a fresh deploy after GC continues the generation sequence
+    assert(IndexDeployment.deploy(spark, e, e, root) == 2L)
+  }
+
   test("lifecycle loop closes on ONE index: CDC ingest+deletes maintain " +
       "the survivor view; measure → rebuild → swap serves exactly a " +
       "scratch build on the survivors") {
