@@ -160,10 +160,16 @@ object Multimodal {
     * samples). The payload is opaque to everything downstream, exactly as
     * real media bytes would be; [[Tables.spread]] width-normalizes the
     * scan so encoding parallelizes across cores. */
-  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] =
+    assetsOf(Tables.spread(s, dir, "documents", "doc_id"))
+
+  /** [[assets]] over an EXPLICIT `(doc_id, text)` frame — the streaming
+    * ingest seam: a micro-batch of arriving documents synthesizes its
+    * containers identically to the batch scan. */
+  def assetsOf(docs: DataFrame): Dataset[MediaAsset] = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.spread(s, dir, "documents", "doc_id")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8") // ASCII corpus: byte i == char i
         // Invariant the oracle's geometry formulas depend on: every doc is
@@ -451,8 +457,14 @@ object Multimodal {
     * slice — apply unchanged). At 100 TB this is ONE decode pass
     * emitting a constant-width vector per asset; everything downstream
     * is the index's problem, exactly as with text embeddings. */
-  private[graft] def imageFeatures(s: SparkSession, dir: String): DataFrame = {
-    val decoded = decodeAll(assets(s, dir))
+  private[graft] def imageFeatures(s: SparkSession, dir: String): DataFrame =
+    imageFeaturesOf(Tables.spread(s, dir, "documents", "doc_id"))
+
+  /** The m11 feature extraction over an EXPLICIT `(doc_id, text)` frame
+    * (decode → 16-bin histogram, `vec_id = doc_id / 2`) — what the
+    * streaming visual ingest runs per micro-batch. */
+  private[graft] def imageFeaturesOf(docs: DataFrame): DataFrame = {
+    val decoded = decodeAll(assetsOf(docs))
     import decoded.sparkSession.implicits._
     decoded.filter(_.fmt == "bmp").map { d =>
       val hist = new Array[Float](16)

@@ -227,9 +227,11 @@ object StreamingIndexCdc {
     * delete propagation gates. Spec-proven bit-equal to serving a
     * scratch-built index over the surviving vectors. */
   def serve(queries: DataFrame, live: DataFrame, corpus: DataFrame,
-      idx: StreamingSimScorer.Index): DataFrame =
+      idx: StreamingSimScorer.Index,
+      excludeSelfIds: Boolean = false): DataFrame =
     graft.operators.Similarity.ivfPqServe(queries, corpus, idx.cents,
-      idx.cb,
+      idx.cb, m = idx.m, subDim = idx.subDim,
+      excludeSelfIds = excludeSelfIds,
       // the live view carries M rows per vector (one per subspace);
       // the assignment seam wants ONE — all M share the vector's cid,
       // so the collapse is value-deterministic, and without it every

@@ -33,7 +33,7 @@ object StreamingIndexIngest {
     val e = Similarity.withNorm(vectors.select(col("vec_id"),
       col("embedding")))
     val assigned = Similarity.ivfAssign(e, idx.cents)
-    Similarity.pqCodesFor(e, idx.cb, Similarity.PqM, Similarity.PqSubDim)
+    Similarity.pqCodesFor(e, idx.cb, idx.m, idx.subDim)
       .join(assigned, "vec_id")
   }
 

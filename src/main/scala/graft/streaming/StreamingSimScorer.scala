@@ -38,7 +38,8 @@ object StreamingSimScorer {
     * the QUERY BATCH, never the corpus (assignment/encoding happen once,
     * at deploy). */
   final case class Index(cents: DataFrame, cb: DataFrame, corpus: DataFrame,
-      assign: DataFrame, codes: DataFrame) {
+      assign: DataFrame, codes: DataFrame,
+      m: Int = Similarity.PqM, subDim: Int = Similarity.PqSubDim) {
     def unpersistAll(): Unit = {
       cents.unpersist(); cb.unpersist(); corpus.unpersist()
       assign.unpersist(); codes.unpersist()
@@ -51,15 +52,23 @@ object StreamingSimScorer {
     * and code tables, exactly the artifacts the batch s15/s16 queries
     * search with. The counts force materialization so the FIRST arriving
     * query batch doesn't pay the corpus-scale build. */
-  def buildIndex(s: SparkSession, dir: String): Index = {
-    val e = Similarity.embeddings(s, dir).persist()
+  def buildIndex(s: SparkSession, dir: String): Index =
+    buildIndexFrom(Similarity.embeddings(s, dir))
+
+  /** [[buildIndex]] over an EXPLICIT `(vec_id, embedding, nrm)` corpus
+    * at an explicit PQ grid — the seam a non-text vector space (the m11
+    * image features at the 16-dim grid) deploys through. The grid rides
+    * in the [[Index]] so every consumer (serving, CDC encode) uses the
+    * artifacts at the geometry they were trained at. */
+  def buildIndexFrom(e0: DataFrame, m: Int = Similarity.PqM,
+      subDim: Int = Similarity.PqSubDim): Index = {
+    val e = e0.persist()
     val cents = Similarity.centsOf(e).persist()
-    val cb = Similarity.pqCodebook(e).persist()
+    val cb = Similarity.pqCodebook(e, m, subDim).persist()
     val assign = Similarity.ivfAssign(e, cents).persist()
-    val codes = Similarity
-      .pqCodesFor(e, cb, Similarity.PqM, Similarity.PqSubDim).persist()
+    val codes = Similarity.pqCodesFor(e, cb, m, subDim).persist()
     Seq(e, cents, cb, assign, codes).foreach(_.count())
-    Index(cents, cb, e, assign, codes)
+    Index(cents, cb, e, assign, codes, m, subDim)
   }
 
   /** The per-micro-batch kernel: serve a `(qid, embedding)` query frame
@@ -71,6 +80,7 @@ object StreamingSimScorer {
   def serve(queries: DataFrame, idx: Index,
       excludeSelfIds: Boolean = false): DataFrame =
     Similarity.ivfPqServe(queries, idx.corpus, idx.cents, idx.cb,
+      m = idx.m, subDim = idx.subDim,
       assigned = Some(idx.assign), corpusCodes = Some(idx.codes),
       excludeSelfIds = excludeSelfIds)
 
