@@ -672,28 +672,33 @@ object Similarity {
         pow(lit(2.0), col("m") * 4).cast("long")).as("ck"))
 
   /** The refine-stage candidate set: ADC top-`refineK` (ties-inclusive)
-    * UNIONED with the exact-code channel — any probed candidate whose
-    * full PQ code vector equals the query's own encoding advances to the
-    * exact re-rank unconditionally. ADC normalizes by the candidate's
-    * TRUE norm while the numerator rides the quantized reconstruction,
-    * so an exact duplicate's compressed score is NOT maximal: on
+    * PLUS the exact-code channel — any probed candidate whose full PQ
+    * code vector equals the query's own encoding advances to the exact
+    * re-rank unconditionally. ADC normalizes by the candidate's TRUE
+    * norm while the numerator rides the quantized reconstruction, so an
+    * exact duplicate's compressed score is NOT maximal: on
     * code-collapsing corpora (16-dim histograms, m11) more than refineK
     * near-proportional candidates can out-score it and no tie rule
     * saves it. Code identity is the property quantization CANNOT
     * destroy — the channel makes "an exact duplicate always reaches the
-    * exact re-rank" true by construction. Cost at 100 TB: one map-side
-    * key per already-encoded candidate + a broadcast join against Q
-    * query keys — no new corpus-scale exchange. */
+    * exact re-rank" true by construction.
+    *
+    * Cost at 100 TB: ZERO new exchanges — the candidate's packed code
+    * key is one more map-side-combined sum riding the existing ADC
+    * aggregation ([[adcScored]]), and the Q query keys broadcast into
+    * the rank filter; the channel is an OR in the cut predicate, not a
+    * second pipeline (the oracle replays it as `UNION`, which dedupes
+    * to the same set). */
   private def refineCandidates(cand: DataFrame, codes: DataFrame,
       lut: DataFrame, qCodes: DataFrame, refineK: Int): DataFrame = {
-    val nk = codeKeysOf(codes)
     val qk = codeKeysOf(qCodes)
       .select(col("vec_id").as("qid"), col("ck").as("qck"))
-    val ceq = cand.join(nk, "vec_id").join(broadcast(qk), "qid")
-      .filter(col("ck") === col("qck"))
-      .select(col("qid"), col("vec_id").as("neighbor_id"))
-    adcRanked(cand, codes, lut, refineK).select("qid", "neighbor_id")
-      .union(ceq).distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("pq_score").desc)
+    adcScored(cand, codes, lut)
+      .withColumn("rank", rank().over(w))
+      .join(broadcast(qk), "qid")
+      .filter(col("rank") <= refineK || col("nck") === col("qck"))
+      .select("qid", "neighbor_id")
   }
 
   /** The two-stage retrieval's candidate pairs `(qid, neighbor_id)` for
@@ -822,19 +827,30 @@ object Similarity {
     * by the boundary tie mass. */
   private def adcRanked(cand: DataFrame, codes: DataFrame, lut: DataFrame,
       topK: Int): DataFrame = {
-    val scored = cand.join(codes, "vec_id")
-      .join(broadcast(lut), Seq("qid", "m", "code"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("pdot")).as("adc"), max(col("nrm")).as("nrm"),
-        max(col("qn")).as("qn"))
-      .select(col("qid"), col("vec_id").as("neighbor_id"),
-        (col("adc").cast(DoubleType) / (col("qn") * col("nrm")))
-          .as("pq_score"))
     val w = Window.partitionBy(col("qid")).orderBy(col("pq_score").desc)
-    scored.withColumn("rank", rank().over(w))
+    adcScored(cand, codes, lut)
+      .withColumn("rank", rank().over(w))
       .filter(col("rank") <= topK)
       .select("qid", "rank", "neighbor_id", "pq_score")
   }
+
+  /** The shared ADC scoring aggregation: one map-side-combined exchange
+    * producing per (query, candidate) the normalized compressed score
+    * AND the candidate's packed code key `nck` (the [[codeKeysOf]]
+    * fingerprint, summed in the same pass — the refine channel's input
+    * at zero extra exchanges). */
+  private def adcScored(cand: DataFrame, codes: DataFrame,
+      lut: DataFrame): DataFrame =
+    cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdot")).as("adc"), max(col("nrm")).as("nrm"),
+        max(col("qn")).as("qn"),
+        sum(col("code").cast("long") *
+          pow(lit(2.0), col("m") * 4).cast("long")).as("nck"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        (col("adc").cast(DoubleType) / (col("qn") * col("nrm")))
+          .as("pq_score"), col("nck"))
 
   // --- s17: incremental IVF-PQ index ingest --------------------------------
   /** New-batch membership for [[ivfPqIngest]]: `vec_id % IngestMod ==

@@ -228,6 +228,38 @@ object ThroughputBench {
     } finally idx.unpersistAll()
   }
 
+  /** Visual-ingest maintenance rate: raw image documents decoded (real
+    * BMP codec), histogram-featurized, and applied to the visual index
+    * per micro-batch — images/second through the full
+    * [[StreamingVisualIngest]] path (the m11 extraction running
+    * online). */
+  def runVisualIngest(spark: SparkSession, sfDir: String,
+      nDocs: Int = 400, batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val idx = StreamingSimScorer.buildIndexFrom(
+      graft.operators.Similarity.withNorm(
+        graft.operators.Multimodal.imageFeatures(spark, sfDir)),
+      graft.operators.Multimodal.M11PqM,
+      graft.operators.Multimodal.M11PqSubDim)
+    try {
+      val docs = graft.Tables.table(spark, sfDir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text")).limit(nDocs)
+        .as[(Long, String)].collect()
+      val changes = docs.zipWithIndex.map { case ((id, t), i) =>
+        ImageChange(i.toLong, id, "I", t) }
+      val base = Files.createTempDirectory("graft-visual-bench")
+      timedStreamRate(spark, changes.toIndexedSeq, batches) { df =>
+        StreamingVisualIngest.attach(
+          df.select(col("seq"), col("docId").as("doc_id"), col("op"),
+            col("text")),
+          idx, base.resolve("index").toString,
+          base.resolve("tomb").toString, base.resolve("ckpt").toString)
+      }
+    } finally idx.unpersistAll()
+  }
+
   /** The shared streaming-rate harness: feed `items` through a
     * MemoryStream in `batches` micro-batches into whatever query
     * `attach` starts, stop the query even on a mid-run throw, return
