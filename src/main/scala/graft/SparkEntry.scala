@@ -193,6 +193,9 @@ object SparkEntry {
     "m11_visual_ann" -> canon("qid", "rank")(Multimodal.visualAnnQuery),
     "m12_visual_dup_recall" ->
       canon("qid", "partner")(Multimodal.visualDupRecallQuery),
+    "m13_audio_ann" -> canon("qid", "rank")(Multimodal.audioAnnQuery),
+    "m14_audio_ann_recall" ->
+      canon("method")(Multimodal.audioAnnRecallQuery),
     "p01_hash_split" -> Sampling.hashSplit _,
     "p02_stratified_sample" -> Sampling.stratifiedSample _,
     "p03_split_leakage" -> canon("da", "db")(Sampling.splitLeakage),
@@ -603,6 +606,68 @@ object SparkEntry {
        |FROM duppairs LEFT JOIN top3 t
        |  ON t.qid = dqid AND t.neighbor_id = partner
        |ORDER BY qid, partner""".stripMargin
+
+  /** m13 feature CTEs: per-WAV 16-bin byte histograms over the decoded
+    * PCM stream (declen = whole 16-bit frames) as the `e` corpus,
+    * vec_id = doc_id // 2 over the ODD docs — the audio mirror of
+    * [[m11FeatureCtes]]. */
+  private def m13FeatureCtes: String = {
+    val bcols = (0 until 16).map(b =>
+      s"CAST(sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS DOUBLE) AS b$b")
+      .mkString(",\n    ")
+    val arr = (0 until 16).map(b => s"b$b").mkString("[", ", ", "]")
+    s"""aud AS (SELECT doc_id, text,
+       |    CAST(length(text) - length(text) % 2 AS INT) AS declen
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |ca AS (SELECT doc_id // 2 AS vec_id,
+       |    ord(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, declen)) AS i FROM aud)),
+       |hb AS (SELECT vec_id,
+       |    $bcols
+       |  FROM ca GROUP BY vec_id),
+       |e AS (SELECT vec_id, $arr AS embedding,
+       |    list_sum(list_transform($arr,
+       |      x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))
+       |        * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
+       |  FROM hb)""".stripMargin
+  }
+
+  /** The verbatim s15+s16 retrieval chain over the audio-feature corpus
+    * at the 16-dim PQ grid, standard query roles (vec_id < NumQueries). */
+  private def m13Ctes: String =
+    s"""${s15CtesFor("", "", src = m13FeatureCtes,
+         m = graft.operators.Multimodal.M11PqM,
+         sd = graft.operators.Multimodal.M11PqSubDim)},
+       |$s16RefineCtes""".stripMargin
+
+  private def m13Sql: String =
+    s"""$m13Ctes
+       |SELECT qid, rank, neighbor_id, cos_sim FROM rr
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private def m14Sql: String = {
+    val np = 3 * Similarity.NumQueries
+    s"""$m13Ctes,
+       |top3 AS (SELECT qid, neighbor_id FROM rr WHERE rank <= 3),
+       |bfr AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+       |    CAST($dotAB AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |      AS cos_sim
+       |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < ${Similarity.NumQueries}),
+       |bf AS (SELECT qid, neighbor_id FROM (
+       |    SELECT qid, neighbor_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank FROM bfr)
+       |  WHERE rank <= 3)
+       |SELECT 'audio_ivfpq' AS method,
+       |  CAST((SELECT count(*) FROM top3 JOIN bf USING (qid, neighbor_id))
+       |    AS BIGINT) AS n_hits,
+       |  CAST($np AS BIGINT) AS n_possible,
+       |  CAST((SELECT count(*) FROM top3 JOIN bf USING (qid, neighbor_id))
+       |    AS DOUBLE) / $np AS recall_at_3""".stripMargin
+  }
 
   /** s17 ingest-membership predicates (the frozen-artifact exclusions):
     * batch rows are `vec_id % IngestMod = IngestRem`. */
@@ -3672,6 +3737,11 @@ object SparkEntry {
     // m12 audits the index answers against that truth pair by pair
     "m11_visual_ann" -> m11Sql,
     "m12_visual_dup_recall" -> m12Sql,
+    // m13/m14: the same s15+s16 chain replayed over the WAV byte
+    // histograms, standard query roles; m14 audits it against the exact
+    // brute-force cosine truth on the same features
+    "m13_audio_ann" -> m13Sql,
+    "m14_audio_ann_recall" -> m14Sql,
     // m08: 2x2 quadrant sums over the row-major decoded pixel array;
     // quadrant = integer index arithmetic, sums exact BIGINTs
     "m08_image_patches" ->

@@ -529,6 +529,62 @@ object Multimodal {
     (pairs, top, Seq(e, pairs))
   }
 
+  /** Audio feature vectors: 16-bin byte histogram per WAV asset over the
+    * decoded PCM byte stream — the audio sibling of [[imageFeatures]],
+    * making the WHOLE similarity family (index build, serving, CDC
+    * maintenance) available to audio dedup with zero new machinery.
+    * `vec_id = doc_id / 2` (WAVs are the odd docs; floor division gives
+    * a dense id space, so the s15 role conventions apply unchanged). */
+  private[graft] def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val decoded = decodeAll(assets(s, dir))
+    import decoded.sparkSession.implicits._
+    decoded.filter(_.fmt == "wav").map { d =>
+      val hist = new Array[Float](16)
+      d.data.foreach(v => hist(v >> 4) += 1f)
+      (d.doc_id / 2, hist.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** m13: audio ANN — the WAV sibling of m11: the first
+    * [[Similarity.NumQueries]] audio vectors query the IVF-PQ index
+    * built over the audio-feature corpus at the 16-dim grid (the full
+    * s16 serving flow: coarse probe → ADC + exact-code channel → exact
+    * re-rank, self excluded). At 100 TB: near-dup audio retrieval
+    * through inverted lists + compressed codes, never an all-pairs
+    * scan. Reference ships no media pipeline; this extends the engine's
+    * s15/s16 contract to decoded audio features. */
+  def audioAnnQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.withNorm(audioFeatures(s, dir)).persist()
+    val queries = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val out = Similarity.ivfPqServe(queries, e, Similarity.centsOf(e),
+      Similarity.pqCodebook(e, M11PqM, M11PqSubDim),
+      m = M11PqM, subDim = M11PqSubDim, excludeSelfIds = true)
+    Similarity.evictAfter(out, e)
+  }
+
+  /** m14: m13's recall against the exact brute-force cosine truth over
+    * the same audio features — the s06 methodology applied to the audio
+    * index (one composed row: hits, possible, recall@3). */
+  def audioAnnRecallQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.withNorm(audioFeatures(s, dir)).persist()
+    val queries = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val served = Similarity.ivfPqServe(queries, e, Similarity.centsOf(e),
+        Similarity.pqCodebook(e, M11PqM, M11PqSubDim),
+        m = M11PqM, subDim = M11PqSubDim, excludeSelfIds = true)
+      .select("qid", "neighbor_id")
+    val bf = Similarity.bruteForceRanked(e)
+      .filter(col("rank") <= 3).select("qid", "neighbor_id")
+    val nPossible = 3L * Similarity.NumQueries
+    val out = served.join(bf, Seq("qid", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit("audio_ivfpq").as("method"), col("n_hits"),
+        lit(nPossible).as("n_possible"),
+        (col("n_hits").cast("double") / nPossible).as("recall_at_3"))
+    Similarity.evictAfter(out, e)
+  }
+
   /** m12: the recall audit of m11 against m05's exact truth — one row
     * per (duplicate image, partner): did the index serve the partner in
     * the top-3? The never-lose-the-duplicate property is what makes

@@ -802,11 +802,22 @@ object Similarity {
     val cand = (if (excludeSelfIds) cand0.filter(col("vec_id") =!= col("qid"))
       else cand0).select("qid", "vec_id")
     val codes = corpusCodes.getOrElse(pqCodesFor(corpus, cb, m, subDim))
-    val lut = pqLutQ(q, cb, m, subDim)
+    val lutAll = pqLutQ(q, cb, m, subDim)
+    val lut = lutAll
       .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
         col("pdot"))
-    val qCodes = pqCodesFor(q.select(col("qid").as("vec_id"),
-      col("embedding"), col("qn").as("nrm")), cb, m, subDim)
+    // the queries' own codes, derived FROM the LUT the serve path
+    // already computes: the encode argmin key is cn2 − 2·dot(qsub,
+    // csub) and the LUT's pdot IS that decimal dot, so the min_by
+    // (with pqCodesFor's exact c·1e-14 tie-break) reproduces the
+    // encode bit-for-bit at zero additional dot products per batch
+    val qCodes = lutAll
+      .join(broadcast(cb.select(col("m"), col("c"), col("cn2"))),
+        Seq("m", "c"))
+      .groupBy(col("qid"), col("m"))
+      .agg(min_by(col("c"), col("cn2") - lit(2) * col("pdot") +
+        col("c") * lit(new java.math.BigDecimal("1E-14"))).as("code"))
+      .select(col("qid").as("vec_id"), col("m"), col("code"))
     val retrieved = refineCandidates(cand, codes, lut, qCodes, refineK)
     exactCosRankedPairsQ(q, corpus, retrieved, k)
   }

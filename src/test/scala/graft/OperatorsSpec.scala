@@ -990,6 +990,24 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-9))
   }
 
+  test("m13/m14: the audio index serves bounded top-3 per query and the " +
+      "recall audit closes") {
+    import graft.operators.Similarity
+    val top = Multimodal.audioAnnQuery(spark, sf).collect()
+    assert(top.nonEmpty)
+    assert(top.forall(r =>
+      r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3))
+    assert(top.groupBy(_.getAs[Long]("qid")).values.forall(_.length <= 3))
+    assert(top.forall(r =>
+      math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+    val rec = Multimodal.audioAnnRecallQuery(spark, sf).head()
+    assert(rec.getAs[Long]("n_possible") == 3L * Similarity.NumQueries)
+    val r3 = rec.getAs[Double]("recall_at_3")
+    assert(r3 >= 0.0 && r3 <= 1.0)
+    assert(math.abs(r3 - rec.getAs[Long]("n_hits").toDouble /
+      rec.getAs[Long]("n_possible")) < 1e-12)
+  }
+
   test("d09 suite: one shared shingle pass, fewer exchanges than three audits") {
     import graft.operators.Sampling
     import graft.tools.PlanAudit
