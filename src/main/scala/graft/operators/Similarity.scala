@@ -146,15 +146,44 @@ object Similarity {
     * Hadoop filesystem (the non-local-FS lesson). */
   private[graft] def ensureArtifacts(s: SparkSession, dir: String,
       tag: String, train: => DataFrame): String = {
+    val hc = s.sessionState.newHadoopConf()
+    // cache key = fingerprint of the corpus dir's file METADATA (name,
+    // length, mtime; one level of recursion for table subdirs) — a
+    // regenerated corpus at the same path string invalidates the cache,
+    // where a path-hash key would silently serve quantizers trained on
+    // the old bytes. Driver-side listing only, no data scan.
+    val corpus = new org.apache.hadoop.fs.Path(dir)
+    val cfs = corpus.getFileSystem(hc)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(dir.getBytes("UTF-8"))
+    def stamp(st: org.apache.hadoop.fs.FileStatus): Unit = md.update(
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        .getBytes("UTF-8"))
+    if (cfs.exists(corpus))
+      cfs.listStatus(corpus).sortBy(_.getPath.getName).foreach { st =>
+        stamp(st)
+        if (st.isDirectory)
+          cfs.listStatus(st.getPath).sortBy(_.getPath.getName)
+            .foreach(stamp)
+      }
+    val fp = md.digest().take(8).map("%02x".format(_)).mkString
     val root = s"${System.getProperty("java.io.tmpdir")}/graft-artifacts/" +
-      s"$tag-${Integer.toHexString(dir.hashCode)}"
+      s"$tag-$fp"
+    val rootP = new org.apache.hadoop.fs.Path(root)
     val done = new org.apache.hadoop.fs.Path(s"$root/_DONE")
-    val fs = done.getFileSystem(s.sessionState.newHadoopConf())
+    val fs = done.getFileSystem(hc)
     if (!fs.exists(done)) {
+      // build aside, publish by atomic rename: a concurrent builder
+      // computes identical artifacts (deterministic function of the
+      // training frame), so whoever renames first wins and the loser
+      // discards — no window where a reader sees half-written tables
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$root.tmp-${java.util.UUID.randomUUID}")
       val t = train
-      centsOf(t).write.mode("overwrite").parquet(s"$root/cents")
-      pqCodebook(t).write.mode("overwrite").parquet(s"$root/cb")
-      fs.create(done, true).close()
+      centsOf(t).write.mode("overwrite").parquet(s"$tmp/cents")
+      pqCodebook(t).write.mode("overwrite").parquet(s"$tmp/cb")
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_DONE"), true).close()
+      if (!fs.rename(tmp, rootP)) fs.delete(tmp, true)
     }
     root
   }
@@ -650,6 +679,18 @@ object Similarity {
   private[graft] def ivfPqRankedFor(e: DataFrame, cents: DataFrame,
       cb: DataFrame, nProbe: Int = NProbe, m: Int = PqM,
       subDim: Int = PqSubDim, topK: Int = 3): DataFrame = {
+    val (cand, codes, lut) = pqSearchInputs(e, cents, cb, nProbe, m, subDim)
+    adcRanked(cand, codes, lut, topK)
+  }
+
+  /** The s15 candidate construction BOTH compressed retrievals rank
+    * over — coarse probes → inverted-list candidates (self excluded),
+    * plus the frozen-artifact codes and per-query LUT. One definition,
+    * so [[ivfPqRankedFor]] (s15) and [[ivfPqRetrieveFor]] (s16) can
+    * never silently fork on probe or candidate semantics. */
+  private def pqSearchInputs(e: DataFrame, cents: DataFrame, cb: DataFrame,
+      nProbe: Int, m: Int, subDim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val probes = coarseProbes(e, cents, NumQueries, nProbe)
       .select("qid", "cid")
     val cand = ivfAssign(e, cents).join(broadcast(probes), "cid")
@@ -658,7 +699,7 @@ object Similarity {
     val lut = pqLutFor(e, cb, m, subDim)
       .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
         col("pdot"))
-    adcRanked(cand, codes, lut, topK)
+    (cand, codes, lut)
   }
 
   /** Per-vector PQ code fingerprint: the M 4-bit codes packed into one
@@ -667,9 +708,14 @@ object Similarity {
     * exact duplicates always do, because encoding is a pure function of
     * the embedding under a frozen codebook. */
   private def codeKeysOf(codes: DataFrame): DataFrame =
-    codes.groupBy("vec_id")
-      .agg(sum(col("code").cast("long") *
-        pow(lit(2.0), col("m") * 4).cast("long")).as("ck"))
+    codes.groupBy("vec_id").agg(packedCodeKey.as("ck"))
+
+  /** The packed-code-key aggregate `Σ code·2^{4m}` — ONE definition
+    * shared by [[codeKeysOf]] (query side) and [[adcScored]] (candidate
+    * side): the exact-code channel rests on key EQUALITY, so a radix
+    * change must hit both sides or neither. */
+  private def packedCodeKey: Column =
+    sum(col("code").cast("long") * pow(lit(2.0), col("m") * 4).cast("long"))
 
   /** The refine-stage candidate set: ADC top-`refineK` (ties-inclusive)
     * PLUS the exact-code channel — any probed candidate whose full PQ
@@ -708,14 +754,7 @@ object Similarity {
   private def ivfPqRetrieveFor(e: DataFrame, cents: DataFrame,
       cb: DataFrame, nProbe: Int, m: Int, subDim: Int,
       refineK: Int): DataFrame = {
-    val probes = coarseProbes(e, cents, NumQueries, nProbe)
-      .select("qid", "cid")
-    val cand = ivfAssign(e, cents).join(broadcast(probes), "cid")
-      .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
-    val codes = pqCodesFor(e, cb, m, subDim)
-    val lut = pqLutFor(e, cb, m, subDim)
-      .select(col("qid"), col("qn"), col("m"), col("c").as("code"),
-        col("pdot"))
+    val (cand, codes, lut) = pqSearchInputs(e, cents, cb, nProbe, m, subDim)
     refineCandidates(cand, codes, lut,
       codes.filter(col("vec_id") < NumQueries), refineK)
   }
@@ -856,9 +895,7 @@ object Similarity {
       .join(broadcast(lut), Seq("qid", "m", "code"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("pdot")).as("adc"), max(col("nrm")).as("nrm"),
-        max(col("qn")).as("qn"),
-        sum(col("code").cast("long") *
-          pow(lit(2.0), col("m") * 4).cast("long")).as("nck"))
+        max(col("qn")).as("qn"), packedCodeKey.as("nck"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
         (col("adc").cast(DoubleType) / (col("qn") * col("nrm")))
           .as("pq_score"), col("nck"))

@@ -68,6 +68,40 @@ object IndexDeployment {
 
   private def genDir(rootDir: String, gen: Long) = s"$rootDir/gen=$gen"
 
+  private val GridFile = "GRID"
+
+  /** Persist the generation's PQ grid beside its artifacts — the
+    * geometry is a property of the BUILD, so serving/measuring through
+    * the generation must read it back rather than assume the text
+    * default (a 16-dim image index deployed here would otherwise be
+    * sliced at the 8×8 text grid into empty subvectors). */
+  private def writeGrid(s: SparkSession, dir: String, m: Int,
+      subDim: Int): Unit = {
+    val (f, d) = fs(s, dir)
+    f.mkdirs(d)
+    val out = f.create(new org.apache.hadoop.fs.Path(d, GridFile), true)
+    try out.write(s"$m $subDim\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** A generation's PQ grid `(m, subDim)`; generations deployed before
+    * grids were recorded default to the text grid they were built at. */
+  def gridOf(s: SparkSession, rootDir: String, gen: Long): (Int, Int) = {
+    val (f, _) = fs(s, rootDir)
+    val p = new org.apache.hadoop.fs.Path(
+      genDir(rootDir, gen), GridFile)
+    if (!f.exists(p)) (Similarity.PqM, Similarity.PqSubDim)
+    else {
+      val in = f.open(p)
+      val parts =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .trim.split(" ")
+        finally in.close()
+      (parts(0).toInt, parts(1).toInt)
+    }
+  }
+
   /** Build one generation's full artifact set and PUBLISH it: quantizers
     * (centroids + codebook) trained on `train`, then the s20
     * shard-parallel build of the serving tables over `corpus` — each
@@ -82,14 +116,28 @@ object IndexDeployment {
     * one (the s17 situation this module exists to repair) — a rebuild
     * passes the same frame for both. */
   def deploy(s: SparkSession, train: DataFrame, corpus: DataFrame,
-      rootDir: String, shards: Int = Similarity.ShardMod): Long = {
-    val gen = currentGen(s, rootDir).map(_ + 1).getOrElse(0L)
+      rootDir: String, shards: Int = Similarity.ShardMod,
+      m: Int = Similarity.PqM,
+      subDim: Int = Similarity.PqSubDim): Long = {
+    // next = 1 + max over BOTH the pointer and the on-disk dirs: after a
+    // rollback the pointer sits below already-built generations, and
+    // pointer+1 would overwrite a live rollback target in place (five
+    // separate table writes — a mid-sequence crash would leave a
+    // mixed-generation artifact set that still passes rollback's
+    // exists() check)
+    val gen = (currentGen(s, rootDir).toSeq ++ generations(s, rootDir))
+      .reduceOption(_ max _).map(_ + 1).getOrElse(0L)
     val dir = genDir(rootDir, gen)
-    val e = corpus.persist()
+    // persist only what we persisted: a caller sharing one cached frame
+    // across measure + rebuild (rebuildFromCdc) keeps its cache
+    val owned = corpus.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val e = if (owned) corpus.persist() else corpus
     try {
       val cents = Similarity.centsOf(train).persist()
-      val cb = Similarity.pqCodebook(train).persist()
+      val cb = Similarity.pqCodebook(train, m, subDim).persist()
       try {
+        writeGrid(s, dir, m, subDim)
         cents.write.mode("overwrite").parquet(s"$dir/cents")
         cb.write.mode("overwrite").parquet(s"$dir/cb")
         e.write.mode("overwrite").parquet(s"$dir/corpus")
@@ -101,13 +149,12 @@ object IndexDeployment {
             .reduce(_ unionByName _)
         sharded(Similarity.ivfAssign(_, cents))
           .write.mode("overwrite").parquet(s"$dir/assign")
-        sharded(Similarity.pqCodesFor(_, cb, Similarity.PqM,
-            Similarity.PqSubDim))
+        sharded(Similarity.pqCodesFor(_, cb, m, subDim))
           .write.mode("overwrite").parquet(s"$dir/codes")
       } finally { cents.unpersist(); cb.unpersist(); () }
       flipPointer(s, rootDir, gen)
       gen
-    } finally { e.unpersist(); () }
+    } finally { if (owned) e.unpersist(); () }
   }
 
   /** Load a generation's serving artifacts (cached + materialized, the
@@ -115,9 +162,10 @@ object IndexDeployment {
   def loadGen(s: SparkSession, rootDir: String,
       gen: Long): StreamingSimScorer.Index = {
     val dir = genDir(rootDir, gen)
+    val (m, subDim) = gridOf(s, rootDir, gen)
     def rd(name: String) = s.read.parquet(s"$dir/$name").persist()
     val idx = StreamingSimScorer.Index(rd("cents"), rd("cb"),
-      rd("corpus"), rd("assign"), rd("codes"))
+      rd("corpus"), rd("assign"), rd("codes"), m, subDim)
     Seq(idx.cents, idx.cb, idx.corpus, idx.assign, idx.codes)
       .foreach(_.count())
     idx
@@ -139,13 +187,19 @@ object IndexDeployment {
     val gen = currentGen(s, rootDir).getOrElse(
       throw new IllegalStateException(s"no deployed index under $rootDir"))
     val dir = genDir(rootDir, gen)
-    val e = corpus.persist()
+    // measure AND re-baseline at the generation's own grid — the grid is
+    // a property of the vector space, not of this module's text default
+    val (m, subDim) = gridOf(s, rootDir, gen)
+    val owned = corpus.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val e = if (owned) corpus.persist() else corpus
     try {
       val served = Similarity
         .ivfPqRankedFor(e, s.read.parquet(s"$dir/cents"),
-          s.read.parquet(s"$dir/cb"))
+          s.read.parquet(s"$dir/cb"), m = m, subDim = subDim)
         .select("qid", "neighbor_id")
-      val baseline = Similarity.ivfPqRanked(e).select("qid", "neighbor_id")
+      val baseline = Similarity.ivfPqRanked(e, m = m, subDim = subDim)
+        .select("qid", "neighbor_id")
       val bf = Similarity.bruteForceRanked(e)
         .filter(col("rank") <= 3).select("qid", "neighbor_id")
       val nPossible = 3.0 * Similarity.NumQueries
@@ -157,7 +211,7 @@ object IndexDeployment {
           col("n_served").cast(DoubleType) / nPossible).as("loss"))
         .head()
       row.getAs[Double]("loss")
-    } finally { e.unpersist(); () }
+    } finally { if (owned) e.unpersist(); () }
   }
 
   /** Execute the `shouldRebuild` decision: measure [[recallLoss]]
@@ -187,13 +241,37 @@ object IndexDeployment {
     * equals a scratch build on the survivors). */
   def rebuildFromCdc(s: SparkSession, corpusDir: String, tombDir: String,
       rootDir: String,
-      maxRecallLoss: Double = Similarity.MaxIngestRecallLoss)
-      : Option[Long] = {
+      maxRecallLoss: Double = Similarity.MaxIngestRecallLoss,
+      indexDir: Option[String] = None): Option[Long] = {
     val survivors = Similarity.withNorm(
-      StreamingIndexCdc.readSurvivors(s, corpusDir, tombDir))
-    if (recallLossOf(s, survivors, rootDir) > maxRecallLoss)
-      Some(deploy(s, survivors, survivors, rootDir))
-    else None
+      StreamingIndexCdc.readSurvivors(s, corpusDir, tombDir)).persist()
+    try {
+      // coverage guard: corpusDir is opt-in per applyBatch call, so a
+      // survivor view enabled mid-stream silently omits every vector
+      // upserted before enablement — rebuilding on it would DROP those
+      // vectors from serving. When the caller hands us the live CDC
+      // index, refuse a rebuild whose training view doesn't cover it.
+      indexDir.foreach { idxDir =>
+        val live = StreamingIndexCdc.readIndex(s, idxDir, tombDir)
+          .select("vec_id").distinct()
+        val uncovered = live
+          .join(survivors.select("vec_id"), Seq("vec_id"), "left_anti")
+          .count()
+        require(uncovered == 0L,
+          s"survivor view at $corpusDir misses $uncovered live index " +
+            "vectors — corpusDir was enabled mid-stream; backfill the " +
+            "raw corpus before rebuilding from it")
+      }
+      if (recallLossOf(s, survivors, rootDir) > maxRecallLoss) {
+        // rebuild preserves the deployed geometry — the grid belongs to
+        // the vector space the CDC feed populates
+        val (m, subDim) = gridOf(s, rootDir,
+          currentGen(s, rootDir).getOrElse(throw new IllegalStateException(
+            s"no deployed index under $rootDir")))
+        Some(deploy(s, survivors, survivors, rootDir, m = m,
+          subDim = subDim))
+      } else None
+    } finally { survivors.unpersist(); () }
   }
 
   /** Flip the pointer BACK to an existing generation — the operator's

@@ -49,8 +49,13 @@ final case class EntityRecord(custkey: Long, name: String)
   * mass, never the corpus — on the READ path too: store partitions are
   * laid out by `blk` under each batch_id, edges exist only WITHIN a
   * block (the q67 rule), so components are block-local and
-  * [[applyBatch]] prunes its store scan to exactly the arriving batch's
-  * blocks (PartitionFilters, spec-proven). [[compact]] folds the
+  * [[applyBatch]] prunes its corpus-scale version-resolution scan to
+  * exactly the arriving batch's blocks (PartitionFilters, spec-proven).
+  * The one whole-store touch left is the newcomer EXISTENCE check — a
+  * single-column custkey scan broadcast-joined against the batch keys
+  * (no shuffle, no resolution), which must see every block: a
+  * redelivered key whose name changed blocks would otherwise re-insert
+  * under the new block and fork the key across partitions. [[compact]] folds the
   * batch-partition history into a reserved `batch_id=-1` base on a
   * cadence (the [[StreamingIndexCdc.compact]] move), so the version
   * resolution reads base + tail instead of every partition ever
@@ -85,15 +90,20 @@ object StreamingEntityResolution {
     * version resolution — sound because a key's block is a pure function
     * of its name and ER is insert-shaped (a key's rows all live in one
     * block partition), so the per-block latest IS the global latest. */
-  def readResolved(s: SparkSession, storeDir: String,
-      beforeBatch: Long = Long.MaxValue,
-      blocks: Option[Seq[String]] = None): DataFrame = {
+  /** Schema-explicit raw store read (all batch partitions), `batch_id`
+    * present even on an empty or partition-less store. */
+  private def storeRaw(s: SparkSession, storeDir: String): DataFrame = {
     val base =
       if (dirExists(s, storeDir)) s.read.schema(RowSchema).parquet(storeDir)
       else s.createDataFrame(s.sparkContext.emptyRDD[Row], RowSchema)
-    val withB =
-      if (base.columns.contains("batch_id")) base
-      else base.withColumn("batch_id", lit(null))
+    if (base.columns.contains("batch_id")) base
+    else base.withColumn("batch_id", lit(null))
+  }
+
+  def readResolved(s: SparkSession, storeDir: String,
+      beforeBatch: Long = Long.MaxValue,
+      blocks: Option[Seq[String]] = None): DataFrame = {
+    val withB = storeRaw(s, storeDir)
     val pruned = blocks match {
       case Some(bs) => withB.filter(col("blk").isin(bs: _*))
       case None => withB
@@ -129,8 +139,21 @@ object StreamingEntityResolution {
       .collect().map(_.getString(0)).toSeq
     val prior = readResolved(s, storeDir, beforeBatch = batchId,
       blocks = Some(batchBlocks)).persist()
+    // the newcomer check consults the FULL key history, not the pruned
+    // prior: a redelivered key whose name (hence block) changed would
+    // pass a block-local anti-join and be inserted a second time in a
+    // second block — breaking the one-block-per-key invariant the
+    // pruned read itself relies on. Existence needs no version
+    // resolution, so this is a column-pruned custkey scan joined
+    // against the BROADCAST batch keys (no store shuffle); the
+    // corpus-scale groupBy stays block-pruned above.
+    val known = storeRaw(s, storeDir)
+      .filter(col("batch_id").cast(LongType) < batchId)
+      .select("custkey")
+      .join(broadcast(incoming0.select("custkey")), Seq("custkey"))
+      .distinct()
     val incoming = incoming0
-      .join(prior.select("custkey"), Seq("custkey"), "left_anti")
+      .join(broadcast(known), Seq("custkey"), "left_anti")
       .persist()
     try {
       // q67's edge rule, newcomer-sided: new × (resolved ∪ this batch)

@@ -36,14 +36,24 @@ object StreamingVisualIngest {
   /** Featurize one micro-batch of image-document changes into the
     * [[VecChange]] contract `(seq, vec_id, op, embedding)`: upserts
     * decode → 16-bin histogram at `vec_id = doc_id / 2`; deletes pass
-    * through with a null payload (there is nothing to decode). */
+    * through with a null payload (there is nothing to decode).
+    *
+    * Features are keyed PER CHANGE ROW, not per vec_id: the decode runs
+    * under a synthetic even id `2·seq` (the feature is a pure function
+    * of the text bytes — the id only picks the codec branch — so
+    * `vec_id` comes back as `seq`) and joins back on `seq`. A batch
+    * carrying two versions of the same document therefore pairs each
+    * seq with ITS OWN embedding; joining on `vec_id` alone would
+    * cross-match versions and let the LWW winner carry a stale payload
+    * nondeterministically. */
   def featurize(batch: DataFrame): DataFrame = {
     val ups = batch.filter(col("op") =!= "D")
     val feats = Multimodal.imageFeaturesOf(
-      ups.select(col("doc_id"), col("text")))
-    ups.select((col("doc_id") / 2).cast("long").as("vec_id"),
-        col("seq"), col("op"))
-      .join(feats, "vec_id")
+      ups.select((col("seq") * 2).cast("long").as("doc_id"), col("text")))
+      .select(col("vec_id").as("seq"), col("embedding"))
+    ups.select(col("seq"),
+        (col("doc_id") / 2).cast("long").as("vec_id"), col("op"))
+      .join(feats, "seq")
       .select("seq", "vec_id", "op", "embedding")
       .unionByName(batch.filter(col("op") === "D")
         .select(col("seq"), (col("doc_id") / 2).cast("long").as("vec_id"),

@@ -202,6 +202,101 @@ class IndexDeploymentSpec extends SparkSpec {
     } finally idx.unpersistAll()
   }
 
+  test("deploy after a rollback allocates a FRESH generation — never " +
+      "overwriting the still-on-disk higher one in place") {
+    val root = Files.createTempDirectory("graft-bg-rb").toString
+    val e = Similarity.embeddings(spark, sf)
+    (0 to 1).foreach(_ => IndexDeployment.deploy(spark, e, e, root))
+    IndexDeployment.rollback(spark, root, 0L)
+    // pointer+1 would be 1 — an extant rollback target whose five table
+    // writes would be clobbered one-by-one; the allocator must skip past
+    // every on-disk generation instead
+    assert(IndexDeployment.deploy(spark, e, e, root) == 2L)
+    assert(IndexDeployment.generations(spark, root) == Seq(0L, 1L, 2L))
+    assert(IndexDeployment.currentGen(spark, root).contains(2L))
+  }
+
+  test("the PQ grid rides the generation: a 16-dim visual deploy serves " +
+      "at its own geometry, rebuildFromCdc preserves it and refuses a " +
+      "mid-stream survivor view") {
+    import graft.operators.Multimodal
+    import graft.streaming.StreamingIndexCdc
+    val e = Similarity.withNorm(
+      Multimodal.imageFeatures(spark, sf)).persist()
+    val idx = StreamingSimScorer.buildIndexFrom(e,
+      Multimodal.M11PqM, Multimodal.M11PqSubDim)
+    try {
+      val base = Files.createTempDirectory("graft-bg-grid")
+      val indexDir = base.resolve("index").toString
+      val tombDir = base.resolve("tomb").toString
+      val corpusDir = base.resolve("corpus").toString
+      val root = base.resolve("gens").toString
+      val all = e.select("vec_id", "embedding")
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      var seq = 0L
+      def nxt = { seq += 1; seq }
+      def chg(rows: Seq[(Long, Long, String, Seq[Float])]) =
+        rows.toDF("seq", "vec_id", "op", "embedding")
+      // batch 0 arrives BEFORE the survivor view is enabled — the
+      // mid-stream-enablement hazard the coverage guard exists for
+      val (early, late) = all.splitAt(all.length / 2)
+      StreamingIndexCdc.applyBatch(
+        chg(early.toSeq.map { case (i, v) => (nxt, i, "I", v) }),
+        idx, indexDir, tombDir, 0L, corpusDir = None)
+      StreamingIndexCdc.applyBatch(
+        chg(late.toSeq.map { case (i, v) => (nxt, i, "I", v) }),
+        idx, indexDir, tombDir, 1L, Some(corpusDir))
+
+      // gen 0 deployed at the VISUAL grid; the grid is recorded and
+      // loadGen serves bit-identically to a scratch build at it
+      IndexDeployment.deploy(spark, e, e, root,
+        m = Multimodal.M11PqM, subDim = Multimodal.M11PqSubDim)
+      assert(IndexDeployment.gridOf(spark, root, 0L) ==
+        (Multimodal.M11PqM, Multimodal.M11PqSubDim))
+      val queries = e.filter(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val viaGen = {
+        val g = IndexDeployment.loadGen(spark, root, 0L)
+        try answers(StreamingSimScorer.serve(queries, g,
+          excludeSelfIds = true))
+        finally g.unpersistAll()
+      }
+      val scratch = answers(StreamingSimScorer.serve(queries, idx,
+        excludeSelfIds = true))
+      assert(scratch.nonEmpty && viaGen == scratch)
+      // full-trained at its OWN grid: the measured loss is exactly zero
+      // (at the 8×8 text default the 16-dim slices would be empty and
+      // the measurement garbage)
+      assert(math.abs(IndexDeployment.recallLossOf(spark, e, root))
+        < 1e-12)
+
+      // the survivor view misses batch 0's vectors — a rebuild on it
+      // would silently drop them from serving; the guard refuses
+      intercept[IllegalArgumentException] {
+        IndexDeployment.rebuildFromCdc(spark, corpusDir, tombDir, root,
+          maxRecallLoss = -1.0, indexDir = Some(indexDir))
+      }
+
+      // backfill the early vectors into the raw corpus, then the forced
+      // rebuild runs — and the new generation KEEPS the visual grid
+      StreamingIndexCdc.applyBatch(
+        chg(early.toSeq.map { case (i, v) => (nxt, i, "I", v) }),
+        idx, indexDir, tombDir, 2L, Some(corpusDir))
+      val rebuilt = IndexDeployment.rebuildFromCdc(spark, corpusDir,
+        tombDir, root, maxRecallLoss = -1.0, indexDir = Some(indexDir))
+      assert(rebuilt.contains(1L))
+      assert(IndexDeployment.gridOf(spark, root, 1L) ==
+        (Multimodal.M11PqM, Multimodal.M11PqSubDim))
+      val viaRebuilt = {
+        val g = IndexDeployment.loadGen(spark, root, 1L)
+        try answers(StreamingSimScorer.serve(queries, g,
+          excludeSelfIds = true))
+        finally g.unpersistAll()
+      }
+      assert(viaRebuilt == scratch)
+    } finally { idx.unpersistAll(); e.unpersist(); () }
+  }
+
   test("serving across the swap: every batch answered by exactly one " +
       "generation, each matching that generation's own index") {
     val root = Files.createTempDirectory("graft-bg-swap").toString

@@ -1549,6 +1549,32 @@ class OperatorsSpec extends SparkSpec {
       rows(Similarity.filteredAnnAuditArtifacts(spark, sf)))
   }
 
+  test("artifact cache invalidates when the corpus changes: a " +
+      "regenerated corpus at the same path yields a fresh artifact root") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-art-inval").toString
+    def writeCorpus(n: Int): Unit =
+      (0 until n).map(_.toLong).toDF("vec_id")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def train = Similarity.embeddings(spark, sf)
+    writeCorpus(4)
+    val root1 = Similarity.ensureArtifacts(spark, dir, "inval", train)
+    // same bytes → same root, and the second call is a pure cache read
+    assert(Similarity.ensureArtifacts(spark, dir, "inval", train) == root1)
+    // regenerate the corpus in place (different content → different file
+    // sizes) — the old path-keyed cache would silently serve the stale
+    // quantizers; the fingerprint key must miss
+    writeCorpus(64)
+    val root2 = Similarity.ensureArtifacts(spark, dir, "inval", train)
+    assert(root2 != root1,
+      "a regenerated corpus must not reuse stale artifacts")
+    Seq(root1, root2).foreach { r =>
+      val (c, cb) = Similarity.loadArtifacts(spark, r)
+      assert(c.count() > 0 && cb.count() > 0)
+    }
+  }
+
   test("s18: compacting tombstones equals a rebuild on survivors; " +
       "deleted vectors never serve; audit accounting closes") {
     import graft.operators.Similarity

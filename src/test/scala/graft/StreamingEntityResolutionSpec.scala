@@ -100,6 +100,37 @@ class StreamingEntityResolutionSpec extends SparkSpec {
     assert(partitionKeys(3L).isEmpty && resolved.size == 5)
   }
 
+  test("a redelivered key whose name changed blocks is still a no-op: " +
+      "no second row in the new block, newcomers beside it unaffected") {
+    val base = Files.createTempDirectory("graft-ser-reblk")
+    val store = base.resolve("store").toString
+    val blkA = "AAAAAAAAAAAAAAAA"
+    val blkB = "B000000000000000"
+    def apply(batchId: Long, recs: (Long, String)*): Unit =
+      StreamingEntityResolution.applyBatch(
+        recs.toDF("custkey", "name"), store, batchId)
+    def resolved: Map[Long, (String, Long)] = StreamingEntityResolution
+      .readResolved(spark, store).select("custkey", "blk", "entity_id")
+      .as[(Long, String, Long)].collect()
+      .map { case (k, b, e) => k -> (b, e) }.toMap
+
+    apply(0L, 10L -> s"${blkA}xA")
+    assert(resolved == Map(10L -> (blkA, 10L)))
+
+    // the redelivery lands in block B, where the block-pruned prior
+    // cannot see key 10 — the existence check must still drop it, or
+    // the key forks across two block partitions and the pruned read's
+    // per-block-latest-is-global-latest soundness claim breaks
+    apply(1L, 10L -> s"${blkB}10", 50L -> s"${blkB}50")
+    assert(readPartitionKeys(store, 1L) == Set(50L))
+    assert(resolved == Map(10L -> (blkA, 10L), 50L -> (blkB, 50L)))
+
+    // replay of the redelivering batch recomputes identically
+    apply(1L, 10L -> s"${blkB}10", 50L -> s"${blkB}50")
+    assert(readPartitionKeys(store, 1L) == Set(50L))
+    assert(resolved == Map(10L -> (blkA, 10L), 50L -> (blkB, 50L)))
+  }
+
   test("store scan is partition-pruned to the batch's blocks, and the " +
       "pruned view equals the full view restricted to them") {
     val base = Files.createTempDirectory("graft-ser-prune")

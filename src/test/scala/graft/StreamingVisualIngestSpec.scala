@@ -90,4 +90,25 @@ class StreamingVisualIngestSpec extends SparkSpec {
       } finally q.stop()
     } finally idx.unpersistAll()
   }
+
+  test("a batch carrying two versions of one document pairs each seq " +
+      "with its own embedding — the LWW winner's payload is its own") {
+    // 40-byte ASCII texts with visibly different byte histograms
+    val textA = "a" * 40            // all bytes 0x61 -> bin 6
+    val textB = "z" * 20 + "A" * 20 // 0x7a -> bin 7, 0x41 -> bin 4
+    def hist(t: String): Seq[Float] = {
+      val b = t.getBytes("UTF-8")
+      val w = 4 * (b.length % 3 + 1); val h = b.length / (3 * w)
+      val out = new Array[Float](16)
+      b.take(3 * w * h).foreach(v => out((v & 0xff) >> 4) += 1f)
+      out.toSeq
+    }
+    val batch = Seq((1L, 4L, "I", textA), (2L, 4L, "I", textB))
+      .toDF("seq", "doc_id", "op", "text")
+    val got = StreamingVisualIngest.featurize(batch)
+      .select("seq", "vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding"))).toSet
+    assert(got == Set((1L, 2L, hist(textA)), (2L, 2L, hist(textB))))
+  }
 }
