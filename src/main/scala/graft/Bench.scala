@@ -282,8 +282,12 @@ object Bench {
     // applied to the m11-grid index per micro-batch
     val (ipsVisual, ipsVisualSpread) = rate3("stream_ips_visual")(
       graft.streaming.ThroughputBench.runVisualIngest(spark, sfDir))
+    // audio-index maintenance: raw audio docs decoded + featurized +
+    // applied to the m13-grid index per micro-batch
+    val (ipsAudio, ipsAudioSpread) = rate3("stream_ips_audio")(
+      graft.streaming.ThroughputBench.runAudioIngest(spark, sfDir))
     val streamSpreadJson =
-      f""""stream_spread":{"stream_eps":$epsSpread%.0f,"stream_eps_multi":$epsMultiSpread%.0f,"stream_eps_commitlog":$epsClogSpread%.0f,"stream_qps_ann":$qpsAnnSpread%.0f,"stream_vps_index_cdc":$vpsIdxSpread%.0f,"stream_ips_visual":$ipsVisualSpread%.0f}"""
+      f""""stream_spread":{"stream_eps":$epsSpread%.0f,"stream_eps_multi":$epsMultiSpread%.0f,"stream_eps_commitlog":$epsClogSpread%.0f,"stream_qps_ann":$qpsAnnSpread%.0f,"stream_vps_index_cdc":$vpsIdxSpread%.0f,"stream_ips_visual":$ipsVisualSpread%.0f,"stream_ips_audio":$ipsAudioSpread%.0f}"""
     // events-per-trigger sweep (reference batch-size optimization analog)
     val sweep =
       try graft.streaming.ThroughputBench.batchSizeSweep(spark)
@@ -305,7 +309,7 @@ object Bench {
     val prevN = results.count { case (k, v) => v >= 0 && prevQ.contains(k) }
     val prevJson =
       s""","prev":"$prevName","prev_n":$prevN,"prev_delta_sec":$deltas"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3","queries":$qs,"queries_spread_sec":$spreadJson$corpusJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,$streamSpreadJson,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3","queries":$qs,"queries_spread_sec":$spreadJson$corpusJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,$streamSpreadJson,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
     // Stdout protocol (VERDICT r08 item 2): the driver FRONT-truncates its
     // stdout tail to 2,000 chars, and the full line above is ~8 kB — four
     // rounds of `"parsed": null` because only a mid-line fragment
@@ -323,7 +327,7 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val nFailed = results.values.count(_ < 0)
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3","n_queries":${results.size},"n_failed":$nFailed,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3","n_queries":${results.size},"n_failed":$nFailed,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     println(compact)
     spark.stop()
   }

@@ -535,8 +535,15 @@ object Multimodal {
     * maintenance) available to audio dedup with zero new machinery.
     * `vec_id = doc_id / 2` (WAVs are the odd docs; floor division gives
     * a dense id space, so the s15 role conventions apply unchanged). */
-  private[graft] def audioFeatures(s: SparkSession, dir: String): DataFrame = {
-    val decoded = decodeAll(assets(s, dir))
+  private[graft] def audioFeatures(s: SparkSession, dir: String): DataFrame =
+    audioFeaturesOf(Tables.spread(s, dir, "documents", "doc_id"))
+
+  /** The m13 feature extraction over an EXPLICIT `(doc_id, text)` frame
+    * (decode → 16-bin PCM-byte histogram, `vec_id = doc_id / 2`) — what
+    * the streaming audio ingest runs per micro-batch, mirroring
+    * [[imageFeaturesOf]]. */
+  private[graft] def audioFeaturesOf(docs: DataFrame): DataFrame = {
+    val decoded = decodeAll(assetsOf(docs))
     import decoded.sparkSession.implicits._
     decoded.filter(_.fmt == "wav").map { d =>
       val hist = new Array[Float](16)

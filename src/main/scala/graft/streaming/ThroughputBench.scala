@@ -260,6 +260,38 @@ object ThroughputBench {
     } finally idx.unpersistAll()
   }
 
+  /** Audio-ingest maintenance rate: raw audio documents decoded (real
+    * WAV codec), histogram-featurized, and applied to the audio index
+    * per micro-batch — tracks/second through the full
+    * [[StreamingAudioIngest]] path (the m13 extraction running
+    * online). */
+  def runAudioIngest(spark: SparkSession, sfDir: String,
+      nDocs: Int = 400, batches: Int = 4): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val idx = StreamingSimScorer.buildIndexFrom(
+      graft.operators.Similarity.withNorm(
+        graft.operators.Multimodal.audioFeatures(spark, sfDir)),
+      graft.operators.Multimodal.M11PqM,
+      graft.operators.Multimodal.M11PqSubDim)
+    try {
+      val docs = graft.Tables.table(spark, sfDir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text")).limit(nDocs)
+        .as[(Long, String)].collect()
+      val changes = docs.zipWithIndex.map { case ((id, t), i) =>
+        AudioChange(i.toLong, id, "I", t) }
+      val base = Files.createTempDirectory("graft-audio-bench")
+      timedStreamRate(spark, changes.toIndexedSeq, batches) { df =>
+        StreamingAudioIngest.attach(
+          df.select(col("seq"), col("docId").as("doc_id"), col("op"),
+            col("text")),
+          idx, base.resolve("index").toString,
+          base.resolve("tomb").toString, base.resolve("ckpt").toString)
+      }
+    } finally idx.unpersistAll()
+  }
+
   /** The shared streaming-rate harness: feed `items` through a
     * MemoryStream in `batches` micro-batches into whatever query
     * `attach` starts, stop the query even on a mid-run throw, return
