@@ -47,16 +47,28 @@ final case class Scd2Version(user_id: Long, version_event_id: Long,
   * cadence, so [[readHistory]]'s version resolution reads base + tail
   * instead of every partition ever written.
   *
-  * TTL evicts entities silent longer than the horizon — the
-  * offset-retention idea applied to dimension state — but eviction
-  * BREAKS the one-open-version invariant for the evicted key: its open
-  * row stays `is_current=true` with a null `valid_to_us` forever (no
-  * closing emission fires at eviction), and the key's next event opens
-  * a SECOND current version, so [[readHistory]] can report two current
-  * rows for one entity. Configure a TTL only when downstream tolerates
-  * an eviction-torn history (treat the later `valid_from_us` as the
-  * live one); the default [[TTLConfig.NONE]] keeps the invariant
-  * exact. */
+  * Bounding state for silent entities — the offset-retention idea
+  * applied to dimension state — comes in two flavors:
+  *
+  *  - raw `TTLConfig` eviction BREAKS the one-open-version invariant
+  *    for the evicted key: its open row stays `is_current=true` with a
+  *    null `valid_to_us` forever (no closing emission fires at
+  *    eviction), and the key's next event opens a SECOND current
+  *    version, so [[readHistory]] can report two current rows for one
+  *    entity. Configure a TTL only when downstream tolerates an
+  *    eviction-torn history (treat the later `valid_from_us` as the
+  *    live one);
+  *  - [[historyEvictClosed]] keeps the invariant: instead of state-store
+  *    TTL it registers a per-key processing-time TIMER, and at expiry
+  *    EMITS the closing row (`valid_to_us` = the eviction deadline,
+  *    `is_current=false`) before clearing the state — every eviction
+  *    leaves a closed history, never a stranded current row. The
+  *    deadline lives in the processing-time domain (eviction is a
+  *    wall-clock policy), so event-driven rows stay byte-deterministic
+  *    under replay while eviction-close rows are deterministic given
+  *    the timer that fired.
+  *
+  * The default [[TTLConfig.NONE]] keeps state for every live entity. */
 object StreamingScd2 {
 
   /** The reserved base partition [[compact]] writes; streaming batch ids
@@ -69,13 +81,16 @@ object StreamingScd2 {
   private[streaming] final case class Open(event_id: Long,
       event_type: String, value: Double, ts_us: Long)
 
-  class Processor(ttl: TTLConfig)
+  class Processor(ttl: TTLConfig, evictCloseMs: Option[Long] = None)
       extends StatefulProcessor[Long, Scd2Event, Scd2Version] {
     @transient private var open: ValueState[Open] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // in evict-close mode the TIMER is the eviction — a state-store
+      // TTL beside it could silently evict first and strand the open row
       open = getHandle.getValueState[Open]("open",
-        Encoders.product[Open], ttl)
+        Encoders.product[Open],
+        if (evictCloseMs.isDefined) TTLConfig.NONE else ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[Scd2Event],
         timerValues: TimerValues): Iterator[Scd2Version] = {
@@ -97,8 +112,32 @@ object StreamingScd2 {
         case Some(o) => open.update(o)
         case None => open.clear()
       }
+      // every event resets the key's eviction deadline (single live
+      // timer per key: drop the old one before arming the new)
+      evictCloseMs.foreach { ms =>
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        if (cur.isDefined)
+          getHandle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs + ms)
+      }
       out.result().iterator
     }
+
+    /** Eviction with a closed history: emit the open version's closing
+      * row (valid_to = the deadline that fired) and drop the state —
+      * the key's next event opens a fresh version against an already
+      * CLOSED predecessor, so at most one current row ever exists. */
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Scd2Version] =
+      if (open.exists()) {
+        val o = open.get()
+        open.clear()
+        Iterator.single(Scd2Version(key, o.event_id, o.event_type,
+          o.value, o.ts_us,
+          Some(expiredTimerInfo.getExpiryTimeInMs * 1000L),
+          is_current = false))
+      } else Iterator.empty
   }
 
   /** Wire a change stream through the maintainer (update-mode output).
@@ -110,6 +149,20 @@ object StreamingScd2 {
     events.groupByKey(_.user_id)
       .transformWithState(new Processor(ttl), StateStores.timeModeFor(ttl),
         OutputMode.Update())
+  }
+
+  /** [[history]] with invariant-keeping eviction: silent entities are
+    * dropped after `evictCloseMs` of processing time, but through a
+    * per-key timer that EMITS the closing row first — see the class
+    * scaladoc. Requires the RocksDB state-store provider (timers use a
+    * second column family, as TTL does). */
+  def historyEvictClosed(events: Dataset[Scd2Event],
+      evictCloseMs: Long): Dataset[Scd2Version] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new Processor(TTLConfig.NONE, Some(evictCloseMs)),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   private val RowSchema = StructType(Seq(

@@ -56,6 +56,50 @@ class StreamingScd2Spec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("evict-closed mode: a silent entity's open version is CLOSED at " +
+      "the deadline, and its next event opens fresh — never two current " +
+      "rows") {
+    graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Scd2Event]
+    val q = StreamingScd2.historyEvictClosed(input.toDS(),
+        evictCloseMs = 2000L)
+      .writeStream.format("memory").queryName("scd2_evict_stream")
+      .outputMode("update").start()
+    try {
+      def rows() = spark.table("scd2_evict_stream").collect().map { r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("version_event_id"),
+          if (r.isNullAt(r.fieldIndex("valid_to_us"))) None
+          else Some(r.getAs[Long]("valid_to_us")),
+          r.getAs[Boolean]("is_current"))
+      }.toSeq
+      // ProcessingTime mode keeps scheduling timer batches —
+      // processAllAvailable never settles; poll the memory sink
+      def await(pred: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 120000
+        while (System.currentTimeMillis() < deadline && !pred)
+          Thread.sleep(250)
+        assert(pred)
+      }
+      input.addData(Scd2Event(1L, 100L, "login", 1.0, 1000L))
+      await(rows().contains((1L, 100L, None, true)))
+      // the eviction timer fires: the open version is emitted CLOSED
+      // (valid_to = the deadline that fired), not silently dropped
+      await(rows().exists { case (u, v, to, cur) =>
+        u == 1L && v == 100L && to.nonEmpty && !cur })
+      // the entity returns after eviction: a fresh open version, against
+      // an already-closed predecessor
+      input.addData(Scd2Event(1L, 200L, "purchase", 2.0, 9000L))
+      await(rows().contains((1L, 200L, None, true)))
+      // resolve latest-emission-per-version (readHistory's rule: closed
+      // beats open): exactly ONE current row for the key
+      val resolved = rows().groupBy(r => (r._1, r._2))
+        .map { case (_, rs) => rs.maxBy(_._3.nonEmpty) }
+      assert(resolved.count(r => r._4 && r._3.isEmpty) == 1)
+      assert(resolved.exists(r => r._2 == 100L && r._3.nonEmpty && !r._4))
+    } finally q.stop()
+  }
+
   test("kill mid-feed, restart from checkpoint: history still q69-exact") {
     graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
