@@ -1174,16 +1174,18 @@ object Dedup {
     * grid meets each pair exactly once; verification is unchanged), so
     * the two share one oracle. At 100 TB this is the re-bucketing path
     * an operator turns on when s10's max_share alarm fires — or leaves
-    * on permanently, since cold groups pay only a broadcast probe. */
+    * on permanently, since cold groups pay only the shared count
+    * window riding the candidate join's own shuffle. */
   def embeddingCosineSalted(s: SparkSession, dir: String,
       hotThreshold: Long = EmbHotBucketThreshold, salts: Int = 8): DataFrame = {
     val e = embNormed(s, dir)
     val bb = embBandKeys(e)
-    // the s10 evidence, computed on the index itself: per-group occupancy
-    val hot = bb.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("sz")).filter(col("sz") > hotThreshold)
+    // the s10 occupancy evidence rides the candidate join's shuffle
+    // (count window over the band keys — no separate aggregate pass
+    // over the banded index)
     val cands = graft.ops.SaltedJoin
-      .selfPairsSalted(bb, Seq("band", "bucket"), "vec_id", hot, salts)
+      .selfPairsSaltedByOccupancy(bb, Seq("band", "bucket"), "vec_id",
+        hotThreshold, salts)
       .select(col("a").as("va"), col("b").as("vb"))
       .distinct()
     embVerify(e, cands)

@@ -1411,13 +1411,12 @@ object ExtendedQueries {
       salts: Int = Q67Salts): DataFrame = {
     val c = names.select(col("c_custkey"), col("c_name"),
       substring(col("c_name"), 1, Q67BlockPrefix).as("blk"))
-    // the occupancy probe, computed on the blocked index itself — the
-    // same evidence d05b reads; one tiny aggregate, broadcast back
-    val hot = c.groupBy(col("blk")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") > hotThreshold)
+    // the occupancy probe rides the pair join's own shuffle (a count
+    // window over blk — the same evidence d05b reads, at no separate
+    // aggregate pass over the blocked index)
     graft.ops.SaltedJoin
-      .selfPairsSalted(c, Seq("blk"), "c_custkey", hot, salts,
-        keep = Seq("c_name"))
+      .selfPairsSaltedByOccupancy(c, Seq("blk"), "c_custkey",
+        hotThreshold, salts, keep = Seq("c_name"))
       .withColumn("edit_dist",
         levenshtein(col("a_c_name"), col("b_c_name"), Q67MaxEdit))
       .filter(col("edit_dist") >= 0)

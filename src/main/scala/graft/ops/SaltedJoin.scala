@@ -69,6 +69,37 @@ object SaltedJoin {
       keys, "left")
     val cold = flagged.filter(col(HotCol).isNull).drop(HotCol)
     val hot = flagged.filter(col(HotCol)).drop(HotCol)
+    splitPairs(cold, hot, keys, idCol, salts, keep)
+  }
+
+  /** [[selfPairsSalted]] with the occupancy probe FOLDED INTO the pair
+    * join's own shuffle: group size comes from a count window over the
+    * same `keys` partitioning the self-join shuffles on, so hot
+    * detection costs no separate aggregate pass over the input and no
+    * broadcast — the window's exchange is reused by both join sides.
+    * Classification is identical to probing with `groupBy.count >
+    * hotThreshold`, hence so is the output. Use this when the evidence
+    * IS plain group occupancy of `df` itself; keep [[selfPairsSalted]]
+    * for callers holding external hot-key evidence. */
+  def selfPairsSaltedByOccupancy(df: DataFrame, keys: Seq[String],
+      idCol: String, hotThreshold: Long, salts: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    val SzCol = "__graft_sz"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val flagged = df.withColumn(SzCol, count(lit(1)).over(w))
+    val cold = flagged.filter(col(SzCol) <= hotThreshold).drop(SzCol)
+    val hot = flagged.filter(col(SzCol) > hotThreshold).drop(SzCol)
+    splitPairs(cold, hot, keys, idCol, salts, keep)
+  }
+
+  /** The shared cold/hot pairing core: plain within-group self-join for
+    * `cold`, salts×salts grid decomposition for `hot` (each pair meets
+    * in exactly one cell — see [[selfPairsSalted]]). */
+  private def splitPairs(cold: DataFrame, hot: DataFrame,
+      keys: Seq[String], idCol: String, salts: Int,
+      keep: Seq[String]): DataFrame = {
     def pairCond(keyCols: Seq[String]) = keyCols
       .map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
