@@ -618,9 +618,12 @@ object Similarity {
     q.select(col("qid"), col("qn"), subM(m).as("m"), col("embedding"))
       .select(col("qid"), col("qn"), col("m"),
         sliceM(col("embedding"), subDim).as("qsub"))
-      .join(broadcast(cb.select(col("m"), col("c"), col("csub"))), "m")
+      .join(broadcast(cb.select(col("m"), col("c"), col("csub"),
+        col("cn2"))), "m")
+      // cn2 rides along so a consumer deriving the queries' own encode
+      // from the LUT (ivfPqServe's qCodes) needs no second codebook join
       .select(col("qid"), col("qn"), col("m"), col("c"),
-        dotDec(col("qsub"), col("csub")).as("pdot"))
+        dotDec(col("qsub"), col("csub")).as("pdot"), col("cn2"))
 
   private[graft] def pqRanked(e: DataFrame, m: Int = PqM,
       subDim: Int = PqSubDim): DataFrame = {
@@ -847,12 +850,14 @@ object Similarity {
         col("pdot"))
     // the queries' own codes, derived FROM the LUT the serve path
     // already computes: the encode argmin key is cn2 − 2·dot(qsub,
-    // csub) and the LUT's pdot IS that decimal dot, so the min_by
-    // (with pqCodesFor's exact c·1e-14 tie-break) reproduces the
-    // encode bit-for-bit at zero additional dot products per batch
+    // csub) and the LUT's pdot IS that decimal dot (cn2 rides the LUT
+    // row), so the min_by (with pqCodesFor's exact c·1e-14 tie-break)
+    // reproduces the encode bit-for-bit at zero additional dot products
+    // per batch. The exact-code channel still costs one small groupBy +
+    // one broadcast per micro-batch (~20% serving qps at local sf0.1) —
+    // the price of "an exact duplicate is never tie-cut out of
+    // retrieval" holding for external queries too
     val qCodes = lutAll
-      .join(broadcast(cb.select(col("m"), col("c"), col("cn2"))),
-        Seq("m", "c"))
       .groupBy(col("qid"), col("m"))
       .agg(min_by(col("c"), col("cn2") - lit(2) * col("pdot") +
         col("c") * lit(new java.math.BigDecimal("1E-14"))).as("code"))
