@@ -1174,15 +1174,14 @@ object Dedup {
     * grid meets each pair exactly once; verification is unchanged), so
     * the two share one oracle. At 100 TB this is the re-bucketing path
     * an operator turns on when s10's max_share alarm fires — or leaves
-    * on permanently, since cold groups pay only the shared count
-    * window riding the candidate join's own shuffle. */
+    * on permanently, since cold groups pay only the distributed
+    * occupancy probe and a broadcast of the (few) hot keys. */
   def embeddingCosineSalted(s: SparkSession, dir: String,
       hotThreshold: Long = EmbHotBucketThreshold, salts: Int = 8): DataFrame = {
     val e = embNormed(s, dir)
     val bb = embBandKeys(e)
-    // the s10 occupancy evidence rides the candidate join's shuffle
-    // (count window over the band keys — no separate aggregate pass
-    // over the banded index)
+    // the s10 occupancy evidence: distributed aggregate over the banded
+    // index, hot keys broadcast back (see selfPairsSaltedByOccupancy)
     val cands = graft.ops.SaltedJoin
       .selfPairsSaltedByOccupancy(bb, Seq("band", "bucket"), "vec_id",
         hotThreshold, salts)

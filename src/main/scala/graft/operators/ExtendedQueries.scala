@@ -1411,9 +1411,9 @@ object ExtendedQueries {
       salts: Int = Q67Salts): DataFrame = {
     val c = names.select(col("c_custkey"), col("c_name"),
       substring(col("c_name"), 1, Q67BlockPrefix).as("blk"))
-    // the occupancy probe rides the pair join's own shuffle (a count
-    // window over blk — the same evidence d05b reads, at no separate
-    // aggregate pass over the blocked index)
+    // the occupancy probe: a distributed map-side-combined aggregate
+    // over the blocked index (the same evidence d05b reads) — see
+    // selfPairsSaltedByOccupancy for why it is NOT a count window
     graft.ops.SaltedJoin
       .selfPairsSaltedByOccupancy(c, Seq("blk"), "c_custkey",
         hotThreshold, salts, keep = Seq("c_name"))

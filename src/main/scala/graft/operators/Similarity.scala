@@ -173,17 +173,35 @@ object Similarity {
     val done = new org.apache.hadoop.fs.Path(s"$root/_DONE")
     val fs = done.getFileSystem(hc)
     if (!fs.exists(done)) {
+      // a fresh fingerprint supersedes every older artifact set for
+      // this tag — retire them (and any crashed builders' tmp dirs) so
+      // corpus regeneration cannot accumulate stale quantizer copies
+      // under the temp root forever. A concurrent reader of a retired
+      // root rebuilds on its next call; this is a cache, not a store.
+      val parent = rootP.getParent
+      if (fs.exists(parent))
+        fs.listStatus(parent).map(_.getPath)
+          .filter(p => p.getName.startsWith(s"$tag-") &&
+            p.getName != rootP.getName)
+          .foreach(p => fs.delete(p, true))
       // build aside, publish by atomic rename: a concurrent builder
       // computes identical artifacts (deterministic function of the
-      // training frame), so whoever renames first wins and the loser
-      // discards — no window where a reader sees half-written tables
+      // training frame), so whoever publishes first wins and the loser
+      // discards — no window where a reader sees half-written tables.
+      // Hadoop rename into an EXISTING directory moves the source
+      // UNDER it (returning true), so losing the race is detected by
+      // re-checking the destination, not by the rename's return value.
       val tmp = new org.apache.hadoop.fs.Path(
         s"$root.tmp-${java.util.UUID.randomUUID}")
       val t = train
       centsOf(t).write.mode("overwrite").parquet(s"$tmp/cents")
       pqCodebook(t).write.mode("overwrite").parquet(s"$tmp/cb")
       fs.create(new org.apache.hadoop.fs.Path(tmp, "_DONE"), true).close()
-      if (!fs.rename(tmp, rootP)) fs.delete(tmp, true)
+      if (fs.exists(rootP) || !fs.rename(tmp, rootP)) fs.delete(tmp, true)
+      // raced between the exists check and the rename: the rename
+      // nested tmp inside the winner's root — clean the stray copy
+      val nested = new org.apache.hadoop.fs.Path(rootP, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
     }
     root
   }

@@ -72,26 +72,23 @@ object SaltedJoin {
     splitPairs(cold, hot, keys, idCol, salts, keep)
   }
 
-  /** [[selfPairsSalted]] with the occupancy probe FOLDED INTO the pair
-    * join's own shuffle: group size comes from a count window over the
-    * same `keys` partitioning the self-join shuffles on, so hot
-    * detection costs no separate aggregate pass over the input and no
-    * broadcast — the window's exchange is reused by both join sides.
-    * Classification is identical to probing with `groupBy.count >
-    * hotThreshold`, hence so is the output. Use this when the evidence
-    * IS plain group occupancy of `df` itself; keep [[selfPairsSalted]]
-    * for callers holding external hot-key evidence. */
+  /** [[selfPairsSalted]] with the occupancy probe built in: group size
+    * from `groupBy.count` over `df`, groups above `hotThreshold` salted.
+    * The probe is a SECOND pass over the input, and that is deliberate —
+    * a count window over the join's own keys would fold the probe into
+    * one pass, but an unbounded `WindowExec` buffers each group through
+    * a single task, so the 10⁹-row hot group this function exists to
+    * de-skew would serialize (with spill) at the probe BEFORE the grid
+    * ever spreads it. The map-side-combined aggregate stays distributed
+    * on exactly the skewed input that matters; the broadcast back is
+    * bounded by total/threshold groups. */
   def selfPairsSaltedByOccupancy(df: DataFrame, keys: Seq[String],
       idCol: String, hotThreshold: Long, salts: Int,
       keep: Seq[String] = Nil): DataFrame = {
-    require(salts > 1, "salts must be > 1")
-    val SzCol = "__graft_sz"
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-    val flagged = df.withColumn(SzCol, count(lit(1)).over(w))
-    val cold = flagged.filter(col(SzCol) <= hotThreshold).drop(SzCol)
-    val hot = flagged.filter(col(SzCol) > hotThreshold).drop(SzCol)
-    splitPairs(cold, hot, keys, idCol, salts, keep)
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_sz"))
+      .filter(col("__graft_sz") > hotThreshold)
+    selfPairsSalted(df, keys, idCol, hot, salts, keep)
   }
 
   /** The shared cold/hot pairing core: plain within-group self-join for

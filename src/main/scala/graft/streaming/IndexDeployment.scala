@@ -69,6 +69,7 @@ object IndexDeployment {
   private def genDir(rootDir: String, gen: Long) = s"$rootDir/gen=$gen"
 
   private val GridFile = "GRID"
+  private val DoneFile = "_DONE"
 
   /** Persist the generation's PQ grid beside its artifacts — the
     * geometry is a property of the BUILD, so serving/measuring through
@@ -152,6 +153,11 @@ object IndexDeployment {
         sharded(Similarity.pqCodesFor(_, cb, m, subDim))
           .write.mode("overwrite").parquet(s"$dir/codes")
       } finally { cents.unpersist(); cb.unpersist(); () }
+      // completion marker AFTER every table, BEFORE the flip: a crash
+      // mid-deploy leaves a gen dir with tables missing — rollback must
+      // be able to tell that apart from a complete generation
+      val (f, _) = fs(s, dir)
+      f.create(new org.apache.hadoop.fs.Path(dir, DoneFile), true).close()
       flipPointer(s, rootDir, gen)
       gen
     } finally { if (owned) e.unpersist(); () }
@@ -225,7 +231,13 @@ object IndexDeployment {
       : Option[Long] =
     if (recallLoss(s, sfDir, rootDir) > maxRecallLoss) {
       val e = Similarity.embeddings(s, sfDir)
-      Some(deploy(s, e, e, rootDir))
+      // rebuild at the LIVE generation's grid (the measurement above
+      // already ran at it) — a rebuild repairs quantizer staleness, it
+      // must never silently change the index geometry
+      val (m, subDim) = gridOf(s, rootDir,
+        currentGen(s, rootDir).getOrElse(throw new IllegalStateException(
+          s"no deployed index under $rootDir")))
+      Some(deploy(s, e, e, rootDir, m = m, subDim = subDim))
     } else None
 
   /** Close the lifecycle loop on ONE index: the corpus that gets
@@ -247,20 +259,26 @@ object IndexDeployment {
       StreamingIndexCdc.readSurvivors(s, corpusDir, tombDir)).persist()
     try {
       // coverage guard: corpusDir is opt-in per applyBatch call, so a
-      // survivor view enabled mid-stream silently omits every vector
-      // upserted before enablement — rebuilding on it would DROP those
-      // vectors from serving. When the caller hands us the live CDC
-      // index, refuse a rebuild whose training view doesn't cover it.
+      // survivor view enabled mid-stream (or disabled for a batch)
+      // silently misses vectors OR serves stale versions of updated
+      // ones — rebuilding on it would drop/revert them in serving.
+      // When the caller hands us the live CDC index, refuse a rebuild
+      // whose training view doesn't cover the live WINNING VERSIONS
+      // (vec_id + seq, not bare existence: an update applied to the
+      // index but absent from the raw corpus must fail the guard too).
       indexDir.foreach { idxDir =>
         val live = StreamingIndexCdc.readIndex(s, idxDir, tombDir)
-          .select("vec_id").distinct()
+          .select("vec_id", "seq").distinct()
+        val survSeqs = StreamingIndexCdc
+          .readSurvivors(s, corpusDir, tombDir, keepSeq = true)
+          .select("vec_id", "seq")
         val uncovered = live
-          .join(survivors.select("vec_id"), Seq("vec_id"), "left_anti")
+          .join(survSeqs, Seq("vec_id", "seq"), "left_anti")
           .count()
         require(uncovered == 0L,
           s"survivor view at $corpusDir misses $uncovered live index " +
-            "vectors — corpusDir was enabled mid-stream; backfill the " +
-            "raw corpus before rebuilding from it")
+            "winning versions — corpusDir skipped some batches; " +
+            "backfill the raw corpus before rebuilding from it")
       }
       if (recallLossOf(s, survivors, rootDir) > maxRecallLoss) {
         // rebuild preserves the deployed geometry — the grid belongs to
@@ -278,11 +296,15 @@ object IndexDeployment {
     * escape hatch after a bad rebuild: one atomic metadata rename, no
     * data movement; serving sessions follow at their next micro-batch
     * (the same single-generation-per-batch rule as a forward swap).
-    * Refuses a generation that is not on disk (GC'd or never built). */
+    * Refuses a generation that is not COMPLETE on disk: GC'd, never
+    * built, or a crashed deploy's partial dir (the `_DONE` marker is
+    * written after the last table, so its presence is the
+    * all-tables-present proof bare directory existence is not). */
   def rollback(s: SparkSession, rootDir: String, gen: Long): Unit = {
-    val (f, root) = fs(s, rootDir)
-    require(f.exists(new org.apache.hadoop.fs.Path(root, s"gen=$gen")),
-      s"generation $gen does not exist under $rootDir")
+    val (f, _) = fs(s, rootDir)
+    require(f.exists(new org.apache.hadoop.fs.Path(
+        genDir(rootDir, gen), DoneFile)),
+      s"generation $gen is absent or incomplete under $rootDir")
     flipPointer(s, rootDir, gen)
   }
 

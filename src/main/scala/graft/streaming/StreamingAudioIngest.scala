@@ -31,30 +31,13 @@ object StreamingAudioIngest {
   /** Featurize one micro-batch of audio-document changes into the
     * [[VecChange]] contract `(seq, vec_id, op, embedding)`: upserts
     * decode → 16-bin PCM histogram at `vec_id = doc_id / 2`; deletes
-    * pass through with a null payload.
-    *
-    * Features are keyed PER CHANGE ROW (the [[StreamingVisualIngest]]
-    * determinism rule): the decode runs under a synthetic ODD id
-    * `2·seq+1` — the feature is a pure function of the text bytes, the
-    * id only picks the codec branch, and the floor division brings
-    * `vec_id` back as `seq` — then joins back on `seq`, so a batch
-    * carrying two versions of one document pairs each seq with its own
-    * embedding. */
-  def featurize(batch: DataFrame): DataFrame = {
-    val ups = batch.filter(col("op") =!= "D")
-    val feats = Multimodal.audioFeaturesOf(
-      ups.select((col("seq") * 2 + 1).cast("long").as("doc_id"),
-        col("text")))
-      .select(col("vec_id").as("seq"), col("embedding"))
-    ups.select(col("seq"),
-        (col("doc_id") / 2).cast("long").as("vec_id"), col("op"))
-      .join(feats, "seq")
-      .select("seq", "vec_id", "op", "embedding")
-      .unionByName(batch.filter(col("op") === "D")
-        .select(col("seq"), (col("doc_id") / 2).cast("long").as("vec_id"),
-          col("op"),
-          lit(null).cast(ArrayType(FloatType)).as("embedding")))
-  }
+    * pass through with a null payload. Keyed per change row via
+    * [[MediaFeaturize]] — the synthetic ODD id `2·seq+1` selects the
+    * WAV codec branch (floor division still brings `vec_id` back as
+    * `seq`). */
+  def featurize(batch: DataFrame): DataFrame =
+    MediaFeaturize.featurize(batch, col("seq") * 2 + 1,
+      Multimodal.audioFeaturesOf)
 
   /** Apply ONE batch of `(seq, doc_id, op, text)` audio-document changes
     * to the audio index — the foreachBatch body, callable directly for

@@ -191,17 +191,21 @@ object StreamingIndexCdc {
     * lifecycle loop: quantizers rebuilt from it see exactly what the
     * index serves. */
   def readSurvivors(s: SparkSession, corpusDir: String,
-      tombDir: String): DataFrame = {
+      tombDir: String, keepSeq: Boolean = false): DataFrame = {
     val raw =
       if (dirExists(s, corpusDir))
         s.read.schema(RawSchema).parquet(corpusDir)
           .select("vec_id", "seq", "embedding")
       else emptyOf(s, RawSchema)
-    raw.join(winners(raw, tombstones(s, tombDir))
+    val surv = raw.join(winners(raw, tombstones(s, tombDir))
         .filter(!col("deleted")).select("vec_id", "seq"),
         Seq("vec_id", "seq"))
       .dropDuplicates("vec_id")
-      .select("vec_id", "embedding")
+    // keepSeq exposes the winning version, so a consumer can audit
+    // VERSION coverage (IndexDeployment's rebuild guard), not just
+    // vector existence
+    if (keepSeq) surv.select("vec_id", "seq", "embedding")
+    else surv.select("vec_id", "embedding")
   }
 
   /** The live index — version resolution over the raw versioned rows:

@@ -118,7 +118,7 @@ object StreamingScd2 {
         getHandle.listTimers().foreach(getHandle.deleteTimer)
         if (cur.isDefined)
           getHandle.registerTimer(
-            timerValues.getCurrentProcessingTimeInMs + ms)
+            timerValues.getCurrentProcessingTimeInMs() + ms)
       }
       out.result().iterator
     }
@@ -135,7 +135,7 @@ object StreamingScd2 {
         open.clear()
         Iterator.single(Scd2Version(key, o.event_id, o.event_type,
           o.value, o.ts_us,
-          Some(expiredTimerInfo.getExpiryTimeInMs * 1000L),
+          Some(expiredTimerInfo.getExpiryTimeInMs() * 1000L),
           is_current = false))
       } else Iterator.empty
   }
@@ -179,7 +179,18 @@ object StreamingScd2 {
   def attach(events: Dataset[Scd2Event], storeDir: String,
       checkpointDir: String,
       ttl: TTLConfig = TTLConfig.NONE): StreamingQuery =
-    history(events, ttl).writeStream
+    attachSink(history(events, ttl), storeDir, checkpointDir)
+
+  /** [[attach]] with [[historyEvictClosed]]'s invariant-keeping
+    * eviction — the deployable form of the timer-closed maintainer. */
+  def attachEvictClosed(events: Dataset[Scd2Event], storeDir: String,
+      checkpointDir: String, evictCloseMs: Long): StreamingQuery =
+    attachSink(historyEvictClosed(events, evictCloseMs), storeDir,
+      checkpointDir)
+
+  private def attachSink(versions: Dataset[Scd2Version], storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    versions.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(0))
@@ -208,7 +219,7 @@ object StreamingScd2 {
     val withB =
       if (base.columns.contains("batch_id")) base
       else base.withColumn("batch_id", lit(null))
-    withB
+    val resolved = withB
       .groupBy("user_id", "version_event_id")
       .agg(max(struct(col("valid_to_us").isNotNull.as("closed"),
         col("batch_id").cast(LongType).as("batch_id"),
@@ -221,6 +232,22 @@ object StreamingScd2 {
         col("v.valid_from_us").as("valid_from_us"),
         col("v.valid_to_us").as("valid_to_us"),
         col("v.is_current").as("is_current"))
+    // non-overlap repair: an evict-close stamps a wall-clock deadline
+    // into the event-time valid_to domain, and the entity's RETURN
+    // (event-time valid_from) can predate it — cap every closed
+    // version at its successor's valid_from so point-in-time reads
+    // never match two versions. Ordinary closes already equal the next
+    // open's timestamp, so this is a byte-level no-op for them (the
+    // stream↔batch parity spec holds unchanged); gaps after deletes
+    // stay gaps (the cap only ever shrinks an interval).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("version_event_id"))
+    val nextFrom = lead(col("valid_from_us"), 1).over(w)
+    resolved.withColumn("valid_to_us",
+      when(col("valid_to_us").isNotNull && nextFrom.isNotNull,
+        least(col("valid_to_us"), nextFrom))
+        .otherwise(col("valid_to_us")))
   }
 
   /** Fold the batch-partition history into a fresh store whose ONLY

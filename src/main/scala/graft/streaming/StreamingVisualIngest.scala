@@ -13,6 +13,33 @@ import graft.operators.Multimodal
 final case class ImageChange(seq: Long, docId: Long, op: String,
     text: String)
 
+/** The shared per-change featurization core of the media ingests: the
+  * decode runs under a caller-supplied SYNTHETIC id derived from `seq`
+  * (the feature is a pure function of the text bytes — the id only
+  * picks the codec branch — and the featurizer returns `vec_id =
+  * synthetic/2 = seq`), then joins back on `seq`. ONE definition, so
+  * the determinism rule — a batch carrying two versions of one
+  * document pairs each seq with ITS OWN embedding, never a
+  * cross-matched one — cannot drift between modalities. */
+private[streaming] object MediaFeaturize {
+  def featurize(batch: DataFrame,
+      syntheticDocId: org.apache.spark.sql.Column,
+      featuresOf: DataFrame => DataFrame): DataFrame = {
+    val ups = batch.filter(col("op") =!= "D")
+    val feats = featuresOf(
+      ups.select(syntheticDocId.cast("long").as("doc_id"), col("text")))
+      .select(col("vec_id").as("seq"), col("embedding"))
+    ups.select(col("seq"),
+        (col("doc_id") / 2).cast("long").as("vec_id"), col("op"))
+      .join(feats, "seq")
+      .select("seq", "vec_id", "op", "embedding")
+      .unionByName(batch.filter(col("op") === "D")
+        .select(col("seq"), (col("doc_id") / 2).cast("long").as("vec_id"),
+          col("op"),
+          lit(null).cast(ArrayType(FloatType)).as("embedding")))
+  }
+}
+
 /** Streaming multimodal ingest — the m11 feature extraction run per
   * micro-batch, feeding [[StreamingIndexCdc]]: arriving image documents
   * are decoded (the real byte-level BMP codec) and histogram-featurized
@@ -36,30 +63,12 @@ object StreamingVisualIngest {
   /** Featurize one micro-batch of image-document changes into the
     * [[VecChange]] contract `(seq, vec_id, op, embedding)`: upserts
     * decode → 16-bin histogram at `vec_id = doc_id / 2`; deletes pass
-    * through with a null payload (there is nothing to decode).
-    *
-    * Features are keyed PER CHANGE ROW, not per vec_id: the decode runs
-    * under a synthetic even id `2·seq` (the feature is a pure function
-    * of the text bytes — the id only picks the codec branch — so
-    * `vec_id` comes back as `seq`) and joins back on `seq`. A batch
-    * carrying two versions of the same document therefore pairs each
-    * seq with ITS OWN embedding; joining on `vec_id` alone would
-    * cross-match versions and let the LWW winner carry a stale payload
-    * nondeterministically. */
-  def featurize(batch: DataFrame): DataFrame = {
-    val ups = batch.filter(col("op") =!= "D")
-    val feats = Multimodal.imageFeaturesOf(
-      ups.select((col("seq") * 2).cast("long").as("doc_id"), col("text")))
-      .select(col("vec_id").as("seq"), col("embedding"))
-    ups.select(col("seq"),
-        (col("doc_id") / 2).cast("long").as("vec_id"), col("op"))
-      .join(feats, "seq")
-      .select("seq", "vec_id", "op", "embedding")
-      .unionByName(batch.filter(col("op") === "D")
-        .select(col("seq"), (col("doc_id") / 2).cast("long").as("vec_id"),
-          col("op"),
-          lit(null).cast(ArrayType(FloatType)).as("embedding")))
-  }
+    * through with a null payload (there is nothing to decode). Keyed
+    * per change row via [[MediaFeaturize]] — the synthetic EVEN id
+    * `2·seq` selects the BMP codec branch. */
+  def featurize(batch: DataFrame): DataFrame =
+    MediaFeaturize.featurize(batch, col("seq") * 2,
+      Multimodal.imageFeaturesOf)
 
   /** Apply ONE batch of `(seq, doc_id, op, text)` image-document changes
     * to the visual index — the foreachBatch body, callable directly for

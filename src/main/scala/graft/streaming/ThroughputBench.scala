@@ -234,58 +234,51 @@ object ThroughputBench {
     * [[StreamingVisualIngest]] path (the m11 extraction running
     * online). */
   def runVisualIngest(spark: SparkSession, sfDir: String,
-      nDocs: Int = 400, batches: Int = 4): Double = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val idx = StreamingSimScorer.buildIndexFrom(
-      graft.operators.Similarity.withNorm(
-        graft.operators.Multimodal.imageFeatures(spark, sfDir)),
-      graft.operators.Multimodal.M11PqM,
-      graft.operators.Multimodal.M11PqSubDim)
-    try {
-      val docs = graft.Tables.table(spark, sfDir, "documents")
-        .filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text")).limit(nDocs)
-        .as[(Long, String)].collect()
-      val changes = docs.zipWithIndex.map { case ((id, t), i) =>
-        ImageChange(i.toLong, id, "I", t) }
-      val base = Files.createTempDirectory("graft-visual-bench")
-      timedStreamRate(spark, changes.toIndexedSeq, batches) { df =>
-        StreamingVisualIngest.attach(
-          df.select(col("seq"), col("docId").as("doc_id"), col("op"),
-            col("text")),
-          idx, base.resolve("index").toString,
-          base.resolve("tomb").toString, base.resolve("ckpt").toString)
-      }
-    } finally idx.unpersistAll()
-  }
+      nDocs: Int = 400, batches: Int = 4): Double =
+    runMediaIngest(spark, sfDir, nDocs, batches, parity = 0,
+      graft.operators.Multimodal.imageFeatures,
+      StreamingVisualIngest.attach(_, _, _, _, _), "visual")
 
-  /** Audio-ingest maintenance rate: raw audio documents decoded (real
-    * WAV codec), histogram-featurized, and applied to the audio index
-    * per micro-batch — tracks/second through the full
+  /** Audio-ingest maintenance rate: the WAV sibling of
+    * [[runVisualIngest]] — tracks/second through the full
     * [[StreamingAudioIngest]] path (the m13 extraction running
     * online). */
   def runAudioIngest(spark: SparkSession, sfDir: String,
-      nDocs: Int = 400, batches: Int = 4): Double = {
+      nDocs: Int = 400, batches: Int = 4): Double =
+    runMediaIngest(spark, sfDir, nDocs, batches, parity = 1,
+      graft.operators.Multimodal.audioFeatures,
+      StreamingAudioIngest.attach(_, _, _, _, _), "audio")
+
+  /** The shared media-ingest bench body — one definition so the two
+    * modality benches measure the identical protocol (same doc count,
+    * batching, and change shape), differing only in codec parity,
+    * corpus featurizer, and the maintainer attached. */
+  private def runMediaIngest(spark: SparkSession, sfDir: String,
+      nDocs: Int, batches: Int, parity: Int,
+      corpusFeatures: (SparkSession, String)
+        => org.apache.spark.sql.DataFrame,
+      attachFn: (org.apache.spark.sql.DataFrame, StreamingSimScorer.Index,
+        String, String, String)
+        => org.apache.spark.sql.streaming.StreamingQuery,
+      tag: String): Double = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val idx = StreamingSimScorer.buildIndexFrom(
-      graft.operators.Similarity.withNorm(
-        graft.operators.Multimodal.audioFeatures(spark, sfDir)),
+      graft.operators.Similarity.withNorm(corpusFeatures(spark, sfDir)),
       graft.operators.Multimodal.M11PqM,
       graft.operators.Multimodal.M11PqSubDim)
     try {
       val docs = graft.Tables.table(spark, sfDir, "documents")
-        .filter(col("doc_id") % 2 === 1)
+        .filter(col("doc_id") % 2 === parity)
         .select(col("doc_id"), col("text")).limit(nDocs)
         .as[(Long, String)].collect()
       val changes = docs.zipWithIndex.map { case ((id, t), i) =>
-        AudioChange(i.toLong, id, "I", t) }
-      val base = Files.createTempDirectory("graft-audio-bench")
+        (i.toLong, id, "I", t) }
+      val base = Files.createTempDirectory(s"graft-$tag-bench")
       timedStreamRate(spark, changes.toIndexedSeq, batches) { df =>
-        StreamingAudioIngest.attach(
-          df.select(col("seq"), col("docId").as("doc_id"), col("op"),
-            col("text")),
+        attachFn(
+          df.select(col("_1").as("seq"), col("_2").as("doc_id"),
+            col("_3").as("op"), col("_4").as("text")),
           idx, base.resolve("index").toString,
           base.resolve("tomb").toString, base.resolve("ckpt").toString)
       }

@@ -294,7 +294,37 @@ class IndexDeploymentSpec extends SparkSpec {
         finally g.unpersistAll()
       }
       assert(viaRebuilt == scratch)
+
+      // version coverage, not bare existence: an UPDATE applied to the
+      // index but skipped by the raw corpus (corpusDir=None for that
+      // batch) leaves the survivor view holding a STALE embedding —
+      // rebuilding on it would silently revert the vector in serving
+      val someId = all.head._1
+      StreamingIndexCdc.applyBatch(
+        chg(Seq((nxt, someId, "I", all.head._2.map(_ + 1f)))),
+        idx, indexDir, tombDir, 3L, corpusDir = None)
+      intercept[IllegalArgumentException] {
+        IndexDeployment.rebuildFromCdc(spark, corpusDir, tombDir, root,
+          maxRecallLoss = -1.0, indexDir = Some(indexDir))
+      }
     } finally { idx.unpersistAll(); e.unpersist(); () }
+  }
+
+  test("rollback refuses a crashed deploy's partial generation dir") {
+    val root = Files.createTempDirectory("graft-bg-partial").toString
+    val e = Similarity.embeddings(spark, sf)
+    IndexDeployment.deploy(spark, e, e, root)
+    // simulate a deploy that died after creating the dir (GRID written,
+    // tables missing): bare existence must not qualify it for serving
+    val partial = java.nio.file.Paths.get(root, "gen=7")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.writeString(partial.resolve("GRID"), "8 8\n")
+    intercept[IllegalArgumentException] {
+      IndexDeployment.rollback(spark, root, 7L)
+    }
+    // the complete generation still rolls back fine
+    IndexDeployment.rollback(spark, root, 0L)
+    assert(IndexDeployment.currentGen(spark, root).contains(0L))
   }
 
   test("serving across the swap: every batch answered by exactly one " +

@@ -1569,10 +1569,12 @@ class OperatorsSpec extends SparkSpec {
     val root2 = Similarity.ensureArtifacts(spark, dir, "inval", train)
     assert(root2 != root1,
       "a regenerated corpus must not reuse stale artifacts")
-    Seq(root1, root2).foreach { r =>
-      val (c, cb) = Similarity.loadArtifacts(spark, r)
-      assert(c.count() > 0 && cb.count() > 0)
-    }
+    val (c, cb) = Similarity.loadArtifacts(spark, root2)
+    assert(c.count() > 0 && cb.count() > 0)
+    // the fresh fingerprint RETIRES the superseded root — regeneration
+    // must not accumulate stale quantizer copies under the temp root
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root1)),
+      "superseded artifact root must be garbage-collected")
   }
 
   test("s18: compacting tombstones equals a rebuild on survivors; " +

@@ -57,24 +57,26 @@ class StreamingScd2Spec extends SparkSpec {
   }
 
   test("evict-closed mode: a silent entity's open version is CLOSED at " +
-      "the deadline, and its next event opens fresh — never two current " +
-      "rows") {
+      "the deadline, its return opens fresh, and the read repairs the " +
+      "wall-clock close so point-in-time never matches two versions") {
     graft.streaming.StateStores.useRocksDb(spark, boundedMemMb = 256)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Scd2Event]
-    val q = StreamingScd2.historyEvictClosed(input.toDS(),
-        evictCloseMs = 2000L)
-      .writeStream.format("memory").queryName("scd2_evict_stream")
-      .outputMode("update").start()
+    val base = Files.createTempDirectory("graft-scd2-evict")
+    val store = base.resolve("store").toString
+    val q = StreamingScd2.attachEvictClosed(input.toDS(), store,
+      base.resolve("ckpt").toString, evictCloseMs = 2000L)
     try {
-      def rows() = spark.table("scd2_evict_stream").collect().map { r =>
-        (r.getAs[Long]("user_id"), r.getAs[Long]("version_event_id"),
-          if (r.isNullAt(r.fieldIndex("valid_to_us"))) None
-          else Some(r.getAs[Long]("valid_to_us")),
-          r.getAs[Boolean]("is_current"))
-      }.toSeq
+      def hist() = StreamingScd2.readHistory(spark, store).collect()
+        .map { r =>
+          (r.getAs[Long]("user_id"), r.getAs[Long]("version_event_id"),
+            r.getAs[Long]("valid_from_us"),
+            if (r.isNullAt(r.fieldIndex("valid_to_us"))) None
+            else Some(r.getAs[Long]("valid_to_us")),
+            r.getAs[Boolean]("is_current"))
+        }.toSeq
       // ProcessingTime mode keeps scheduling timer batches —
-      // processAllAvailable never settles; poll the memory sink
+      // processAllAvailable never settles; poll the maintained store
       def await(pred: => Boolean): Unit = {
         val deadline = System.currentTimeMillis() + 120000
         while (System.currentTimeMillis() < deadline && !pred)
@@ -82,21 +84,25 @@ class StreamingScd2Spec extends SparkSpec {
         assert(pred)
       }
       input.addData(Scd2Event(1L, 100L, "login", 1.0, 1000L))
-      await(rows().contains((1L, 100L, None, true)))
-      // the eviction timer fires: the open version is emitted CLOSED
-      // (valid_to = the deadline that fired), not silently dropped
-      await(rows().exists { case (u, v, to, cur) =>
-        u == 1L && v == 100L && to.nonEmpty && !cur })
-      // the entity returns after eviction: a fresh open version, against
-      // an already-closed predecessor
+      await(hist().exists(r => r._2 == 100L && r._4.isEmpty && r._5))
+      // the eviction timer fires: the open version lands CLOSED in the
+      // store (valid_to = the wall-clock deadline), not silently dropped
+      await(hist().exists(r => r._2 == 100L && r._4.nonEmpty && !r._5))
+      // the entity returns AFTER eviction with an event-time that
+      // precedes the wall-clock deadline — the tear case
       input.addData(Scd2Event(1L, 200L, "purchase", 2.0, 9000L))
-      await(rows().contains((1L, 200L, None, true)))
-      // resolve latest-emission-per-version (readHistory's rule: closed
-      // beats open): exactly ONE current row for the key
-      val resolved = rows().groupBy(r => (r._1, r._2))
-        .map { case (_, rs) => rs.maxBy(_._3.nonEmpty) }
-      assert(resolved.count(r => r._4 && r._3.isEmpty) == 1)
-      assert(resolved.exists(r => r._2 == 100L && r._3.nonEmpty && !r._4))
+      await(hist().exists(r => r._2 == 200L && r._4.isEmpty && r._5))
+      val h = hist()
+      // exactly one current row, and the read caps the evict-close at
+      // the successor's valid_from: v100 = [1000, 9000), v200 = [9000, ∞)
+      assert(h.count(_._5) == 1)
+      assert(h.exists(r => r._2 == 100L && r._4.contains(9000L) && !r._5))
+      // point-in-time semantics: every instant matches at most one row
+      Seq(1000L, 5000L, 9000L, 20000L).foreach { t =>
+        val matches = h.count(r =>
+          r._3 <= t && r._4.forall(t < _))
+        assert(matches <= 1, s"instant $t matched $matches versions")
+      }
     } finally q.stop()
   }
 
