@@ -61,7 +61,9 @@ final case class ObservabilitySettings(
     healthCheckPort: Int = 8080,
     healthCheckPath: String = "/health",
     logLevel: String = "INFO",
-    logFormat: String = "json")
+    logFormat: String = "json",
+    enableTracing: Boolean = false,
+    tracingEndpoint: Option[String] = None)
 
 final case class PipelineConfig(
     source: SourceSettings = SourceSettings(),
@@ -174,7 +176,9 @@ object PipelineConfig {
         healthCheckPort = obs.int("health_check_port", 8080),
         healthCheckPath = obs.str("health_check_path", "/health"),
         logLevel = obs.str("log_level", "INFO"),
-        logFormat = obs.str("log_format", "json")),
+        logFormat = obs.str("log_format", "json"),
+        enableTracing = obs.bool("enable_tracing", dflt = false),
+        tracingEndpoint = obs.opt("tracing_endpoint")),
       dlqDirectory = dlq.str("directory", "dlq"),
       maskingRulesFile =
         env("CDC_MASKING_RULES_FILE").orElse(

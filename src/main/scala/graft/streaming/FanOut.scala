@@ -75,6 +75,15 @@ object FanOut {
     try {
       val futures = dests.map { d =>
         val t0 = System.currentTimeMillis()
+        // one `batch_write` span per destination per batch (the
+        // reference's tracing unit, `src/observability/tracing.py:103`);
+        // non-recording — two branches — unless Tracing.init was called.
+        // batch.size is not attributed here: counting the batch costs a
+        // Spark job, and the caller that knows the count can set it.
+        val span = graft.obs.Tracing.active
+          .map(_.startSpan("batch_write",
+            "destination" -> d.name, "batch.id" -> batchId))
+          .getOrElse(graft.obs.Span.NonRecording)
         val attempt = Future(Retry.withRetry(d.policy)(d.write(batch, batchId)))
         // bound the whole retried write: a destination that HANGS (vs
         // fails) must not stall the other destinations' next batch
@@ -98,10 +107,20 @@ object FanOut {
           val dlqRows = out match {
             case Retry.Succeeded(_, _) => 0L
             case Retry.Permanent(err, attempts, firstAt) =>
+              span.recordError(err)
               toDlq(batch, batchId, d.name, err, dlqDir, attempts, firstAt)
             case Retry.Exhausted(err, attempts, firstAt) =>
+              span.recordError(err)
               toDlq(batch, batchId, d.name, err, dlqDir, attempts, firstAt)
           }
+          val attempts = out match {
+            case Retry.Succeeded(_, a) => a
+            case Retry.Permanent(_, a, _) => a
+            case Retry.Exhausted(_, a, _) => a
+          }
+          span.setAttribute("retry.attempts", attempts)
+            .setAttribute("dlq.rows", dlqRows)
+            .end()
           FanOutResult(d.name, out, dlqRows,
             durationMs = System.currentTimeMillis() - t0)
         }
