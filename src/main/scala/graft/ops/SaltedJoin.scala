@@ -88,7 +88,25 @@ object SaltedJoin {
     val hot = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__graft_sz"))
       .filter(col("__graft_sz") > hotThreshold)
-    selfPairsSalted(df, keys, idCol, hot, salts, keep)
+    // Pre-flight adaptivity (the AQE move at operator granularity): the
+    // probe runs EAGERLY, and a corpus with no hot group — the common,
+    // healthy shape — short-circuits to the plain within-group join.
+    // Classification affects only the plan, never the output, so the
+    // eager job is safe; what it buys is real: the cold plan carries
+    // zero residual salting machinery (the empty hot side below is a
+    // LocalRelation, so PropagateEmptyRelation erases the flag join,
+    // the grid branch, and its union at optimization time), where the
+    // always-salted plan pays ~6 extra scans/exchanges of pure
+    // insurance on every run. Cost when hot IS nonempty: the probe
+    // aggregate evaluates twice (once here, once under the broadcast) —
+    // one extra map-side-combined pass, on exactly the corpus that
+    // needs the grid anyway.
+    if (hot.isEmpty) {
+      val empty = df.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        df.schema)
+      splitPairs(df, empty, keys, idCol, salts, keep)
+    } else selfPairsSalted(df, keys, idCol, hot, salts, keep)
   }
 
   /** The shared cold/hot pairing core: plain within-group self-join for

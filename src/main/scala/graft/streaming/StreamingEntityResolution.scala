@@ -163,7 +163,12 @@ object StreamingEntityResolution {
       val pairs = incoming.as("x").join(pool.as("y"),
           col("x.blk") === col("y.blk") &&
             col("x.custkey") =!= col("y.custkey"))
-        .filter(levenshtein(col("x.name"), col("y.name"), maxEdit) >= 0)
+        .filter((if (maxEdit == 1)
+            // the default budget takes q67's single-pass scalar
+            // (functions/EditWithin1) — same 0/1/-1 contract, no DP
+            graft.functions.EditWithin1
+              .edit_within1(col("x.name"), col("y.name"))
+          else levenshtein(col("x.name"), col("y.name"), maxEdit)) >= 0)
         .select(least(col("x.custkey"), col("y.custkey")).as("da"),
           greatest(col("x.custkey"), col("y.custkey")).as("db"))
         .distinct()

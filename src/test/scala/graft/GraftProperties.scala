@@ -159,4 +159,49 @@ object GraftProperties extends Properties("graft") {
         (pk.isEmpty && ck.isEmpty ||
           ev(pk, ck, ts).eventKey != ev(pk, ck, ts + 1).eventKey)
     }
+
+  // ---- EditWithin1 vs the full Levenshtein DP ------------------------------
+
+  /** Reference: plain code-point Levenshtein (the DuckDB/Spark builtin
+    * semantics the q67 oracle replays). */
+  private def levRef(a: String, b: String): Int = {
+    val as = a.codePoints().toArray
+    val bs = b.codePoints().toArray
+    val dp = Array.tabulate(bs.length + 1)(identity)
+    for (i <- 1 to as.length) {
+      var prev = dp(0)
+      dp(0) = i
+      for (j <- 1 to bs.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (as(i - 1) == bs(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(bs.length)
+  }
+
+  // small alphabet (dense near-matches) + astral char to hit the
+  // surrogate-pair paths
+  private val genEditStr: Gen[String] = for {
+    n <- Gen.choose(0, 8)
+    cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "é", "𝄞"))
+  } yield cs.mkString
+
+  property("EditWithin1 == levenshtein clamped at budget 1") =
+    forAll(genEditStr, genEditStr) { (a, b) =>
+      val expect = { val d = levRef(a, b); if (d <= 1) d else -1 }
+      graft.functions.EditWithin1.compute(a, b) == expect
+    }
+
+  property("EditWithin1 mutation closure: every single edit is distance 1") =
+    forAll(genEditStr, Gen.choose(0, 100), Gen.oneOf("x", "𝄞")) {
+      (a, pos, ins) =>
+        val cps = a.codePoints().toArray
+        val at = if (cps.isEmpty) 0 else pos % (cps.length + 1)
+        def s(cp: Array[Int]) = new String(cp, 0, cp.length)
+        val inserted = s(cps.patch(at, ins.codePoints().toArray, 0))
+        val f = graft.functions.EditWithin1.compute _
+        f(a, inserted) == 1 && f(inserted, a) == 1 && f(a, a) == 0
+    }
 }
