@@ -173,6 +173,7 @@ object SparkEntry {
     "s21_filtered_ann_audit" -> canon("method")(Similarity.filteredAnnAudit),
     "s21c_filtered_artifacts" ->
       canon("method")(Similarity.filteredAnnAuditArtifacts),
+    "s22_label_purity" -> canon("label")(Similarity.labelPurity),
     "t01_text_langid" -> TextAnalysis.langId _,
     "t02_text_quality" -> TextAnalysis.quality _,
     "t03_text_tokens" -> TextAnalysis.tokenCount _,
@@ -2818,6 +2819,30 @@ object SparkEntry {
     // scored against s08's exact filtered truth
     "s21_filtered_ann_audit" -> s21Sql,
     "s21c_filtered_artifacts" -> s21Sql,
+    // s22: kNN label-consistency — exact top-K truth (the s01 body)
+    // joined to labels; per-label hit and majority-vote-correct counts,
+    // integers only; majority ties break to the smallest label on both
+    // engines
+    "s22_label_purity" ->
+      s"""WITH top AS (SELECT qid, neighbor_id FROM ($s01Sql)),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |j AS (SELECT t.qid, ql.label AS qlabel, nl.label AS nlabel
+         |      FROM top t
+         |      JOIN lab ql ON ql.vec_id = t.qid
+         |      JOIN lab nl ON nl.vec_id = t.neighbor_id),
+         |perq AS (SELECT qid, qlabel,
+         |      SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS n_match
+         |    FROM j GROUP BY qid, qlabel),
+         |maj AS (SELECT qid, nlabel AS maj_label FROM (
+         |      SELECT qid, nlabel, ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY COUNT(*) DESC, nlabel) AS rn
+         |      FROM j GROUP BY qid, nlabel) WHERE rn = 1)
+         |SELECT p.qlabel AS label, COUNT(*) AS n_queries,
+         |  CAST(SUM(p.n_match) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN m.maj_label = p.qlabel THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct
+         |FROM perq p JOIN maj m USING (qid)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p01_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

@@ -307,6 +307,52 @@ object Similarity {
         col("min_v"), col("max_v"), col("n_zero"), col("n_pos"))
       .orderBy("dim")
 
+  /** kNN label-consistency audit (s22) — the supervised probe an
+    * embedding pipeline runs before trusting a space for curation or
+    * dedup: if the corpus carries labels (the `embeddings.label`
+    * column), the fraction of a query's exact top-[[TopK]] neighbors
+    * sharing its label, and whether the neighbors' MAJORITY label
+    * recovers it (the standard kNN-classification sanity check — a
+    * space where labels don't cluster is a space where cosine
+    * similarity means nothing, and every d05/d18/s15 decision built on
+    * it inherits that). Per label: query count, neighbor label hits
+    * (≤ [[TopK]]·n), and majority-vote correct count — integers only,
+    * so the oracle compare is exact by construction. Majority ties
+    * break to the smallest label (deterministic, oracle-replayed).
+    * Truth comes from [[bruteForceRanked]] — an audit over the
+    * [[NumQueries]] query sample must not inherit the index's own
+    * recall errors; at 100 TB the sample stays a broadcast against one
+    * corpus scan (the s01 shape), never all-pairs. */
+  def labelPurity(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val j = bruteForceRanked(embeddings(s, dir))
+      .select("qid", "neighbor_id")
+      .join(broadcast(lab.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))), "qid")
+      .join(broadcast(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"))), "neighbor_id")
+    val perQuery = j.groupBy("qid", "qlabel")
+      .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_match"))
+    val wMaj = Window.partitionBy(col("qid"))
+      .orderBy(col("cnt").desc, col("nlabel").asc)
+    val majority = j.groupBy("qid", "nlabel")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wMaj))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nlabel").as("maj_label"))
+    perQuery.join(majority, "qid")
+      .groupBy(col("qlabel"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_match")).as("n_hits"),
+        sum(when(col("maj_label") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("qlabel").as("label"), col("n_queries"), col("n_hits"),
+        col("n_correct"))
+      .orderBy("label")
+  }
+
   /** Embedding drift audit (s13) — the per-dimension comparison a
     * pipeline runs between two corpus snapshots (or two encoder
     * versions) before trusting that yesterday's index parameters still

@@ -318,17 +318,26 @@ object IndexDeployment {
   }
 
   /** Retention-prune old generations: the LIVE generation always
-    * survives, plus the `keep` highest-numbered others — the rollback
-    * window. Without a cleanup cadence old `gen=N` directories
-    * accumulate forever; with one, disk is bounded by (keep+1) index
-    * copies. Returns the deleted generations (ascending). */
+    * survives, plus the `keep` highest-numbered other COMPLETE ones —
+    * the rollback window. The window ranges over complete (`_DONE`)
+    * generations only, so a crashed deploy's partial dir can never
+    * occupy a rollback slot while the real rollback target is deleted;
+    * and incomplete dirs are never deleted either — an incomplete dir
+    * is indistinguishable from a green build IN FLIGHT, and GC running
+    * beside a deploy must not pull the build out from under it (crashed
+    * partials therefore linger until a later deploy reuses numbers past
+    * them; they are bounded by crash count, not by corpus size).
+    * Without a cleanup cadence old `gen=N` directories accumulate
+    * forever; with one, disk is bounded by (keep+1) index copies plus
+    * any partials. Returns the deleted generations (ascending). */
   def gcGenerations(s: SparkSession, rootDir: String,
       keep: Int = 1): Seq[Long] = {
     require(keep >= 0, s"keep must be non-negative, got $keep")
     val live = currentGen(s, rootDir)
-    val drop = generations(s, rootDir).filterNot(live.contains)
-      .dropRight(keep)
     val (f, root) = fs(s, rootDir)
+    val complete = generations(s, rootDir).filter(g =>
+      f.exists(new org.apache.hadoop.fs.Path(genDir(rootDir, g), DoneFile)))
+    val drop = complete.filterNot(live.contains).dropRight(keep)
     drop.foreach(g =>
       f.delete(new org.apache.hadoop.fs.Path(root, s"gen=$g"), true))
     drop

@@ -47,6 +47,10 @@ object PipelineDemo {
     val metrics = new MetricsListener
     spark.streams.addListener(metrics)
     val health = new HealthStatus()
+    // settings.py:118-119: tracing is config-gated; when enabled the
+    // fan-out's per-destination batch_write spans print as console JSON
+    val tracer = graft.obs.Tracing.initFromConfig(cfg.observability)
+    tracer.foreach(_ => println("[demo] tracing enabled (console exporter)"))
 
     val outRoot = s"$work/sinks"
     def parquetSink(name: String): (DataFrame, Long) => Unit =
@@ -71,6 +75,7 @@ object PipelineDemo {
     println(s"[demo] ${cfg.observability.metricsPath} →")
     print(metrics.prometheusText)
     println(s"[demo] ${cfg.observability.healthCheckPath} → ${health.toJson}")
+    graft.obs.Tracing.shutdown() // flush any buffered spans
     spark.streams.removeListener(metrics)
     spark.stop()
   }

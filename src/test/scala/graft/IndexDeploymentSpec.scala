@@ -325,6 +325,18 @@ class IndexDeploymentSpec extends SparkSpec {
     // the complete generation still rolls back fine
     IndexDeployment.rollback(spark, root, 0L)
     assert(IndexDeployment.currentGen(spark, root).contains(0L))
+
+    // GC: the partial can neither occupy a rollback slot nor be
+    // deleted (it is indistinguishable from a build in flight) — the
+    // keep-window ranges over COMPLETE generations only
+    val gen8 = IndexDeployment.deploy(spark, e, e, root) // becomes live
+    assert(gen8 == 8L) // allocated past the partial, never into it
+    assert(IndexDeployment.gcGenerations(spark, root, keep = 1).isEmpty,
+      "gen=0 is the one complete rollback target; the partial must not " +
+        "push it out of the window")
+    assert(IndexDeployment.gcGenerations(spark, root, keep = 0) == Seq(0L))
+    assert(IndexDeployment.generations(spark, root) == Seq(7L, 8L),
+      "live and the (undeletable) partial remain")
   }
 
   test("serving across the swap: every batch answered by exactly one " +

@@ -2361,4 +2361,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("o_orderkey")).toSet.subsetOf(qualifying))
     assert(got.length == math.min(20, qualifying.size))
   }
+
+  test("s22: label purity equals a plain-Scala mirror over the exact " +
+      "top-K truth; counts close over the query sample") {
+    import graft.operators.Similarity
+    val got = Similarity.labelPurity(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> (r.getAs[Long]("n_queries"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("n_correct"))).toMap
+    // every query accounted for, hits bounded by TopK per query
+    assert(got.values.map(_._1).sum == Similarity.NumQueries)
+    got.values.foreach { case (n, hits, correct) =>
+      assert(hits <= n * Similarity.TopK && correct <= n)
+    }
+    // mirror: exact top-K from the engine's own brute-force truth
+    // (s01's spec-verified contract), labels joined driver-side
+    val lab = Tables.table(spark, sf, "embeddings")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val top = Similarity.bruteForceTopK(spark, sf)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1)
+    val perLabel = top.toSeq.map { case (qid, rows) =>
+      val ql = lab(qid)
+      val ns = rows.map(r => lab(r._2))
+      val maj = ns.groupBy(identity).toSeq
+        .map { case (l, xs) => (l, xs.size) }
+        .minBy { case (l, c) => (-c, l) }._1
+      (ql, ns.count(_ == ql).toLong, if (maj == ql) 1L else 0L)
+    }.groupBy(_._1).map { case (l, xs) =>
+      l -> (xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+    }
+    assert(got == perLabel)
+  }
 }
