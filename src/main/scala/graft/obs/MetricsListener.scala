@@ -62,6 +62,16 @@ final class MetricsListener extends StreamingQueryListener {
       (p.inputRowsPerSecond - p.processedRowsPerSecond).toLong)
     healthByQuery.put(p.id.toString,
       if (batchMs > DegradedThresholdMs) Degraded else Healthy)
+    // one completed micro-batch = one span when tracing is on — the
+    // reference's replicate_event unit lifted to Spark's batch
+    // granularity (tracing.py:72-100; per-row spans at stream rates
+    // would be the tracer tracing itself). Emitted retrospectively
+    // (start/duration from the progress event), costing nothing when
+    // Tracing was never initialized.
+    Tracing.active.foreach(_.startSpan("micro_batch",
+        "query.name" -> key, "batch.id" -> p.batchId,
+        "batch.size" -> p.numInputRows, "duration.ms" -> batchMs)
+      .end())
     ()
   }
 

@@ -1418,12 +1418,15 @@ object ExtendedQueries {
       .selfPairsSaltedByOccupancy(c, Seq("blk"), "c_custkey",
         hotThreshold, salts, keep = Seq("c_name"))
       .withColumn("edit_dist",
-        // exact drop-in for levenshtein(a, b, Q67MaxEdit) at budget 1:
-        // same 0/1/-1 contract, single allocation-free scan instead of
-        // the banded DP — the scalar is the join's dominant term (see
-        // functions/EditWithin1 scaladoc; measured ~75% of q67 wall)
-        graft.functions.EditWithin1.edit_within1(
-          col("a_c_name"), col("b_c_name")))
+        // at the (default) budget of 1, an exact drop-in for
+        // levenshtein(a, b, 1): same 0/1/-1 contract, single
+        // allocation-free scan instead of the banded DP — the scalar is
+        // the join's dominant term (see functions/EditWithin1 scaladoc;
+        // measured ~75% of q67 wall). Any other budget keeps the DP.
+        if (Q67MaxEdit == 1)
+          graft.functions.EditWithin1.edit_within1(
+            col("a_c_name"), col("b_c_name"))
+        else levenshtein(col("a_c_name"), col("b_c_name"), Q67MaxEdit))
       .filter(col("edit_dist") >= 0)
       .select(col("a").as("a_key"), col("b").as("b_key"), col("edit_dist"))
   }

@@ -121,4 +121,37 @@ class MetricsSpec extends SparkSpec {
     health.update("slow", up = true, latencyMs = 20.0)
     assert(health.overall == "healthy")
   }
+
+  test("tracing on: one micro_batch span per progress event, sizes add up") {
+    import graft.obs.{CollectingSpanExporter, Tracing}
+    val col = new CollectingSpanExporter
+    Tracing.init(extraExporters = Seq(col), maxExportBatchSize = 1)
+    val listener = new MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Int]
+      val q = input.toDS().toDF("v")
+        .writeStream.format("memory").queryName("span_probe").start()
+      input.addData(1 to 40: _*)
+      q.processAllAvailable()
+      input.addData(1 to 20: _*)
+      q.processAllAvailable()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 10000
+      def probeSpans() = col.spans.filter(s => s.name == "micro_batch" &&
+        s.attributes.toMap.get("query.name").contains("span_probe") &&
+        s.attributes.toMap.apply("batch.size").asInstanceOf[Long] > 0)
+      while (probeSpans().map(_.attributes.toMap.apply("batch.size")
+          .asInstanceOf[Long]).sum < 60 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val spans = probeSpans()
+      assert(spans.map(_.attributes.toMap.apply("batch.size")
+        .asInstanceOf[Long]).sum == 60L)
+      assert(spans.forall(_.status == "OK"))
+    } finally {
+      spark.streams.removeListener(listener)
+      Tracing.shutdown()
+    }
+  }
 }
