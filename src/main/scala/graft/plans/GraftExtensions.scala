@@ -47,7 +47,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.functions.DecimalVecDot(args(0), args(1))),
     ("nfc_normalize",
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => graft.functions.NfcNormalize(args(0))))
+      (args: Seq[Expression]) => graft.functions.NfcNormalize(args(0))),
+    ("edit_within1",
+      new ExpressionInfo(classOf[graft.functions.EditWithin1].getName, "edit_within1"),
+      (args: Seq[Expression]) => graft.functions.EditWithin1(args(0), args(1))))
 
   /** Runtime installation into an already-built session. */
   def install(spark: SparkSession): Unit = {

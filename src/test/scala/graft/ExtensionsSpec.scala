@@ -30,6 +30,40 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT nfc_normalize('caf\u00e9') = " +
         "nfc_normalize('cafe\u0301') AS eq").as[Boolean].head()
     assert(nfc)
+
+    // budget-1 edit distance: levenshtein(a, b, 1) contract from SQL
+    val ed = spark.sql(
+      "SELECT edit_within1('kitten', 'mitten') AS sub, " +
+        "edit_within1('kitten', 'kitten') AS eq, " +
+        "edit_within1('kitten', 'sitting') AS far").head()
+    assert(ed.getAs[Int]("sub") == 1 && ed.getAs[Int]("eq") == 0 &&
+      ed.getAs[Int]("far") == -1)
+  }
+
+  test("edit_within1 equals the full Levenshtein clamped at 1, " +
+      "exhaustively over short strings incl. astral code points") {
+    // exhaustive over all strings of length <= 3 from a 3-symbol
+    // alphabet with an astral char \u2014 ~40^2 = 1.6k pairs; the sampled
+    // ScalaCheck property covers longer strings
+    val alpha = Seq("a", "b", "\ud834\udd1e") // \ud834\udd1e = surrogate pair
+    val strs = (0 to 3).flatMap(n =>
+      Seq.fill(n)(alpha).foldLeft(Seq(""))((acc, cs) =>
+        acc.flatMap(p => cs.map(p + _))))
+    def lev(a: Seq[Int], b: Seq[Int]): Int =
+      if (a.isEmpty) b.length
+      else if (b.isEmpty) a.length
+      else {
+        val del = lev(a.tail, b) + 1
+        val ins = lev(a, b.tail) + 1
+        val sub = lev(a.tail, b.tail) + (if (a.head == b.head) 0 else 1)
+        math.min(del, math.min(ins, sub))
+      }
+    for (x <- strs; y <- strs) {
+      val d = lev(x.codePoints().toArray.toSeq, y.codePoints().toArray.toSeq)
+      val expect = if (d <= 1) d else -1
+      assert(graft.functions.EditWithin1.compute(x, y) == expect,
+        s"edit_within1('$x','$y') != $expect")
+    }
   }
 
   test("auto-mask rule: metadata-tagged columns come out masked from any query") {
