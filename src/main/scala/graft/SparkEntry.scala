@@ -159,14 +159,20 @@ object SparkEntry {
     "s13_embedding_drift" -> Similarity.embeddingDrift _,
     "s14_pq_tuning_sweep" -> canon("pq_m")(Similarity.pqTuningSweep),
     "s19_dim_tuning_sweep" -> canon("dims")(Similarity.dimTuningSweep),
-    "s15_sim_ivfpq_topk" -> canon("qid", "rank")(Similarity.ivfPqTopK),
+    // neighbor_id completes the total order: adcRanked cuts with
+    // ties-INCLUSIVE rank() (the exact-duplicate guarantee), so tied
+    // rows share (qid, rank) and the presentation key must extend past
+    // them or they hash nondeterministically (the q69 rule)
+    "s15_sim_ivfpq_topk" ->
+      canon("qid", "rank", "neighbor_id")(Similarity.ivfPqTopK),
     "s16_sim_ivfpq_refine" -> canon("qid", "rank")(Similarity.ivfPqRefineTopK),
     "s17_ivfpq_ingest" -> canon("cid")(Similarity.ivfPqIngest),
     "s17c_ingest_artifacts" -> canon("cid")(Similarity.ivfPqIngestArtifacts),
     "s17b_ingest_recall" -> canon("method")(Similarity.ivfPqIngestRecall),
     "s18_ivfpq_delete" -> canon("cid")(Similarity.ivfPqDelete),
     "s18c_delete_artifacts" -> canon("cid")(Similarity.ivfPqDeleteArtifacts),
-    "s18b_delete_serve" -> canon("qid", "rank")(Similarity.ivfPqDeleteServe),
+    "s18b_delete_serve" ->
+      canon("qid", "rank", "neighbor_id")(Similarity.ivfPqDeleteServe),
     "s20_ivfpq_shard_merge" -> canon("cid")(Similarity.ivfPqShardMerge),
     "s20c_merge_artifacts" ->
       canon("cid")(Similarity.ivfPqShardMergeArtifacts),
@@ -510,7 +516,7 @@ object SparkEntry {
   private def s15Sql: String =
     s"""${s15Ctes}
        |SELECT qid, rank, neighbor_id, pq_score FROM r
-       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+       |WHERE rank <= 3 ORDER BY qid, rank, neighbor_id""".stripMargin
 
   // s16 refine: exact-decimal re-rank (the dotAB contract) of the
   // rank <= RefineK compressed retrieval UNIONED with the exact-code
@@ -787,7 +793,7 @@ object SparkEntry {
   private def s18bSql: String =
     s"""${s15CtesFor("", "", s" AND NOT ${s18TombPred("a.")}")}
        |SELECT qid, rank, neighbor_id, pq_score FROM r
-       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+       |WHERE rank <= 3 ORDER BY qid, rank, neighbor_id""".stripMargin
 
   /** s20 shard-merge oracle: per-list member counts and exact PQ code
     * mass split by build shard (`vec_id % ShardMod`), artifacts frozen

@@ -44,6 +44,9 @@ object Tracing {
       extraExporters: Seq[SpanExporter] = Nil,
       maxExportBatchSize: Int = 512,
       console: PrintStream = System.out): Tracer = synchronized {
+    // flush + close any previous tracer first: a re-init must not drop
+    // spans still buffered below its batch processors' maxBatch
+    tracerOpt.foreach(_.shutdown())
     val exporters =
       (if (enableConsoleExport) Seq(new ConsoleSpanExporter(console)) else Nil) ++
         extraExporters
@@ -54,13 +57,21 @@ object Tracing {
   }
 
   /** Config-driven init (`settings.py:118-119` `enable_tracing` /
-    * `tracing_endpoint`): no-op when disabled; the endpoint is recorded
-    * as a resource attribute — the sandbox has no OTLP collector to dial,
-    * exactly as the reference ships no OTLP exporter. */
+    * `tracing_endpoint`): no-op when disabled. This build ships no OTLP
+    * exporter — exactly like the reference, whose "Phase 5" slot never
+    * landed (`tracing.py:31-33`) — so an enabled config always gets the
+    * console exporter rather than silently recording spans into the
+    * void, and a configured endpoint is surfaced on every span as a
+    * `tracing.endpoint` attribute (the wiring an OTLP exporter would
+    * consume) instead of being dropped. */
   def initFromConfig(obs: graft.config.ObservabilitySettings): Option[Tracer] =
     if (!obs.enableTracing) None
-    else Some(init(enableConsoleExport = obs.logFormat == "console" ||
-      obs.tracingEndpoint.isEmpty))
+    else {
+      val t = init(enableConsoleExport = true)
+      obs.tracingEndpoint.foreach(ep =>
+        t.setResourceAttribute("tracing.endpoint", ep))
+      Some(t)
+    }
 
   /** `tracing.py:58-69`: the global tracer; RuntimeError when uninit. */
   def get: Tracer = tracerOpt.getOrElse(
@@ -284,8 +295,19 @@ final class Tracer private[obs] (
     }
   }
 
-  private[obs] def emit(data: SpanData): Unit =
-    processors.foreach(_.onEnd(data))
+  // resource-level attributes stamped onto every exported span (the
+  // OTLP-exporter wiring slot, e.g. `tracing.endpoint` from config)
+  @volatile private var resource: List[(String, Any)] = Nil
+
+  def setResourceAttribute(key: String, value: Any): Unit =
+    synchronized { resource = resource :+ (key -> value) }
+
+  private[obs] def emit(data: SpanData): Unit = {
+    val d =
+      if (resource.isEmpty) data
+      else data.copy(attributes = data.attributes ++ resource)
+    processors.foreach(_.onEnd(d))
+  }
 
   def forceFlush(): Unit = processors.foreach(_.forceFlush())
 

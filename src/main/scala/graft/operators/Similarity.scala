@@ -173,16 +173,21 @@ object Similarity {
     val done = new org.apache.hadoop.fs.Path(s"$root/_DONE")
     val fs = done.getFileSystem(hc)
     if (!fs.exists(done)) {
-      // a fresh fingerprint supersedes every older artifact set for
-      // this tag — retire them (and any crashed builders' tmp dirs) so
-      // corpus regeneration cannot accumulate stale quantizer copies
-      // under the temp root forever. A concurrent reader of a retired
-      // root rebuilds on its next call; this is a cache, not a store.
+      // a fresh fingerprint supersedes every older PUBLISHED artifact
+      // set for this tag — retire them so corpus regeneration cannot
+      // accumulate stale quantizer copies under the temp root forever.
+      // In-flight `.tmp-` dirs are exempt: a concurrent builder's live
+      // tmp is indistinguishable from a crashed one, and sweeping it
+      // would fail that builder's writes mid-build (the gcGenerations
+      // incomplete-dir rule); crashed tmps linger, bounded by crash
+      // count. A concurrent reader of a retired root rebuilds on its
+      // next call; this is a cache, not a store.
       val parent = rootP.getParent
       if (fs.exists(parent))
         fs.listStatus(parent).map(_.getPath)
           .filter(p => p.getName.startsWith(s"$tag-") &&
-            p.getName != rootP.getName)
+            p.getName != rootP.getName &&
+            !p.getName.contains(".tmp-"))
           .foreach(p => fs.delete(p, true))
       // build aside, publish by atomic rename: a concurrent builder
       // computes identical artifacts (deterministic function of the
@@ -326,12 +331,17 @@ object Similarity {
   def labelPurity(s: SparkSession, dir: String): DataFrame = {
     val lab = Tables.table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"))
-    val j = bruteForceRanked(embeddings(s, dir))
+    // broadcast direction: the ranked pairs (≤ NumQueries·TopK rows)
+    // are the small side; the label table is corpus-sized and scans
+    // twice (qid side, neighbor side), never shipping to the driver
+    val pairs = bruteForceRanked(embeddings(s, dir))
       .select("qid", "neighbor_id")
-      .join(broadcast(lab.select(col("vec_id").as("qid"),
-        col("label").as("qlabel"))), "qid")
-      .join(broadcast(lab.select(col("vec_id").as("neighbor_id"),
-        col("label").as("nlabel"))), "neighbor_id")
+    val withQ = lab.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))
+      .join(broadcast(pairs), "qid")
+    val j = lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel"))
+      .join(broadcast(withQ), "neighbor_id")
     val perQuery = j.groupBy("qid", "qlabel")
       .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
         .as("n_match"))

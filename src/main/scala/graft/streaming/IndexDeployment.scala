@@ -255,8 +255,15 @@ object IndexDeployment {
       rootDir: String,
       maxRecallLoss: Double = Similarity.MaxIngestRecallLoss,
       indexDir: Option[String] = None): Option[Long] = {
+    // resolve the survivor store ONCE (keepSeq) and persist that: both
+    // the coverage guard (vec_id, seq) and the measure/train corpus
+    // (vec_id, embedding) are projections of the same resolution —
+    // resolving twice would double the store scan + version-resolution
+    // shuffle on exactly the batch-cadence maintenance path
+    val resolved = StreamingIndexCdc
+      .readSurvivors(s, corpusDir, tombDir, keepSeq = true).persist()
     val survivors = Similarity.withNorm(
-      StreamingIndexCdc.readSurvivors(s, corpusDir, tombDir)).persist()
+      resolved.select("vec_id", "embedding"))
     try {
       // coverage guard: corpusDir is opt-in per applyBatch call, so a
       // survivor view enabled mid-stream (or disabled for a batch)
@@ -269,9 +276,7 @@ object IndexDeployment {
       indexDir.foreach { idxDir =>
         val live = StreamingIndexCdc.readIndex(s, idxDir, tombDir)
           .select("vec_id", "seq").distinct()
-        val survSeqs = StreamingIndexCdc
-          .readSurvivors(s, corpusDir, tombDir, keepSeq = true)
-          .select("vec_id", "seq")
+        val survSeqs = resolved.select("vec_id", "seq")
         val uncovered = live
           .join(survSeqs, Seq("vec_id", "seq"), "left_anti")
           .count()
@@ -289,7 +294,7 @@ object IndexDeployment {
         Some(deploy(s, survivors, survivors, rootDir, m = m,
           subDim = subDim))
       } else None
-    } finally { survivors.unpersist(); () }
+    } finally { resolved.unpersist(); () }
   }
 
   /** Flip the pointer BACK to an existing generation — the operator's

@@ -2,8 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.Multimodal
 
 /** One raw audio-document change aimed at the audio index: the
@@ -45,7 +44,7 @@ object StreamingAudioIngest {
   def applyBatch(batch: DataFrame, idx: StreamingSimScorer.Index,
       indexDir: String, tombDir: String, batchId: Long,
       corpusDir: Option[String] = None): Unit =
-    StreamingIndexCdc.applyBatch(featurize(batch), idx, indexDir,
+    MediaFeaturize.applyFeaturized(featurize, batch, idx, indexDir,
       tombDir, batchId, corpusDir)
 
   /** Attach the audio maintainer to a streaming
@@ -53,11 +52,6 @@ object StreamingAudioIngest {
   def attach(docStream: DataFrame, idx: StreamingSimScorer.Index,
       indexDir: String, tombDir: String, checkpointDir: String,
       corpusDir: Option[String] = None): StreamingQuery =
-    docStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, idx, indexDir, tombDir, batchId, corpusDir)
-      }
-      .start()
+    MediaFeaturize.attachFeaturized(featurize, docStream, idx, indexDir,
+      tombDir, checkpointDir, corpusDir)
 }

@@ -38,6 +38,29 @@ private[streaming] object MediaFeaturize {
           col("op"),
           lit(null).cast(ArrayType(FloatType)).as("embedding")))
   }
+
+  /** The maintenance wiring BOTH media ingests share — one home for the
+    * foreachBatch body and the stream attachment (trigger, checkpoint,
+    * corpusDir plumbing), so the modalities cannot silently diverge on
+    * anything but their featurizer. */
+  def applyFeaturized(featurize: DataFrame => DataFrame, batch: DataFrame,
+      idx: StreamingSimScorer.Index, indexDir: String, tombDir: String,
+      batchId: Long, corpusDir: Option[String]): Unit =
+    StreamingIndexCdc.applyBatch(featurize(batch), idx, indexDir,
+      tombDir, batchId, corpusDir)
+
+  def attachFeaturized(featurize: DataFrame => DataFrame,
+      docStream: DataFrame, idx: StreamingSimScorer.Index,
+      indexDir: String, tombDir: String, checkpointDir: String,
+      corpusDir: Option[String]): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFeaturized(featurize, batch, idx, indexDir, tombDir,
+          batchId, corpusDir)
+      }
+      .start()
 }
 
 /** Streaming multimodal ingest — the m11 feature extraction run per
@@ -77,7 +100,7 @@ object StreamingVisualIngest {
   def applyBatch(batch: DataFrame, idx: StreamingSimScorer.Index,
       indexDir: String, tombDir: String, batchId: Long,
       corpusDir: Option[String] = None): Unit =
-    StreamingIndexCdc.applyBatch(featurize(batch), idx, indexDir,
+    MediaFeaturize.applyFeaturized(featurize, batch, idx, indexDir,
       tombDir, batchId, corpusDir)
 
   /** Attach the visual maintainer to a streaming
@@ -85,11 +108,6 @@ object StreamingVisualIngest {
   def attach(docStream: DataFrame, idx: StreamingSimScorer.Index,
       indexDir: String, tombDir: String, checkpointDir: String,
       corpusDir: Option[String] = None): StreamingQuery =
-    docStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, idx, indexDir, tombDir, batchId, corpusDir)
-      }
-      .start()
+    MediaFeaturize.attachFeaturized(featurize, docStream, idx, indexDir,
+      tombDir, checkpointDir, corpusDir)
 }

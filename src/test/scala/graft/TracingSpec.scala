@@ -156,6 +156,20 @@ class TracingSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach {
     assert(bad("dlq.rows") == 3L)
   }
 
+  test("resource attributes ride every span; re-init flushes the old tracer") {
+    val col1 = new CollectingSpanExporter
+    val t1 = Tracing.init(extraExporters = Seq(col1), maxExportBatchSize = 100)
+    t1.setResourceAttribute("tracing.endpoint", "http://collector:4317")
+    t1.startSpan("s").end()
+    assert(col1.spans.isEmpty) // buffered below maxBatch
+    val col2 = new CollectingSpanExporter
+    Tracing.init(extraExporters = Seq(col2)) // re-init must flush + close t1
+    assert(col1.spans.map(_.name) == Seq("s"))
+    assert(col1.spans.head.attributes.toMap
+      .apply("tracing.endpoint") == "http://collector:4317")
+    assert(col1.isShutdown)
+  }
+
   test("config: enable_tracing/tracing_endpoint parse, env-override, default off (settings.py:118-119)") {
     import graft.config._
     val off = PipelineConfig.load(None, _ => None)
