@@ -2362,6 +2362,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length == math.min(20, qualifying.size))
   }
 
+  test("s15 under ADC ties: rank() is ties-inclusive and the full " +
+      "presentation key (qid, rank, neighbor_id) stays unique") {
+    import graft.operators.Similarity
+    // corpus where ids 10..49 all carry query 8's embedding: identical
+    // vectors get identical PQ codes under any codebook, so query 8
+    // sees 40 candidates tied at the maximal pq_score — the tie class
+    // the exact-duplicate guarantee cuts ties-inclusively on. Ids run
+    // to 199 so the stride-sampled coarse quantizer (CentroidStride=50)
+    // has centroids at 50/100/150.
+    val base = (i: Long) => Seq.tabulate(Similarity.Dim)(d =>
+      (((i * 31 + d * 7) % 13) - 6).toFloat)
+    val rows = (0L until 200L).map { i =>
+      val v = if (i >= 10 && i < 50) base(8) else base(i)
+      (i, v)
+    }
+    val e = Similarity.withNorm(
+      spark.createDataFrame(rows).toDF("vec_id", "embedding"))
+    val out = Similarity.ivfPqRanked(e).collect()
+    // ties-inclusive: at least one query keeps more than topK=3 rows
+    val perQ = out.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+    assert(perQ.values.exists(_ > 3),
+      "fixture must produce a tie crossing the top-3 boundary")
+    // and the full presentation key is a total order: no two rows share
+    // (qid, rank, neighbor_id) — the property the s15/s18b canon and
+    // oracle ORDER BY rely on for deterministic hashing
+    val keys = out.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+      r.getAs[Long]("neighbor_id")))
+    assert(keys.distinct.length == keys.length)
+    // tied rows share the rank value (rank(), not row_number())
+    val tied = out.groupBy(r => (r.getAs[Long]("qid"),
+      r.getAs[Double]("pq_score"))).values.filter(_.length > 1)
+    assert(tied.nonEmpty && tied.forall(g =>
+      g.map(_.getAs[Int]("rank")).distinct.length == 1))
+  }
+
   test("s22: label purity equals a plain-Scala mirror over the exact " +
       "top-K truth; counts close over the query sample") {
     import graft.operators.Similarity
