@@ -68,23 +68,44 @@ object EditWithin1 {
     if (math.abs(la - lb) > 2) return -1
     // common prefix (UTF-16 units), backed off a split surrogate pair:
     // matched high surrogates with differing lows mean the code point
-    // itself differs, so the pair belongs to the middle
+    // itself differs, so the pair belongs to the middle. Back off ONLY
+    // when the matched high actually heads a pair in one of the strings
+    // (the unit at p is a low surrogate there) — a lone high followed by
+    // non-lows in BOTH strings is its own code point under codePointAt
+    // and the match stands (malformed input is SQL-mintable).
     val minU = math.min(la, lb)
     var p = 0
     while (p < minU && a.charAt(p) == b.charAt(p)) p += 1
-    if (p > 0 && p < minU && Character.isHighSurrogate(a.charAt(p - 1))) p -= 1
-    // common suffix, never crossing the prefix, same back-off
+    // the low-side lookahead is per-string (not bounded by minU): when
+    // the shorter string ends exactly at p, the matched high can still
+    // head a pair in the LONGER one — e.g. "\uD834\uD834" vs
+    // "\uD834𝄞\uD834" matches 2 units but splits the pair
+    if (p > 0 && Character.isHighSurrogate(a.charAt(p - 1)) &&
+      ((p < la && Character.isLowSurrogate(a.charAt(p))) ||
+        (p < lb && Character.isLowSurrogate(b.charAt(p))))) p -= 1
+    // common suffix, never crossing the prefix, same back-off: the
+    // matched low at sa belongs to the middle only if a high surrogate
+    // precedes it in one of the strings (else it is a lone low in both,
+    // a matched code point in its own right)
     var sa = la
     var sb = lb
     while (sa > p && sb > p && a.charAt(sa - 1) == b.charAt(sb - 1)) {
       sa -= 1; sb -= 1
     }
-    if (sa < la && Character.isLowSurrogate(a.charAt(sa))) { sa += 1; sb += 1 }
+    if (sa < la && Character.isLowSurrogate(a.charAt(sa)) &&
+      ((sa > 0 && Character.isHighSurrogate(a.charAt(sa - 1))) ||
+        (sb > 0 && Character.isHighSurrogate(b.charAt(sb - 1))))) {
+      sa += 1; sb += 1
+    }
     val ma = sa - p // middle length of a, in units
     val mb = sb - p
     // one code point in units: length 1, or a well-formed surrogate pair
+    // (both halves checked: a lone high surrogate followed by another
+    // lone high surrogate is TWO code points under codePointAt, and
+    // edit_within1 is SQL-reachable with mintable lone surrogates)
     def oneCp(s: String, from: Int, len: Int): Boolean =
-      len == 1 || (len == 2 && Character.isHighSurrogate(s.charAt(from)))
+      len == 1 || (len == 2 && Character.isHighSurrogate(s.charAt(from)) &&
+        Character.isLowSurrogate(s.charAt(from + 1)))
     // the middles differ as code points by construction (maximal
     // prefix/suffix), so: both middles ≤ one code point ⇒ distance 1
     // (empty+one = insertion/deletion, one+one = substitution — unit

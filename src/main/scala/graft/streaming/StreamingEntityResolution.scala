@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField,
-  StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  StructField, StructType}
 import graft.operators.{Dedup, ExtendedQueries}
 
 /** An arriving name record — the ER input shape (the reference's
@@ -51,17 +51,22 @@ final case class EntityRecord(custkey: Long, name: String)
   * block (the q67 rule), so components are block-local and
   * [[applyBatch]] prunes its corpus-scale version-resolution scan to
   * exactly the arriving batch's blocks (PartitionFilters, spec-proven).
-  * The one whole-store touch left is the newcomer EXISTENCE check — a
-  * single-column custkey scan broadcast-joined against the batch keys
-  * (no shuffle, no resolution), which must see every block: a
-  * redelivered key whose name changed blocks would otherwise re-insert
-  * under the new block and fork the key across partitions. [[compact]] folds the
-  * batch-partition history into a reserved `batch_id=-1` base on a
-  * cadence (the [[StreamingIndexCdc.compact]] move), so the version
-  * resolution reads base + tail instead of every partition ever
-  * written. Block skew on the candidate join is bounded by the batch on
-  * the newcomer side; the full-corpus de-skew story lives in the batch
-  * operator (q67's occupancy-probed grid).
+  * The newcomer EXISTENCE check must see every block — a redelivered
+  * key whose name changed blocks would otherwise re-insert under the
+  * new block and fork the key across partitions — but it does NOT read
+  * the store for it: a compact single-column KEY SIDECAR
+  * (`_keys/batch_id=N/bucket=B`, bucketed by `pmod(hash(custkey),
+  * KeyBuckets)`, appended per batch with the batch's newcomers,
+  * rewritten whole at [[compact]]) answers global existence from just
+  * the arriving batch's hash buckets (PartitionFilters, spec-proven) —
+  * the last corpus-proportional per-batch cost removed. [[compact]]
+  * folds the batch-partition history into a reserved `batch_id=-1` base
+  * on a cadence (the [[StreamingIndexCdc.compact]] move), so the
+  * version resolution reads base + tail instead of every partition ever
+  * written, and the sidecar compacts alongside it. Block skew on the
+  * candidate join is bounded by the batch on the newcomer side; the
+  * full-corpus de-skew story lives in the batch operator (q67's
+  * occupancy-probed grid).
   */
 object StreamingEntityResolution {
 
@@ -71,13 +76,44 @@ object StreamingEntityResolution {
     * lets a tail row supersede its compacted form. */
   val CompactedBatchId = -1L
 
+  /** Hash buckets the key sidecar is laid out by: the newcomer
+    * existence probe reads only the batch's buckets, so probe I/O is
+    * `(batch's distinct buckets / KeyBuckets) × key-set size` instead
+    * of the whole store. 64 keeps per-bucket files worth a task at
+    * corpus scale while letting a small batch prune to a handful. */
+  val KeyBuckets = 64
+
   private val RowSchema = StructType(Seq(
     StructField("custkey", LongType), StructField("name", StringType),
     StructField("blk", StringType), StructField("entity_id", LongType)))
 
+  private val KeySchema = StructType(Seq(StructField("custkey", LongType)))
+
+  /** Sidecar root — underscore-prefixed so the main store read's
+    * partition discovery ignores it (Hadoop hidden-path convention). */
+  private def keysDir(storeDir: String): String = s"$storeDir/_keys"
+
+  private def keyBucket(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = pmod(hash(c), lit(KeyBuckets))
+
   private def dirExists(s: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** True when the store holds any `batch_id` partition `< batchId` —
+    * a driver-side top-level directory listing (one FS call, no data
+    * read), the sidecar-activation guard. */
+  private def hasBatchesBefore(s: SparkSession, storeDir: String,
+      batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_id=") &&
+        scala.util.Try(n.stripPrefix("batch_id=").toLong)
+          .toOption.exists(_ < batchId)
+    }
   }
 
   /** The resolved entity table as of batches `< beforeBatch` — latest
@@ -98,6 +134,31 @@ object StreamingEntityResolution {
       else s.createDataFrame(s.sparkContext.emptyRDD[Row], RowSchema)
     if (base.columns.contains("batch_id")) base
     else base.withColumn("batch_id", lit(null))
+  }
+
+  /** The key sidecar pruned to `buckets` and batches `< beforeBatch` —
+    * the frame the newcomer existence probe scans. Both prunes are
+    * PARTITION filters (batch_id and bucket are directory levels), so
+    * the probe reads a few single-column buckets, never the store.
+    * The `beforeBatch` filter also makes a crash-replayed batch blind
+    * to its own first attempt's sidecar partition, which keeps replay
+    * byte-identical regardless of where the first attempt died. */
+  private[graft] def keySidecar(s: SparkSession, storeDir: String,
+      beforeBatch: Long, buckets: Seq[Int]): DataFrame = {
+    val dir = keysDir(storeDir)
+    val base =
+      if (dirExists(s, dir)) s.read.schema(KeySchema).parquet(dir)
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row], KeySchema)
+    // empty partitions leave no files → no inferred partition columns
+    val withB =
+      if (base.columns.contains("batch_id")) base
+      else base.withColumn("batch_id", lit(null))
+    val withBk =
+      if (withB.columns.contains("bucket")) withB
+      else withB.withColumn("bucket", lit(null))
+    withBk.filter(col("batch_id").cast(LongType) < beforeBatch &&
+        col("bucket").cast(IntegerType).isin(buckets: _*))
+      .select("custkey")
   }
 
   def readResolved(s: SparkSession, storeDir: String,
@@ -143,13 +204,35 @@ object StreamingEntityResolution {
     // prior: a redelivered key whose name (hence block) changed would
     // pass a block-local anti-join and be inserted a second time in a
     // second block — breaking the one-block-per-key invariant the
-    // pruned read itself relies on. Existence needs no version
-    // resolution, so this is a column-pruned custkey scan joined
-    // against the BROADCAST batch keys (no store shuffle); the
-    // corpus-scale groupBy stays block-pruned above.
-    val known = storeRaw(s, storeDir)
-      .filter(col("batch_id").cast(LongType) < batchId)
-      .select("custkey")
+    // pruned read itself relies on. Global existence does NOT require
+    // touching the store, though: the key sidecar holds every resolved
+    // custkey bucketed by key hash, so the probe reads only the batch's
+    // buckets (partition-pruned, spec-proven) joined against the
+    // BROADCAST batch keys — per-batch probe I/O ∝ touched buckets, not
+    // the corpus. The bucket list is batch metadata (≤ KeyBuckets
+    // rows), same footing as the block list above. A store created
+    // before the sidecar existed (no `_keys`) falls back to the old
+    // column-pruned full-store custkey scan until its next [[compact]]
+    // materializes the sidecar — applyBatch must NOT start one
+    // mid-history, or later probes would trust a sidecar that misses
+    // every pre-sidecar key. Hence the activation rule: the sidecar
+    // exists, OR no batch earlier than this one does (fresh store, or a
+    // replayed FIRST batch whose initial attempt died between the store
+    // and sidecar writes — restarting the sidecar there is sound
+    // because there are no earlier keys to miss, and it heals that
+    // crash window instead of disabling the sidecar forever).
+    val sidecarActive = dirExists(s, keysDir(storeDir)) ||
+      !hasBatchesBefore(s, storeDir, batchId)
+    val known = (if (sidecarActive) {
+        val buckets = incoming0
+          .select(keyBucket(col("custkey")).as("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        keySidecar(s, storeDir, beforeBatch = batchId, buckets = buckets)
+      } else {
+        storeRaw(s, storeDir)
+          .filter(col("batch_id").cast(LongType) < batchId)
+          .select("custkey")
+      })
       .join(broadcast(incoming0.select("custkey")), Seq("custkey"))
       .distinct()
     val incoming = incoming0
@@ -192,6 +275,19 @@ object StreamingEntityResolution {
             col("cluster").as("entity_id"))
           .write.mode("overwrite").partitionBy("blk")
           .parquet(s"$storeDir/batch_id=$batchId")
+        // sidecar append: this batch's NEWCOMERS (known keys are
+        // already in earlier sidecar partitions; relabeled old members
+        // never change key). Written AFTER the store partition, but the
+        // order doesn't affect replay: the probe filters batch_id <
+        // batchId, so a replayed batch never sees its first attempt's
+        // sidecar rows and recomputes identically whichever write the
+        // crash interrupted. Idempotent per-batch overwrite, like the
+        // store partition itself.
+        if (sidecarActive)
+          incoming
+            .select(col("custkey"), keyBucket(col("custkey")).as("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"${keysDir(storeDir)}/batch_id=$batchId")
       } finally { affectedOld.unpersist(); () }
     } finally {
       incoming.unpersist(); prior.unpersist(); incoming0.unpersist(); ()
@@ -211,13 +307,29 @@ object StreamingEntityResolution {
     * effects baked into the base, so its newcomer set is empty and it
     * writes an empty partition; the resolved view is unchanged
     * (spec-proven). ER is insert/re-label only — there is no delete to
-    * resurrect, hence no tombstone-retention analog to carry. */
+    * resurrect, hence no tombstone-retention analog to carry.
+    *
+    * The key sidecar compacts alongside: the FULL resolved key set is
+    * rewritten into the sidecar's own `batch_id=-1` base, which (a)
+    * erases the sidecar's per-batch partition history and (b) MIGRATES
+    * a pre-sidecar store — after one compaction the existence probe is
+    * bucket-pruned forever. ER is insert-only, so the resolved key set
+    * IS the complete key history; nothing is lost by the rewrite. */
   def compact(s: SparkSession, storeDir: String,
-      outStoreDir: String): Unit =
-    readResolved(s, storeDir)
+      outStoreDir: String): Unit = {
+    val resolved = readResolved(s, storeDir)
       .select(col("custkey"), col("name"), col("blk"), col("entity_id"))
-      .write.mode("overwrite").partitionBy("blk")
-      .parquet(s"$outStoreDir/batch_id=$CompactedBatchId")
+      .persist()
+    try {
+      resolved
+        .write.mode("overwrite").partitionBy("blk")
+        .parquet(s"$outStoreDir/batch_id=$CompactedBatchId")
+      resolved
+        .select(col("custkey"), keyBucket(col("custkey")).as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${keysDir(outStoreDir)}/batch_id=$CompactedBatchId")
+    } finally { resolved.unpersist(); () }
+  }
 
   /** Attach the resolver to a streaming `(custkey, name)` frame. */
   def attach(records: DataFrame, storeDir: String,

@@ -182,25 +182,54 @@ object GraftProperties extends Properties("graft") {
   }
 
   // small alphabet (dense near-matches) + astral char to hit the
-  // surrogate-pair paths
-  private val genEditStr: Gen[String] = for {
+  // surrogate-pair paths + LONE surrogates (SQL-mintable via chr/concat)
+  // so the sweep is the oracle over malformed UTF-16 too — codePoints()
+  // in levRef treats an unpaired surrogate as its own code point, and
+  // EditWithin1 must agree. Properties take INDEX LISTS and build the
+  // strings internally: a failing arg is then printable, where a raw
+  // lone surrogate in ScalaCheck's shrunk-args output corrupts the
+  // JUnit XML report and aborts the whole forked run.
+  private val editAlphabet =
+    Vector("a", "b", "é", "𝄞", "\uD834", "\uDD1E")
+  private def editStr(idxs: List[Int]): String =
+    idxs.map(editAlphabet).mkString
+  private val genEditIdx: Gen[List[Int]] = for {
     n <- Gen.choose(0, 8)
-    cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "é", "𝄞"))
-  } yield cs.mkString
+    cs <- Gen.listOfN(n, Gen.choose(0, editAlphabet.length - 1))
+  } yield cs
+
+  property("EditWithin1 lone-surrogate regressions match the DP") = {
+    val f = graft.functions.EditWithin1.compute _
+    // the advisor's case: two lone highs are TWO code points
+    f("", "\uD834\uD834") == -1 &&
+      // lone-high prefix that matches must not be retreated from
+      f("\uD834x", "\uD834y") == 1 &&
+      // lone-low suffix that matches in both is a matched code point
+      f("x\uDD1E", "y\uDD1E") == 1 &&
+      // a pair in one string vs its lone high in the other
+      f("𝄞", "\uD834x") == -1
+  }
 
   property("EditWithin1 == levenshtein clamped at budget 1") =
-    forAll(genEditStr, genEditStr) { (a, b) =>
+    forAll(genEditIdx, genEditIdx) { (ai, bi) =>
+      val a = editStr(ai); val b = editStr(bi)
       val expect = { val d = levRef(a, b); if (d <= 1) d else -1 }
       graft.functions.EditWithin1.compute(a, b) == expect
     }
 
   property("EditWithin1 mutation closure: every single edit is distance 1") =
-    forAll(genEditStr, Gen.choose(0, 100), Gen.oneOf("x", "𝄞")) {
-      (a, pos, ins) =>
+    forAll(genEditIdx, Gen.choose(0, 100), Gen.oneOf(false, true)) {
+      (ai, pos, astral) =>
+        val a = editStr(ai)
+        val ins = if (astral) "𝄞" else "x"
         val cps = a.codePoints().toArray
         val at = if (cps.isEmpty) 0 else pos % (cps.length + 1)
         def s(cp: Array[Int]) = new String(cp, 0, cp.length)
         val inserted = s(cps.patch(at, ins.codePoints().toArray, 0))
+        // patching never creates a new high+low adjacency here ('x' is
+        // BMP; 𝄞 re-encodes to a self-delimiting pair), so the patched
+        // cp array IS the code-point parse of `inserted` and the true
+        // distance is exactly 1
         val f = graft.functions.EditWithin1.compute _
         f(a, inserted) == 1 && f(inserted, a) == 1 && f(a, a) == 0
     }

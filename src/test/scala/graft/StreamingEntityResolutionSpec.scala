@@ -180,8 +180,12 @@ class StreamingEntityResolutionSpec extends SparkSpec {
 
     StreamingEntityResolution.compact(spark, store, compacted)
     // base+tail view ≡ pre-compaction view, and ONLY the base exists
+    // (plus the key sidecar, itself compacted into its own base)
     assert(resolved(compacted) == before)
     assert(new java.io.File(compacted).listFiles().map(_.getName).toSet ==
+      Set(s"batch_id=${StreamingEntityResolution.CompactedBatchId}", "_keys"))
+    assert(new java.io.File(s"$compacted/_keys").listFiles()
+      .map(_.getName).toSet ==
       Set(s"batch_id=${StreamingEntityResolution.CompactedBatchId}"))
 
     // crash-replay of a pre-compaction batch onto the compacted store:
@@ -198,6 +202,85 @@ class StreamingEntityResolutionSpec extends SparkSpec {
     assert(readPartitionKeys(compacted, 3L) == Set(30L, 31L))
     assert(resolved(compacted) == Map(5L -> 5L, 10L -> 5L, 20L -> 5L,
       30L -> 30L, 31L -> 30L, 40L -> 40L))
+  }
+
+  test("newcomer existence probe reads only the batch's hash buckets " +
+      "(partition-pruned), and equals the full key set on those buckets") {
+    val base = Files.createTempDirectory("graft-ser-keyprobe")
+    val store = base.resolve("store").toString
+    val blkA = "AAAAAAAAAAAAAAAA"
+    // keys spread across blocks AND hash buckets
+    val keys = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)
+    StreamingEntityResolution.applyBatch(
+      keys.take(4).map(k => k -> s"$blkA$k").toDF("custkey", "name"),
+      store, 0L)
+    StreamingEntityResolution.applyBatch(
+      keys.drop(4).map(k => k -> s"B000000000000$k").toDF("custkey", "name"),
+      store, 1L)
+    // the bucket function the maintainer uses, evaluated the same way
+    val bucketOf: Map[Long, Int] = keys.toDF("custkey")
+      .select($"custkey", pmod(hash($"custkey"),
+        lit(StreamingEntityResolution.KeyBuckets)).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val probeKeys = Seq(10L, 50L)
+    val buckets = probeKeys.map(bucketOf).distinct
+    val probe = StreamingEntityResolution.keySidecar(spark, store,
+      beforeBatch = 2L, buckets = buckets)
+    // the bucket restriction reaches the scan as a PARTITION filter —
+    // the probe reads the batch's buckets, never the key history
+    assert(graft.sinks.CorpusShardSink.prunesPartitions(probe),
+      "bucket restriction must reach the sidecar scan as a partition filter")
+    // and the pruned probe is value-complete for those buckets: every
+    // key hashing into them is visible (global existence preserved)
+    assert(probe.as[Long].collect().toSet ==
+      keys.filter(k => buckets.contains(bucketOf(k))).toSet)
+    // as-of semantics: a replayed batch 1 cannot see its own keys
+    val replay = StreamingEntityResolution.keySidecar(spark, store,
+      beforeBatch = 1L, buckets = keys.map(bucketOf).distinct)
+    assert(replay.as[Long].collect().toSet == keys.take(4).toSet)
+  }
+
+  test("pre-sidecar store: probe falls back to the full scan (redelivered " +
+      "key still blocked), no sidecar starts mid-history, compact migrates") {
+    val base = Files.createTempDirectory("graft-ser-legacy")
+    val store = base.resolve("store").toString
+    val compacted = base.resolve("store2").toString
+    val blkA = "AAAAAAAAAAAAAAAA"
+    val blkB = "B000000000000000"
+    def apply(dir: String, batchId: Long, recs: (Long, String)*): Unit =
+      StreamingEntityResolution.applyBatch(
+        recs.toDF("custkey", "name"), dir, batchId)
+    def resolved(dir: String): Map[Long, (String, Long)] =
+      StreamingEntityResolution.readResolved(spark, dir)
+        .select("custkey", "blk", "entity_id")
+        .as[(Long, String, Long)].collect()
+        .map { case (k, b, e) => k -> (b, e) }.toMap
+    def keysDirOf(dir: String) = new java.io.File(s"$dir/_keys")
+
+    apply(store, 0L, 10L -> s"${blkA}xA")
+    // simulate a store written before the sidecar existed
+    val hp = new org.apache.hadoop.fs.Path(s"$store/_keys")
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    assert(!keysDirOf(store).exists())
+
+    // the redelivered key changed blocks; with no sidecar the probe
+    // must fall back to the full-store scan and still block it
+    apply(store, 1L, 10L -> s"${blkB}10", 50L -> s"${blkB}50")
+    assert(resolved(store) == Map(10L -> (blkA, 10L), 50L -> (blkB, 50L)))
+    // and NO sidecar may start mid-history: one that misses key 10
+    // would wave the next redelivery through
+    assert(!keysDirOf(store).exists())
+
+    // compaction materializes the sidecar from the full resolved key
+    // set — the migration path for pre-sidecar stores
+    StreamingEntityResolution.compact(spark, store, compacted)
+    assert(keysDirOf(compacted).exists())
+    // post-migration: probe is sidecar-backed (pruned) and still
+    // blocks a block-changing redelivery of a pre-sidecar key
+    apply(compacted, 2L, 10L -> "C00000000000cc10", 60L -> "C00000000000cc60")
+    assert(resolved(compacted) == Map(10L -> (blkA, 10L),
+      50L -> (blkB, 50L), 60L -> ("C00000000000cc60".take(16), 60L)))
+    assert(readPartitionKeys(compacted, 2L) == Set(60L))
   }
 
   test("kill mid-stream, restart from checkpoint: final state still q68-exact") {
