@@ -377,6 +377,7 @@ object Dedup {
         when(col("n_exact") > 0,
           col("n_common").cast(DoubleType) / col("n_exact"))
           .otherwise(lit(1.0)).as("lsh_recall"))
+    graft.plans.PlanCapture.note("pipeline", out)
     val materialized = out.localCheckpoint(true)
     Seq(sh, truth, lsh).foreach(_.unpersist())
     materialized
@@ -453,6 +454,7 @@ object Dedup {
     val out = markRecommended(rows.reduce(_.unionByName(_)),
       quality = col("n_verified"), cost = col("n_candidates"),
       param = col("n_bands"))
+    graft.plans.PlanCapture.note("pipeline", out)
     val materialized = out.localCheckpoint(true)
     sigs.unpersist()
     sh.unpersist()
@@ -512,7 +514,10 @@ object Dedup {
     // (eager, lineage-truncating — no session-cache entry to leak)
     val newBands = {
       val nb = bands.filter(isNew)
-      if (bloomPruneIndex) nb.localCheckpoint(true) else nb
+      if (bloomPruneIndex) {
+        graft.plans.PlanCapture.note("batch_bands", nb)
+        nb.localCheckpoint(true)
+      } else nb
     }
     val idxBands = if (!bloomPruneIndex) bands.filter(!isNew) else {
       val key = concat_ws(":", col("band"), col("bkey"))

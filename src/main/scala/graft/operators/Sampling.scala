@@ -751,6 +751,7 @@ object Sampling {
     val out = shingleAuditFrames(s, dir, sh)
       .reduce(_.unionByName(_))
       .orderBy("audit")
+    graft.plans.PlanCapture.note("pipeline", out)
     val materialized = out.localCheckpoint(true)
     sh.unpersist()
     materialized

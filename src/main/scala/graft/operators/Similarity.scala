@@ -211,6 +211,22 @@ object Similarity {
     root
   }
 
+  /** Publish BOTH quantizer artifact sets for a corpus dir (the `full`
+    * corpus-trained pair and the `existing` pre-ingest pair) — the
+    * deploy-time step of the artifact lifecycle: a real deployment
+    * builds its quantizers when the index generation ships, so the
+    * s17c/s18c/s20c/s21c maintenance audits always find them frozen and
+    * never pay the one-time build inside a measured run. Idempotent
+    * ([[ensureArtifacts]]' `_DONE`/fingerprint rules apply); a
+    * regenerated corpus republishes on the next call. */
+  def publishArtifacts(s: SparkSession, dir: String): Unit = {
+    ensureArtifacts(s, dir, "full", embeddings(s, dir))
+    ensureArtifacts(s, dir, "existing",
+      embeddings(s, dir).filter(col("vec_id") >= NumQueries &&
+        !isIngestBatch))
+    ()
+  }
+
   /** Load the frozen `(cents, cb)` pair from an artifact directory —
     * accepts [[ensureArtifacts]] output or any
     * [[graft.streaming.IndexDeployment]] generation directory. */
@@ -1507,6 +1523,10 @@ object Similarity {
     * audit and cache-backed timings in the bench. */
   private[graft] def evictAfter(out: DataFrame,
       cached: DataFrame*): DataFrame = {
+    // the checkpoint hides this pipeline from any later explain — hand
+    // the pre-materialization plan to the audit while the inputs are
+    // still persisted (no-op outside PlanAudit)
+    graft.plans.PlanCapture.note("pipeline", out)
     val materialized = out.localCheckpoint(true)
     cached.foreach(_.unpersist())
     materialized

@@ -1,6 +1,5 @@
 package graft.tools
 
-import java.io.{ByteArrayOutputStream, PrintStream}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
@@ -29,13 +28,8 @@ object PlanAudit {
       pushedFilters: String)
 
   /** Capture df.explain("formatted") output. */
-  private[graft] def explainText(df: org.apache.spark.sql.DataFrame): String = {
-    val buf = new ByteArrayOutputStream()
-    Console.withOut(new PrintStream(buf, true, "UTF-8")) {
-      df.explain("formatted")
-    }
-    new String(buf.toByteArray, StandardCharsets.UTF_8)
-  }
+  private[graft] def explainText(df: org.apache.spark.sql.DataFrame): String =
+    graft.plans.PlanCapture.explainText(df)
 
   private val opLine = """^\((\d+)\)\s+(\S.*?)(\s+\[codegen id : (\d+)\])?\s*$""".r
 
@@ -133,12 +127,26 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val audits = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val a = audit(name, explainText(fn(spark, sfDir)))
+    // capture the pre-materialization plans of eagerly-checkpointed
+    // pipelines (recall evals, audit suites) — without this the most
+    // expensive queries would show only their checkpoint scan
+    graft.plans.PlanCapture.enable()
+    val audits = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      graft.plans.PlanCapture.drain() // clear stragglers
+      val top = audit(name, explainText(fn(spark, sfDir)))
+      // one sub-row per captured internal pipeline: the real shuffle /
+      // pushdown / codegen evidence for the checkpointed queries
+      val inner = graft.plans.PlanCapture.drain().zipWithIndex.map {
+        case ((label, text), i) =>
+          val suffix = if (i == 0) label else s"$label#${i + 1}"
+          audit(s"$name ⊂ $suffix", text)
+      }
+      val a = top
       println(s"[planaudit] $name: shuffles=${a.shuffles}" +
         (if (a.cachedShuffles > 0) s"+${a.cachedShuffles}cached" else "") +
-        s" broadcasts=${a.broadcasts} codegen=${a.codegenSpans}")
-      a
+        s" broadcasts=${a.broadcasts} codegen=${a.codegenSpans}" +
+        (if (inner.nonEmpty) s" inner=${inner.size}" else ""))
+      top +: inner
     }
 
     val sb = new StringBuilder
@@ -152,11 +160,13 @@ object PlanAudit {
       "a `+N cached` suffix counts Exchanges inside a persisted frame's " +
       "InMemoryRelation, which execute once at cache materialization and are " +
       "amortized across every reuse. The recall evals and audit suites " +
-      "(s06/s09, d09, d13) materialize eagerly through their cached inputs " +
-      "and then evict them (a leaked cache would rewrite every later " +
-      "query's plan), so their rows show the 0-shuffle checkpoint scan, " +
-      "not the internal pipeline — see the Similarity/Dedup scaladocs for " +
-      "their dataflow; " +
+      "(s06/s09, d09, d13, s21, m11–m14) materialize eagerly through their " +
+      "cached inputs and then evict them (a leaked cache would rewrite every " +
+      "later query's plan), so their own rows show the 0-shuffle checkpoint " +
+      "scan — each is followed by `⊂ pipeline` sub-rows auditing the " +
+      "INTERNAL plan captured just before materialization (inputs still " +
+      "persisted), which is where their shuffle/pushdown/codegen evidence " +
+      "lives; " +
       "**bcast** = BroadcastExchange nodes (small side replicated, no fact " +
       "shuffle); **codegen** = distinct WholeStageCodegen spans; **scan columns** " +
       "= columns actually read per parquet scan (column pruning evidence); " +
