@@ -65,10 +65,13 @@ final class MetricsListener extends StreamingQueryListener {
     // one completed micro-batch = one span when tracing is on — the
     // reference's replicate_event unit lifted to Spark's batch
     // granularity (tracing.py:72-100; per-row spans at stream rates
-    // would be the tracer tracing itself). Emitted retrospectively
-    // (start/duration from the progress event), costing nothing when
-    // Tracing was never initialized.
-    Tracing.active.foreach(_.startSpan("micro_batch",
+    // would be the tracer tracing itself). Emitted retrospectively:
+    // the span's start is backdated by the progress event's batch
+    // duration so exported start/end nanos cover the actual batch
+    // window (duration.ms rides along as the authoritative figure).
+    // Costs nothing when Tracing was never initialized.
+    Tracing.active.foreach(_.startSpanAt("micro_batch",
+        System.currentTimeMillis() * 1000000L - batchMs * 1000000L,
         "query.name" -> key, "batch.id" -> p.batchId,
         "batch.size" -> p.numInputRows, "duration.ms" -> batchMs)
       .end())

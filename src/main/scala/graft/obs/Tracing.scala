@@ -57,17 +57,23 @@ object Tracing {
   }
 
   /** Config-driven init (`settings.py:118-119` `enable_tracing` /
-    * `tracing_endpoint`): no-op when disabled. This build ships no OTLP
-    * exporter — exactly like the reference, whose "Phase 5" slot never
-    * landed (`tracing.py:31-33`) — so an enabled config always gets the
-    * console exporter rather than silently recording spans into the
-    * void, and a configured endpoint is surfaced on every span as a
-    * `tracing.endpoint` attribute (the wiring an OTLP exporter would
-    * consume) instead of being dropped. */
+    * `tracing_endpoint`): no-op when disabled. A `file://<path>`
+    * endpoint selects the [[FileSpanExporter]] (spans land as a
+    * queryable JSONL artifact at that path); any other endpoint — or
+    * none — gets the console exporter rather than silently recording
+    * spans into the void, matching the reference, whose OTLP "Phase 5"
+    * slot never landed (`tracing.py:31-33`). The configured endpoint is
+    * additionally surfaced on every span as a `tracing.endpoint`
+    * resource attribute (the wiring an OTLP exporter would consume). */
   def initFromConfig(obs: graft.config.ObservabilitySettings): Option[Tracer] =
     if (!obs.enableTracing) None
     else {
-      val t = init(enableConsoleExport = true)
+      val fileExporter = obs.tracingEndpoint
+        .filter(_.startsWith("file://"))
+        .map(ep => new FileSpanExporter(
+          java.nio.file.Paths.get(ep.stripPrefix("file://"))))
+      val t = init(enableConsoleExport = fileExporter.isEmpty,
+        extraExporters = fileExporter.toSeq)
       obs.tracingEndpoint.foreach(ep =>
         t.setResourceAttribute("tracing.endpoint", ep))
       Some(t)
@@ -131,13 +137,11 @@ trait SpanExporter {
   def shutdown(): Unit = ()
 }
 
-/** One JSON line per span on the given stream — the dev-mode
-  * `ConsoleSpanExporter` (`tracing.py:45`), emitted in the same
-  * field shape OTel's console exporter prints (name, context ids,
-  * parent, times, status, attributes, resource.service.name). */
-final class ConsoleSpanExporter(out: PrintStream = System.out)
-    extends SpanExporter {
-  override def export(batch: Seq[SpanData]): Unit = batch.foreach { s =>
+/** One span as the OTel console-exporter JSON shape (name, context ids,
+  * parent, times, status, attributes, resource.service.name) — shared
+  * by the console and file exporters. */
+private[obs] object SpanJson {
+  def line(s: SpanData): String = {
     val m = HealthStatus.SharedMapper
     val root = m.createObjectNode()
     root.put("name", s.name)
@@ -157,8 +161,34 @@ final class ConsoleSpanExporter(out: PrintStream = System.out)
       case (k, v) => at.put(k, String.valueOf(v)); ()
     }
     root.putObject("resource").put("service.name", s.serviceName)
-    out.println(m.writeValueAsString(root))
+    m.writeValueAsString(root)
   }
+}
+
+/** One JSON line per span on the given stream — the dev-mode
+  * `ConsoleSpanExporter` (`tracing.py:45`). */
+final class ConsoleSpanExporter(out: PrintStream = System.out)
+    extends SpanExporter {
+  override def export(batch: Seq[SpanData]): Unit =
+    batch.foreach(s => out.println(SpanJson.line(s)))
+}
+
+/** JSONL file exporter — the `file://` endpoint form of the reference's
+  * deferred OTLP slot (`tracing.py:31-33,44-46`): span output becomes a
+  * queryable on-disk artifact like the DLQ (`spark.read.json` over the
+  * file), same line shape as the console exporter. Appends (a restarted
+  * pipeline extends its trace log); per-batch flush. */
+final class FileSpanExporter(path: java.nio.file.Path)
+    extends SpanExporter {
+  Option(path.getParent)
+    .foreach(p => java.nio.file.Files.createDirectories(p))
+  private val out = new PrintStream(java.nio.file.Files.newOutputStream(
+    path, java.nio.file.StandardOpenOption.CREATE,
+    java.nio.file.StandardOpenOption.APPEND), true, "UTF-8")
+  override def export(batch: Seq[SpanData]): Unit = synchronized {
+    batch.foreach(s => out.println(SpanJson.line(s)))
+  }
+  override def shutdown(): Unit = synchronized { out.close() }
 }
 
 /** Spec/metrics exporter: keeps every exported span in memory. */
@@ -208,15 +238,22 @@ final class Span private[obs] (
     tracer: Option[Tracer],
     val name: String,
     parent: Option[Span],
-    initial: Seq[(String, Any)]) {
+    initial: Seq[(String, Any)],
+    explicitStartEpochNanos: Option[Long] = None) {
 
   val traceId: String =
     parent.map(_.traceId).getOrElse(Tracing.randHex(16))
   val spanId: String = Tracing.randHex(8)
 
   // wall-clock anchor + monotonic duration: end >= start always holds,
-  // and the duration is real even when the wall clock steps
-  private val startEpochNanos = System.currentTimeMillis() * 1000000L
+  // and the duration is real even when the wall clock steps. A
+  // retrospective span (work finished before the span was constructed,
+  // e.g. a micro-batch reported by a progress event) passes an explicit
+  // start so exported start/end nanos reflect the actual window instead
+  // of a ~0ns blip at emission time.
+  private val constructedEpochNanos = System.currentTimeMillis() * 1000000L
+  private val startEpochNanos =
+    explicitStartEpochNanos.getOrElse(constructedEpochNanos)
   private val startMono = System.nanoTime()
   private val attrs = mutable.ArrayBuffer.empty[(String, Any)]
   attrs ++= initial
@@ -248,7 +285,7 @@ final class Span private[obs] (
       val t = tracer.get
       t.emit(SpanData(traceId, spanId, parent.map(_.spanId), name,
         t.serviceName, synchronized(attrs.toSeq), startEpochNanos,
-        startEpochNanos + (System.nanoTime() - startMono),
+        constructedEpochNanos + (System.nanoTime() - startMono),
         synchronized(status)))
     }
 }
@@ -277,6 +314,17 @@ final class Tracer private[obs] (
     * per-destination spans on the write pool). Caller must `end()` it. */
   def startSpan(name: String, attributes: (String, Any)*): Span =
     new Span(Some(this), name, current.get().headOption, attributes)
+
+  /** Start a span whose work ALREADY happened — `startEpochNanos` is the
+    * real start of the window (e.g. `now − batch duration` for a span
+    * built from a streaming progress event), so exporter consumers
+    * reading standard span timing see the true duration rather than a
+    * ~0ns emission-time blip. End semantics are unchanged (monotonic,
+    * anchored at construction). */
+  def startSpanAt(name: String, startEpochNanos: Long,
+      attributes: (String, Any)*): Span =
+    new Span(Some(this), name, current.get().headOption, attributes,
+      Some(startEpochNanos))
 
   /** Scoped span — `start_as_current_span`: makes the span current for
     * `body` (children parent to it), records a thrown exception as

@@ -262,8 +262,12 @@ object IndexDeployment {
     // shuffle on exactly the batch-cadence maintenance path
     val resolved = StreamingIndexCdc
       .readSurvivors(s, corpusDir, tombDir, keepSeq = true).persist()
+    // the normed view is ALSO persisted: recall-loss measure, retrain,
+    // and build each act on it, and withNorm's exact-decimal norm is
+    // expensive enough that re-deriving it per action would forfeit
+    // the single-store-scan win the shared `resolved` buys
     val survivors = Similarity.withNorm(
-      resolved.select("vec_id", "embedding"))
+      resolved.select("vec_id", "embedding")).persist()
     try {
       // coverage guard: corpusDir is opt-in per applyBatch call, so a
       // survivor view enabled mid-stream (or disabled for a batch)
@@ -294,7 +298,7 @@ object IndexDeployment {
         Some(deploy(s, survivors, survivors, rootDir, m = m,
           subDim = subDim))
       } else None
-    } finally { resolved.unpersist(); () }
+    } finally { survivors.unpersist(); resolved.unpersist(); () }
   }
 
   /** Flip the pointer BACK to an existing generation — the operator's

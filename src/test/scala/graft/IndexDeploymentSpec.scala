@@ -385,4 +385,66 @@ class IndexDeploymentSpec extends SparkSpec {
     assert(answers(out.filter(col("batch_id") === 1L)) ==
       expect(1L, batch2))
   }
+
+  test("three-space isolation: concurrent text/visual/audio deployments " +
+      "each serve at their own grid; rollback and GC on one space leave " +
+      "the others' serving byte-identical") {
+    import graft.operators.Multimodal
+    val base = Files.createTempDirectory("graft-bg-3space")
+    // one deployment root per vector space — text at the 8×8 default
+    // grid, visual and audio at the 4×4 media grid, all sharing the
+    // SAME machinery (loadGen, pointer, GC) in one session: any static
+    // state in the artifact cache or pointer handling would cross-talk
+    val spaces: Seq[(String, DataFrame, Int, Int)] = Seq(
+      ("text", Similarity.embeddings(spark, sf),
+        Similarity.PqM, Similarity.PqSubDim),
+      ("visual", Similarity.withNorm(Multimodal.imageFeatures(spark, sf)),
+        Multimodal.M11PqM, Multimodal.M11PqSubDim),
+      ("audio", Similarity.withNorm(Multimodal.audioFeatures(spark, sf)),
+        Multimodal.M11PqM, Multimodal.M11PqSubDim))
+    val roots = spaces.map { case (name, _, _, _) =>
+      name -> base.resolve(name).toString
+    }.toMap
+    def serveNow(name: String): Set[(Long, Int, Long, Double)] = {
+      val (_, e, _, _) = spaces.find(_._1 == name).get
+      val queries = e.filter(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val g = IndexDeployment.loadGen(spark, roots(name),
+        IndexDeployment.currentGen(spark, roots(name)).get)
+      try answers(StreamingSimScorer.serve(queries, g,
+        excludeSelfIds = true))
+      finally g.unpersistAll()
+    }
+    // interleaved deploys (not one space at a time): the deploy of one
+    // space runs BETWEEN another's deploy and its first serve
+    spaces.foreach { case (name, e, m, subDim) =>
+      assert(IndexDeployment.deploy(spark, e, e, roots(name),
+        m = m, subDim = subDim) == 0L)
+    }
+    val baseline = spaces.map { case (name, _, _, _) =>
+      name -> serveNow(name)
+    }.toMap
+    assert(baseline.values.forall(_.nonEmpty))
+    spaces.foreach { case (name, _, m, subDim) =>
+      assert(IndexDeployment.gridOf(spark, roots(name), 0L) == (m, subDim))
+    }
+
+    // text gets a second generation, rolls back to gen 0, and GC drops
+    // the non-live gen 1 — a full lifecycle churn on ONE space
+    val eText = spaces.head._2
+    assert(IndexDeployment.deploy(spark, eText, eText, roots("text")) == 1L)
+    IndexDeployment.rollback(spark, roots("text"), 0L)
+    assert(IndexDeployment.currentGen(spark, roots("text")).contains(0L))
+    assert(IndexDeployment.gcGenerations(spark, roots("text"), keep = 0)
+      == Seq(1L))
+
+    // the churned space serves its rollback target; the OTHER spaces
+    // still serve gen 0 with byte-identical answers at their own grids
+    spaces.foreach { case (name, _, m, subDim) =>
+      assert(IndexDeployment.currentGen(spark, roots(name)).contains(0L))
+      assert(IndexDeployment.gridOf(spark, roots(name), 0L) == (m, subDim))
+      assert(serveNow(name) == baseline(name),
+        s"space '$name' serving changed after text-space rollback+GC")
+    }
+  }
 }

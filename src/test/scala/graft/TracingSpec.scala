@@ -109,6 +109,20 @@ class TracingSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach {
     assert(col.isShutdown)
   }
 
+  test("startSpanAt backdates the exported start: standard span timing " +
+      "covers the retrospective window, not a ~0ns emission blip") {
+    val col = new CollectingSpanExporter
+    val t = Tracing.init(extraExporters = Seq(col), maxExportBatchSize = 1)
+    val windowNanos = 250L * 1000000L // a 250 ms batch reported after the fact
+    val start = System.currentTimeMillis() * 1000000L - windowNanos
+    t.startSpanAt("micro_batch", start, "duration.ms" -> 250L).end()
+    val d = col.spans.head
+    assert(d.startEpochNanos == start)
+    // end stays emission-anchored (monotonic), so the exported duration
+    // is at least the backdated window
+    assert(d.endEpochNanos - d.startEpochNanos >= windowNanos)
+  }
+
   test("console exporter emits one parseable JSON line per span, OTel field shape") {
     val bytes = new ByteArrayOutputStream()
     Tracing.init(serviceName = "cdc-pipeline", enableConsoleExport = true,
@@ -184,5 +198,35 @@ class TracingSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterEach {
     assert(on.observability.tracingEndpoint.contains("http://collector:4317"))
     assert(Tracing.initFromConfig(on.observability).isDefined)
     assert(Tracing.get.serviceName == "cdc-pipeline")
+  }
+
+  test("file:// endpoint routes spans to a JSONL artifact: round-trip, " +
+      "append across re-init, endpoint stamped as a resource attribute") {
+    import graft.config._
+    val dir = java.nio.file.Files.createTempDirectory("tracing-file")
+    val path = dir.resolve("sub").resolve("spans.jsonl")
+    val obs = ObservabilitySettings(enableTracing = true,
+      tracingEndpoint = Some(s"file://$path"))
+    val t = Tracing.initFromConfig(obs).get
+    t.span("batch_write", "batch.size" -> 42L,
+      "destination" -> "postgres")(())
+    Tracing.shutdown() // flush + close the file
+    val lines1 = java.nio.file.Files.readAllLines(path)
+    assert(lines1.size == 1)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(lines1.get(0))
+    assert(root.get("name").asText == "batch_write")
+    assert(root.get("attributes").get("batch.size").asLong == 42L)
+    assert(root.get("attributes").get("tracing.endpoint").asText ==
+      s"file://$path")
+    assert(root.get("end_time_unix_nano").asLong >=
+      root.get("start_time_unix_nano").asLong)
+    // a restarted pipeline EXTENDS the trace log, DLQ-style
+    val t2 = Tracing.initFromConfig(obs).get
+    t2.span("replicate_event", "event.id" -> "e1")(())
+    Tracing.shutdown()
+    val lines2 = java.nio.file.Files.readAllLines(path)
+    assert(lines2.size == 2)
+    assert(m.readTree(lines2.get(1)).get("name").asText == "replicate_event")
   }
 }
