@@ -111,6 +111,15 @@ object Similarity {
     * At scale: centroid set is broadcast (K ≪ N), assignment is one
     * narrow map-side pass over the vectors, and the probe prunes the
     * exact scoring to ~NProbe/K of the corpus.
+    *
+    * The stride is a corpus-size KNOB, not a constant: a fixed stride
+    * makes K ∝ N, so the N·K assignment pass is quadratic in the corpus
+    * — the dominant superlinear term SCALETREND.md measured in the
+    * m11/m12/d19 audits (×29 at 10× data). The fixture queries keep the
+    * oracle-pinned default; a real deployment sizes K ≈ √N by passing
+    * `centroidStride ≈ √N` to [[graft.streaming.IndexDeployment.deploy]]
+    * (recorded per generation, preserved by rebuilds), which makes the
+    * assignment N^1.5 and the probe fraction NProbe/√N.
     */
   val CentroidStride = 50
   val NProbe = 3
@@ -128,8 +137,9 @@ object Similarity {
     * definition shared by every IVF consumer (search, audits, IVF-PQ), so
     * a change to the quantizer cannot silently diverge between the
     * oracle-pinned variants. */
-  private[graft] def centsOf(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % CentroidStride === 0 &&
+  private[graft] def centsOf(e: DataFrame,
+      stride: Int = CentroidStride): DataFrame =
+    e.filter(col("vec_id") % stride === 0 &&
         col("vec_id") >= NumQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
@@ -761,9 +771,10 @@ object Similarity {
   }
 
   private[graft] def ivfPqRanked(e: DataFrame, nProbe: Int = NProbe,
-      m: Int = PqM, subDim: Int = PqSubDim, topK: Int = 3): DataFrame =
-    ivfPqRankedFor(e, centsOf(e), pqCodebook(e, m, subDim), nProbe, m,
-      subDim, topK)
+      m: Int = PqM, subDim: Int = PqSubDim, topK: Int = 3,
+      centroidStride: Int = CentroidStride): DataFrame =
+    ivfPqRankedFor(e, centsOf(e, centroidStride),
+      pqCodebook(e, m, subDim), nProbe, m, subDim, topK)
 
   /** [[ivfPqRanked]] against EXPLICIT coarse centroids and PQ codebook —
     * how a maintained 100 TB index actually serves: the quantizer

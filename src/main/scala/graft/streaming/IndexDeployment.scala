@@ -77,11 +77,11 @@ object IndexDeployment {
     * default (a 16-dim image index deployed here would otherwise be
     * sliced at the 8×8 text grid into empty subvectors). */
   private def writeGrid(s: SparkSession, dir: String, m: Int,
-      subDim: Int): Unit = {
+      subDim: Int, centroidStride: Int): Unit = {
     val (f, d) = fs(s, dir)
     f.mkdirs(d)
     val out = f.create(new org.apache.hadoop.fs.Path(d, GridFile), true)
-    try out.write(s"$m $subDim\n".getBytes(
+    try out.write(s"$m $subDim $centroidStride\n".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -103,6 +103,25 @@ object IndexDeployment {
     }
   }
 
+  /** A generation's coarse-quantizer stride (the K ≈ N/stride knob a
+    * 100 TB deploy sizes to keep assignment subquadratic — see
+    * [[Similarity.CentroidStride]]'s scale note); generations recorded
+    * before the stride rode the GRID file default to the fixture
+    * constant they were built at. */
+  def strideOf(s: SparkSession, rootDir: String, gen: Long): Int = {
+    val (f, _) = fs(s, rootDir)
+    val p = new org.apache.hadoop.fs.Path(genDir(rootDir, gen), GridFile)
+    if (!f.exists(p)) Similarity.CentroidStride
+    else {
+      val in = f.open(p)
+      val parts =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .trim.split(" ")
+        finally in.close()
+      if (parts.length >= 3) parts(2).toInt else Similarity.CentroidStride
+    }
+  }
+
   /** Build one generation's full artifact set and PUBLISH it: quantizers
     * (centroids + codebook) trained on `train`, then the s20
     * shard-parallel build of the serving tables over `corpus` — each
@@ -119,7 +138,8 @@ object IndexDeployment {
   def deploy(s: SparkSession, train: DataFrame, corpus: DataFrame,
       rootDir: String, shards: Int = Similarity.ShardMod,
       m: Int = Similarity.PqM,
-      subDim: Int = Similarity.PqSubDim): Long = {
+      subDim: Int = Similarity.PqSubDim,
+      centroidStride: Int = Similarity.CentroidStride): Long = {
     // next = 1 + max over BOTH the pointer and the on-disk dirs: after a
     // rollback the pointer sits below already-built generations, and
     // pointer+1 would overwrite a live rollback target in place (five
@@ -135,10 +155,10 @@ object IndexDeployment {
       org.apache.spark.storage.StorageLevel.NONE
     val e = if (owned) corpus.persist() else corpus
     try {
-      val cents = Similarity.centsOf(train).persist()
+      val cents = Similarity.centsOf(train, centroidStride).persist()
       val cb = Similarity.pqCodebook(train, m, subDim).persist()
       try {
-        writeGrid(s, dir, m, subDim)
+        writeGrid(s, dir, m, subDim, centroidStride)
         cents.write.mode("overwrite").parquet(s"$dir/cents")
         cb.write.mode("overwrite").parquet(s"$dir/cb")
         e.write.mode("overwrite").parquet(s"$dir/corpus")
@@ -193,9 +213,12 @@ object IndexDeployment {
     val gen = currentGen(s, rootDir).getOrElse(
       throw new IllegalStateException(s"no deployed index under $rootDir"))
     val dir = genDir(rootDir, gen)
-    // measure AND re-baseline at the generation's own grid — the grid is
-    // a property of the vector space, not of this module's text default
+    // measure AND re-baseline at the generation's own grid AND stride —
+    // both are properties of the deployment, not of this module's text
+    // defaults (a fresh-rebuild baseline at the wrong K would call a
+    // healthy index stale, or the reverse)
     val (m, subDim) = gridOf(s, rootDir, gen)
+    val stride = strideOf(s, rootDir, gen)
     val owned = corpus.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE
     val e = if (owned) corpus.persist() else corpus
@@ -204,7 +227,8 @@ object IndexDeployment {
         .ivfPqRankedFor(e, s.read.parquet(s"$dir/cents"),
           s.read.parquet(s"$dir/cb"), m = m, subDim = subDim)
         .select("qid", "neighbor_id")
-      val baseline = Similarity.ivfPqRanked(e, m = m, subDim = subDim)
+      val baseline = Similarity.ivfPqRanked(e, m = m, subDim = subDim,
+          centroidStride = stride)
         .select("qid", "neighbor_id")
       val bf = Similarity.bruteForceRanked(e)
         .filter(col("rank") <= 3).select("qid", "neighbor_id")
@@ -231,13 +255,16 @@ object IndexDeployment {
       : Option[Long] =
     if (recallLoss(s, sfDir, rootDir) > maxRecallLoss) {
       val e = Similarity.embeddings(s, sfDir)
-      // rebuild at the LIVE generation's grid (the measurement above
-      // already ran at it) — a rebuild repairs quantizer staleness, it
-      // must never silently change the index geometry
-      val (m, subDim) = gridOf(s, rootDir,
-        currentGen(s, rootDir).getOrElse(throw new IllegalStateException(
-          s"no deployed index under $rootDir")))
-      Some(deploy(s, e, e, rootDir, m = m, subDim = subDim))
+      // rebuild at the LIVE generation's grid and stride (the
+      // measurement above already ran at them) — a rebuild repairs
+      // quantizer staleness, it must never silently change the index
+      // geometry or its K sizing
+      val gen = currentGen(s, rootDir).getOrElse(
+        throw new IllegalStateException(
+          s"no deployed index under $rootDir"))
+      val (m, subDim) = gridOf(s, rootDir, gen)
+      Some(deploy(s, e, e, rootDir, m = m, subDim = subDim,
+        centroidStride = strideOf(s, rootDir, gen)))
     } else None
 
   /** Close the lifecycle loop on ONE index: the corpus that gets
@@ -290,13 +317,14 @@ object IndexDeployment {
             "backfill the raw corpus before rebuilding from it")
       }
       if (recallLossOf(s, survivors, rootDir) > maxRecallLoss) {
-        // rebuild preserves the deployed geometry — the grid belongs to
-        // the vector space the CDC feed populates
-        val (m, subDim) = gridOf(s, rootDir,
-          currentGen(s, rootDir).getOrElse(throw new IllegalStateException(
-            s"no deployed index under $rootDir")))
+        // rebuild preserves the deployed geometry AND stride — both
+        // belong to the vector space the CDC feed populates
+        val gen = currentGen(s, rootDir).getOrElse(
+          throw new IllegalStateException(
+            s"no deployed index under $rootDir"))
+        val (m, subDim) = gridOf(s, rootDir, gen)
         Some(deploy(s, survivors, survivors, rootDir, m = m,
-          subDim = subDim))
+          subDim = subDim, centroidStride = strideOf(s, rootDir, gen)))
       } else None
     } finally { survivors.unpersist(); resolved.unpersist(); () }
   }

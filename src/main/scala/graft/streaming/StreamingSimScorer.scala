@@ -61,9 +61,10 @@ object StreamingSimScorer {
     * in the [[Index]] so every consumer (serving, CDC encode) uses the
     * artifacts at the geometry they were trained at. */
   def buildIndexFrom(e0: DataFrame, m: Int = Similarity.PqM,
-      subDim: Int = Similarity.PqSubDim): Index = {
+      subDim: Int = Similarity.PqSubDim,
+      centroidStride: Int = Similarity.CentroidStride): Index = {
     val e = e0.persist()
-    val cents = Similarity.centsOf(e).persist()
+    val cents = Similarity.centsOf(e, centroidStride).persist()
     val cb = Similarity.pqCodebook(e, m, subDim).persist()
     val assign = Similarity.ivfAssign(e, cents).persist()
     val codes = Similarity.pqCodesFor(e, cb, m, subDim).persist()

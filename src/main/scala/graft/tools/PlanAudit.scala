@@ -96,6 +96,13 @@ object PlanAudit {
           val d = lines(j).trim
           if (d.startsWith("Location:") && d.contains(".parquet"))
             table = d.replaceAll(""".*/([A-Za-z_0-9]+)\.parquet.*""", "$1")
+          else if (d.startsWith("Location:") && d.contains("/")) {
+            // artifact tables (frozen cents/cb dirs) have no .parquet
+            // suffix — name the scan by its last path segment
+            val p = d.stripSuffix("]")
+            val seg = p.substring(p.lastIndexOf('/') + 1)
+            if (seg.nonEmpty && !seg.startsWith(".")) table = seg
+          }
           if (d.startsWith("ReadSchema:"))
             readCols = d.count(_ == ':') - 1 // fields are name:type pairs
           if (d.startsWith("PushedFilters:"))

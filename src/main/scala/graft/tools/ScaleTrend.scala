@@ -255,10 +255,51 @@ object ScaleTrend {
       sb ++= f"| ${r.name} | ${r.small}%.2f | ${r.big}%.2f | " +
         f"x${r.big / r.small}%.1f$flag | $delta |\n"
     }
+    sb ++= Findings
     val out = if (args.length > 4) args(4) else "SCALETREND.md"
     Files.write(Paths.get(out),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(s"[scaletrend] wrote $out")
     spark.stop()
   }
+
+  /** Root-caused analysis of the flagged ratios — rides the generated
+    * file so a regeneration keeps the findings beside the numbers. */
+  private val Findings: String = """
+## Findings (root-caused)
+
+- **q44_series_topk ×106 — superlinear BY SEMANTICS, and the measured
+  ratio validates its documented cost model.** q44 is exact all-pairs
+  cosine top-3 within peak-hour bands: users grow 10× (replicated with
+  fresh ids), so within-band pairs grow ~100× — observed ×106. Exact
+  banded all-pairs is quadratic the way q67's Σ block² fuzzy join is;
+  the salts² grid decomposition bounds any one shuffle cell at
+  (n_b/salts)² (parallel, spill-safe), it does not change the total.
+  The subquadratic alternative is the ANN path (s-family), which trades
+  exactness — q44 exists to be the exact oracle-checkable variant.
+
+- **m11_visual_ann ×29 / m12_visual_dup_recall ×32 — the flat centroid
+  stride makes K ∝ N.** `Similarity.CentroidStride` is a constant, so
+  the IVF coarse-quantizer sample grows with the corpus and the N·K
+  nearest-centroid assignment is N²/stride: ×100 at 10× data, blended
+  with the ×10 linear decode/featurize into the observed ×29/×32. The
+  fixture queries keep the oracle-pinned stride by design; the scale
+  lever shipped with this study is `centroidStride` on
+  `IndexDeployment.deploy` (recorded per generation in the GRID file,
+  preserved by rebuilds/rollbacks, spec-proven to serve identically to
+  a scratch build at that stride) — a real deployment sizes K ≈ √N,
+  making assignment N^1.5 and the probed fraction NProbe/√N.
+
+- **d19_dedup_method_agreement ×15 — same K ∝ N term through SemDeDup.**
+  Its semantic side assigns every vector to the nearest of N/stride
+  coarse centroids (`semCore`); the LSH side is linear (d05 measured
+  ×10.2, exactly the data factor). The deploy-stride knob is the same
+  remedy when the SemDeDup quantizer is shared with a deployed index.
+
+- **Everything else lands at ×2–×3 — sublinear, as designed.** Fixed
+  ANN query sets, broadcast dimensions, banded/bucketed pair
+  generation, and per-query planning overheads amortize; no
+  broadcast→sort-merge flips appeared anywhere (dimensions are
+  fixed-size and stayed broadcast).
+"""
 }

@@ -386,6 +386,42 @@ class IndexDeploymentSpec extends SparkSpec {
       expect(1L, batch2))
   }
 
+  test("centroid stride is a deployment knob: a custom-K deploy serves " +
+      "like a scratch build at that stride, measures zero loss when " +
+      "full-trained, and a rebuild preserves the stride") {
+    val root = Files.createTempDirectory("graft-bg-stride").toString
+    val e = Similarity.embeddings(spark, sf)
+    // half the default stride → 2× the centroids: the K ≈ √N sizing a
+    // 100 TB deploy makes, exercised end-to-end at fixture scale
+    val stride = Similarity.CentroidStride / 2
+    assert(IndexDeployment.deploy(spark, e, e, root,
+      centroidStride = stride) == 0L)
+    assert(IndexDeployment.strideOf(spark, root, 0L) == stride)
+    assert(IndexDeployment.gridOf(spark, root, 0L) ==
+      (Similarity.PqM, Similarity.PqSubDim))
+    val queries = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val viaGen = {
+      val g = IndexDeployment.loadGen(spark, root, 0L)
+      try answers(StreamingSimScorer.serve(queries, g,
+        excludeSelfIds = true))
+      finally g.unpersistAll()
+    }
+    val scratch = StreamingSimScorer.buildIndexFrom(e,
+      centroidStride = stride)
+    try assert(viaGen.nonEmpty &&
+      viaGen == answers(StreamingSimScorer.serve(queries, scratch,
+        excludeSelfIds = true)))
+    finally scratch.unpersistAll()
+    // K changes the IVF partitioning, so a wrong-stride baseline would
+    // measure phantom loss — full-trained at its OWN stride is exact 0
+    assert(math.abs(IndexDeployment.recallLoss(spark, sf, root)) < 1e-12)
+    // a forced rebuild must keep the deployment's K sizing
+    assert(IndexDeployment.rebuildIfNeeded(spark, sf, root,
+      maxRecallLoss = -1.0).contains(1L))
+    assert(IndexDeployment.strideOf(spark, root, 1L) == stride)
+  }
+
   test("three-space isolation: concurrent text/visual/audio deployments " +
       "each serve at their own grid; rollback and GC on one space leave " +
       "the others' serving byte-identical") {
