@@ -288,16 +288,22 @@ object Bench {
         (() => graft.streaming.ThroughputBench.runVisualIngest(spark, sfDir)),
       "stream_ips_audio" ->
         (() => graft.streaming.ThroughputBench.runAudioIngest(spark, sfDir)))
-    val streamPasses: Vector[Map[String, Double]] =
-      Vector.fill(5)(streamMetrics.map { case (label, f) =>
-        label -> (try f()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $label failed: ${e.getMessage}")
-          -1.0
-        })
-      }.toMap)
-    def streamStat(label: String): (Double, Double) = {
-      val ss = streamPasses.map(_(label)).filter(_ >= 0).sorted
+    def runStream(label: String, f: () => Double): Double =
+      try f()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $label failed: ${e.getMessage}")
+        -1.0
+      }
+    val streamSamples =
+      scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+    (1 to 5).foreach { _ =>
+      streamMetrics.foreach { case (label, f) =>
+        streamSamples(label) = streamSamples(label) :+ runStream(label, f)
+      }
+    }
+    def trimmedStat(ss0: Vector[Double]): (Double, Double) = {
+      val ss = ss0.filter(_ >= 0).sorted
       if (ss.isEmpty) (-1.0, -1.0)
       else {
         val med =
@@ -307,6 +313,30 @@ object Bench {
         (med, core.max - core.min)
       }
     }
+    // quiet-window top-up (the round-6 query protocol applied per
+    // stream metric): a metric whose trimmed spread still exceeds 10%
+    // of its median after the interleaved passes takes up to 4 extra
+    // samples — the median over 6-9 samples absorbs a noisy window the
+    // five passes happened to straddle, and a metric that stays wide
+    // after the budget is reported wide (honest) rather than re-rolled
+    // until it looks tight.
+    val QuietSpreadFrac = 0.10
+    val MaxExtraSamples = 4
+    streamMetrics.foreach { case (label, f) =>
+      var extra = 0
+      var (med, spread) = trimmedStat(streamSamples(label))
+      while (extra < MaxExtraSamples && med > 0 &&
+        spread > QuietSpreadFrac * med) {
+        streamSamples(label) = streamSamples(label) :+ runStream(label, f)
+        extra += 1
+        val st = trimmedStat(streamSamples(label)); med = st._1; spread = st._2
+      }
+      if (extra > 0)
+        System.err.println(f"[bench] $label quiet-window top-up: $extra " +
+          f"extra samples, spread ${spread}%.0f on median ${med}%.0f")
+    }
+    def streamStat(label: String): (Double, Double) =
+      trimmedStat(streamSamples(label))
     val (eps, epsSpread) = streamStat("stream_eps")
     val (epsMulti, epsMultiSpread) = streamStat("stream_eps_multi")
     val (epsClog, epsClogSpread) = streamStat("stream_eps_commitlog")

@@ -88,6 +88,8 @@ object SparkEntry {
     "q43_copurchase_pairs" -> ExtendedQueries.q43CopurchasePairs _,
     "q44_series_topk" -> ((s: SparkSession, d: String) =>
       ExtendedQueries.q44SeriesTopK(s, d)),
+    "q44b_series_topk_clustered" -> ((s: SparkSession, d: String) =>
+      ExtendedQueries.q44bSeriesTopKClustered(s, d)),
     "q45_smallqty_revenue" -> ExtendedQueries.q45SmallQtyRevenue _,
     "q46_waiting_suppliers" -> ExtendedQueries.q46WaitingSuppliers _,
     "q47_dormant_highbal" -> ExtendedQueries.q47DormantHighBalance _,
@@ -2035,6 +2037,55 @@ object SparkEntry {
          |      ORDER BY v DESC, hour) AS rn FROM prof) WHERE rn = 1),
          |cand AS (SELECT a.user_id AS qa, b.user_id AS qb
          |  FROM peak a JOIN peak b ON a.peak_hour = b.peak_hour
+         |    AND a.user_id <> b.user_id),
+         |dots AS (SELECT c.qa, c.qb, sum(pa.v * pb.v) AS dot
+         |  FROM cand c JOIN prof pa ON pa.user_id = c.qa
+         |  JOIN prof pb ON pb.user_id = c.qb AND pb.hour = pa.hour
+         |  GROUP BY c.qa, c.qb),
+         |scored AS (SELECT d.qa AS qid, d.qb AS neighbor_id,
+         |    CAST(d.dot AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |      AS cos_sim
+         |  FROM dots d JOIN n2 na ON na.user_id = d.qa
+         |  JOIN n2 nb ON nb.user_id = d.qb
+         |  WHERE na.n2 > 0 AND nb.n2 > 0)
+         |SELECT qid, rank, neighbor_id, cos_sim FROM (
+         |  SELECT qid, neighbor_id, cos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // q44b: the subquadratic clustered variant — candidates from
+    // within-cluster pairs (argmax-cosine assignment to a user-id-stride
+    // centroid sample) instead of peak-hour banding; scoring tail
+    // identical to q44
+    "q44b_series_topk_clustered" ->
+      s"""WITH ev AS (SELECT user_id,
+         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour,
+         |    value FROM events WHERE value IS NOT NULL),
+         |prof AS (SELECT user_id, hour,
+         |    CAST(sum(CAST(value AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS v
+         |  FROM ev GROUP BY user_id, hour),
+         |n2 AS (SELECT user_id, sum(v * v) AS n2 FROM prof GROUP BY user_id),
+         |cents AS (SELECT user_id AS cid, n2 AS cn2 FROM n2
+         |  WHERE user_id % ${ExtendedQueries.Q44bClusterStride} = 0
+         |    AND n2 > 0),
+         |cprof AS (SELECT c.cid, p.hour, p.v AS cv, c.cn2
+         |  FROM cents c JOIN prof p ON p.user_id = c.cid),
+         |cdot AS (SELECT p.user_id, cp.cid, sum(p.v * cp.cv) AS dot,
+         |    min(cp.cn2) AS cn2
+         |  FROM prof p JOIN cprof cp ON cp.hour = p.hour
+         |  GROUP BY p.user_id, cp.cid),
+         |assign AS (SELECT user_id, cid FROM (
+         |    SELECT d.user_id, d.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY d.user_id ORDER BY
+         |        CAST(d.dot AS DOUBLE) / (sqrt(CAST(nu.n2 AS DOUBLE))
+         |          * sqrt(CAST(d.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+         |    FROM cdot d JOIN n2 nu ON nu.user_id = d.user_id
+         |    WHERE nu.n2 > 0) WHERE rn = 1),
+         |cand AS (SELECT a.user_id AS qa, b.user_id AS qb
+         |  FROM assign a JOIN assign b ON a.cid = b.cid
          |    AND a.user_id <> b.user_id),
          |dots AS (SELECT c.qa, c.qb, sum(pa.v * pb.v) AS dot
          |  FROM cand c JOIN prof pa ON pa.user_id = c.qa

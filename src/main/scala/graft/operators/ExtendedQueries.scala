@@ -627,6 +627,22 @@ object ExtendedQueries {
     * self-join, so the oracle is unchanged. */
   def q44SeriesTopK(s: SparkSession, dir: String,
       salts: Int = Q44BandSalts): DataFrame = {
+    val (prof, n2) = seriesProfiles(s, dir)
+    val peak = prof
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("v").desc, col("hour").asc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour").as("peak_hour"))
+    val cand = graft.ops.SaltedJoin
+      .selfPairsGridDirected(peak, Seq("peak_hour"), "user_id", salts)
+      .select(col("a").as("qa"), col("b").as("qb"))
+    seriesTopKOf(cand, prof, n2)
+  }
+
+  /** Shared q44/q44b inputs: the per-user 24-bucket hourly activity
+    * profile (exact DECIMAL sums) and its squared norm. */
+  private def seriesProfiles(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val d18 = (c: Column) => c.cast(DecimalType(18, 6))
     val prof = Tables.events(s, dir)
       .select(col("user_id"),
@@ -636,14 +652,14 @@ object ExtendedQueries {
       .agg(d18(sum(col("value").cast(DecimalType(12, 6)))).as("v"))
     val n2 = prof.groupBy("user_id")
       .agg(sum(col("v") * col("v")).as("n2"))
-    val peak = prof
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("v").desc, col("hour").asc)))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("hour").as("peak_hour"))
-    val cand = graft.ops.SaltedJoin
-      .selfPairsGridDirected(peak, Seq("peak_hour"), "user_id", salts)
-      .select(col("a").as("qa"), col("b").as("qb"))
+    (prof, n2)
+  }
+
+  /** Shared q44/q44b scoring tail: exact DECIMAL cosine over the
+    * DIRECTED candidate pairs and the deterministic top-3 per user
+    * (doubles only at the cosine boundary, the s01 contract). */
+  private def seriesTopKOf(cand: DataFrame, prof: DataFrame,
+      n2: DataFrame): DataFrame = {
     val pa = prof.select(col("user_id").as("qa"), col("hour"),
       col("v").as("va"))
     val pb = prof.select(col("user_id").as("qb"), col("hour"),
@@ -665,6 +681,55 @@ object ExtendedQueries {
       .filter(col("rank") <= 3)
       .select("qid", "rank", "neighbor_id", "cos_sim")
       .orderBy("qid", "rank")
+  }
+
+  /** Coarse-cluster stride for [[q44bSeriesTopKClustered]]: centroids
+    * are the users with `user_id % stride == 0` — at the sf0.1 fixture
+    * that is K = 30 ≈ √1500 users, exactly the K ≈ √N sizing the
+    * SCALETREND.md study prescribes. */
+  val Q44bClusterStride = 50
+
+  /** q44's subquadratic sibling — the answer to SCALETREND.md's ×106
+    * flag on the exact banded all-pairs: the SemDeDup/IVF recipe
+    * (d18/s03's coarse clustering) applied to activity series. Users
+    * are assigned to their nearest coarse centroid (a deterministic
+    * user-id-stride sample of the profiles, argmax cosine with ties to
+    * the smallest cid), and candidates are pairs WITHIN a cluster only
+    * — K clusters of ~N/K users cost N²/K comparisons, so K ≈ √N makes
+    * the pairing N^1.5 where q44's per-band all-pairs is N²/24.
+    * APPROXIMATE by design: a cross-cluster true neighbor is missed —
+    * the exactness/scalability trade the s-family makes, here in an
+    * oracle-checkable relational form (assignment and scoring are
+    * deterministic, so DuckDB replays the identical answer set).
+    * Scoring, tie rules, and output shape are q44's exactly. */
+  def q44bSeriesTopKClustered(s: SparkSession, dir: String,
+      stride: Int = Q44bClusterStride): DataFrame = {
+    val (prof, n2) = seriesProfiles(s, dir)
+    val cents = n2.filter(col("user_id") % stride === 0 && col("n2") > 0)
+      .select(col("user_id").as("cid"), col("n2").as("cn2"))
+    val cprof = prof.join(cents, prof("user_id") === cents("cid"))
+      .select(col("cid"), col("hour"), col("v").as("cv"), col("cn2"))
+    // assignment: user × centroid cosine via the narrow (hour) join —
+    // the N·K pass; centroids broadcast (K ≪ N by construction)
+    val cdot = prof.join(broadcast(cprof), Seq("hour"))
+      .groupBy(col("user_id"), col("cid"))
+      .agg(sum(col("v") * col("cv")).as("dot"),
+        min(col("cn2")).as("cn2"))
+    val assign = cdot
+      .join(n2.filter(col("n2") > 0), Seq("user_id"))
+      .select(col("user_id"), col("cid"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("n2").cast(DoubleType)) *
+            sqrt(col("cn2").cast(DoubleType)))).as("ccos"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "cid")
+    val cand = assign.as("a").join(assign.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("qa"), col("b.user_id").as("qb"))
+    seriesTopKOf(cand, prof, n2)
   }
 
   /** Per-order distinct-part cap for [[q43CopurchasePairs]]: a basket

@@ -2427,4 +2427,30 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(got == perLabel)
   }
+
+  test("q44b clustered series top-k: single-cluster degenerate case is " +
+      "the unbanded exact search — dominates q44's banded answers") {
+    import graft.operators.ExtendedQueries
+    // at sf0.001 exactly one user survives the stride → ONE cluster →
+    // q44b's candidate set is ALL directed pairs, a superset of q44's
+    // same-peak-hour pairs
+    val b = ExtendedQueries.q44bSeriesTopKClustered(spark, sf)
+      .select("qid", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect()
+    val a = ExtendedQueries.q44SeriesTopK(spark, sf)
+      .select("qid", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(b.nonEmpty && a.nonEmpty)
+    assert(b.forall { case (_, r, _, c) => r >= 1 && r <= 3 &&
+      c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9 })
+    // every banded qid is served by the clustered search too
+    val bTop = b.filter(_._2 == 1).map(x => x._1 -> x._4).toMap
+    val aTop = a.filter(_._2 == 1).map(x => x._1 -> x._4).toMap
+    assert(aTop.keySet.subsetOf(bTop.keySet))
+    // superset candidates ⇒ the clustered best is at least the banded
+    // best for every shared user (the degenerate-exactness property)
+    aTop.foreach { case (qid, c) =>
+      assert(bTop(qid) >= c - 1e-12, s"qid $qid: ${bTop(qid)} < $c")
+    }
+  }
 }
