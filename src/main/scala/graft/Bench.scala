@@ -214,15 +214,47 @@ object Bench {
     }
     val passes =
       Vector.fill(3)(SparkEntry.queries.map { case (n, fn) => n -> timed(n, fn) })
+    val querySamples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    SparkEntry.queries.keys.foreach { n =>
+      querySamples(n) = passes.map(_(n)).filter(_ >= 0)
+    }
+    def medianOf(ss0: Vector[Double]): Double = {
+      val ss = ss0.sorted
+      if (ss.isEmpty) -1.0
+      else if (ss.size % 2 == 1) ss(ss.size / 2)
+      else (ss(ss.size / 2 - 1) + ss(ss.size / 2)) / 2
+    }
+    // per-query quiet-window top-up, the stream protocol's rule applied
+    // to the pack: a query whose 3-pass spread exceeds max(0.4 s, 30% of
+    // its median) straddled a noisy window (r11's q23_cube carried a
+    // 10.6 s spread from ONE poisoned sample) — take up to 2 extra
+    // samples so the median settles; a query still wide after the
+    // budget is reported wide rather than re-rolled until it looks
+    // tight.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      var extra = 0
+      def wide: Boolean = {
+        val ss = querySamples(name)
+        val med = medianOf(ss)
+        ss.nonEmpty && med > 0 &&
+          (ss.max - ss.min) > math.max(0.4, 0.3 * med)
+      }
+      while (extra < 2 && wide) {
+        val t = timed(name, fn)
+        if (t >= 0) querySamples(name) = querySamples(name) :+ t
+        extra += 1
+      }
+      if (extra > 0) {
+        val ss = querySamples(name)
+        System.err.println(f"[bench] $name quiet-window top-up: $extra " +
+          f"extra samples, spread ${ss.max - ss.min}%.2f s on median " +
+          f"${medianOf(ss)}%.2f s")
+      }
+    }
     def samplesOf(name: String): Vector[Double] =
-      passes.map(_(name)).filter(_ >= 0).sorted
+      querySamples(name).sorted
     val results = SparkEntry.queries.map { case (name, _) =>
-      val ss = samplesOf(name)
-      val med =
-        if (ss.isEmpty) -1.0
-        else if (ss.size % 2 == 1) ss(ss.size / 2)
-        else (ss(ss.size / 2 - 1) + ss(ss.size / 2)) / 2
-      name -> med
+      name -> medianOf(samplesOf(name))
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -367,7 +399,7 @@ object Bench {
     val prevN = results.count { case (k, v) => v >= 0 && prevQ.contains(k) }
     val prevJson =
       s""","prev":"$prevName","prev_n":$prevN,"prev_delta_sec":$deltas"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3","queries":$qs,"queries_spread_sec":$spreadJson$corpusJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,$streamSpreadJson,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3+quiet-window","queries":$qs,"queries_spread_sec":$spreadJson$corpusJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,$streamSpreadJson,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
     // Stdout protocol (VERDICT r08 item 2): the driver FRONT-truncates its
     // stdout tail to 2,000 chars, and the full line above is ~8 kB — four
     // rounds of `"parsed": null` because only a mid-line fragment
@@ -385,7 +417,7 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val nFailed = results.values.count(_ < 0)
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3","n_queries":${results.size},"n_failed":$nFailed,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3+quiet-window","n_queries":${results.size},"n_failed":$nFailed,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     println(compact)
     spark.stop()
   }
