@@ -26,8 +26,14 @@ object PlanCapture {
   @volatile private var queue
       : Option[ConcurrentLinkedQueue[(String, String)]] = None
 
-  /** Turn capture on (PlanAudit only). */
+  /** Turn capture on (plan-audit tooling only). */
   def enable(): Unit = queue = Some(new ConcurrentLinkedQueue)
+
+  /** Turn capture off — MUST bracket any wall-clock measurement that
+    * executes capture-instrumented pipelines: with capture on, every
+    * eager materialization pays a full `explain("formatted")` of a
+    * large plan inside the measured window. */
+  def disable(): Unit = queue = None
 
   /** Captured (label, formatted plan) pairs since the last drain. */
   def drain(): Seq[(String, String)] = queue match {

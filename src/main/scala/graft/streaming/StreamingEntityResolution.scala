@@ -224,9 +224,14 @@ object StreamingEntityResolution {
     val sidecarActive = dirExists(s, keysDir(storeDir)) ||
       !hasBatchesBefore(s, storeDir, batchId)
     val known = (if (sidecarActive) {
+        // null-safe: a null custkey hashes to a null bucket — it can
+        // never match a stored key (joins on custkey drop nulls), so
+        // it needs no bucket in the probe; the old full-scan probe
+        // tolerated such rows and the sidecar path must too
         val buckets = incoming0
           .select(keyBucket(col("custkey")).as("bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+          .collect().toSeq
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
         keySidecar(s, storeDir, beforeBatch = batchId, buckets = buckets)
       } else {
         storeRaw(s, storeDir)

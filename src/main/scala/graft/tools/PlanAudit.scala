@@ -142,10 +142,15 @@ object PlanAudit {
       graft.plans.PlanCapture.drain() // clear stragglers
       val top = audit(name, explainText(fn(spark, sfDir)))
       // one sub-row per captured internal pipeline: the real shuffle /
-      // pushdown / codegen evidence for the checkpointed queries
-      val inner = graft.plans.PlanCapture.drain().zipWithIndex.map {
-        case ((label, text), i) =>
-          val suffix = if (i == 0) label else s"$label#${i + 1}"
+      // pushdown / codegen evidence for the checkpointed queries.
+      // Numbering is PER LABEL (a second "pipeline" capture becomes
+      // pipeline#2) so distinct labels never imply a dropped row.
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val inner = graft.plans.PlanCapture.drain().map {
+        case (label, text) =>
+          val n = seen.getOrElse(label, 0) + 1
+          seen(label) = n
+          val suffix = if (n == 1) label else s"$label#$n"
           audit(s"$name ⊂ $suffix", text)
       }
       val a = top

@@ -18,7 +18,10 @@ class ScaleTrendSpec extends SparkSpec {
   test("synthesize scales facts by the factor, keeps dims fixed, joins " +
       "lossless, replicas distinct, norms preserved") {
     val out = Files.createTempDirectory("graft-scaletrend").toString
-    val factor = 3
+    // factor 6 regression-guards the perturbation PERIOD: the original
+    // vowel rotation cycled with period 5, so replicas r and r+5 were
+    // byte-identical — any factor ≥ 6 trips the distinctness assertion
+    val factor = 6
     ScaleTrend.synthesize(spark, src, out, factor)
     def n(dir: String, t: String): Long =
       spark.read.parquet(s"$dir/$t.parquet").count()
