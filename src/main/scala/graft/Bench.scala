@@ -224,20 +224,37 @@ object Bench {
       else if (ss.size % 2 == 1) ss(ss.size / 2)
       else (ss(ss.size / 2 - 1) + ss(ss.size / 2)) / 2
     }
+    // spread measure for the pack: plain max−min over the 3 passes, but
+    // once top-up samples exist the single max is dropped (a steal
+    // window only ever ADDS time to a query) and at 5 samples the min
+    // too (the stream protocol's middle-3). Without the trim, max−min
+    // over a growing sample set is monotone non-decreasing — a poisoned
+    // sample could never be quieted, only re-measured around.
+    def querySpread(ss0: Vector[Double]): Double = {
+      val ss = ss0.filter(_ >= 0).sorted
+      if (ss.isEmpty) -1.0
+      else {
+        val core =
+          if (ss.size >= 5) ss.slice(1, ss.size - 1)
+          else if (ss.size == 4) ss.take(3)
+          else ss
+        core.max - core.min
+      }
+    }
     // per-query quiet-window top-up, the stream protocol's rule applied
     // to the pack: a query whose 3-pass spread exceeds max(0.4 s, 30% of
     // its median) straddled a noisy window (r11's q23_cube carried a
     // 10.6 s spread from ONE poisoned sample) — take up to 2 extra
-    // samples so the median settles; a query still wide after the
-    // budget is reported wide rather than re-rolled until it looks
-    // tight.
+    // samples so the median and trimmed spread settle; a query still
+    // wide after the budget is reported wide rather than re-rolled
+    // until it looks tight.
     SparkEntry.queries.foreach { case (name, fn) =>
       var extra = 0
       def wide: Boolean = {
         val ss = querySamples(name)
         val med = medianOf(ss)
         ss.nonEmpty && med > 0 &&
-          (ss.max - ss.min) > math.max(0.4, 0.3 * med)
+          querySpread(ss) > math.max(0.4, 0.3 * med)
       }
       while (extra < 2 && wide) {
         val t = timed(name, fn)
@@ -247,7 +264,7 @@ object Bench {
       if (extra > 0) {
         val ss = querySamples(name)
         System.err.println(f"[bench] $name quiet-window top-up: $extra " +
-          f"extra samples, spread ${ss.max - ss.min}%.2f s on median " +
+          f"extra samples, spread ${querySpread(ss)}%.2f s on median " +
           f"${medianOf(ss)}%.2f s")
       }
     }
@@ -260,9 +277,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val spreadJson = SparkEntry.queries.keys.map { name =>
-      val ss = samplesOf(name)
-      val spread = if (ss.isEmpty) -1.0 else ss.max - ss.min
-      "\"" + name + "\":" + f"$spread%.3f"
+      "\"" + name + "\":" + f"${querySpread(samplesOf(name))}%.3f"
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // Corpus density stats: the fixture corpus regenerates per round, and
