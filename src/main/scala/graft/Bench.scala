@@ -69,7 +69,8 @@ object Bench {
       // post-queries field before matching; a fragment that starts inside
       // the later maps then yields nothing — a loud warning beats wrong
       // data.
-      val cut = Seq("\"queries_spread_sec\"", "\"corpus\"",
+      val cut = Seq("\"queries_spread_sec\"", "\"queries_n_samples\"",
+          "\"corpus\"",
           "\"stream_eps\"", "\"batch_size_sweep\"", "\"prev\"",
           "\"prev_delta_sec\"")
         .map(tail0.indexOf).filter(_ >= 0)
@@ -279,6 +280,14 @@ object Bench {
     val spreadJson = SparkEntry.queries.keys.map { name =>
       "\"" + name + "\":" + f"${querySpread(samplesOf(name))}%.3f"
     }.mkString("{", ",", "}")
+    // the spread statistic changes with sample count (3: full range;
+    // 4: max-trimmed; 5+: min+max-trimmed), so the per-query count is
+    // recorded alongside — without it, spreads are not comparable
+    // across queries that took different top-up counts or across
+    // rounds that changed the protocol (ADVICE r12).
+    val sampleCountJson = SparkEntry.queries.keys.map { name =>
+      "\"" + name + "\":" + samplesOf(name).size
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // Corpus density stats: the fixture corpus regenerates per round, and
     // r05's d02 +66% was candidate-pair density, not a plan change. One
@@ -414,7 +423,7 @@ object Bench {
     val prevN = results.count { case (k, v) => v >= 0 && prevQ.contains(k) }
     val prevJson =
       s""","prev":"$prevName","prev_n":$prevN,"prev_delta_sec":$deltas"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3+quiet-window","queries":$qs,"queries_spread_sec":$spreadJson$corpusJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,$streamSpreadJson,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3+quiet-window","queries":$qs,"queries_spread_sec":$spreadJson,"queries_n_samples":$sampleCountJson$corpusJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,$streamSpreadJson,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
     // Stdout protocol (VERDICT r08 item 2): the driver FRONT-truncates its
     // stdout tail to 2,000 chars, and the full line above is ~8 kB — four
     // rounds of `"parsed": null` because only a mid-line fragment

@@ -177,18 +177,29 @@ final class ConsoleSpanExporter(out: PrintStream = System.out)
   * deferred OTLP slot (`tracing.py:31-33,44-46`): span output becomes a
   * queryable on-disk artifact like the DLQ (`spark.read.json` over the
   * file), same line shape as the console exporter. Appends (a restarted
-  * pipeline extends its trace log); per-batch flush. */
+  * pipeline extends its trace log).
+  *
+  * Each span line goes down in ONE `write` on an O_APPEND channel — two
+  * live tracers pointed at the same endpoint (a re-init without
+  * shutdown, or two sessions sharing a config) then interleave only at
+  * line boundaries, never mid-line, so the artifact `spark.read.json`
+  * consumes stays parseable. (A shared buffered PrintStream per
+  * exporter could flush partial lines from both writers interleaved.) */
 final class FileSpanExporter(path: java.nio.file.Path)
     extends SpanExporter {
   Option(path.getParent)
     .foreach(p => java.nio.file.Files.createDirectories(p))
-  private val out = new PrintStream(java.nio.file.Files.newOutputStream(
-    path, java.nio.file.StandardOpenOption.CREATE,
-    java.nio.file.StandardOpenOption.APPEND), true, "UTF-8")
+  private val ch = java.nio.channels.FileChannel.open(path,
+    java.nio.file.StandardOpenOption.CREATE,
+    java.nio.file.StandardOpenOption.WRITE,
+    java.nio.file.StandardOpenOption.APPEND)
   override def export(batch: Seq[SpanData]): Unit = synchronized {
-    batch.foreach(s => out.println(SpanJson.line(s)))
+    batch.foreach { s =>
+      val bytes = (SpanJson.line(s) + "\n").getBytes("UTF-8")
+      ch.write(java.nio.ByteBuffer.wrap(bytes)); ()
+    }
   }
-  override def shutdown(): Unit = synchronized { out.close() }
+  override def shutdown(): Unit = synchronized { ch.close() }
 }
 
 /** Spec/metrics exporter: keeps every exported span in memory. */

@@ -101,19 +101,23 @@ object StreamingEntityResolution {
     p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** True when the store holds any `batch_id` partition `< batchId` —
-    * a driver-side top-level directory listing (one FS call, no data
-    * read), the sidecar-activation guard. */
-  private def hasBatchesBefore(s: SparkSession, storeDir: String,
-      batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
+  /** The `batch_id` partition ids `< batchId` under `dir` — a
+    * driver-side top-level directory listing (one FS call, no data
+    * read). Drives the sidecar-activation guard AND the store-vs-sidecar
+    * completeness comparison (a store batch with no sidecar counterpart
+    * marks a crash that interrupted the pair of writes). */
+  private def batchIdsBefore(s: SparkSession, dir: String,
+      batchId: Long): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    fs.exists(p) && fs.listStatus(p).exists { st =>
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).flatMap { st =>
       val n = st.getPath.getName
-      n.startsWith("batch_id=") &&
+      if (n.startsWith("batch_id="))
         scala.util.Try(n.stripPrefix("batch_id=").toLong)
-          .toOption.exists(_ < batchId)
-    }
+          .toOption.filter(_ < batchId)
+      else None
+    }.toSet
   }
 
   /** The resolved entity table as of batches `< beforeBatch` — latest
@@ -215,23 +219,47 @@ object StreamingEntityResolution {
     // column-pruned full-store custkey scan until its next [[compact]]
     // materializes the sidecar — applyBatch must NOT start one
     // mid-history, or later probes would trust a sidecar that misses
-    // every pre-sidecar key. Hence the activation rule: the sidecar
-    // exists, OR no batch earlier than this one does (fresh store, or a
-    // replayed FIRST batch whose initial attempt died between the store
-    // and sidecar writes — restarting the sidecar there is sound
-    // because there are no earlier keys to miss, and it heals that
-    // crash window instead of disabling the sidecar forever).
-    val sidecarActive = dirExists(s, keysDir(storeDir)) ||
-      !hasBatchesBefore(s, storeDir, batchId)
+    // every pre-sidecar key. Hence the activation rule: no batch
+    // earlier than this one exists (fresh store, or a replayed FIRST
+    // batch whose initial attempt died between the store and sidecar
+    // writes — restarting the sidecar there is sound because there are
+    // no earlier keys to miss), OR the sidecar exists AND covers every
+    // earlier store batch. The store/sidecar pair is two non-atomic
+    // writes, and applyBatch is a public API — a crash between them on
+    // a batch that is never replayed would otherwise leave the sidecar
+    // permanently missing that batch's newcomers, and a later
+    // redelivery of such a key with a changed block would pass the
+    // bucket-pruned probe and fork the key across two blocks. The
+    // guard is the same driver listing as the block list, run on both
+    // roots: any store batch with no sidecar counterpart is HEALED by
+    // backfilling its keys from that one store partition (a
+    // batch-bounded single-column read, idempotent overwrite) before
+    // the sidecar is trusted. Relabeled old members ride along with
+    // the newcomers in the backfill — harmless for an existence probe,
+    // their keys are already resolved.
+    val sidecarActive =
+      if (!dirExists(s, keysDir(storeDir)))
+        batchIdsBefore(s, storeDir, batchId).isEmpty
+      else {
+        val missing = batchIdsBefore(s, storeDir, batchId) --
+          batchIdsBefore(s, keysDir(storeDir), batchId)
+        missing.foreach { m =>
+          s.read.schema(KeySchema).parquet(s"$storeDir/batch_id=$m")
+            .select(col("custkey"), keyBucket(col("custkey")).as("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"${keysDir(storeDir)}/batch_id=$m")
+        }
+        true
+      }
     val known = (if (sidecarActive) {
-        // null-safe: a null custkey hashes to a null bucket — it can
-        // never match a stored key (joins on custkey drop nulls), so
-        // it needs no bucket in the probe; the old full-scan probe
-        // tolerated such rows and the sidecar path must too
+        // hash(null) is the SEED (42), never null, so a null custkey
+        // lands in the real bucket pmod(42, KeyBuckets) on BOTH sides —
+        // the sidecar write below and this probe compute the same
+        // bucket, so the probe always includes it; joins on custkey
+        // drop null keys, so the row is inert either way
         val buckets = incoming0
           .select(keyBucket(col("custkey")).as("bucket")).distinct()
-          .collect().toSeq
-          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+          .collect().toSeq.map(_.getInt(0))
         keySidecar(s, storeDir, beforeBatch = batchId, buckets = buckets)
       } else {
         storeRaw(s, storeDir)

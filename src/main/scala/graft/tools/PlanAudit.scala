@@ -98,9 +98,19 @@ object PlanAudit {
             table = d.replaceAll(""".*/([A-Za-z_0-9]+)\.parquet.*""", "$1")
           else if (d.startsWith("Location:") && d.contains("/")) {
             // artifact tables (frozen cents/cb dirs) have no .parquet
-            // suffix — name the scan by its last path segment
-            val p = d.stripSuffix("]")
-            val seg = p.substring(p.lastIndexOf('/') + 1)
+            // suffix — name the scan by the FIRST path's last segment.
+            // A multi-path InMemoryFileIndex prints `[file:/a, file:/b]`
+            // and explain's width limit can elide the tail with `...`,
+            // so the raw line's last '/'-segment would be a path from a
+            // different root or a truncation artifact; the first path
+            // inside the brackets is always complete and representative.
+            val inside = d.indexOf('[') match {
+              case -1 => d
+              case b => d.substring(b + 1)
+            }
+            val first = inside.split(',')(0).trim
+              .stripSuffix("]").stripSuffix("...")
+            val seg = first.substring(first.lastIndexOf('/') + 1)
             if (seg.nonEmpty && !seg.startsWith(".")) table = seg
           }
           if (d.startsWith("ReadSchema:"))
