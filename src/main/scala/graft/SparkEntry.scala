@@ -482,6 +482,24 @@ object SparkEntry {
       |  z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6))))"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** SQL twin of [[Similarity.adaptiveStride]]: `max(1, ⌊√N⌋)` over an
+    * explicit COUNT subquery — the oracle derives the same stride the
+    * engine counts (floor/sqrt are exactly-rounded IEEE in both engines
+    * and √integer never sits on a rounding boundary), so the fixtures
+    * stay deterministic at every corpus size instead of pinning one
+    * constant that makes K ∝ N. */
+  private def adaptiveStrideSql(countFrom: String): String =
+    s"GREATEST(1, CAST(floor(sqrt((SELECT count(*) FROM $countFrom)))" +
+      " AS BIGINT))"
+
+  /** [[adaptiveStrideSql]] over the `e` CTE's centroid-eligible rows —
+    * the population [[Similarity.centsOf]] samples (`vec_id >=
+    * NumQueries`, narrowed by the same membership pred as the cents
+    * CTE it feeds). */
+  private def ivfStrideSql(centsPred: String = ""): String =
+    adaptiveStrideSql(
+      s"e WHERE vec_id >= ${Similarity.NumQueries}$centsPred")
+
   /** Full s01/s02/s03/s05/s07 oracle bodies — their own map entries, and
     * composed as subqueries by the s06 and s09 recall oracles. */
   private def s05Sql: String =
@@ -736,7 +754,7 @@ object SparkEntry {
   private def memberAssignCtes(centsPred: String): String = {
     val nq = Similarity.NumQueries
     s"""cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-       |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+       |          WHERE vec_id % ${ivfStrideSql(centsPred)} = 0
        |            AND vec_id >= $nq$centsPred),
        |mem AS (SELECT * FROM e WHERE vec_id >= $nq),
        |ac AS (SELECT a.vec_id, c.cid,
@@ -916,11 +934,13 @@ object SparkEntry {
       src: String = embCte,
       m: Int = Similarity.PqM, sd: Int = Similarity.PqSubDim,
       queryPred: String => String =
-        a => s"${a}vec_id < ${Similarity.NumQueries}"): String =
+        a => s"${a}vec_id < ${Similarity.NumQueries}",
+      stridePred: String = null): String =
     s"""WITH $src,
          |${pqCtes(m, sd, cbPred, queryPred)},
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |          WHERE vec_id % ${ivfStrideSql(
+             Option(stridePred).getOrElse(centsPred))} = 0
          |            AND vec_id >= ${Similarity.NumQueries}$centsPred),
          |ac AS (SELECT a.vec_id, c.cid,
          |    list_sum(list_transform(list_zip(a.embedding, c.cv),
@@ -1057,7 +1077,7 @@ object SparkEntry {
   private def s03Sql: String =
     s"""WITH $embCte,
        |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-       |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+       |          WHERE vec_id % ${ivfStrideSql()} = 0
        |            AND vec_id >= ${Similarity.NumQueries}),
        |ac AS (SELECT a.vec_id, c.cid,
        |    list_sum(list_transform(list_zip(a.embedding, c.cv),
@@ -2069,7 +2089,7 @@ object SparkEntry {
          |  FROM ev GROUP BY user_id, hour),
          |n2 AS (SELECT user_id, sum(v * v) AS n2 FROM prof GROUP BY user_id),
          |cents AS (SELECT user_id AS cid, n2 AS cn2 FROM n2
-         |  WHERE user_id % ${ExtendedQueries.Q44bClusterStride} = 0
+         |  WHERE user_id % ${adaptiveStrideSql("n2 WHERE n2 > 0")} = 0
          |    AND n2 > 0),
          |cprof AS (SELECT c.cid, p.hour, p.v AS cv, c.cn2
          |  FROM cents c JOIN prof p ON p.user_id = c.cid),
@@ -2497,7 +2517,7 @@ object SparkEntry {
     "d18_semantic_dedup" ->
       s"""WITH $embCte,
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-         |          WHERE vec_id % ${Dedup.SemCentroidStride} = 0),
+         |          WHERE vec_id % ${adaptiveStrideSql("e")} = 0),
          |ac AS (SELECT a.vec_id, c.cid,
          |    CAST(list_sum(list_transform(list_zip(a.embedding, c.cv),
          |      z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6))
@@ -2547,7 +2567,7 @@ object SparkEntry {
          |  FROM lshc JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
          |  WHERE $cos > $tau),
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-         |          WHERE vec_id % ${Dedup.SemCentroidStride} = 0),
+         |          WHERE vec_id % ${adaptiveStrideSql("e")} = 0),
          |ac AS (SELECT a.vec_id, c.cid,
          |    CAST(list_sum(list_transform(list_zip(a.embedding, c.cv),
          |      z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6))
@@ -2621,7 +2641,7 @@ object SparkEntry {
          |bk AS (SELECT vec_id, $lshBitExprs AS bucket FROM e),
          |lg AS (SELECT bucket, count(*) AS sz FROM bk GROUP BY bucket),
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |          WHERE vec_id % ${ivfStrideSql()} = 0
          |            AND vec_id >= ${Similarity.NumQueries}),
          |ac AS (SELECT a.vec_id, c.cid,
          |    list_sum(list_transform(list_zip(a.embedding, c.cv),
@@ -2789,7 +2809,7 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n")
       s"""WITH $embCte,
          |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-         |          WHERE vec_id % ${Similarity.CentroidStride} = 0
+         |          WHERE vec_id % ${ivfStrideSql()} = 0
          |            AND vec_id >= ${Similarity.NumQueries}),
          |ac AS (SELECT a.vec_id, c.cid,
          |    list_sum(list_transform(list_zip(a.embedding, c.cv),
@@ -2845,9 +2865,17 @@ object SparkEntry {
     "s17c_ingest_artifacts" -> s17Sql,
     "s17b_ingest_recall" -> {
       val np = 3 * Similarity.NumQueries
+      // the fresh baseline runs at the frozen artifacts' OWN stride
+      // (count over the EXISTING members) so the delta isolates
+      // quantizer staleness from K resizing — the engine pins both
+      // sides the same way (ivfPqIngestRecall)
+      val baseSql =
+        s"""${s15CtesFor("", "", stridePred = s17NotNewPred)}
+           |SELECT qid, rank, neighbor_id, pq_score FROM r
+           |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
       s"""WITH bf AS (SELECT qid, neighbor_id FROM ($s01Sql)
          |           WHERE rank <= 3),
-         |base AS (SELECT qid, neighbor_id FROM ($s15Sql)),
+         |base AS (SELECT qid, neighbor_id FROM ($baseSql)),
          |ing AS (SELECT qid, neighbor_id FROM ($s15IngestSql)),
          |c AS (SELECT
          |  CAST((SELECT count(*) FROM ing JOIN bf USING (qid, neighbor_id))

@@ -1196,12 +1196,16 @@ object Dedup {
   }
 
   // --- semantic dedup (SemDeDup shape) --------------------------------------
-  /** Coarse-cluster stride for [[semanticDedup]] — shares the IVF
-    * quantizer's stride constant ([[Similarity.CentroidStride]]; tuning
-    * one tunes both) but keeps ALL stride-hit vectors as centroids:
-    * unlike `Similarity.centsOf` there is no query set here, so the
-    * `vec_id >= NumQueries` exclusion does not apply. */
-  val SemCentroidStride: Int = Similarity.CentroidStride
+  /** Coarse-cluster stride for [[semanticDedup]] — scale-adaptive like
+    * the IVF quantizer's ([[Similarity.adaptiveStride]]; sizing one
+    * sizes both): `⌊√N⌋` over the corpus count, so K ≈ √N and BOTH
+    * quadratic terms balance at N^1.5 — the N·K assignment and the
+    * Σ|cluster|² within-cluster candidate pass (clusters average √N
+    * members). Unlike `Similarity.centsOf` there is no query set here,
+    * so N is the WHOLE frame and the `vec_id >= NumQueries` exclusion
+    * does not apply; the oracle replays the same count in SQL. */
+  private def semStrideOf(e: DataFrame): Int =
+    Similarity.adaptiveStride(e.count())
 
   /** Semantic deduplication (d18) — the SemDeDup recipe (Abbas et al.
     * 2023): partition the embedding space with a coarse k-means-style
@@ -1236,7 +1240,7 @@ object Dedup {
   /** d18's `(assign, verified within-cluster pairs)` — one definition
     * shared by the dedup itself and the d19 agreement audit. */
   private def semCore(e: DataFrame): (DataFrame, DataFrame) = {
-    val cents = e.filter(col("vec_id") % SemCentroidStride === 0)
+    val cents = e.filter(col("vec_id") % semStrideOf(e) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
     val assign = e.join(broadcast(cents), lit(true))

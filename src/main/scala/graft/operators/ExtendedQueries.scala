@@ -684,10 +684,14 @@ object ExtendedQueries {
   }
 
   /** Coarse-cluster stride for [[q44bSeriesTopKClustered]]: centroids
-    * are the users with `user_id % stride == 0` — at the sf0.1 fixture
-    * that is K = 30 ≈ √1500 users, exactly the K ≈ √N sizing the
-    * SCALETREND.md study prescribes. */
-  val Q44bClusterStride = 50
+    * are the users with `user_id % stride == 0`. The default derives
+    * `stride = ⌊√N⌋` from the count of users with activity (n2 > 0) —
+    * K ≈ √N at ANY corpus size, so the N·K assignment and the
+    * Σ|cluster|² candidate pass both stay N^1.5 (a flat stride makes
+    * K ∝ N and the assignment quadratic — SCALETREND r12 measured it at
+    * ×35 on 10× data). The oracle replays the identical count-derived
+    * stride in SQL; [[Similarity.AdaptiveStride]] is the sentinel. */
+  val Q44bClusterStride = Similarity.AdaptiveStride
 
   /** q44's subquadratic sibling — the answer to SCALETREND.md's ×106
     * flag on the exact banded all-pairs: the SemDeDup/IVF recipe
@@ -705,7 +709,11 @@ object ExtendedQueries {
   def q44bSeriesTopKClustered(s: SparkSession, dir: String,
       stride: Int = Q44bClusterStride): DataFrame = {
     val (prof, n2) = seriesProfiles(s, dir)
-    val cents = n2.filter(col("user_id") % stride === 0 && col("n2") > 0)
+    val st =
+      if (stride == Similarity.AdaptiveStride)
+        Similarity.adaptiveStride(n2.filter(col("n2") > 0).count())
+      else stride
+    val cents = n2.filter(col("user_id") % st === 0 && col("n2") > 0)
       .select(col("user_id").as("cid"), col("n2").as("cn2"))
     val cprof = prof.join(cents, prof("user_id") === cents("cid"))
       .select(col("cid"), col("hour"), col("v").as("cv"), col("cn2"))

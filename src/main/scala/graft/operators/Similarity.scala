@@ -103,7 +103,7 @@ object Similarity {
 
   // --- IVF (inverted-file) ANN ---------------------------------------------
   /** Coarse-quantizer parameters. Centroids are the data vectors with
-    * `vec_id % CentroidStride == 0` — a deterministic sample playing the
+    * `vec_id % stride == 0` — a deterministic sample playing the
     * role k-means centroids would in production IVF (training a quantizer
     * is offline work; the SEARCH data flow here is the real thing). Every
     * vector is assigned to its nearest centroid's inverted list; a query
@@ -112,15 +112,38 @@ object Similarity {
     * narrow map-side pass over the vectors, and the probe prunes the
     * exact scoring to ~NProbe/K of the corpus.
     *
-    * The stride is a corpus-size KNOB, not a constant: a fixed stride
-    * makes K ∝ N, so the N·K assignment pass is quadratic in the corpus
-    * — the dominant superlinear term SCALETREND.md measured in the
-    * m11/m12/d19 audits (×29 at 10× data). The fixture queries keep the
-    * oracle-pinned default; a real deployment sizes K ≈ √N by passing
-    * `centroidStride ≈ √N` to [[graft.streaming.IndexDeployment.deploy]]
-    * (recorded per generation, preserved by rebuilds), which makes the
-    * assignment N^1.5 and the probe fraction NProbe/√N.
-    */
+    * The stride is a corpus-size KNOB, and since round 13 the DEFAULT is
+    * scale-adaptive: `stride = max(1, ⌊√N⌋)` over the centroid-eligible
+    * count N, so K = N/stride ≈ √N and the N·K assignment pass is N^1.5
+    * out of the box (a flat stride makes K ∝ N and the assignment
+    * quadratic — the dominant superlinear term SCALETREND.md measured in
+    * the m11/m12/d19 audits at r12, ×23-37 at 10× data). The derivation
+    * is one driver-side `count()` of the corpus frame (column-pruned
+    * scan, no shuffle) and is replayed bit-for-bit by the DuckDB oracle
+    * as `GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT))` — floor and
+    * sqrt are exactly-rounded IEEE in both engines and √integer is never
+    * a .5 boundary, so fixtures stay deterministic AT EVERY CORPUS SIZE
+    * rather than pinned to one constant. An explicit stride remains the
+    * deployment seam ([[graft.streaming.IndexDeployment.deploy]] records
+    * it per generation; rebuilds preserve it). */
+  def adaptiveStride(n: Long): Int =
+    math.max(1L, math.sqrt(n.toDouble).floor.toLong).toInt
+
+  /** [[adaptiveStride]] over a corpus frame's centroid-eligible rows
+    * (`vec_id >= NumQueries` — the same population [[centsOf]] samples,
+    * and the same count the oracle's stride subquery runs). */
+  private[graft] def adaptiveStrideOf(e: DataFrame): Int =
+    adaptiveStride(e.filter(col("vec_id") >= NumQueries).count())
+
+  /** Sentinel for `stride`/`centroidStride` parameters: derive the
+    * stride from the corpus via [[adaptiveStride]] instead of pinning a
+    * constant — the default everywhere since round 13. */
+  val AdaptiveStride = 0
+
+  /** The stride pre-knob index generations were built at — the GRID-file
+    * fallback for generations recorded before the stride rode the file
+    * ([[graft.streaming.IndexDeployment.strideOf]]). NOT a default for
+    * any derive path anymore: those size K ≈ √N via [[adaptiveStride]]. */
   val CentroidStride = 50
   val NProbe = 3
 
@@ -136,13 +159,17 @@ object Similarity {
   /** The deterministic coarse-centroid sample `(cid, cv, cn)` — ONE
     * definition shared by every IVF consumer (search, audits, IVF-PQ), so
     * a change to the quantizer cannot silently diverge between the
-    * oracle-pinned variants. */
+    * oracle-checked variants. [[AdaptiveStride]] (the default) sizes the
+    * stride ≈ √N from the frame's own centroid-eligible count, so K ≈ √N
+    * at any corpus size; an explicit stride is the deployment knob. */
   private[graft] def centsOf(e: DataFrame,
-      stride: Int = CentroidStride): DataFrame =
-    e.filter(col("vec_id") % stride === 0 &&
+      stride: Int = AdaptiveStride): DataFrame = {
+    val st = if (stride == AdaptiveStride) adaptiveStrideOf(e) else stride
+    e.filter(col("vec_id") % st === 0 &&
         col("vec_id") >= NumQueries)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
+  }
 
   /** Materialize the frozen quantizer artifacts for `(tag, corpus dir)`
     * into a [[graft.streaming.IndexDeployment.loadGen]]-shaped directory
@@ -165,6 +192,12 @@ object Similarity {
     val corpus = new org.apache.hadoop.fs.Path(dir)
     val cfs = corpus.getFileSystem(hc)
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    // derivation-rule version rides the cache key: artifacts are a
+    // function of (corpus bytes, quantizer rule), and a rule change —
+    // like the r13 flat→adaptive stride default — must invalidate
+    // published artifact sets the corpus fingerprint alone would keep
+    // serving stale.
+    md.update("quantizer-v2-adaptive-stride;".getBytes("UTF-8"))
     md.update(dir.getBytes("UTF-8"))
     def stamp(st: org.apache.hadoop.fs.FileStatus): Unit = md.update(
       s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
@@ -772,7 +805,7 @@ object Similarity {
 
   private[graft] def ivfPqRanked(e: DataFrame, nProbe: Int = NProbe,
       m: Int = PqM, subDim: Int = PqSubDim, topK: Int = 3,
-      centroidStride: Int = CentroidStride): DataFrame =
+      centroidStride: Int = AdaptiveStride): DataFrame =
     ivfPqRankedFor(e, centsOf(e, centroidStride),
       pqCodebook(e, m, subDim), nProbe, m, subDim, topK)
 
@@ -1101,13 +1134,26 @@ object Similarity {
     * baseline whose quantizer was built on the full corpus — the delta
     * IS the price of not retraining, the number an index operator
     * watches to schedule rebuilds (the s06-recall methodology, one
-    * composed row). */
+    * composed row).
+    *
+    * BOTH retrievals run at the frozen artifacts' OWN stride (the
+    * adaptive sizing of the EXISTING corpus): the audit isolates
+    * quantizer STALENESS, so the fresh baseline must differ only in
+    * training data, not in K — a baseline re-sized to the grown corpus
+    * would fold a deliberate K change into the staleness number (the
+    * "phantom loss" the deployment measurement guards against;
+    * [[graft.streaming.IndexDeployment.recallLossOf]] re-baselines at
+    * the generation's recorded stride for the same reason, and this
+    * shared rule is what keeps the two measurements IDENTICAL —
+    * spec-proven). */
   def ivfPqIngestRecall(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).persist()
     val existing = e.filter(col("vec_id") >= NumQueries && !isIngestBatch)
-    val afterIngest = ivfPqRankedFor(e, centsOf(existing),
+    val st = adaptiveStrideOf(existing)
+    val afterIngest = ivfPqRankedFor(e, centsOf(existing, st),
       pqCodebook(existing)).select("qid", "neighbor_id")
-    val baseline = ivfPqRanked(e).select("qid", "neighbor_id")
+    val baseline = ivfPqRanked(e, centroidStride = st)
+      .select("qid", "neighbor_id")
     val bf = bruteForceRanked(e)
       .filter(col("rank") <= 3).select("qid", "neighbor_id")
     val nPossible = 3L * NumQueries

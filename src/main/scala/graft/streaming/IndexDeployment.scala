@@ -139,7 +139,14 @@ object IndexDeployment {
       rootDir: String, shards: Int = Similarity.ShardMod,
       m: Int = Similarity.PqM,
       subDim: Int = Similarity.PqSubDim,
-      centroidStride: Int = Similarity.CentroidStride): Long = {
+      centroidStride: Int = Similarity.AdaptiveStride): Long = {
+    // resolve the adaptive sentinel BEFORE recording: the GRID file
+    // carries the concrete stride this generation was built at, so
+    // rebuilds/rollbacks reproduce it even after the corpus has grown
+    val stride =
+      if (centroidStride == Similarity.AdaptiveStride)
+        Similarity.adaptiveStrideOf(train)
+      else centroidStride
     // next = 1 + max over BOTH the pointer and the on-disk dirs: after a
     // rollback the pointer sits below already-built generations, and
     // pointer+1 would overwrite a live rollback target in place (five
@@ -155,10 +162,10 @@ object IndexDeployment {
       org.apache.spark.storage.StorageLevel.NONE
     val e = if (owned) corpus.persist() else corpus
     try {
-      val cents = Similarity.centsOf(train, centroidStride).persist()
+      val cents = Similarity.centsOf(train, stride).persist()
       val cb = Similarity.pqCodebook(train, m, subDim).persist()
       try {
-        writeGrid(s, dir, m, subDim, centroidStride)
+        writeGrid(s, dir, m, subDim, stride)
         cents.write.mode("overwrite").parquet(s"$dir/cents")
         cb.write.mode("overwrite").parquet(s"$dir/cb")
         e.write.mode("overwrite").parquet(s"$dir/corpus")

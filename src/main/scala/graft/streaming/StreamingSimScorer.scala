@@ -62,7 +62,7 @@ object StreamingSimScorer {
     * artifacts at the geometry they were trained at. */
   def buildIndexFrom(e0: DataFrame, m: Int = Similarity.PqM,
       subDim: Int = Similarity.PqSubDim,
-      centroidStride: Int = Similarity.CentroidStride): Index = {
+      centroidStride: Int = Similarity.AdaptiveStride): Index = {
     val e = e0.persist()
     val cents = Similarity.centsOf(e, centroidStride).persist()
     val cb = Similarity.pqCodebook(e, m, subDim).persist()

@@ -69,7 +69,12 @@ class IndexDeploymentSpec extends SparkSpec {
       finally idx.unpersistAll()
     }
     val scratch = {
-      val idx = StreamingSimScorer.buildIndex(spark, sf)
+      // at the generation's recorded stride: the rebuild preserves gen
+      // 0's K sizing (adaptive over the STALE training set), so the
+      // scratch equivalent must build at that K, not re-derive its own
+      val idx = StreamingSimScorer.buildIndexFrom(
+        Similarity.embeddings(spark, sf),
+        centroidStride = IndexDeployment.strideOf(spark, root, 1L))
       try answers(StreamingSimScorer.serve(queries, idx))
       finally idx.unpersistAll()
     }
@@ -193,8 +198,14 @@ class IndexDeploymentSpec extends SparkSpec {
         try answers(StreamingSimScorer.serve(queries, g))
         finally g.unpersistAll()
       }
+      // scratch build at the GENERATION's recorded stride: the rebuild
+      // deliberately preserves gen 0's K sizing (never silently resizes
+      // the index), so the equality must hold at that stride — the
+      // adaptive default over survN would derive its own
       val scratch = answers(Similarity.ivfPqServe(queries, survN,
-        Similarity.centsOf(survN), Similarity.pqCodebook(survN)))
+        Similarity.centsOf(survN,
+          IndexDeployment.strideOf(spark, root, 1L)),
+        Similarity.pqCodebook(survN)))
       assert(scratch.nonEmpty && viaDeployment == scratch)
       // a deleted vector can never be served through the swapped index
       val served = viaDeployment.map(_._3)
@@ -391,8 +402,9 @@ class IndexDeploymentSpec extends SparkSpec {
       "full-trained, and a rebuild preserves the stride") {
     val root = Files.createTempDirectory("graft-bg-stride").toString
     val e = Similarity.embeddings(spark, sf)
-    // half the default stride → 2× the centroids: the K ≈ √N sizing a
-    // 100 TB deploy makes, exercised end-to-end at fixture scale
+    // an explicit pinned stride (the legacy constant halved) — distinct
+    // from what the adaptive default would derive, so the test proves
+    // the KNOB is honored, recorded, and preserved end-to-end
     val stride = Similarity.CentroidStride / 2
     assert(IndexDeployment.deploy(spark, e, e, root,
       centroidStride = stride) == 0L)

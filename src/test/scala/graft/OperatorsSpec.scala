@@ -419,8 +419,11 @@ class OperatorsSpec extends SparkSpec {
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivf = Similarity.annIvf(spark, sf)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val stride = Similarity.adaptiveStride(
+      Tables.table(spark, sf, "embeddings")
+        .filter(col("vec_id") >= Similarity.NumQueries).count())
     val k = Tables.table(spark, sf, "embeddings")
-      .filter(col("vec_id") % Similarity.CentroidStride === 0 &&
+      .filter(col("vec_id") % stride === 0 &&
         col("vec_id") >= Similarity.NumQueries).count()
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(ivf.nonEmpty)
@@ -2246,7 +2249,10 @@ class OperatorsSpec extends SparkSpec {
     val vecs = embs.toMap
     val nrm = embs.map { case (id, v) =>
       id -> math.sqrt(dot(v, v).toDouble) }.toMap
-    val cents = embs.filter(_._1 % Dedup.SemCentroidStride == 0)
+    // the adaptive stride: ⌊√N⌋ over the whole frame (no query set)
+    val semStride =
+      graft.operators.Similarity.adaptiveStride(embs.length.toLong)
+    val cents = embs.filter(_._1 % semStride == 0)
     assert(cents.nonEmpty)
     val assign = embs.map { case (id, v) =>
       id -> cents.map { case (cid, cv) =>
@@ -2369,8 +2375,11 @@ class OperatorsSpec extends SparkSpec {
     // vectors get identical PQ codes under any codebook, so query 8
     // sees 40 candidates tied at the maximal pq_score — the tie class
     // the exact-duplicate guarantee cuts ties-inclusively on. Ids run
-    // to 199 so the stride-sampled coarse quantizer (CentroidStride=50)
-    // has centroids at 50/100/150.
+    // to 199 so the stride-sampled coarse quantizer has several
+    // centroids (adaptive stride ⌊√190⌋ = 13 → cids 13, 26, …); the
+    // duplicates all share cid 13 (their ccos there is exactly 1), and
+    // query 8 probes that list first, so the tie class is retrieved
+    // whole at any stride.
     val base = (i: Long) => Seq.tabulate(Similarity.Dim)(d =>
       (((i * 31 + d * 7) % 13) - 6).toFloat)
     val rows = (0L until 200L).map { i =>
@@ -2431,10 +2440,12 @@ class OperatorsSpec extends SparkSpec {
   test("q44b clustered series top-k: single-cluster degenerate case is " +
       "the unbanded exact search — dominates q44's banded answers") {
     import graft.operators.ExtendedQueries
-    // at sf0.001 exactly one user survives the stride → ONE cluster →
-    // q44b's candidate set is ALL directed pairs, a superset of q44's
-    // same-peak-hour pairs
-    val b = ExtendedQueries.q44bSeriesTopKClustered(spark, sf)
+    // explicit stride 50: at sf0.001 exactly one user survives it → ONE
+    // cluster → q44b's candidate set is ALL directed pairs, a superset
+    // of q44's same-peak-hour pairs (the adaptive default would split
+    // the corpus into √N clusters — correct, but not this degenerate
+    // case; the oracle covers the default end-to-end)
+    val b = ExtendedQueries.q44bSeriesTopKClustered(spark, sf, stride = 50)
       .select("qid", "rank", "neighbor_id", "cos_sim")
       .as[(Long, Int, Long, Double)].collect()
     val a = ExtendedQueries.q44SeriesTopK(spark, sf)
