@@ -745,7 +745,24 @@ object Sampling {
     * once (a persisted/materialized table) and every audit reads it. One
     * summary row per audit, integer aggregates only. The persisted frame
     * is evicted after eager materialization (the s06 pattern — a leaked
-    * cache would rewrite later queries' plans). */
+    * cache would rewrite later queries' plans).
+    *
+    * Exchange budget (r13 census of the captured pipeline plan — the
+    * PLANS.md `⊂ pipeline` row's 14 shuffles + 1 cached): the shared
+    * shingle frame is repartitioned exactly ONCE (the cached
+    * REPARTITION_BY_NUM spread; no consumer re-partitions it), and
+    * everything shareable across the three audits already shows as
+    * ReusedExchange — the df-window postings exchange `(doc_id, n, s,
+    * d)` is reused by both of d04's self-join sides and both of d08's,
+    * the 1-row df-cap rollup is reused, and the exact-re-score doc
+    * sides are reused pairwise. The remaining per-audit exchanges are
+    * forced by KEY ALTERNATION in each audit's own semantics — postings
+    * keyed by shingle (df window) → per-doc prefix ranking keyed by
+    * doc_id → candidate join keyed by shingle again (d04/d08 index
+    * DIFFERENT prefixes, so their prefix exchanges cannot unify) → pair
+    * aggregation keyed by (da,db)/(inner,outer) → exact re-score keyed
+    * by doc — plus one SinglePartition 1-row rollup per audit. 14 is
+    * minimal for these three outputs under that alternation. */
   def shingleAuditSuite(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingledDocs(s, dir).persist()
     val out = shingleAuditFrames(s, dir, sh)

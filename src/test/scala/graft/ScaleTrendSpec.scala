@@ -18,10 +18,11 @@ class ScaleTrendSpec extends SparkSpec {
   test("synthesize scales facts by the factor, keeps dims fixed, joins " +
       "lossless, replicas distinct, norms preserved") {
     val out = Files.createTempDirectory("graft-scaletrend").toString
-    // factor 6 regression-guards the perturbation PERIOD: the original
-    // vowel rotation cycled with period 5, so replicas r and r+5 were
-    // byte-identical — any factor ≥ 6 trips the distinctness assertion
-    val factor = 6
+    // factor 30 regression-guards the perturbation PERIODS: rotation
+    // schemes aliased at 10 (digits), 26 (letters) — the Lehmer-code
+    // permutations are injective ≥1000, and any factor above the old
+    // periods trips the distinctness assertion on a regression
+    val factor = 30
     ScaleTrend.synthesize(spark, src, out, factor)
     def n(dir: String, t: String): Long =
       spark.read.parquet(s"$dir/$t.parquet").count()
