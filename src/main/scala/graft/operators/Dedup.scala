@@ -1149,7 +1149,21 @@ object Dedup {
     lshPairs(embNormed(s, dir))
 
   /** d05's verified ≥τ pair table over an already-normed embedding frame
-    * — shared with the d19 agreement audit so both read one `e`. */
+    * — shared with the d19 agreement audit so both read one `e`.
+    *
+    * Scale note (r13 study, measured): the band/bucket GEOMETRY is the
+    * corpus-size knob here, exactly as the centroid stride is for IVF.
+    * The hyperplane banding hashes into a FIXED bucket space
+    * ([[EmbBands]] × 2^[[EmbPlanesPerBand]]; 192 occupied groups at
+    * every measured scale), so once buckets saturate, candidate pair
+    * occurrences grow quadratically — 1.58M at sf0.1 → 158M at 10× →
+    * 631M at 20× on the study corpus — and the exact verify pulls two
+    * 64-float arrays per occurrence. [[embeddingCosineSalted]] (d05b)
+    * bounds the per-cell work (parallelism); shrinking the TOTAL
+    * requires more planes per band as the corpus grows, which changes
+    * the banding's recall contract (collision probability per pair),
+    * so it is a per-deployment parameter — the d15 tuning sweep is the
+    * instrument that sizes it — not an oracle-checked default. */
   private def lshPairs(e: DataFrame): DataFrame = {
     val bb = embBandKeys(e)
     // candidate generation: pairs via equi-join on (band, bucket)
@@ -1252,10 +1266,19 @@ object Dedup {
       .filter(col("rn") === 1).select("vec_id", "cid")
     // candidate pairs from the NARROW (vec_id, cid) frame — the only
     // quadratic shuffle carries two longs per row; embVerify re-joins
-    // the vectors for the pairs that survive its prune
-    val cands = assign.as("a").join(assign.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    // the vectors for the pairs that survive its prune. The self-join
+    // rides the d05b occupancy-salting path: with the adaptive stride,
+    // clusters average √N members but their SIZES follow the corpus's
+    // own cluster skew (the r13 scale study hit one cluster's
+    // (n_c/1)² pair cell exceeding the sandbox's spill disk at 20×
+    // data), so clusters above the d05b hot threshold decompose into a
+    // salts² grid of bounded cells — bit-identical pair set, cold
+    // corpora short-circuit to the plain join (eager occupancy probe,
+    // the pre-flight-AQE move).
+    val cands = graft.ops.SaltedJoin
+      .selfPairsSaltedByOccupancy(assign, Seq("cid"), "vec_id",
+        EmbHotBucketThreshold, salts = 8)
+      .select(col("a").as("va"), col("b").as("vb"))
     (assign, embVerify(e, cands))
   }
 

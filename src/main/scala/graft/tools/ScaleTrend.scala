@@ -223,9 +223,10 @@ object ScaleTrend {
     * exact-scoring tail alone — the run was attempted and filled the
     * disk) exceeds the sandbox's ~70 GB spill space; it runs at the
     * largest corpus this machine sustains (30×: N^1.5 predicts ×164,
-    * N² ×900, N log N ×44 — still cleanly separable; d19's
-    * within-cluster pair set additionally rides cluster skew, so its
-    * ceiling is 20×). The linear tier — the iterative
+    * N² ×900, N log N ×44 — still cleanly separable; d19
+    * additionally carries the d05-shared LSH side, whose fixed bucket
+    * space makes candidates quadratic on saturated corpora — measured
+    * 631M pair occurrences at 20×, its ceiling). The linear tier — the iterative
     * connected-components operators (d06/q68, whose fixpoint round
     * count could grow with cluster diameter) and the next cost tier
     * (d08/t13/p17) — runs the full two decades. A 1000-executor
@@ -454,13 +455,23 @@ object ScaleTrend {
   side — follows the probe fraction at the adaptive K.
 
 - **d19's 20× point exceeded the sandbox's spill disk** (recorded
-  honestly, study continued): its verified within-cluster pair set
-  rides cluster-size SKEW (Σ|c|² with skewed |c| outgrows the
-  balanced N^1.5 estimate), stacked on the d05-shared LSH side whose
-  fixed bucket space saturates as corpus density grows. If an
-  operator needs this audit at bigger corpora, `semCore`'s candidate
-  self-join takes the d05b occupancy-salting path (parallelism and
-  bounded cells; the total stays the semantics' own).
+  honestly, study continued) — and the post-study measurement names
+  the term: it is the d05-SHARED LSH SIDE, not the semantic side.
+  The banded LSH hashes into a FIXED bucket space (192 occupied
+  (band, bucket) groups at every scale), so candidate pair
+  occurrences grow quadratically once buckets saturate — measured
+  1.58M at sf0.1 → 158M at 10× → 631M at 20× (×100 per decade), and
+  the exact verify joins two 64-float arrays onto every occurrence.
+  The adaptive-stride semantic side stays exactly on its N^1.5
+  design: 43.5k → 1.40M → 4.0M pairs with max cluster 257 ≈ 1.3·√N —
+  no skew problem. `semCore`'s candidate self-join now also rides the
+  d05b occupancy-salting path as insurance (bit-identical pair set;
+  cold corpora short-circuit). The LSH remedy at real scale is
+  GEOMETRY, not decomposition: bucket space must grow with the
+  corpus (more planes per band — the same corpus-sized-knob lesson
+  the centroid stride taught), which changes the banding's recall
+  contract and so stays a per-deployment parameter rather than an
+  oracle-checked default — named as the next engineering seam.
 
 - **The N^1.5 family's 100× point is disk-bounded, stated honestly:**
   at 100× its shuffle volume is real N^1.5 work (~100 GB of spill for
