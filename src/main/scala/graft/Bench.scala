@@ -429,15 +429,18 @@ object Bench {
       val pairs = graft.operators.Dedup.minhashLsh(spark, sfDir)
         .select(org.apache.spark.sql.functions.col("da"),
           org.apache.spark.sql.functions.col("db")).persist()
-      pairs.count()
-      val nodes = Tables.table(spark, sfDir, "documents").select("doc_id")
-      val t0 = System.nanoTime()
-      val (labels, rounds) =
-        graft.operators.Dedup.propagateMinLabels(nodes, pairs)
-      labels.write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      pairs.unpersist()
-      f""","cc_rounds":$rounds,"cc_prop_sec":$secs%.3f"""
+      try {
+        pairs.count()
+        val nodes = Tables.table(spark, sfDir, "documents").select("doc_id")
+        val t0 = System.nanoTime()
+        val (labels, rounds) =
+          graft.operators.Dedup.propagateMinLabels(nodes, pairs)
+        labels.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        f""","cc_rounds":$rounds,"cc_prop_sec":$secs%.3f"""
+      } finally pairs.unpersist()
+      // finally: the catch below swallows the error, and a cached frame
+      // leaked past it would rewrite later queries' plans (leak audit)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cc probe failed: ${e.getMessage}")
       ""

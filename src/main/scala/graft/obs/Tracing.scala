@@ -196,7 +196,10 @@ final class FileSpanExporter(path: java.nio.file.Path)
   override def export(batch: Seq[SpanData]): Unit = synchronized {
     batch.foreach { s =>
       val bytes = (SpanJson.line(s) + "\n").getBytes("UTF-8")
-      ch.write(java.nio.ByteBuffer.wrap(bytes)); ()
+      // FileChannel.write may return short; drain the buffer so a span
+      // line never splits across writes (the atomicity contract above)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      while (buf.hasRemaining) ch.write(buf)
     }
   }
   override def shutdown(): Unit = synchronized { ch.close() }

@@ -89,9 +89,10 @@ object StateAudit {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[I]
     val out = wire(input.toDS(), TTLConfig(ttl))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-stateaudit-$name-ckpt")
     val q = out.writeStream.format("noop")
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory(s"graft-stateaudit-$name-ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(if (name == "latest") "update" else "append")
       .start()
     try {
@@ -106,9 +107,24 @@ object StateAudit {
         Thread.sleep(ttl.toMillis + 1000)
         awaitNextBatch(q)
       }
+      // one EXTRA maintenance slot before the final read: RocksDB can
+      // surface a TTL purge in numRowsTotal one batch later than the
+      // horizon on a loaded machine — a purge-lag budget, not required
+      // on a quiet run (short timeout; on-deadline return is fine)
+      awaitNextBatch(q, timeoutMs = 10000)
       val (rows, bytes) = stateRows(q)
       TwinState(name, rowsWave1, rows, bytes, waves, keysPerWave)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the checkpoint is per-run scratch (four dirs per audit, run from
+      // both Bench and the spec) — delete it, deepest-first
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Run the audit over all four TTL-bounded twins. Wave keys are

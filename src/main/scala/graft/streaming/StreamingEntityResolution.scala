@@ -120,6 +120,24 @@ object StreamingEntityResolution {
     }.toSet
   }
 
+  /** [[batchIdsBefore]] restricted to sidecar batch partitions whose
+    * write job COMMITTED (`_SUCCESS` present). A crash mid-sidecar-write
+    * can leave a partially-written `batch_id=N` directory that a plain
+    * directory listing counts as present — an incomplete bucket
+    * partition the existence probe must not trust, or a block-changing
+    * redelivery of a key in a lost bucket forks. Requiring the job
+    * marker folds that window into the same heal path as a fully-absent
+    * partition (the backfill overwrite is idempotent either way). One
+    * extra driver FS call per prior batch; no data read. */
+  private def committedBatchIdsBefore(s: SparkSession, dir: String,
+      batchId: Long): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    batchIdsBefore(s, dir, batchId).filter { m =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch_id=$m/_SUCCESS"))
+    }
+  }
+
   /** The resolved entity table as of batches `< beforeBatch` — latest
     * row per key (a member re-labeled by a merge carries its new entity
     * in a later partition). Schema-explicit read so a store with empty
@@ -231,7 +249,9 @@ object StreamingEntityResolution {
     // redelivery of such a key with a changed block would pass the
     // bucket-pruned probe and fork the key across two blocks. The
     // guard is the same driver listing as the block list, run on both
-    // roots: any store batch with no sidecar counterpart is HEALED by
+    // roots: any store batch with no COMMITTED sidecar counterpart —
+    // the directory absent, or present without its _SUCCESS marker
+    // because the crash hit mid-sidecar-write — is HEALED by
     // backfilling its keys from that one store partition (a
     // batch-bounded single-column read, idempotent overwrite) before
     // the sidecar is trusted. Relabeled old members ride along with
@@ -242,7 +262,7 @@ object StreamingEntityResolution {
         batchIdsBefore(s, storeDir, batchId).isEmpty
       else {
         val missing = batchIdsBefore(s, storeDir, batchId) --
-          batchIdsBefore(s, keysDir(storeDir), batchId)
+          committedBatchIdsBefore(s, keysDir(storeDir), batchId)
         missing.foreach { m =>
           s.read.schema(KeySchema).parquet(s"$storeDir/batch_id=$m")
             .select(col("custkey"), keyBucket(col("custkey")).as("bucket"))

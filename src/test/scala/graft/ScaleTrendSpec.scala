@@ -19,9 +19,11 @@ class ScaleTrendSpec extends SparkSpec {
       "lossless, replicas distinct, norms preserved") {
     val out = Files.createTempDirectory("graft-scaletrend").toString
     // factor 30 regression-guards the perturbation PERIODS: rotation
-    // schemes aliased at 10 (digits), 26 (letters) — the Lehmer-code
-    // permutations are injective ≥1000, and any factor above the old
-    // periods trips the distinctness assertion on a regression
+    // schemes aliased at 10 (digits), 26 (letters) — the shipped
+    // affine-permutation scheme (ScaleTrend.permString) is injective up
+    // to its permCount ceiling of 312 distinct replicas, and any factor
+    // above the old rotation periods trips the distinctness assertion
+    // on a regression
     val factor = 30
     ScaleTrend.synthesize(spark, src, out, factor)
     def n(dir: String, t: String): Long =
