@@ -500,6 +500,40 @@ object SparkEntry {
     adaptiveStrideSql(
       s"e WHERE vec_id >= ${Similarity.NumQueries}$centsPred")
 
+  /** SQL twin of [[Dedup.adaptiveEmbPlanes]]: the same integer CASE
+    * ladder over an explicit COUNT subquery — generated from the SAME
+    * Scala constants, so engine and oracle cannot disagree on a rung
+    * (and the ladder is pure integer comparison: no float boundary). */
+  private def embPlanesSql(countFrom: String): String = {
+    val whens = (Dedup.EmbPlanesPerBand until Dedup.EmbPlanesMax)
+      .map(p => s"WHEN n <= ${Dedup.EmbTargetOccupancy << p} THEN $p")
+      .mkString(" ")
+    s"(SELECT CASE $whens ELSE ${Dedup.EmbPlanesMax} END" +
+      s" FROM (SELECT count(*) AS n FROM $countFrom))"
+  }
+
+  /** The banded sign-pattern table of the d05/d19 oracles (`bb`): every
+    * band materializes all [[Dedup.EmbPlanesMax]] bits — same
+    * md5-derived hyperplanes, via the prefix-stable
+    * [[Dedup.embPlaneSlot]] arrangement — then truncates to the
+    * count-derived plane count, which IS the engine's adaptive geometry
+    * (the engine computes only its derived bits; prefix-stability makes
+    * truncation and direct construction identical). The sign of a
+    * sequential double fold is engine-exact on both sides. */
+  private lazy val embBandSql: String = {
+    val w = Dedup.embPlaneWeights
+    val planes = embPlanesSql("e")
+    (0 until Dedup.EmbBands).map { b =>
+      val bits = (0 until Dedup.EmbPlanesMax).map { p =>
+        val l = w(Dedup.embPlaneSlot(b, p)).mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $l::FLOAT[]), " +
+          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
+          "THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"SELECT vec_id, $b AS band, substr($bits, 1, $planes) AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+  }
+
   /** Full s01/s02/s03/s05/s07 oracle bodies — their own map entries, and
     * composed as subqueries by the s06 and s09 recall oracles. */
   private def s05Sql: String =
@@ -2484,22 +2518,9 @@ object SparkEntry {
          |  UNION ALL SELECT 3, 'near_dup_cluster', c3, t3 FROM a)
          |ORDER BY stage""".stripMargin,
     "d05_dedup_embedding" -> {
-      // same banded md5-derived hyperplanes as Dedup.embPlaneWeights; the
-      // sign of a sequential double fold is engine-exact on both sides
-      val w = Dedup.embPlaneWeights
-      val bandSelects = (0 until Dedup.EmbBands).map { b =>
-        val bits = (0 until Dedup.EmbPlanesPerBand).map { p =>
-          val l = w(b * Dedup.EmbPlanesPerBand + p)
-            .mkString("[", ", ", "]")
-          s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $l::FLOAT[]), " +
-            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
-            "THEN '1' ELSE '0' END)"
-        }.mkString(" || ")
-        s"SELECT vec_id, $b AS band, $bits AS bucket FROM e"
-      }.mkString("\n  UNION ALL ")
       s"""WITH $embCte,
          |bb AS (
-         |  $bandSelects),
+         |  $embBandSql),
          |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
          |         FROM bb x JOIN bb y ON x.band = y.band
          |           AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
@@ -2543,23 +2564,12 @@ object SparkEntry {
     // d19: full-outer join of the d05 (LSH-found) and d18 (cluster-found)
     // verified >= tau pair tables; same band/centroid constructions
     "d19_dedup_method_agreement" -> {
-      val w = Dedup.embPlaneWeights
-      val bandSelects = (0 until Dedup.EmbBands).map { b =>
-        val bits = (0 until Dedup.EmbPlanesPerBand).map { p =>
-          val l = w(b * Dedup.EmbPlanesPerBand + p)
-            .mkString("[", ", ", "]")
-          s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $l::FLOAT[]), " +
-            "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
-            "THEN '1' ELSE '0' END)"
-        }.mkString(" || ")
-        s"SELECT vec_id, $b AS band, $bits AS bucket FROM e"
-      }.mkString("\n  UNION ALL ")
       val tau = Dedup.CosineThreshold
       val cos = s"CAST($dotAB AS DOUBLE)" +
         " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
       s"""WITH $embCte,
          |bb AS (
-         |  $bandSelects),
+         |  $embBandSql),
          |lshc AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
          |         FROM bb x JOIN bb y ON x.band = y.band
          |           AND x.bucket = y.bucket AND x.vec_id < y.vec_id),

@@ -950,13 +950,73 @@ object Dedup {
     * p = 1 − θ/π; ≈ 1.0 for cosine ≥ 0.5 on this corpus (verified: every
     * qualifying pair at sf0.01 and sf0.1 collides in ≥1 band), while
     * keeping the plan an equi-join on (band, bucket) — the 100-TB shape —
-    * instead of an all-pairs BroadcastNestedLoopJoin. */
+    * instead of an all-pairs BroadcastNestedLoopJoin.
+    *
+    * [[EmbPlanesPerBand]] is the FLOOR of the per-band plane count, not
+    * the count itself: since round 14 the geometry is corpus-adaptive
+    * ([[adaptiveEmbPlanes]]) — the r13 scale study measured the fixed
+    * 12 × 2^4 bucket space saturating (192 occupied groups at every
+    * scale), which made candidate occurrences quadratic once full
+    * (1.58M → 158M → 631M at sf0.1/10×/20×). Fixture corpora (≤ 2,000
+    * vectors) stay at the floor, so their buckets are bit-identical to
+    * the pre-adaptive engine. */
   val EmbBands = 12
   val EmbPlanesPerBand = 4
   val EmbSeed = "d"
 
+  /** Ceiling of the adaptive plane ladder: weights exist for
+    * `EmbBands × EmbPlanesMax` hyperplanes, supporting corpora up to
+    * `EmbTargetOccupancy · 2^16` ≈ 8.2M vectors per partition-scope
+    * before the per-bucket expectation exceeds the target (beyond that,
+    * the explicit deployment knob takes over). */
+  val EmbPlanesMax = 16
+
+  /** Target EXPECTED occupancy per (band, bucket) group — the constant
+    * the adaptive ladder holds: with 2^P ≥ N / EmbTargetOccupancy
+    * buckets per band, uniform-hash candidate pairs per band are
+    * ≈ N·T/2, i.e. LINEAR in the corpus where the fixed geometry was
+    * quadratic. 125 is sized so the bench corpus (sf0.1, N = 2,000)
+    * sits exactly at the floor geometry's saturation edge — larger
+    * corpora immediately earn more buckets. */
+  val EmbTargetOccupancy = 125L
+
+  /** Planes-per-band for a corpus of `n` vectors: the smallest
+    * `P ∈ [EmbPlanesPerBand, EmbPlanesMax]` with `n ≤ T·2^P`. A pure
+    * integer ladder — replayed term-for-term by the DuckDB oracle as a
+    * CASE chain, so there is no float-boundary risk (the
+    * [[graft.operators.Similarity.adaptiveStride]] playbook applied to
+    * the r13 study's one remaining scale-killer). More planes narrow
+    * each band's collision probability (p^P per band), so the adaptive
+    * default trades tail recall near the threshold for linear candidate
+    * growth — the SemDeDup-style trade a 100-TB near-dup pass makes;
+    * the explicit `planes` parameter on [[embBandKeys]] remains the
+    * per-deployment recall knob, sized by the d15-style sweep. */
+  def adaptiveEmbPlanes(n: Long): Int = {
+    var p = EmbPlanesPerBand
+    while (p < EmbPlanesMax && n > (EmbTargetOccupancy << p)) p += 1
+    p
+  }
+
+  /** [[adaptiveEmbPlanes]] over a corpus frame (memoized count — shared
+    * with [[semStrideOf]]'s, which keys the same full-frame plan). */
+  private[graft] def adaptiveEmbPlanesOf(e: DataFrame): Int =
+    adaptiveEmbPlanes(graft.ops.CorpusCount.memo(e))
+
+  /** Flat md5-weight slot of (band `b`, plane `p`): planes below the
+    * [[EmbPlanesPerBand]] floor keep their legacy flat slots
+    * (`b·4 + p` — floor-geometry buckets are bit-identical to the
+    * pre-adaptive engine), extension planes draw fresh slots past the
+    * legacy range. The arrangement makes every band's bit string
+    * PREFIX-STABLE in `P`: bucket(P planes) = substr(bucket(Pmax), 1, P)
+    * — the property the oracle's replay relies on (it materializes all
+    * [[EmbPlanesMax]] bits and truncates by its own count-derived P). */
+  private[graft] def embPlaneSlot(b: Int, p: Int): Int =
+    if (p < EmbPlanesPerBand) b * EmbPlanesPerBand + p
+    else EmbBands * EmbPlanesPerBand +
+      b * (EmbPlanesMax - EmbPlanesPerBand) + (p - EmbPlanesPerBand)
+
   private[graft] def embPlaneWeights: Seq[Seq[Int]] =
-    Similarity.planeWeightsSeeded(EmbSeed, EmbBands * EmbPlanesPerBand)
+    Similarity.planeWeightsSeeded(EmbSeed, EmbBands * EmbPlanesMax)
 
   private[operators] def dec(c: Column): Column = c.cast(DecimalType(12, 6))
 
@@ -1107,12 +1167,19 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
 
   /** Banded sign-pattern band keys `(vec_id, band, bucket)` — zero
-    * shuffle, one codegen'd dot per plane. */
-  private[graft] def embBandKeys(e: DataFrame): DataFrame = {
+    * shuffle, one codegen'd dot per plane. `planes` defaults to the
+    * corpus-adaptive ladder (one memoized driver-side count); pass an
+    * explicit value to pin a deployment's recall contract. */
+  private[graft] def embBandKeys(e: DataFrame): DataFrame =
+    embBandKeys(e, adaptiveEmbPlanesOf(e))
+
+  private[graft] def embBandKeys(e: DataFrame, planes: Int): DataFrame = {
     import graft.functions.FloatVecDot.float_vec_dot
+    require(planes >= 1 && planes <= EmbPlanesMax,
+      s"planes $planes outside [1, $EmbPlanesMax]")
     val bandStructs = (0 until EmbBands).map { b =>
-      val bits = (0 until EmbPlanesPerBand).map { p =>
-        val ws = embPlaneWeights(b * EmbPlanesPerBand + p)
+      val bits = (0 until planes).map { p =>
+        val ws = embPlaneWeights(embPlaneSlot(b, p))
         val wArr = array(ws.map(x => lit(x.toFloat)): _*)
         when(float_vec_dot(col("embedding"), wArr) >= 0, lit("1"))
           .otherwise(lit("0"))
@@ -1151,19 +1218,22 @@ object Dedup {
   /** d05's verified ≥τ pair table over an already-normed embedding frame
     * — shared with the d19 agreement audit so both read one `e`.
     *
-    * Scale note (r13 study, measured): the band/bucket GEOMETRY is the
-    * corpus-size knob here, exactly as the centroid stride is for IVF.
-    * The hyperplane banding hashes into a FIXED bucket space
-    * ([[EmbBands]] × 2^[[EmbPlanesPerBand]]; 192 occupied groups at
-    * every measured scale), so once buckets saturate, candidate pair
-    * occurrences grow quadratically — 1.58M at sf0.1 → 158M at 10× →
-    * 631M at 20× on the study corpus — and the exact verify pulls two
-    * 64-float arrays per occurrence. [[embeddingCosineSalted]] (d05b)
-    * bounds the per-cell work (parallelism); shrinking the TOTAL
-    * requires more planes per band as the corpus grows, which changes
-    * the banding's recall contract (collision probability per pair),
-    * so it is a per-deployment parameter — the d15 tuning sweep is the
-    * instrument that sizes it — not an oracle-checked default. */
+    * Scale note: the band/bucket GEOMETRY is the corpus-size knob here,
+    * exactly as the centroid stride is for IVF — and since round 14 the
+    * DEFAULT is corpus-adaptive ([[adaptiveEmbPlanes]]: bucket space
+    * grows with N at constant expected occupancy, so candidate
+    * occurrences are ≈ linear where the r13 study measured the fixed
+    * 12 × 2^4 space going quadratic once saturated: 1.58M → 158M → 631M
+    * at sf0.1/10×/20×, each occurrence pulling two 64-float arrays into
+    * the exact verify). The derivation is one memoized driver-side
+    * count, replayed term-for-term by the DuckDB oracle (integer CASE
+    * ladder + prefix truncation of [[EmbPlanesMax]] materialized bits),
+    * so fixtures stay deterministic at every corpus size. The trade is
+    * recall near the threshold (per-band collision is p^P), which is
+    * why the explicit `planes` parameter remains the per-deployment
+    * recall knob — the d15-style sweep is the instrument that sizes it.
+    * [[embeddingCosineSalted]] (d05b) stays the skew insurance: the
+    * ladder bounds the EXPECTED occupancy, salting bounds a hot cell. */
   private def lshPairs(e: DataFrame): DataFrame = {
     val bb = embBandKeys(e)
     // candidate generation: pairs via equi-join on (band, bucket)
@@ -1217,9 +1287,10 @@ object Dedup {
     * Σ|cluster|² within-cluster candidate pass (clusters average √N
     * members). Unlike `Similarity.centsOf` there is no query set here,
     * so N is the WHOLE frame and the `vec_id >= NumQueries` exclusion
-    * does not apply; the oracle replays the same count in SQL. */
+    * does not apply; the oracle replays the same count in SQL. Memoized
+    * like every geometry count ([[graft.ops.CorpusCount]]). */
   private def semStrideOf(e: DataFrame): Int =
-    Similarity.adaptiveStride(e.count())
+    Similarity.adaptiveStride(graft.ops.CorpusCount.memo(e))
 
   /** Semantic deduplication (d18) — the SemDeDup recipe (Abbas et al.
     * 2023): partition the embedding space with a coarse k-means-style

@@ -131,9 +131,13 @@ object Similarity {
 
   /** [[adaptiveStride]] over a corpus frame's centroid-eligible rows
     * (`vec_id >= NumQueries` — the same population [[centsOf]] samples,
-    * and the same count the oracle's stride subquery runs). */
+    * and the same count the oracle's stride subquery runs). The count is
+    * memoized per (canonical plan, corpus bytes) — ~20 bench queries
+    * re-derive the same stride, and only the first pays the job
+    * ([[graft.ops.CorpusCount]]). */
   private[graft] def adaptiveStrideOf(e: DataFrame): Int =
-    adaptiveStride(e.filter(col("vec_id") >= NumQueries).count())
+    adaptiveStride(
+      graft.ops.CorpusCount.memo(e.filter(col("vec_id") >= NumQueries)))
 
   /** Sentinel for `stride`/`centroidStride` parameters: derive the
     * stride from the corpus via [[adaptiveStride]] instead of pinning a

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.ops.CorpusCount
+
+/** The corpus-adaptive embedding-LSH geometry (r14): the plane ladder's
+  * integer rungs, the prefix-stability the DuckDB oracle's truncation
+  * replay relies on, the legacy slot mapping that keeps floor-geometry
+  * buckets bit-identical to the pre-adaptive engine, and the memoized
+  * corpus count all the adaptive derivations share. */
+class AdaptiveGeometrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plane ladder: floor at fixture scale, +1 plane per corpus doubling, capped") {
+    // T = 125: the bench corpus (sf0.1, N = 2000 = 125·2^4) sits exactly
+    // at the floor's saturation edge
+    assert(Dedup.adaptiveEmbPlanes(1) == Dedup.EmbPlanesPerBand)
+    assert(Dedup.adaptiveEmbPlanes(500) == 4)   // sf0.01
+    assert(Dedup.adaptiveEmbPlanes(2000) == 4)  // sf0.1 — floor, bit-identical bench
+    assert(Dedup.adaptiveEmbPlanes(2001) == 5)
+    assert(Dedup.adaptiveEmbPlanes(5000) == 6)  // the oracle-crosschecked 10× rung
+    assert(Dedup.adaptiveEmbPlanes(20000) == 8) // sf0.1 × 10
+    assert(Dedup.adaptiveEmbPlanes(40000) == 9) // sf0.1 × 20
+    assert(Dedup.adaptiveEmbPlanes(Long.MaxValue) == Dedup.EmbPlanesMax)
+    // the ladder's invariant: expected per-bucket occupancy ≤ T below the cap
+    Seq(3000L, 12345L, 999999L).foreach { n =>
+      val p = Dedup.adaptiveEmbPlanes(n)
+      assert(n <= (Dedup.EmbTargetOccupancy << p), s"occupancy overshoot at $n")
+      if (p > Dedup.EmbPlanesPerBand)
+        assert(n > (Dedup.EmbTargetOccupancy << (p - 1)), s"over-provisioned at $n")
+    }
+  }
+
+  test("legacy slots: floor planes keep their r13 flat indices, extensions are fresh and injective") {
+    for (b <- 0 until Dedup.EmbBands; p <- 0 until Dedup.EmbPlanesPerBand)
+      assert(Dedup.embPlaneSlot(b, p) == b * Dedup.EmbPlanesPerBand + p)
+    val all = for (b <- 0 until Dedup.EmbBands; p <- 0 until Dedup.EmbPlanesMax)
+      yield Dedup.embPlaneSlot(b, p)
+    assert(all.distinct.size == all.size, "slot collision would reuse a hyperplane")
+    assert(all.max < Dedup.EmbBands * Dedup.EmbPlanesMax)
+  }
+
+  test("bucket prefix-stability: P-plane bucket is the P'-plane bucket truncated") {
+    val e = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => (((i * 29 + j * 13) % 17) - 8).toFloat))
+    }.toDF("vec_id", "embedding")
+    def buckets(planes: Int): Map[(Long, Int), String] =
+      Dedup.embBandKeys(e, planes).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val b4 = buckets(4)
+    val b9 = buckets(9)
+    val b16 = buckets(Dedup.EmbPlanesMax)
+    assert(b4.keySet == b9.keySet && b9.keySet == b16.keySet)
+    b16.foreach { case (k, full) =>
+      assert(full.length == Dedup.EmbPlanesMax)
+      assert(b4(k) == full.substring(0, 4), s"prefix break at $k (P=4)")
+      assert(b9(k) == full.substring(0, 9), s"prefix break at $k (P=9)")
+    }
+  }
+
+  test("adaptive d05 on an above-floor corpus: wider bucket space, pairs still a subset of exact >= tau") {
+    // 2600 vectors: above the 2000 floor edge -> P = 5. A planted
+    // near-dup cluster guarantees qualifying pairs survive the tighter
+    // banding (identical vectors collide in EVERY band at any P).
+    val dir = java.nio.file.Files.createTempDirectory("graft-adapt").toString
+    val n = 2600
+    // i*j term keeps the tail non-periodic in i (a purely i*a+j*b form
+    // repeats every modulus rows, collapsing the occupied-group count)
+    (0 until n).map { i =>
+      val emb =
+        if (i < 8) Array.tabulate(64)(j => ((j % 5) + 1).toFloat)
+        else Array.tabulate(64)(j => (((i * j + i * 31 + j * 17) % 23) - 11).toFloat)
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(Dedup.adaptiveEmbPlanesOf(e) == 5)
+    // the bucket space actually widened past the fixed geometry's 192
+    val groups = Dedup.embBandKeys(e)
+      .select("band", "bucket").distinct().count()
+    assert(groups > Dedup.EmbBands.toLong * 16,
+      s"only $groups occupied groups — space did not widen")
+    val pairs = Dedup.embeddingCosine(spark, dir)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    // the planted clique is fully recovered (28 pairs among ids 0..7)
+    val clique = (for (i <- 0 until 8; j <- i + 1 until 8)
+      yield (i.toLong, j.toLong)).toSet
+    assert(clique.subsetOf(pairs), "planted near-dup clique missed")
+    // soundness: verification is exact, so every emitted pair is >= tau
+    Dedup.embeddingCosine(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(2) > Dedup.CosineThreshold)
+    }
+  }
+
+  test("CorpusCount: memoizes identical plans, distinguishes filters, skips non-file frames") {
+    CorpusCount.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    spark.range(100).selectExpr("id AS vec_id")
+      .write.parquet(s"$dir/t.parquet")
+    def frame() = spark.read.parquet(s"$dir/t.parquet")
+    assert(CorpusCount.memo(frame()) == 100L)
+    val after1 = CorpusCount.size
+    // an independently-built identical plan hits the same entry
+    assert(CorpusCount.memo(frame()) == 100L)
+    assert(CorpusCount.size == after1, "identical plan missed the cache")
+    // a different population filter over the SAME files is a new entry
+    assert(CorpusCount.memo(frame().filter(col("vec_id") >= 40L)) == 60L)
+    assert(CorpusCount.size == after1 + 1)
+    // in-memory frames bypass the cache entirely
+    val mem = Seq(1L, 2L, 3L).toDF("vec_id")
+    val before = CorpusCount.size
+    assert(CorpusCount.memo(mem) == 3L)
+    assert(CorpusCount.size == before, "non-file frame must not be cached")
+    CorpusCount.clear()
+  }
+}
