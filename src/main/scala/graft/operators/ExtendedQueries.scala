@@ -675,11 +675,23 @@ object ExtendedQueries {
         (col("dot").cast(DoubleType) /
           (sqrt(col("na").cast(DoubleType)) *
             sqrt(col("nb").cast(DoubleType)))).as("cos_sim"))
+    // top-3 via the bounded aggregate, NOT a row_number window: the
+    // window shape shuffles and SORTS every scored pair per qid — the
+    // ~100 GB exact-tail spill of q44b's 100× study point — where the
+    // ObjectHashAggregate keeps a 3-element heap per qid and its partial
+    // ships at most 3 rows per (map task, qid). Ordering is encoded as
+    // an ascending sort-key struct (−cos_sim, neighbor_id); double
+    // negation is IEEE-order-exact (no NaN past the na/nb > 0 filter),
+    // so ranks, ties, and survivors match the window form exactly.
+    import graft.functions.BoundedTopK.bounded_top_k
     scored
-      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= 3)
-      .select("qid", "rank", "neighbor_id", "cos_sim")
+      .groupBy(col("qid"))
+      .agg(bounded_top_k(
+        struct((-col("cos_sim")).as("nc"), col("neighbor_id").as("nid")),
+        3).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("t.nid").as("neighbor_id"), (-col("t.nc")).as("cos_sim"))
       .orderBy("qid", "rank")
   }
 
@@ -711,7 +723,8 @@ object ExtendedQueries {
     val (prof, n2) = seriesProfiles(s, dir)
     val st =
       if (stride == Similarity.AdaptiveStride)
-        Similarity.adaptiveStride(n2.filter(col("n2") > 0).count())
+        Similarity.adaptiveStride(
+          graft.ops.CorpusCount.memo(n2.filter(col("n2") > 0)))
       else stride
     val cents = n2.filter(col("user_id") % st === 0 && col("n2") > 0)
       .select(col("user_id").as("cid"), col("n2").as("cn2"))
