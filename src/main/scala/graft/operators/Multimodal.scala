@@ -488,6 +488,11 @@ object Multimodal {
           .as("ahash"))
   }
 
+  /** [[imageAhash]] surfaced for the DupProbe dev tool (query-set
+    * faithfulness measurement on synthesized corpora). */
+  private[graft] def imageAhashProbe(s: SparkSession, dir: String): DataFrame =
+    imageAhash(s, dir)
+
   /** Exact-duplicate image pairs (directed, both directions): same
     * aHash, different asset. */
   private def imageDupPairs(s: SparkSession, dir: String): DataFrame = {

@@ -182,9 +182,17 @@ object ScaleTrend {
         col("event_type"), col("value"), col("props"))
     }
     replicate("documents") { (df, r) =>
+      // BOTH alphabets, like c_name: letters alone left digits (and so
+      // digit-heavy documents — the aHash-identical BMP inputs of the
+      // m11/m12 audits) replicating verbatim, which inflated those
+      // audits' duplicate-query sets with corpus structure instead of
+      // content (the r13 study's first-decade level shift). With digits
+      // permuted too, the (letter, digit) map pair is distinct for every
+      // replica under the 312 cap, so audit query sets grow ∝ factor.
       df.select((col("doc_id") + lit(r * docOff)).as("doc_id"),
-        translate(col("text"), letters, permString(letters, r.toLong))
-          .as("text"),
+        translate(
+          translate(col("text"), digits, permString(digits, r.toLong)),
+          letters, permString(letters, r.toLong)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     replicate("embeddings") { (df, r) =>
@@ -234,10 +242,18 @@ object ScaleTrend {
     * ceilings are the sandbox's single disk, not plan shape. */
   val StudyFactors: Map[String, Seq[Int]] =
     DefaultQueries.map(_ -> Seq(10)).toMap ++ Map(
+      // r14: the LSH family reruns DEEPER after the adaptive bucket
+      // geometry — d19's former 20× ceiling was the d05-shared fixed
+      // bucket space; d05 earns a second point to show the candidate
+      // trend, d19 its formerly-impossible 20× plus 30×
+      "d05_dedup_embedding" -> Seq(10, 20),
+      "d19_dedup_method_agreement" -> Seq(10, 20, 30),
       "m11_visual_ann" -> Seq(10, 30),
       "m12_visual_dup_recall" -> Seq(10, 30),
-      "q44b_series_topk_clustered" -> Seq(10, 30),
-      "d19_dedup_method_agreement" -> Seq(10, 20),
+      // q44b retries its disk-bounded 100× point with the bounded
+      // top-k exact tail (3 full-pair shuffles + a sort replaced by
+      // one k-bounded ObjectHashAggregate exchange)
+      "q44b_series_topk_clustered" -> Seq(10, 30, 100),
       "d06_dedup_clusters" -> Seq(100),
       "q68_entity_clusters" -> Seq(100),
       "d08_dedup_containment" -> Seq(100),
@@ -289,7 +305,9 @@ object ScaleTrend {
     def dirFor(factor: Int): String = s"$outRoot/x$factor"
     factors.foreach { f =>
       val d = dirFor(f)
-      val done = Paths.get(s"$d/_DONE_v2_x$f")
+      // v3: r14 extended the text permutation to digits — v2 corpora
+      // carry verbatim digit skeletons and must retire
+      val done = Paths.get(s"$d/_DONE_v3_x$f")
       if (!Files.exists(done)) {
         println(s"[scaletrend] synthesizing ${f}x corpus at $d")
         synthesize(spark, srcDir, d, f)
@@ -418,6 +436,35 @@ object ScaleTrend {
       val delta = if (d.isEmpty) "none" else d.mkString(", ")
       sb ++= f"| ${r.name} | ${r.base.secs}%.2f | $cells | $delta |\n"
     }
+    // LSH geometry probe: the adaptive plane ladder's direct evidence —
+    // per corpus, the derived planes-per-band, occupied (band, bucket)
+    // groups, and candidate pair occurrences Σ n·(n−1)/2. The r13 study
+    // measured the FIXED geometry saturating at 192 groups with
+    // occurrences ×100 per decade; the adaptive ladder must show the
+    // bucket space growing and occurrences ≈ linear in the factor.
+    sb ++= "\n## Embedding-LSH geometry at scale (adaptive ladder)\n\n"
+    sb ++= "| corpus | N vectors | planes/band | occupied groups | " +
+      "candidate occurrences | cand ÷ N |\n|---|---|---|---|---|---|\n"
+    (Seq(("sf0.1", srcDir)) ++ factors.map(f => (s"${f}×", dirFor(f))))
+      .foreach { case (label, d) =>
+        try {
+          val e = spark.read.parquet(s"$d/embeddings.parquet")
+            .select("vec_id", "embedding")
+          val n = e.count()
+          val planes = graft.operators.Dedup.adaptiveEmbPlanes(n)
+          val st = graft.operators.Dedup.embBandKeys(e)
+            .groupBy("band", "bucket").count()
+            .agg(count(lit(1)).as("groups"),
+              sum(expr("`count` * (`count` - 1) DIV 2")).as("cands"))
+            .head()
+          val groups = st.getLong(0)
+          val cands = st.getLong(1)
+          sb ++= f"| $label | $n | $planes | $groups | $cands | " +
+            f"${cands.toDouble / n}%.1f |\n"
+        } catch { case e: Throwable =>
+          sb ++= s"| $label | probe failed: ${e.getMessage} | | | | |\n"
+        }
+      }
     sb ++= Findings
     Files.write(Paths.get(outFile),
       sb.toString.getBytes(StandardCharsets.UTF_8))

@@ -64,6 +64,12 @@ class ScaleTrendSpec extends SparkSpec {
       dsrc.filter(length(col("text")) =!= col("n_chars")).count(),
       "vowel rotation must preserve text length")
 
+    // the driver corpora carry no digits (verified — the r13 study's
+    // "digit collision" hypothesis for m11/m12 was wrong; DupProbe
+    // found the real mechanism, the aHash's space-skeleton invariance
+    // under ANY char bijection), so the digit-permutation machinery is
+    // asserted on a purpose-built digit-bearing source below
+
     // embeddings: the cyclic rotation preserves the norm exactly and
     // replica vectors differ from their source (unless constant arrays)
     val norms = e
@@ -85,5 +91,42 @@ class ScaleTrendSpec extends SparkSpec {
     assert(math.abs(joined.getAs[Double]("all_sum") -
       factor * joined.getAs[Double]("src_sum")) <
       1e-6 * joined.getAs[Double]("all_sum"))
+  }
+
+  test("digit-bearing text permutes per replica (injective under the digit-map period)") {
+    // the driver corpora are digit-free, so this drives synthesize over
+    // a source whose documents carry digit skeletons and asserts the
+    // r14 digit permutation makes them replica-distinct (the digit
+    // alphabet admits 4·10 = 40 affine maps; factor 5 is well under)
+    val srcTmp = Files.createTempDirectory("graft-digit-src").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.parquet(s"$srcTmp/$t.parquet")
+    }
+    val docs = (0L until 20L).map { i =>
+      val text = s"order ${i}1230 shipped 4567 units to dock ${i % 3}89"
+      (i, text, "en", "synthetic", text.length)
+    }
+    spark.createDataFrame(docs).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$srcTmp/documents.parquet")
+    val out = Files.createTempDirectory("graft-digit-out").toString
+    val factor = 5
+    ScaleTrend.synthesize(spark, srcTmp, out, factor)
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    val skel = regexp_replace(col("text"), "[^0-9]", "")
+    // every source doc's skeleton uses ≥2 distinct digits, and two
+    // distinct affine maps agree on at most one character — so the
+    // replica skeletons of one source doc are pairwise distinct and
+    // the corpus-wide distinct count scales exactly by the factor
+    val srcSkels = 20L // all 20 docs have distinct multi-digit skeletons
+    val gotSkels = d.select(skel.as("sk")).distinct().count()
+    assert(gotSkels == factor * srcSkels,
+      s"digit skeletons not replica-distinct: $gotSkels at factor $factor")
+    // replica 0 is the identity map — source bytes preserved
+    val r0 = d.filter(col("doc_id") < 100).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text, _, _, _) => assert(r0(id) == text) }
   }
 }
