@@ -136,6 +136,7 @@ object SparkEntry {
     "d14_dedup_funnel" ->
       canon("stage")((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
     "d15_lsh_tuning_audit" -> canon("grid")(Dedup.lshTuningAudit),
+    "d26_emb_planes_sweep" -> canon("planes")(Dedup.embPlanesSweep),
     "d16_passage_cuts" ->
       canon("doc_id", "span_start")(Dedup.passageCuts),
     "d17_cut_accounting" -> Dedup.cutAccounting _,
@@ -512,17 +513,14 @@ object SparkEntry {
       s" FROM (SELECT count(*) AS n FROM $countFrom))"
   }
 
-  /** The banded sign-pattern table of the d05/d19 oracles (`bb`): every
-    * band materializes all [[Dedup.EmbPlanesMax]] bits — same
-    * md5-derived hyperplanes, via the prefix-stable
-    * [[Dedup.embPlaneSlot]] arrangement — then truncates to the
-    * count-derived plane count, which IS the engine's adaptive geometry
-    * (the engine computes only its derived bits; prefix-stability makes
-    * truncation and direct construction identical). The sign of a
-    * sequential double fold is engine-exact on both sides. */
-  private lazy val embBandSql: String = {
+  /** Full [[Dedup.EmbPlanesMax]]-bit sign strings per band
+    * (`vec_id, band, fb`) — same md5-derived hyperplanes as the engine,
+    * via the prefix-stable [[Dedup.embPlaneSlot]] arrangement. The sign
+    * of a sequential double fold is engine-exact on both sides. Shared
+    * by the adaptive-truncation [[embBandSql]] (d05/d19) and the d26
+    * sweep's literal-P truncations. */
+  private lazy val embBandFullSql: String = {
     val w = Dedup.embPlaneWeights
-    val planes = embPlanesSql("e")
     (0 until Dedup.EmbBands).map { b =>
       val bits = (0 until Dedup.EmbPlanesMax).map { p =>
         val l = w(Dedup.embPlaneSlot(b, p)).mkString("[", ", ", "]")
@@ -530,9 +528,18 @@ object SparkEntry {
           "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0 " +
           "THEN '1' ELSE '0' END)"
       }.mkString(" || ")
-      s"SELECT vec_id, $b AS band, substr($bits, 1, $planes) AS bucket FROM e"
+      s"SELECT vec_id, $b AS band, $bits AS fb FROM e"
     }.mkString("\n  UNION ALL ")
   }
+
+  /** The banded sign-pattern table of the d05/d19 oracles (`bb`): the
+    * full bit strings truncated to the count-derived plane count, which
+    * IS the engine's adaptive geometry (the engine computes only its
+    * derived bits; prefix-stability makes truncation and direct
+    * construction identical). */
+  private lazy val embBandSql: String =
+    s"SELECT vec_id, band, substr(fb, 1, ${embPlanesSql("e")}) AS bucket" +
+      s" FROM (\n  $embBandFullSql)"
 
   /** Full s01/s02/s03/s05/s07 oracle bodies — their own map entries, and
     * composed as subqueries by the s06 and s09 recall oracles. */
@@ -2456,6 +2463,55 @@ object SparkEntry {
            |       >= ${Dedup.SweepRetention} * qmax THEN 0 ELSE 1 END,
            |     n_candidates, n_bands) = 1) AS recommended
            |FROM sel ORDER BY grid""".stripMargin
+    },
+    // d26: the d15 sweep pattern on the embedding-LSH plane geometry —
+    // full bit strings once, literal-P truncations per grid point, exact
+    // all-pairs >= tau as the recall denominator, d15's recommended rule
+    "d26_emb_planes_sweep" -> {
+      val gridCtes = Dedup.EmbPlanesGrids.map { p =>
+        s"""bb_$p AS (SELECT vec_id, band, substr(fb, 1, $p) AS bucket
+           |  FROM bbf),
+           |cand_$p AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+           |  FROM bb_$p x JOIN bb_$p y ON x.band = y.band
+           |    AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+           |ver_$p AS (SELECT count(*) AS n
+           |  FROM cand_$p JOIN exact USING (va, vb))""".stripMargin
+      }.mkString(",\n")
+      val rows = Dedup.EmbPlanesGrids.map { p =>
+        s"""SELECT $p AS planes,
+           |  (SELECT count(*) FROM cand_$p) AS n_candidates,
+           |  (SELECT n FROM ver_$p) AS n_verified,
+           |  (SELECT count(*) FROM exact) AS n_exact,
+           |  CASE WHEN (SELECT count(*) FROM cand_$p) > 0
+           |    THEN CAST((SELECT n FROM ver_$p) AS DOUBLE)
+           |      / (SELECT count(*) FROM cand_$p)
+           |    ELSE CAST(1.0 AS DOUBLE) END AS candidate_precision,
+           |  CASE WHEN (SELECT count(*) FROM exact) > 0
+           |    THEN CAST((SELECT n FROM ver_$p) AS DOUBLE)
+           |      / (SELECT count(*) FROM exact)
+           |    ELSE CAST(1.0 AS DOUBLE) END AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $embCte,
+         |bbf AS (
+         |  $embBandFullSql),
+         |exact AS (SELECT va, vb FROM (
+         |    SELECT a.vec_id AS va, b.vec_id AS vb,
+         |      CAST($dotAB AS DOUBLE)
+         |        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |        AS cs
+         |    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |  WHERE cs > ${Dedup.CosineThreshold}),
+         |$gridCtes,
+         |base AS (
+         |$rows),
+         |sel AS (SELECT *, max(CAST(n_verified AS DOUBLE)) OVER () AS qmax
+         |        FROM base)
+         |SELECT * EXCLUDE (qmax),
+         |  (ROW_NUMBER() OVER (ORDER BY
+         |     CASE WHEN CAST(n_verified AS DOUBLE)
+         |       >= ${Dedup.SweepRetention} * qmax THEN 0 ELSE 1 END,
+         |     n_candidates, planes) = 1) AS recommended
+         |FROM sel ORDER BY planes""".stripMargin
     },
     // d16: stride-1 token-window fingerprints; canonical first occurrence
     // exempt (rk=1 by (doc_id,pos)); islands merge overlapping cut windows

@@ -990,7 +990,7 @@ object Dedup {
     * default trades tail recall near the threshold for linear candidate
     * growth — the SemDeDup-style trade a 100-TB near-dup pass makes;
     * the explicit `planes` parameter on [[embBandKeys]] remains the
-    * per-deployment recall knob, sized by the d15-style sweep. */
+    * per-deployment recall knob, sized by [[embPlanesSweep]] (d26). */
   def adaptiveEmbPlanes(n: Long): Int = {
     var p = EmbPlanesPerBand
     while (p < EmbPlanesMax && n > (EmbTargetOccupancy << p)) p += 1
@@ -1231,7 +1231,8 @@ object Dedup {
     * so fixtures stay deterministic at every corpus size. The trade is
     * recall near the threshold (per-band collision is p^P), which is
     * why the explicit `planes` parameter remains the per-deployment
-    * recall knob — the d15-style sweep is the instrument that sizes it.
+    * recall knob — [[embPlanesSweep]] (d26) is the instrument that
+    * sizes it, published with d15's recommended rule.
     * [[embeddingCosineSalted]] (d05b) stays the skew insurance: the
     * ladder bounds the EXPECTED occupancy, salting bounds a hot cell. */
   private def lshPairs(e: DataFrame): DataFrame = {
@@ -1278,6 +1279,76 @@ object Dedup {
       .distinct()
     embVerify(e, cands)
   }
+
+  /** Plane counts [[embPlanesSweep]] sweeps — a fixed literal grid
+    * around the fixture corpora's adaptive floor (4), reaching the
+    * rungs an enlarged corpus derives, so the published curve shows
+    * both directions of the trade. */
+  val EmbPlanesGrids: Seq[Int] = Seq(3, 4, 5, 6, 8)
+
+  /** Embedding-LSH operating-point sweep (d26) — the d15 instrument for
+    * the NEW geometry knob: for each planes-per-band P in
+    * [[EmbPlanesGrids]], the candidate-pair count the banding generates
+    * (the work) and how many of the TRUE ≥τ pairs it covers (the
+    * recall), with precision = verified/candidates. This is the sweep
+    * that SIZES a deployment's explicit `planes` parameter before a
+    * 100-TB near-dup run commits to one — the adaptive ladder
+    * ([[adaptiveEmbPlanes]]) is the default; an operator overrides it
+    * only with this curve in hand (run on a sample at scale: the exact
+    * all-pairs truth side is the d04-style audit cost, affordable on a
+    * fixture or a sampled shard, never on the full corpus).
+    * `recommended` follows the [[SweepRetention]] rule: cheapest point
+    * retaining ≥95% of the best recall, ties to the smallest P. One
+    * normed materialization and one exact pair table serve every grid
+    * point; both evict after the 5-row summary materializes. */
+  def embPlanesSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = embNormed(s, dir).persist()
+    val ids = e.select("vec_id")
+    val exact = embVerify(e, ids.as("x").join(ids.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")))
+      .select("va", "vb").persist()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val rows = EmbPlanesGrids.map { p =>
+      val bb = embBandKeys(e, p)
+      val cands = bb.as("x").join(bb.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+        .distinct()
+      // verified = candidates ∩ exact (the two-phase verify's outcome,
+      // without re-scoring pairs the truth table already scored)
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cands.join(exact, Seq("va", "vb"))
+          .agg(count(lit(1)).as("n_verified")))
+        .crossJoin(nExact)
+        .select(lit(p).as("planes"), col("n_candidates"),
+          col("n_verified"), col("n_exact"),
+          when(col("n_candidates") > 0,
+            col("n_verified").cast(DoubleType) / col("n_candidates"))
+            .otherwise(lit(1.0)).as("candidate_precision"),
+          when(col("n_exact") > 0,
+            col("n_verified").cast(DoubleType) / col("n_exact"))
+            .otherwise(lit(1.0)).as("recall"))
+    }
+    val out = markRecommended(rows.reduce(_.unionByName(_)),
+      quality = col("n_verified"), cost = col("n_candidates"),
+      param = col("planes"))
+    graft.plans.PlanCapture.note("pipeline", out)
+    val materialized = out.localCheckpoint(true)
+    exact.unpersist()
+    e.unpersist()
+    materialized
+  }
+
+  /** The planes-per-band [[embPlanesSweep]] recommends — what a
+    * deployment passes back into [[embBandKeys]] when overriding the
+    * adaptive ladder (the [[recommendedLshGrid]] consumption seam for
+    * the embedding geometry). */
+  def recommendedEmbPlanes(s: SparkSession, dir: String): Int =
+    embPlanesSweep(s, dir).filter(col("recommended")).head()
+      .getAs[Int]("planes")
 
   // --- semantic dedup (SemDeDup shape) --------------------------------------
   /** Coarse-cluster stride for [[semanticDedup]] — scale-adaptive like

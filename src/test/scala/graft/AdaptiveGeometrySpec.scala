@@ -92,6 +92,45 @@ class AdaptiveGeometrySpec extends SparkSpec {
     }
   }
 
+  test("d26 planes sweep: monotone work/recall trade, retention rule respected") {
+    val sf = "/root/testdata/sf0.01" // sf0.001 carries no >= tau pairs
+    val rows = Dedup.embPlanesSweep(spark, sf).collect()
+      .sortBy(_.getAs[Int]("planes"))
+    assert(rows.map(_.getAs[Int]("planes")).toSeq == Dedup.EmbPlanesGrids)
+    val nExact = rows.head.getAs[Long]("n_exact")
+    assert(nExact > 0, "fixture must contain >= tau pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == nExact)
+      assert(r.getAs[Long]("n_verified") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_verified") <= nExact)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - r.getAs[Long]("n_verified").toDouble / nExact)
+        < 1e-12)
+    }
+    // more planes -> narrower bands: candidates and recall both
+    // non-increasing along the grid
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_candidates") <= a.getAs[Long]("n_candidates"),
+        s"candidates grew ${a.getAs[Int]("planes")}->${b.getAs[Int]("planes")}")
+      assert(b.getAs[Long]("n_verified") <= a.getAs[Long]("n_verified"))
+    }
+    // exactly one recommended row; it retains >= 95% of the best recall
+    // and no cheaper point does
+    val rec = rows.filter(_.getAs[Boolean]("recommended"))
+    assert(rec.length == 1)
+    val qmax = rows.map(_.getAs[Long]("n_verified")).max.toDouble
+    assert(rec.head.getAs[Long]("n_verified") >= Dedup.SweepRetention * qmax)
+    rows.filter(r => r.getAs[Long]("n_candidates") <
+        rec.head.getAs[Long]("n_candidates"))
+      .foreach(r => assert(
+        r.getAs[Long]("n_verified") < Dedup.SweepRetention * qmax,
+        s"cheaper point ${r.getAs[Int]("planes")} also retains"))
+    // the consumption seam agrees with the table
+    assert(Dedup.recommendedEmbPlanes(spark, sf) ==
+      rec.head.getAs[Int]("planes"))
+  }
+
   test("CorpusCount: memoizes identical plans, distinguishes filters, skips non-file frames") {
     CorpusCount.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
