@@ -474,82 +474,77 @@ object ScaleTrend {
 
   /** Root-caused analysis of the measured ratios — rides the generated
     * file so a regeneration keeps the findings beside the numbers.
-    * Updated per study round; the r13 text reflects the two-decade run
-    * AFTER the adaptive-stride default landed. */
+    * Updated per study round; the r14 text reflects the rerun AFTER the
+    * adaptive LSH bucket geometry and the bounded top-k tail landed. */
   private val Findings: String = """
-## Findings (root-caused; single-run ratios vary ±10-20% — flagged
-## ratios are confirmed by a second run, MIN stands)
+## Findings (r14; root-caused; single-run ratios vary ±10-20% —
+## flagged ratios are confirmed by a second run, MIN stands)
 
-- **The r12 flat-stride flags are FIXED by the adaptive default.** r12
-  measured q44b ×35.6 and d19 ×14.4 at 10×, driven by the constant
-  `CentroidStride = 50` making the IVF/SemDeDup coarse-centroid count
-  K ∝ N and the N·K assignment quadratic. With the r13 default
-  (`stride = ⌊√N⌋` from a one-pass corpus count, oracle-replayed in
-  SQL) q44b lands at **×7.8 @10× and ×30.7 @30×** — below even the
-  N^1.5 prediction (×31.6 / ×164) and three-orders under the old N²'s
-  ×900 — and d19 at **×8.8 @10×**.
+- **The r13 fixed-bucket LSH flag is FIXED by the adaptive plane
+  ladder.** The geometry table above is the direct evidence: the
+  bucket space now grows with the corpus (occupied groups 192 → 3k →
+  6k → 24.6k) and candidate occurrences per vector hold ≈constant
+  (cand÷N 562–897 across TWO DECADES) where the fixed 12×2^4 space
+  made them quadratic (r13 measured cand÷N 790 → 7,900 → 15,800 at
+  sf0.1/10×/20×; at 100× it would have been ~79,000 — the adaptive
+  ladder carries 165M occurrences there instead of ~15.8B). Wall
+  times follow: d05 ×2.2 @10× and ×5.7 @20×; d19 — whose 20× run
+  FILLED THE SPILL DISK at r13 — now completes 20× at ×7.6 and 30× at
+  ×17.4 (N^1.5 predicts ×164 at 30×; the data factor alone is ×30).
+  The DuckDB oracle replays the count-derived geometry term-for-term
+  (integer CASE ladder + prefix truncation), cross-checked hash-exact
+  on a 10× corpus at the P=6 rung, and the d26 sweep publishes the
+  planes↔recall curve that sizes a deployment's explicit override.
 
-- **m11/m12 carry a first-decade level shift that is corpus
-  structure, not a residual engine quadratic.** Measured ×24.3/×18.9
-  @10× but only ×54.3/×47.4 @30× — marginal growth of ×2.2–2.5 for 3×
-  data, SUB-linear in that span, which refutes any remaining N² term
-  (N^1.5 alone would grow ×5.2 there). The level shift at the first
-  decade traces to the synthesizer: digits and punctuation replicate
-  verbatim under the letter permutation, so synthetic BMPs built from
-  digit-heavy documents collide across replicas (aHash-identical),
-  growing the exact-duplicate QUERY set these audits serve faster
-  than the corpus at small factors. The serve itself — the engine
-  side — follows the probe fraction at the adaptive K.
+- **m11/m12's first-decade level shift is corpus structure — now with
+  the mechanism MEASURED, correcting r13's digit hypothesis.** The
+  driver corpora contain no digits at all; DupProbe found the real
+  cause: the aHash thresholds resized pixels against the mean, making
+  it a function of the text's SPACE SKELETON, and every character
+  bijection preserves space positions exactly — so on a 10×
+  enlargement dup pairs grow 1 → 6,977 with ALL pairs cross-replica
+  and the duplicate-QUERY set these audits serve reaches 80% of
+  assets (2 → 1,994) instead of ∝factor. Faithful-for-text
+  (shingle/jaccard preservation) and faithful-for-vision
+  (perceptual-hash diversity) genuinely conflict on one shared
+  documents table, so the engine verdict anchors on marginal growth
+  between enlarged points (both replica-collided): ×23.4→×60.4 (m11)
+  and ×30.2→×73.2 (m12) from 10× to 30× — ×2.4–2.6 for 3× data,
+  sub-linear, refuting any residual engine quadratic. Digits DO
+  permute now (the c_name treatment, spec-pinned), which future-proofs
+  digit-bearing corpora without touching this ceiling.
 
-- **d19's 20× point exceeded the sandbox's spill disk** (recorded
-  honestly, study continued) — and the post-study measurement names
-  the term: it is the d05-SHARED LSH SIDE, not the semantic side.
-  The banded LSH hashes into a FIXED bucket space (192 occupied
-  (band, bucket) groups at every scale), so candidate pair
-  occurrences grow quadratically once buckets saturate — measured
-  1.58M at sf0.1 → 158M at 10× → 631M at 20× (×100 per decade), and
-  the exact verify joins two 64-float arrays onto every occurrence.
-  The adaptive-stride semantic side stays exactly on its N^1.5
-  design: 43.5k → 1.40M → 4.0M pairs with max cluster 257 ≈ 1.3·√N —
-  no skew problem. `semCore`'s candidate self-join now also rides the
-  d05b occupancy-salting path as insurance (bit-identical pair set;
-  cold corpora short-circuit). The LSH remedy at real scale is
-  GEOMETRY, not decomposition: bucket space must grow with the
-  corpus (more planes per band — the same corpus-sized-knob lesson
-  the centroid stride taught), which changes the banding's recall
-  contract and so stays a per-deployment parameter rather than an
-  oracle-checked default — named as the next engineering seam.
+- **q44b's exact tail no longer pays a rank window.** The top-3 is a
+  bounded TypedImperativeAggregate (ObjectHashAggregate, ≤3 rows per
+  qid per map task cross the exchange) instead of row_number over a
+  full shuffle+sort of every scored pair. In-sandbox points sit on the
+  N^1.5 design line: ×11.7 @10×, ×32.9 @30× (prediction ×31.6/×164).
+  The 100× point stays env-bounded HONESTLY: with the default 8g study
+  heap it dies acquiring aggregate memory; at a realistic 48g executor
+  heap (same protocol, one-cell rerun) it progresses further and fills
+  the sandbox's ~77 GB spill disk inside the candidate-dot exchange —
+  the N^1.5 pair-scoring work itself, no longer the tail. That volume
+  is embarrassingly shuffle-parallel; a 1000-executor cluster carries
+  three orders more aggregate spill, so the ceiling is the single
+  disk, not plan shape.
 
-- **The N^1.5 family's 100× point is disk-bounded, stated honestly:**
-  at 100× its shuffle volume is real N^1.5 work (~100 GB of spill for
-  q44b's exact-scoring tail alone — the run was attempted and filled
-  the disk), exceeding this sandbox's ~70 GB free spill space, so the
-  family runs at 30× — the largest corpus the machine sustains. The
-  work is embarrassingly shuffle-parallel (pair scoring keyed by
-  candidate); a 1000-executor cluster carries three orders of
-  magnitude more aggregate spill — the constraint is the sandbox's
-  single disk, not the plan shape.
-
-- **q44_series_topk stays superlinear BY SEMANTICS** (×76-96 at 10× —
+- **q44_series_topk stays superlinear BY SEMANTICS** (×106 at 10× —
   exact all-pairs cosine within peak-hour bands; within-band pairs
   grow ×100 per decade). Adjudicated weak-by-design at r12: it exists
-  as the exact oracle-checkable variant; q44b is the scale path and
-  now measures ×7.8/×30.7. q44 runs only at the first decade — the
-  second would be ×10,000 by design.
+  as the exact oracle-checkable variant; q44b is the scale path.
 
-- **The linear tier holds across TWO FULL DECADES**: at 100× the
-  connected-components operators measure d06 ×2.6 and q68 ×5.4 (the
-  fixpoint round count stays 2 at every scale — per-replica cluster
-  structure fixes component diameter while cluster COUNT scales, so
-  rounds are scale-invariant and per-round frames grow linearly), the
-  corpus materializer p17 ×2.4, containment d08 ×37.2, and the source
-  profile t13 ×22.3 — every ratio far below the ×100 data factor.
+- **The linear tier holds across TWO FULL DECADES**: at 100× — d06
+  ×2.2 and q68 ×6.5 (connected-components fixpoint rounds stay 2 at
+  every scale — per-replica structure fixes component diameter while
+  cluster count scales), p17 ×3.6, d08 ×13.4, t13 ×19.5 — every ratio
+  far below the ×100 data factor. First-decade sanity: d04 ×3.3, d09
+  ×4.0, d13 ×5.2, s21 ×11.0, s21c ×5.4.
 
-- **Plan Δ at scale is the expected broadcast attrition**: several
-  big-corpus cells lose BroadcastExchanges (q44b 10→2 at 30×, t13
-  9→1 at 100×) as formerly-small sides outgrow the autoBroadcast
-  threshold and flip to shuffle joins — exactly the demotion the
-  study exists to surface; the wall ratios above absorb it, and no
-  fixed-size DIMENSION join demoted anywhere.
+- **Plan Δ at scale is the expected broadcast attrition** (d05 bcast
+  3→1 at 20×, d19 7→2 at 30×, t13 9→1 at 100×) as formerly-small
+  sides outgrow the autoBroadcast threshold and flip to shuffle joins
+  — the demotion the study exists to surface; wall ratios absorb it,
+  and no fixed-size DIMENSION join demoted anywhere.
 """
+
 }
