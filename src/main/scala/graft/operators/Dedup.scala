@@ -1015,7 +1015,11 @@ object Dedup {
     else EmbBands * EmbPlanesPerBand +
       b * (EmbPlanesMax - EmbPlanesPerBand) + (p - EmbPlanesPerBand)
 
-  private[graft] def embPlaneWeights: Seq[Seq[Int]] =
+  // lazy val, not def: the weight table is 192 planes × 64 dims of
+  // md5-derived ints, and embBandKeys reads it once per (band, plane) —
+  // as a def that was ~590k md5 digests of driver time per call (the
+  // r14 bench regression on the whole d05 family)
+  private[graft] lazy val embPlaneWeights: Seq[Seq[Int]] =
     Similarity.planeWeightsSeeded(EmbSeed, EmbBands * EmbPlanesMax)
 
   private[operators] def dec(c: Column): Column = c.cast(DecimalType(12, 6))
@@ -1302,11 +1306,25 @@ object Dedup {
     * normed materialization and one exact pair table serve every grid
     * point; both evict after the 5-row summary materializes. */
   def embPlanesSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FloatVecDot.float_vec_dot
     val e = embNormed(s, dir).persist()
-    val ids = e.select("vec_id")
-    val exact = embVerify(e, ids.as("x").join(ids.as("y"),
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")))
+    // exact ≥τ truth via ONE broadcast nested-loop pass: the corpus is
+    // broadcast (the truth side runs on a fixture or sampled shard by
+    // design — see above), every pair scores its float dot inline with
+    // no candidate-frame shuffles, and only the ~handful of approx
+    // survivors pay the exact-decimal re-score (the embVerify contract,
+    // inlined: joining the 2M-row all-pairs id frame back against e
+    // twice cost 30+ s at bench scale)
+    val exact = e.as("a").join(broadcast(e.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("approx_cos",
+        float_vec_dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")))
+      .filter(col("approx_cos") > CosineThreshold - 1e-6)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (dotDec(col("a.embedding"), col("b.embedding")).cast(DoubleType) /
+          (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") > CosineThreshold)
       .select("va", "vb").persist()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val rows = EmbPlanesGrids.map { p =>
@@ -1317,10 +1335,10 @@ object Dedup {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
         .distinct()
-      // verified = candidates ∩ exact (the two-phase verify's outcome,
-      // without re-scoring pairs the truth table already scored)
+      // verified = candidates ∩ exact (the truth table is tiny — ≥τ
+      // pairs only — so it broadcasts into the wide candidate set)
       cands.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(cands.join(exact, Seq("va", "vb"))
+        .crossJoin(cands.join(broadcast(exact), Seq("va", "vb"))
           .agg(count(lit(1)).as("n_verified")))
         .crossJoin(nExact)
         .select(lit(p).as("planes"), col("n_candidates"),
