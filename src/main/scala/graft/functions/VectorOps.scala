@@ -142,3 +142,89 @@ object DecimalVecDot {
     ColumnBridge.column(DecimalVecDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Exact-DECIMAL dot product over SLOTTED series vectors — fixed-length
+  * arrays with NULLABLE elements where `null` means "slot absent" (the
+  * q44-family 24-slot hour-of-day profile). Returns NULL when NO slot is
+  * present on both sides; otherwise the BigDecimal-exact sum of the
+  * present-slot products at scale 2s.
+  *
+  * This is the q44/q44b scoring and assignment contract in one codegen
+  * primitive: the relational form computed the same dot by inner-joining
+  * profiles on `hour` (pair exists ⇔ ≥1 common hour, dot = Σ over common
+  * hours) — but that explodes every candidate ×24 rows across exchanges
+  * and a hash aggregate, the measured spill site of q44b's 100× study
+  * point (SCALETREND r14). Here the dot is computed WHERE THE PAIR IS
+  * GENERATED, in one tight loop over the two UnsafeArrayData. NULL-return
+  * (not zero) preserves the join form's answer SET exactly: a pair with
+  * no common present hour was never scored, and a present-but-zero sum
+  * still counts as presence. Arithmetic parity with the DuckDB oracle:
+  * elements are DECIMAL(p,s) read at their declared scale, products are
+  * exact at scale 2s, and java.math.BigDecimal addition is exact at any
+  * precision — identical to DuckDB's `sum(pa.v * pb.v)` over the hour
+  * join, so the final double cosines hash-match bit-for-bit (no Spark
+  * Add-operator precision-loss rounding, which a declarative
+  * `aggregate(zip_with(...))` fold WOULD pay at (38,12)+(37,12)).
+  */
+case class DecimalSeriesDot(a: Expression, b: Expression) extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def nullable: Boolean = true
+  override def prettyName: String = "decimal_series_dot"
+
+  private lazy val elem: DecimalType = a.dataType match {
+    case ArrayType(dt: DecimalType, _) => dt
+    case _ => DecimalType(18, 6) // unreachable past checkInputDataTypes
+  }
+
+  override def dataType: DataType = DecimalType(38, elem.scale * 2)
+
+  override def checkInputDataTypes(): TypeCheckResult = (a.dataType, b.dataType) match {
+    case (ArrayType(l: DecimalType, _), ArrayType(r: DecimalType, _)) if l == r =>
+      if (l.scale * 2 <= 38) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: product scale ${l.scale * 2} exceeds DECIMAL(38)")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<decimal(p,s)> of the SAME type, got " +
+        s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+  }
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    DecimalSeriesDot.dot(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData],
+      elem.precision, elem.scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      ${ev.value} = graft.functions.DecimalSeriesDot.dot(
+        $x, $y, ${elem.precision}, ${elem.scale});
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
+}
+
+object DecimalSeriesDot {
+  /** Null when no slot is present on both sides; exact otherwise. Lengths
+    * may differ (a shorter array simply has no slots past its end). */
+  def dot(a: ArrayData, b: ArrayData, p: Int, s: Int): Decimal = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc: java.math.BigDecimal = null
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val prod = a.getDecimal(i, p, s).toJavaBigDecimal
+          .multiply(b.getDecimal(i, p, s).toJavaBigDecimal)
+        acc = if (acc == null) prod else acc.add(prod)
+      }
+      i += 1
+    }
+    if (acc == null) null else Decimal(acc.setScale(2 * s), 38, 2 * s)
+  }
+
+  def decimal_series_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DecimalSeriesDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -614,8 +614,10 @@ object ExtendedQueries {
     * Exactness: per-bucket sums and the dot products are DECIMAL (order-
     * independent — a float sum would hash-differ per partition layout);
     * doubles appear only at the final cosine boundary, the s01 contract.
-    * Shape at 100 TB: the profile is one fact aggregation (24 rows/user),
-    * and the per-pair dot re-joins the narrow profile on (user, hour).
+    * Shape at 100 TB: the profile is one fact aggregation (24 rows/user)
+    * folded into a 24-slot vector ([[seriesVectors]]), and the per-pair
+    * dot is computed in-stage over the candidate's two attached vectors
+    * ([[graft.functions.DecimalSeriesDot]]) — no per-hour row explosion.
     * The candidate band join does NOT key on bare peak_hour: 24 values
     * with human activity clustered into a few of them is the skewed
     * low-cardinality key whose hot band does Σ n_b² work in ONE shuffle
@@ -636,7 +638,13 @@ object ExtendedQueries {
     val cand = graft.ops.SaltedJoin
       .selfPairsGridDirected(peak, Seq("peak_hour"), "user_id", salts)
       .select(col("a").as("qa"), col("b").as("qb"))
-    seriesTopKOf(cand, prof, n2)
+    val vec = seriesVectors(prof, n2)
+    val pairs = cand
+      .join(vec.select(col("user_id").as("qa"), col("varr").as("va"),
+        col("n2").as("na")), "qa")
+      .join(vec.select(col("user_id").as("qb"), col("varr").as("vb"),
+        col("n2").as("nb")), "qb")
+    seriesTopKOfVec(pairs)
   }
 
   /** Shared q44/q44b inputs: the per-user 24-bucket hourly activity
@@ -655,34 +663,59 @@ object ExtendedQueries {
     (prof, n2)
   }
 
-  /** Shared q44/q44b scoring tail: exact DECIMAL cosine over the
-    * DIRECTED candidate pairs and the deterministic top-3 per user
-    * (doubles only at the cosine boundary, the s01 contract). */
-  private def seriesTopKOf(cand: DataFrame, prof: DataFrame,
-      n2: DataFrame): DataFrame = {
-    val pa = prof.select(col("user_id").as("qa"), col("hour"),
-      col("v").as("va"))
-    val pb = prof.select(col("user_id").as("qb"), col("hour"),
-      col("v").as("vb"))
-    val dots = cand.join(pa, "qa").join(pb, Seq("qb", "hour"))
-      .groupBy("qa", "qb")
-      .agg(sum(col("va") * col("vb")).as("dot"))
-    val scored = dots
-      .join(n2.select(col("user_id").as("qa"), col("n2").as("na")), "qa")
-      .join(n2.select(col("user_id").as("qb"), col("n2").as("nb")), "qb")
-      .filter(col("na") > 0 && col("nb") > 0)
+  /** Shared q44/q44b profile VECTORS: [[seriesProfiles]] folded into a
+    * 24-slot hourly array per user (slot h = v at hour h, NULL where the
+    * user has no hour-h activity) with the squared norm attached.
+    * Null-vs-zero matters: the scoring and assignment contracts key on
+    * hour PRESENCE — the relational form's inner join on `hour` scores a
+    * pair iff it shares ≥1 present hour, and a present-but-zero sum
+    * still counts as presence — so absent slots are NULL, never 0.
+    *
+    * WHY vectors: the relational tail exploded every candidate ×24 hour
+    * rows across two exchanges and a hash aggregate; at q44b's 100×
+    * study point those N·K assignment and Σ|cluster|² scoring streams
+    * overran the sandbox's spill disk (SCALETREND r14). In vector form
+    * the exact-DECIMAL dot ([[graft.functions.DecimalSeriesDot]],
+    * codegen, BigDecimal-exact — identical values to the hour-join
+    * `sum(va*vb)`) is computed WHERE THE PAIR IS GENERATED: nothing
+    * wider than N rows of 24-slot arrays ever crosses an exchange. */
+  private def seriesVectors(prof: DataFrame, n2: DataFrame): DataFrame = {
+    // null-hour rows (events with a null timestamp) stay OUT of the map
+    // — the relational hour join never matched them — but their v still
+    // contributes to n2, exactly as before
+    val slots = prof.filter(col("hour").isNotNull)
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("hour"), col("v"))))
+        .as("hm"))
+      .select(col("user_id"), expr(
+        "transform(sequence(0, 23), h -> try_element_at(hm, CAST(h AS BIGINT)))")
+        .as("varr"))
+    slots.join(n2, "user_id")
+  }
+
+  /** Shared q44/q44b scoring tail over vector-attached DIRECTED pairs
+    * `(qa, qb, va, vb, na, nb)`: exact DECIMAL cosine and the
+    * deterministic top-3 per user (doubles only at the cosine boundary,
+    * the s01 contract). */
+  private def seriesTopKOfVec(pairs: DataFrame): DataFrame = {
+    import graft.functions.DecimalSeriesDot.decimal_series_dot
+    val scored = pairs
+      .withColumn("dot", decimal_series_dot(col("va"), col("vb")))
+      // dot NULL ⇔ no common present hour — the pair the relational
+      // form's inner join on hour never produced
+      .filter(col("dot").isNotNull && col("na") > 0 && col("nb") > 0)
       .select(col("qa").as("qid"), col("qb").as("neighbor_id"),
         (col("dot").cast(DoubleType) /
           (sqrt(col("na").cast(DoubleType)) *
             sqrt(col("nb").cast(DoubleType)))).as("cos_sim"))
     // top-3 via the bounded aggregate, NOT a row_number window: the
-    // window shape shuffles and SORTS every scored pair per qid — the
-    // ~100 GB exact-tail spill of q44b's 100× study point — where the
-    // ObjectHashAggregate keeps a 3-element heap per qid and its partial
-    // ships at most 3 rows per (map task, qid). Ordering is encoded as
-    // an ascending sort-key struct (−cos_sim, neighbor_id); double
-    // negation is IEEE-order-exact (no NaN past the na/nb > 0 filter),
-    // so ranks, ties, and survivors match the window form exactly.
+    // window shape shuffles and SORTS every scored pair per qid — where
+    // the ObjectHashAggregate keeps a 3-element heap per qid and its
+    // partial ships at most 3 rows per (map task, qid). Ordering is
+    // encoded as an ascending sort-key struct (−cos_sim, neighbor_id);
+    // double negation is IEEE-order-exact (no NaN past the na/nb > 0
+    // filter), so ranks, ties, and survivors match the window form
+    // exactly.
     import graft.functions.BoundedTopK.bounded_top_k
     scored
       .groupBy(col("qid"))
@@ -726,31 +759,44 @@ object ExtendedQueries {
         Similarity.adaptiveStride(
           graft.ops.CorpusCount.memo(n2.filter(col("n2") > 0)))
       else stride
-    val cents = n2.filter(col("user_id") % st === 0 && col("n2") > 0)
-      .select(col("user_id").as("cid"), col("n2").as("cn2"))
-    val cprof = prof.join(cents, prof("user_id") === cents("cid"))
-      .select(col("cid"), col("hour"), col("v").as("cv"), col("cn2"))
-    // assignment: user × centroid cosine via the narrow (hour) join —
-    // the N·K pass; centroids broadcast (K ≪ N by construction)
-    val cdot = prof.join(broadcast(cprof), Seq("hour"))
-      .groupBy(col("user_id"), col("cid"))
-      .agg(sum(col("v") * col("cv")).as("dot"),
-        min(col("cn2")).as("cn2"))
-    val assign = cdot
-      .join(n2.filter(col("n2") > 0), Seq("user_id"))
+    import graft.functions.DecimalSeriesDot.decimal_series_dot
+    val vec = seriesVectors(prof, n2).filter(col("n2") > 0)
+    val cents = vec.filter(col("user_id") % st === 0)
+      .select(col("user_id").as("cid"), col("varr").as("carr"),
+        col("n2").as("cn2"))
+    // assignment: user × centroid exact-DECIMAL cosine with the K
+    // centroid VECTORS broadcast (K ≈ √N ≪ N by construction) — the N·K
+    // dot pass runs inside the stage (no per-hour row explosion, no N·K
+    // exchange: the hash-aggregate sort-fallback of the former hour-join
+    // form was the 100× study point's spill site, SCALETREND r14). A
+    // (user, centroid) with no common present hour has a NULL dot — the
+    // hour join never produced that candidate row — and the argmax is a
+    // partial-aggregating max over (ccos, −cid): ties break to the
+    // SMALLEST cid, the row_number (ccos DESC, cid ASC) contract. −cid
+    // is exact integer negation; ccos carries no NaN (n2, cn2 > 0) and
+    // no −0.0 (a zero dot casts to +0.0 and the norms are positive).
+    val cdot = vec.select("user_id", "varr", "n2")
+      .crossJoin(broadcast(cents))
       .select(col("user_id"), col("cid"),
-        (col("dot").cast(DoubleType) /
+        (decimal_series_dot(col("varr"), col("carr")).cast(DoubleType) /
           (sqrt(col("n2").cast(DoubleType)) *
             sqrt(col("cn2").cast(DoubleType)))).as("ccos"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select("user_id", "cid")
-    val cand = assign.as("a").join(assign.as("b"),
+      .filter(col("ccos").isNotNull)
+    val assign = cdot
+      .groupBy("user_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("user_id"), (-col("best.ncid")).as("cid"))
+    // pairs WITHIN a cluster, vectors already attached: the Σ|cluster|²
+    // candidate stream is generated and scored in the same stage — only
+    // the N-row assign/vec frames cross the self-join's exchange
+    val aw = assign.join(vec, "user_id")
+    val pairs = aw.as("a").join(aw.as("b"),
         col("a.cid") === col("b.cid") &&
           col("a.user_id") =!= col("b.user_id"))
-      .select(col("a.user_id").as("qa"), col("b.user_id").as("qb"))
-    seriesTopKOf(cand, prof, n2)
+      .select(col("a.user_id").as("qa"), col("b.user_id").as("qb"),
+        col("a.varr").as("va"), col("b.varr").as("vb"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
+    seriesTopKOfVec(pairs)
   }
 
   /** Per-order distinct-part cap for [[q43CopurchasePairs]]: a basket
