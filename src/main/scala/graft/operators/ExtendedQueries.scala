@@ -597,8 +597,9 @@ object ExtendedQueries {
 
   /** Grid width for [[q44SeriesTopK]]'s band decomposition: the hot
     * band's n² pair work spreads over salts² join cells. 8 bounds any
-    * single cell at (n_b/8)² while replicating only the 2-column peak
-    * table 8× per side. */
+    * single cell at (n_b/8)² while replicating only N rows of peak key
+    * + 24-slot profile vector 8× per side — linear replication traded
+    * against ever exchanging the n² pair stream. */
   val Q44BandSalts = 8
 
   // --- Q44: per-user activity-series similarity search ----------------------
@@ -635,15 +636,16 @@ object ExtendedQueries {
         .orderBy(col("v").desc, col("hour").asc)))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("hour").as("peak_hour"))
-    val cand = graft.ops.SaltedJoin
-      .selfPairsGridDirected(peak, Seq("peak_hour"), "user_id", salts)
-      .select(col("a").as("qa"), col("b").as("qb"))
-    val vec = seriesVectors(prof, n2)
-    val pairs = cand
-      .join(vec.select(col("user_id").as("qa"), col("varr").as("va"),
-        col("n2").as("na")), "qa")
-      .join(vec.select(col("user_id").as("qb"), col("varr").as("vb"),
-        col("n2").as("nb")), "qb")
+    // vectors ride THROUGH the grid join (`keep`): the N²/24-shaped
+    // pair stream is scored where it is generated, never re-joined —
+    // the same zero-pair-exchange shape as q44b's cluster self-join
+    val pw = peak.join(seriesVectors(prof, n2), "user_id")
+    val pairs = graft.ops.SaltedJoin
+      .selfPairsGridDirected(pw, Seq("peak_hour"), "user_id", salts,
+        keep = Seq("varr", "n2"))
+      .select(col("a").as("qa"), col("b").as("qb"),
+        col("a_varr").as("va"), col("b_varr").as("vb"),
+        col("a_n2").as("na"), col("b_n2").as("nb"))
     seriesTopKOfVec(pairs)
   }
 

@@ -145,9 +145,14 @@ object SaltedJoin {
     * directed self-join while the join key widens to (keys, i, j) —
     * |keys|·salts² shuffle cells of (n_group/salts)² comparisons each,
     * instead of one partition per group doing n_group². Replication is
-    * `salts` copies per side of rows that are one key + one id wide. */
+    * `salts` copies per side of rows that are one key + one id wide —
+    * plus any `keep` payload columns, carried through as `a_<col>` /
+    * `b_<col>` so a consumer can score pairs IN the join stage instead
+    * of re-joining the (much larger) pair stream back to the payload:
+    * replicating N payload rows `salts`× is the cheap side of that
+    * trade against exchanging the N²-shaped pair stream twice. */
   def selfPairsGridDirected(df: DataFrame, keys: Seq[String], idCol: String,
-      salts: Int): DataFrame = {
+      salts: Int, keep: Seq[String] = Nil): DataFrame = {
     require(salts > 1, "salts must be > 1")
     val cell = pmod(xxhash64(col(idCol)), lit(salts.toLong)).cast("int")
     val grid = array((0 until salts).map(lit): _*)
@@ -157,7 +162,9 @@ object SaltedJoin {
       .map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col(s"x.$idCol") =!= col(s"y.$idCol")
     xs.as("x").join(ys.as("y"), cond)
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .select(col(s"x.$idCol").as("a") +: col(s"y.$idCol").as("b") +:
+        (keep.map(k => col(s"x.$k").as(s"a_$k")) ++
+          keep.map(k => col(s"y.$k").as(s"b_$k"))): _*)
   }
 
   /** Skew-proof count/sum aggregation: partial agg on (key, salt) — which

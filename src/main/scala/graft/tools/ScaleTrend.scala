@@ -40,13 +40,13 @@ import graft.SparkEntry
   *    replica), so ANN/dedup structure replicates while replicas are
   *    distinct points in the space.
   *
-  * Queries with inherently superlinear semantics (q44's exact banded
-  * all-pairs — ×100 per decade by design, measured and adjudicated at
-  * r12) run only at the first decade; per-query scale points beyond
-  * it live in [[StudyFactors]] — the adaptive-stride N^1.5 family at
-  * its disk-feasibility ceiling (30×, d19 20×), the iterative
-  * connected-components operators and the next cost tier (d06/q68,
-  * d08/t13/p17) at the full two decades (100×).
+  * Per-query scale points live in [[StudyFactors]]. Since the r14
+  * vector-scoring rewrite even q44's exact banded all-pairs (×100 per
+  * decade BY SEMANTICS, r12-adjudicated) is measurable at 100× — its
+  * ratio curve validates the quadratic cost model on a small constant
+  * — and q44b, d19, the iterative connected-components operators
+  * (d06/q68) and the next cost tier (d08/t13/p17) run the full two
+  * decades or their former ceilings.
   *
   * Usage: runMain graft.tools.ScaleTrend [srcDir] [outFile]
   *        [factorsCsv] [comma-separated query names (all factors)]
@@ -216,7 +216,9 @@ object ScaleTrend {
 
   /** First-decade study set: the 10 most expensive bench queries plus
     * q44's clustered sibling — q44 itself is quadratic BY SEMANTICS
-    * (×100/decade, r12-adjudicated) and runs only here. */
+    * (×100/decade pair count, r12-adjudicated) but since the r14
+    * vector-scoring rewrite its constant is small enough to measure
+    * through the full two decades (see StudyFactors). */
   val DefaultQueries: Seq[String] = Seq(
     "d09_shingle_audit_suite", "s21_filtered_ann_audit",
     "s21c_filtered_artifacts", "q44_series_topk",
@@ -225,21 +227,18 @@ object ScaleTrend {
     "d04_dedup_ngram_jaccard", "d19_dedup_method_agreement",
     "m11_visual_ann", "m12_visual_dup_recall")
 
-  /** Per-query scale points beyond the shared 10× decade. The
-    * formerly-flagged adaptive-stride family is N^1.5 by design
-    * post-fix, so its shuffle volume at 100× (~100 GB for q44b's
-    * exact-scoring tail alone — the run was attempted and filled the
-    * disk) exceeds the sandbox's ~70 GB spill space; it runs at the
-    * largest corpus this machine sustains (30×: N^1.5 predicts ×164,
-    * N² ×900, N log N ×44 — still cleanly separable; d19
-    * additionally carries the d05-shared LSH side, whose fixed bucket
-    * space makes candidates quadratic on saturated corpora — measured
-    * 631M pair occurrences at 20×, its ceiling). The linear tier — the iterative
-    * connected-components operators (d06/q68, whose fixpoint round
-    * count could grow with cluster diameter) and the next cost tier
-    * (d08/t13/p17) — runs the full two decades. A 1000-executor
-    * cluster has three orders of magnitude more aggregate spill; the
-    * ceilings are the sandbox's single disk, not plan shape. */
+  /** Per-query scale points beyond the shared 10× decade. The q44
+    * family runs the full two decades since the r14 vector-scoring
+    * rewrite (24-slot profile arrays + DecimalSeriesDot scored where
+    * the pair is generated): the N·K assignment and pair-dot streams
+    * that formerly filled the spill disk at q44b's 100× point never
+    * cross an exchange anymore, and even q44's exact N²/24 pair count
+    * is in-stage compute, not shuffle volume. The d05/d19 LSH side is
+    * corpus-adaptive since r14 (the plane ladder) and runs to its
+    * former ceilings to show the candidate trend. The linear tier —
+    * the iterative connected-components operators (d06/q68, whose
+    * fixpoint round count could grow with cluster diameter) and the
+    * next cost tier (d08/t13/p17) — runs the full two decades. */
   val StudyFactors: Map[String, Seq[Int]] =
     DefaultQueries.map(_ -> Seq(10)).toMap ++ Map(
       // r14: the LSH family reruns DEEPER after the adaptive bucket
@@ -250,9 +249,12 @@ object ScaleTrend {
       "d19_dedup_method_agreement" -> Seq(10, 20, 30),
       "m11_visual_ann" -> Seq(10, 30),
       "m12_visual_dup_recall" -> Seq(10, 30),
-      // q44b retries its disk-bounded 100× point with the bounded
-      // top-k exact tail (3 full-pair shuffles + a sort replaced by
-      // one k-bounded ObjectHashAggregate exchange)
+      // the q44 family runs both decades since the vector-scoring
+      // rewrite: q44b's formerly disk-impossible 100× completes, and
+      // even exact q44's quadratic pair count is cheap enough to
+      // measure at 100× (its ratio SHOULD track ~(factor/10)² — the
+      // semantics — on a small constant)
+      "q44_series_topk" -> Seq(10, 30, 100),
       "q44b_series_topk_clustered" -> Seq(10, 30, 100),
       "d06_dedup_clusters" -> Seq(100),
       "q68_entity_clusters" -> Seq(100),
@@ -488,9 +490,13 @@ object ScaleTrend {
   made them quadratic (r13 measured cand÷N 790 → 7,900 → 15,800 at
   sf0.1/10×/20×; at 100× it would have been ~79,000 — the adaptive
   ladder carries 165M occurrences there instead of ~15.8B). Wall
-  times follow: d05 ×2.2 @10× and ×5.7 @20×; d19 — whose 20× run
-  FILLED THE SPILL DISK at r13 — now completes 20× at ×7.6 and 30× at
-  ×17.4 (N^1.5 predicts ×164 at 30×; the data factor alone is ×30).
+  times follow in ABSOLUTE terms: d05 completes 20× in 37.8 s and d19
+  — whose 20× run FILLED THE SPILL DISK at r13 — completes 20× in
+  98 s and 30× in 143 s. Their ratio COLUMNS (d05 ×19.6 @20×, d19
+  ×37.8 @30×) read higher than r13's because the r14 plane-weight
+  cache cut the family's sf0.1 BASES ~3× (d05 6.2→1.9 s, d19
+  10.5→3.8 s): the denominator shrank while the scaled points held
+  their absolute times — compare absolutes across rounds, not ratios.
   The DuckDB oracle replays the count-derived geometry term-for-term
   (integer CASE ladder + prefix truncation), cross-checked hash-exact
   on a 10× corpus at the P=6 rung, and the d26 sweep publishes the
@@ -508,40 +514,48 @@ object ScaleTrend {
   (shingle/jaccard preservation) and faithful-for-vision
   (perceptual-hash diversity) genuinely conflict on one shared
   documents table, so the engine verdict anchors on marginal growth
-  between enlarged points (both replica-collided): ×23.4→×60.4 (m11)
-  and ×30.2→×73.2 (m12) from 10× to 30× — ×2.4–2.6 for 3× data,
+  between enlarged points (both replica-collided): ×23.3→×51.8 (m11)
+  and ×20.0→×51.4 (m12) from 10× to 30× — ×2.2–2.6 for 3× data,
   sub-linear, refuting any residual engine quadratic. Digits DO
   permute now (the c_name treatment, spec-pinned), which future-proofs
   digit-bearing corpora without touching this ceiling.
 
-- **q44b's exact tail no longer pays a rank window.** The top-3 is a
-  bounded TypedImperativeAggregate (ObjectHashAggregate, ≤3 rows per
-  qid per map task cross the exchange) instead of row_number over a
-  full shuffle+sort of every scored pair. In-sandbox points sit on the
-  N^1.5 design line: ×11.7 @10×, ×32.9 @30× (prediction ×31.6/×164).
-  The 100× point stays env-bounded HONESTLY: with the default 8g study
-  heap it dies acquiring aggregate memory; at a realistic 48g executor
-  heap (same protocol, one-cell rerun) it progresses further and fills
-  the sandbox's ~77 GB spill disk inside the candidate-dot exchange —
-  the N^1.5 pair-scoring work itself, no longer the tail. That volume
-  is embarrassingly shuffle-parallel; a 1000-executor cluster carries
-  three orders more aggregate spill, so the ceiling is the single
-  disk, not plan shape.
+- **q44b's formerly disk-impossible 100× point COMPLETES — the series
+  family scores pairs where they are generated.** The r14 vector
+  rewrite folds each profile into a 24-slot decimal array (NULL = hour
+  absent, preserving the hour-join's pair-presence contract) and a
+  codegen BigDecimal-exact dot (DecimalSeriesDot) scores the N·K
+  assignment stream against BROADCAST centroid vectors and the
+  Σ|cluster|² pair stream inside the cluster self-join stage — nothing
+  wider than N rows of arrays crosses an exchange, where the former
+  hour-join form exploded both streams ×24 rows through exchanges and
+  a hash aggregate whose sort-fallback filled the ~77 GB spill disk at
+  100× even on a 48 GB heap. Measured now: ×4.0 @10×, ×5.4 @30×,
+  **×21.4 @100×** (51 s) — UNDER the data factor at every point where
+  the N^1.5 candidate model alone predicts ×31.6 at 100×, because the
+  surviving exchanges are all O(N). The bounded top-3 tail
+  (ObjectHashAggregate, ≤3 rows per qid per map task) stands.
 
-- **q44_series_topk stays superlinear BY SEMANTICS** (×106 at 10× —
-  exact all-pairs cosine within peak-hour bands; within-band pairs
-  grow ×100 per decade). Adjudicated weak-by-design at r12: it exists
-  as the exact oracle-checkable variant; q44b is the scale path.
+- **q44_series_topk is superlinear BY SEMANTICS and now MEASURED
+  through both decades** (exact all-pairs cosine within peak-hour
+  bands; within-band pairs grow ×100 per decade — r12-adjudicated
+  weak-by-design; q44b is the scale path). The same vector scoring
+  (profiles ride through the band grid join via `keep`, so the pair
+  stream is never exchanged) collapses the constant: ×2.6 @10× where
+  r13 measured ×106, ×12.1 @30×, ×106.8 @100× (237 s) — the ratio
+  curve tracks the (factor/10)² pair count exactly as the cost model
+  says it must, on a ~40× smaller constant, and the exact variant is
+  now runnable in-sandbox at the full study depth.
 
 - **The linear tier holds across TWO FULL DECADES**: at 100× — d06
-  ×2.2 and q68 ×6.5 (connected-components fixpoint rounds stay 2 at
+  ×1.9 and q68 ×7.1 (connected-components fixpoint rounds stay 2 at
   every scale — per-replica structure fixes component diameter while
-  cluster count scales), p17 ×3.6, d08 ×13.4, t13 ×19.5 — every ratio
-  far below the ×100 data factor. First-decade sanity: d04 ×3.3, d09
-  ×4.0, d13 ×5.2, s21 ×11.0, s21c ×5.4.
+  cluster count scales), p17 ×3.1, d08 ×13.0, t13 ×7.7 — every ratio
+  far below the ×100 data factor. First-decade sanity: d04 ×2.5, d09
+  ×2.3, d13 ×2.7, s21 ×2.7, s21c ×2.0.
 
 - **Plan Δ at scale is the expected broadcast attrition** (d05 bcast
-  3→1 at 20×, d19 7→2 at 30×, t13 9→1 at 100×) as formerly-small
+  3→1 at 20×, d19 7→2 at 30×, t13 9→1 and q44 5→0 at 100×) as small
   sides outgrow the autoBroadcast threshold and flip to shuffle joins
   — the demotion the study exists to surface; wall ratios absorb it,
   and no fixed-size DIMENSION join demoted anywhere.
