@@ -182,9 +182,14 @@ case class DecimalSeriesDot(a: Expression, b: Expression) extends BinaryExpressi
 
   override def checkInputDataTypes(): TypeCheckResult = (a.dataType, b.dataType) match {
     case (ArrayType(l: DecimalType, _), ArrayType(r: DecimalType, _)) if l == r =>
-      if (l.scale * 2 <= 38) TypeCheckResult.TypeCheckSuccess
+      // 2p digits per product plus 2 digits of accumulation headroom
+      // (≤100 slots) must fit DECIMAL(38), or a legal-at-analysis input
+      // could overflow the exact sum at RUNTIME — reject here instead
+      if (l.precision * 2 + 2 <= 38) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: product scale ${l.scale * 2} exceeds DECIMAL(38)")
+        s"$prettyName: element precision ${l.precision} needs " +
+          s"${l.precision * 2 + 2} digits (product + accumulation " +
+          "headroom), exceeding DECIMAL(38)")
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires two array<decimal(p,s)> of the SAME type, got " +
         s"(${l.simpleString(10)}, ${r.simpleString(10)})")
@@ -208,7 +213,12 @@ case class DecimalSeriesDot(a: Expression, b: Expression) extends BinaryExpressi
 
 object DecimalSeriesDot {
   /** Null when no slot is present on both sides; exact otherwise. Lengths
-    * may differ (a shorter array simply has no slots past its end). */
+    * may differ (a shorter array simply has no slots past its end).
+    * Exactness envelope: checkInputDataTypes reserves 2 digits of
+    * accumulation headroom over the 2p-digit products, which covers up
+    * to 100 present slots of worst-case elements; beyond that the
+    * DECIMAL(38) result can overflow and the Decimal ctor fails loudly
+    * rather than rounding. */
   def dot(a: ArrayData, b: ArrayData, p: Int, s: Int): Decimal = {
     val n = math.min(a.numElements(), b.numElements())
     var acc: java.math.BigDecimal = null

@@ -632,8 +632,12 @@ object ExtendedQueries {
       salts: Int = Q44BandSalts): DataFrame = {
     val (prof, n2) = seriesProfiles(s, dir)
     val peak = prof
+      // asc_nulls_last: Spark's plain asc orders NULL first where the
+      // oracle's ORDER BY defaults NULLS LAST — on a corpus with
+      // null-timestamp events, a null-hour v tying the max would pick
+      // a different peak per engine; nulls-last pins the same choice
       .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("v").desc, col("hour").asc)))
+        .orderBy(col("v").desc, col("hour").asc_nulls_last)))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("hour").as("peak_hour"))
     // vectors ride THROUGH the grid join (`keep`): the N²/24-shaped
@@ -684,11 +688,19 @@ object ExtendedQueries {
   private def seriesVectors(prof: DataFrame, n2: DataFrame): DataFrame = {
     // null-hour rows (events with a null timestamp) stay OUT of the map
     // — the relational hour join never matched them — but their v still
-    // contributes to n2, exactly as before
+    // contributes to n2, exactly as before. An hour OUTSIDE [0, 23]
+    // (only reachable from pre-epoch timestamps, where Spark's
+    // truncating `div` and the oracle's floor division already diverge)
+    // would be silently dropped from the 24 slots while the hour join
+    // kept it — fail loudly instead of returning a wrong dot
     val slots = prof.filter(col("hour").isNotNull)
       .groupBy("user_id")
-      .agg(map_from_entries(collect_list(struct(col("hour"), col("v"))))
-        .as("hm"))
+      .agg(map_from_entries(collect_list(struct(
+        when(col("hour").between(0, 23), col("hour"))
+          .otherwise(raise_error(concat(
+            lit("seriesVectors: hour outside [0, 23]: "),
+            col("hour").cast("string")))),
+        col("v")))).as("hm"))
       .select(col("user_id"), expr(
         "transform(sequence(0, 23), h -> try_element_at(hm, CAST(h AS BIGINT)))")
         .as("varr"))

@@ -109,6 +109,14 @@ object SaltedJoin {
     } else selfPairsSalted(df, keys, idCol, hot, salts, keep)
   }
 
+  /** The one pair-output projection every self-pairing shape shares:
+    * `(a, b)` ids plus any `keep` payload as `a_<col>` / `b_<col>`. */
+  private def pairSelect(j: DataFrame, idCol: String,
+      keep: Seq[String]): DataFrame = j.select(
+    col(s"x.$idCol").as("a") +: col(s"y.$idCol").as("b") +:
+      (keep.map(k => col(s"x.$k").as(s"a_$k")) ++
+        keep.map(k => col(s"y.$k").as(s"b_$k"))): _*)
+
   /** The shared cold/hot pairing core: plain within-group self-join for
     * `cold`, salts×salts grid decomposition for `hot` (each pair meets
     * in exactly one cell — see [[selfPairsSalted]]). */
@@ -118,10 +126,8 @@ object SaltedJoin {
     def pairCond(keyCols: Seq[String]) = keyCols
       .map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
-    def pairSelect(j: DataFrame): DataFrame = j.select(
-      col(s"x.$idCol").as("a") +: col(s"y.$idCol").as("b") +:
-        (keep.map(k => col(s"x.$k").as(s"a_$k")) ++
-          keep.map(k => col(s"y.$k").as(s"b_$k"))): _*)
+    def pairSelect(j: DataFrame): DataFrame =
+      SaltedJoin.pairSelect(j, idCol, keep)
     val coldPairs = pairSelect(cold.as("x").join(cold.as("y"), pairCond(keys)))
     // deterministic cell from the id, not monotonically_increasing_id:
     // both sides must agree on a row's cell for the grid to cover pairs
@@ -161,10 +167,7 @@ object SaltedJoin {
     val cond = (keys :+ "__gi" :+ "__gj")
       .map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col(s"x.$idCol") =!= col(s"y.$idCol")
-    xs.as("x").join(ys.as("y"), cond)
-      .select(col(s"x.$idCol").as("a") +: col(s"y.$idCol").as("b") +:
-        (keep.map(k => col(s"x.$k").as(s"a_$k")) ++
-          keep.map(k => col(s"y.$k").as(s"b_$k"))): _*)
+    pairSelect(xs.as("x").join(ys.as("y"), cond), idCol, keep)
   }
 
   /** Skew-proof count/sum aggregation: partial agg on (key, salt) — which
