@@ -1327,8 +1327,13 @@ object Dedup {
       .filter(col("cos_sim") > CosineThreshold)
       .select("va", "vb").persist()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    // band ONCE at EmbPlanesMax and truncate per grid point — the same
+    // prefix-stable arrangement the oracle replays (bucket(P) =
+    // substr(bucket(Pmax), 1, P), see embPlaneSlot): five banding
+    // passes over the corpus collapse into one persisted key frame
+    val bbMax = embBandKeys(e, EmbPlanesMax).persist()
     val rows = EmbPlanesGrids.map { p =>
-      val bb = embBandKeys(e, p)
+      val bb = bbMax.withColumn("bucket", substring(col("bucket"), 1, p))
       val cands = bb.as("x").join(bb.as("y"),
           col("x.band") === col("y.band") &&
             col("x.bucket") === col("y.bucket") &&
@@ -1355,6 +1360,7 @@ object Dedup {
       param = col("planes"))
     graft.plans.PlanCapture.note("pipeline", out)
     val materialized = out.localCheckpoint(true)
+    bbMax.unpersist()
     exact.unpersist()
     e.unpersist()
     materialized

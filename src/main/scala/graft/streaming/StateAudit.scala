@@ -117,13 +117,20 @@ object StateAudit {
     } finally {
       q.stop()
       // the checkpoint is per-run scratch (four dirs per audit, run from
-      // both Bench and the spec) — delete it, deepest-first
+      // both Bench and the spec) — delete it, deepest-first. RocksDB
+      // maintenance can still be retiring .tmp/.crc files just after
+      // q.stop(), and a file vanishing MID-WALK surfaces as
+      // UncheckedIOException from Files.walk's iterator (not
+      // IOException) — swallow both; a rarely-leaked scratch dir in
+      // /tmp beats a failed audit
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(ckpt).sorted(
           java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: java.io.IOException => () }
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
     }
   }
 
