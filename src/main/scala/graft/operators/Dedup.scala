@@ -1327,24 +1327,45 @@ object Dedup {
       .filter(col("cos_sim") > CosineThreshold)
       .select("va", "vb").persist()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    // band ONCE at EmbPlanesMax and truncate per grid point — the same
-    // prefix-stable arrangement the oracle replays (bucket(P) =
-    // substr(bucket(Pmax), 1, P), see embPlaneSlot): five banding
-    // passes over the corpus collapse into one persisted key frame
+    // band ONCE at EmbPlanesMax, join ONCE at the COARSEST grid point:
+    // the bucket bits are prefix-stable (bucket(P) = substr(bucket(
+    // Pmax), 1, P), see embPlaneSlot — the same arrangement the oracle
+    // replays), so a pair colliding on P planes collides on every
+    // P' ≤ P and the pMin candidate set CONTAINS every grid point's.
+    // Per-pair band-max prefix-match flags then recover each point's
+    // exact candidate/verified counts from one aggregate — five
+    // banding passes, self-joins, and distincts collapse into one
+    // banding pass, one join, and one grouped aggregate.
     val bbMax = embBandKeys(e, EmbPlanesMax).persist()
+    val pMin = EmbPlanesGrids.head
+    val flagCols = EmbPlanesGrids.map(p =>
+      (substring(col("x.bucket"), 1, p) ===
+        substring(col("y.bucket"), 1, p)).as(s"m$p"))
+    val pairFlags = bbMax.as("x").join(bbMax.as("y"),
+        col("x.band") === col("y.band") &&
+          substring(col("x.bucket"), 1, pMin) ===
+            substring(col("y.bucket"), 1, pMin) &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va") +: col("y.vec_id").as("vb") +:
+        flagCols: _*)
+      .groupBy("va", "vb")
+      .agg(max(col(s"m$pMin")).as(s"m$pMin"),
+        EmbPlanesGrids.tail.map(p => max(col(s"m$p")).as(s"m$p")): _*)
+      .persist()
+    // verified = candidates ∩ exact (the truth table is tiny — ≥τ
+    // pairs only — so it broadcasts into the wide candidate set)
+    def gridCounts(df: DataFrame, prefix: String): DataFrame = df.agg(
+      coalesce(sum(col(s"m$pMin").cast("long")), lit(0L))
+        .as(s"$prefix$pMin"),
+      EmbPlanesGrids.tail.map(p =>
+        coalesce(sum(col(s"m$p").cast("long")), lit(0L))
+          .as(s"$prefix$p")): _*)
+    val candCounts = gridCounts(pairFlags, "c")
+    val verCounts =
+      gridCounts(pairFlags.join(broadcast(exact), Seq("va", "vb")), "v")
     val rows = EmbPlanesGrids.map { p =>
-      val bb = bbMax.withColumn("bucket", substring(col("bucket"), 1, p))
-      val cands = bb.as("x").join(bb.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-        .distinct()
-      // verified = candidates ∩ exact (the truth table is tiny — ≥τ
-      // pairs only — so it broadcasts into the wide candidate set)
-      cands.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(cands.join(broadcast(exact), Seq("va", "vb"))
-          .agg(count(lit(1)).as("n_verified")))
+      candCounts.select(col(s"c$p").as("n_candidates"))
+        .crossJoin(verCounts.select(col(s"v$p").as("n_verified")))
         .crossJoin(nExact)
         .select(lit(p).as("planes"), col("n_candidates"),
           col("n_verified"), col("n_exact"),
@@ -1360,6 +1381,7 @@ object Dedup {
       param = col("planes"))
     graft.plans.PlanCapture.note("pipeline", out)
     val materialized = out.localCheckpoint(true)
+    pairFlags.unpersist()
     bbMax.unpersist()
     exact.unpersist()
     e.unpersist()
