@@ -231,7 +231,17 @@ object DecimalSeriesDot {
       }
       i += 1
     }
-    if (acc == null) null else Decimal(acc.setScale(2 * s), 38, 2 * s)
+    if (acc == null) null
+    else {
+      val scaled = acc.setScale(2 * s)
+      if (scaled.precision > 38)
+        throw new ArithmeticException(
+          s"decimal_series_dot: exact sum needs ${scaled.precision} " +
+            "digits > DECIMAL(38) — the 2-digit accumulation headroom " +
+            s"reserved at analysis covers ≤100 worst-case DECIMAL($p,$s) " +
+            "present slots; reduce element precision or slot count")
+      Decimal(scaled, 38, 2 * s)
+    }
   }
 
   def decimal_series_dot(a: Column, b: Column): Column =

@@ -119,15 +119,25 @@ object StateAudit {
       // the checkpoint is per-run scratch (four dirs per audit, run from
       // both Bench and the spec) — delete it, deepest-first. RocksDB
       // maintenance can still be retiring .tmp/.crc files just after
-      // q.stop(), and a file vanishing MID-WALK surfaces as
-      // UncheckedIOException from Files.walk's iterator (not
-      // IOException) — swallow both; a rarely-leaked scratch dir in
-      // /tmp beats a failed audit
+      // q.stop(): one racing file must not abandon the REST of the
+      // cleanup, so each deleteIfExists swallows its own IOException /
+      // UncheckedIOException; the walk stream itself is closed (it holds
+      // a directory handle) and a throw from its iterator — a directory
+      // vanishing mid-walk — is swallowed at the outer level (a
+      // rarely-leaked scratch dir in /tmp beats a failed audit)
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).sorted(
-          java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { walk =>
+          walk.sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach { p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch {
+                case _: java.io.IOException |
+                     _: java.io.UncheckedIOException => ()
+              }
+            }
+        }
       } catch {
         case _: java.io.IOException | _: java.io.UncheckedIOException => ()
       }

@@ -78,6 +78,27 @@ class SeriesVectorSpec extends SparkSpec {
     }
   }
 
+  test("decimal_series_dot past the exactness envelope fails with the " +
+      "targeted overflow message, not a bare Decimal ctor error") {
+    // 120 worst-case DECIMAL(18,6) slots: each product is 10^24-ish at
+    // 36 digits; 120 of them need 39 digits > DECIMAL(38)
+    val big = "999999999999.999999"
+    val df = spark.sql(
+      s"""SELECT array(${Seq.fill(120)(s"CAST($big AS DECIMAL(18,6))")
+        .mkString(",")}) AS v""")
+    // constant folding may evaluate on the driver (bare
+    // ArithmeticException) or at runtime (wrapped in SparkException) —
+    // either way the targeted message must be in the cause chain
+    val ex = intercept[Throwable] {
+      df.select(decimal_series_dot(col("v"), col("v")).as("d")).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(m => m.contains("decimal_series_dot") &&
+      m.contains("headroom")),
+      s"expected the targeted envelope message, got: $msgs")
+  }
+
   // --- the relational reference the vector form replaced (the oracle's
   // exact shape: hour join + sum, row_number window) ---
 
@@ -124,13 +145,35 @@ class SeriesVectorSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSet
   }
 
+  // The reference peak replays the ORACLE's tie-break contract: DuckDB's
+  // ORDER BY defaults NULLS LAST, so a null-hour row tying the max value
+  // must LOSE to any non-null hour — hence asc_nulls_last, same as
+  // production q44SeriesTopK (plain .asc would put NULL first and encode
+  // the pre-fix semantics the r14 fix removed).
+  private def peakOf(prof: DataFrame): DataFrame = prof
+    .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+      .orderBy(col("v").desc, col("hour").asc_nulls_last)))
+    .filter(col("rn") === 1)
+    .select(col("user_id"), col("hour").as("peak_hour"))
+
+  test("peak tie-break on a null-hour max tie follows NULLS LAST " +
+      "(the oracle's contract)") {
+    // user 1: v=5.0 at hour NULL ties v=5.0 at hour 2 — NULLS LAST must
+    // pick hour 2; plain asc (NULLS FIRST) would pick NULL
+    val prof = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, CAST(NULL AS INT), CAST(5.0 AS DECIMAL(18,6))),
+        |  (1L, 2,                 CAST(5.0 AS DECIMAL(18,6))),
+        |  (1L, 7,                 CAST(1.0 AS DECIMAL(18,6)))
+        |AS t(user_id, hour, v)""".stripMargin)
+    val got = peakOf(prof).collect()
+    assert(got.length == 1 && !got(0).isNullAt(1) && got(0).getInt(1) == 2,
+      s"expected peak_hour 2 (NULLS LAST), got ${got.toSeq}")
+  }
+
   test("q44 vector form is bit-identical to the relational hour-join form") {
     val (prof, n2) = profiles()
-    val peak = prof
-      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("v").desc, col("hour").asc)))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("hour").as("peak_hour"))
+    val peak = peakOf(prof)
     val cand = peak.as("a").join(peak.as("b"),
         col("a.peak_hour") === col("b.peak_hour") &&
           col("a.user_id") =!= col("b.user_id"))
