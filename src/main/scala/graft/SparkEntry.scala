@@ -136,7 +136,13 @@ object SparkEntry {
     "d14_dedup_funnel" ->
       canon("stage")((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
     "d15_lsh_tuning_audit" -> canon("grid")(Dedup.lshTuningAudit),
-    "d26_emb_planes_sweep" -> canon("planes")(Dedup.embPlanesSweep),
+    // d26 runs SAMPLED (its own documented discipline, made mechanical):
+    // the sweep's truth side is exact all-pairs, so the registered
+    // instrument prices the geometry on a deterministic hash-shard; the
+    // full-corpus embPlanesSweep stays the fixture/spec entry point
+    "d26_emb_planes_sweep" ->
+      canon("planes")((s, d) => Dedup.embPlanesSweepSampled(s, d)),
+    "d27_dedup_scoped" -> Dedup.embeddingCosineScoped _,
     "d16_passage_cuts" ->
       canon("doc_id", "span_start")(Dedup.passageCuts),
     "d17_cut_accounting" -> Dedup.cutAccounting _,
@@ -472,11 +478,21 @@ object SparkEntry {
        |       FROM reach GROUP BY ea)""".stripMargin
 
   /** exact-decimal self-dot (norm²) over embeddings — matches Dedup.dotDec. */
-  private val embCte =
-    """e AS (SELECT vec_id, embedding,
-      |        list_sum(list_transform(embedding,
-      |          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
-      |      FROM embeddings)""".stripMargin
+  private def embCteFrom(src: String) =
+    s"""e AS (SELECT vec_id, embedding,
+       |        list_sum(list_transform(embedding,
+       |          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
+       |      FROM $src)""".stripMargin
+
+  private val embCte = embCteFrom("embeddings")
+
+  /** SQL twin of the d26 sweep's deterministic hash-shard
+    * ([[Dedup.embPlanesSweepSampled]]): same md5-bucket predicate as the
+    * p02/p03 split machinery, so both engines select the same vectors. */
+  private val sweepShardSql =
+    "(SELECT * FROM embeddings WHERE" +
+      " CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)" +
+      s" % 100 < ${Dedup.SweepSamplePct})"
 
   private val dotAB =
     """list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -2491,7 +2507,7 @@ object SparkEntry {
            |      / (SELECT count(*) FROM exact)
            |    ELSE CAST(1.0 AS DOUBLE) END AS recall""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH $embCte,
+      s"""WITH ${embCteFrom(sweepShardSql)},
          |bbf AS (
          |  $embBandFullSql),
          |exact AS (SELECT va, vb FROM (
@@ -2512,6 +2528,43 @@ object SparkEntry {
          |       >= ${Dedup.SweepRetention} * qmax THEN 0 ELSE 1 END,
          |     n_candidates, planes) = 1) AS recommended
          |FROM sel ORDER BY planes""".stripMargin
+    },
+    // d27: per-scope adaptive banding — scope = label, per-scope counts
+    // drive the SAME integer ladder as d05's (inline CASE over the scope
+    // population), buckets are prefix truncations of the full bit
+    // strings, candidates pair only within a scope
+    "d27_dedup_scoped" -> {
+      val ladder = {
+        val whens =
+          (Dedup.EmbPlanesPerBand until Dedup.EmbPlanesMax)
+            .map(p => s"WHEN n <= ${Dedup.EmbTargetOccupancy << p} THEN $p")
+            .mkString(" ")
+        s"CASE $whens ELSE ${Dedup.EmbPlanesMax} END"
+      }
+      s"""WITH e AS (SELECT vec_id, embedding, label AS scope,
+         |        list_sum(list_transform(embedding,
+         |          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
+         |      FROM embeddings),
+         |cnt AS (SELECT scope, $ladder AS p
+         |        FROM (SELECT scope, count(*) AS n FROM e GROUP BY scope)),
+         |bbf AS (
+         |  $embBandFullSql),
+         |bb AS (SELECT b.vec_id, s.scope, b.band,
+         |         substr(b.fb, 1, c.p) AS bucket
+         |       FROM bbf b
+         |       JOIN (SELECT vec_id, scope FROM e) s USING (vec_id)
+         |       JOIN cnt c USING (scope)),
+         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |         FROM bb x JOIN bb y ON x.scope = y.scope
+         |           AND x.band = y.band AND x.bucket = y.bucket
+         |           AND x.vec_id < y.vec_id)
+         |SELECT va, vb,
+         |  CAST($dotAB AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+         |FROM cand JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
+         |WHERE CAST($dotAB AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > ${Dedup.CosineThreshold}
+         |ORDER BY va, vb""".stripMargin
     },
     // d16: stride-1 token-window fingerprints; canonical first occurrence
     // exempt (rk=1 by (doc_id,pos)); islands merge overlapping cut windows

@@ -966,9 +966,17 @@ object Dedup {
 
   /** Ceiling of the adaptive plane ladder: weights exist for
     * `EmbBands × EmbPlanesMax` hyperplanes, supporting corpora up to
-    * `EmbTargetOccupancy · 2^16` ≈ 8.2M vectors per partition-scope
-    * before the per-bucket expectation exceeds the target (beyond that,
-    * the explicit deployment knob takes over). */
+    * `EmbTargetOccupancy · 2^16` ≈ 8.2M vectors per banding SCOPE before
+    * the per-bucket expectation exceeds the target. PAST the ceiling the
+    * recipe is partition scoping, not more planes: band within natural
+    * corpus scopes (source shard, ingest date, language) so per-scope N
+    * stays under `T·2^16` and each scope derives its own rung —
+    * [[embeddingCosineScoped]] (d27) is that recipe as an operator (one
+    * banding pass, per-scope prefix truncation, within-scope pairing).
+    * A 10¹⁰-vector corpus over daily × source scopes of ≤8M vectors each
+    * runs the same plan; [[adaptiveEmbPlanes]] itself simply pins to the
+    * ceiling for any larger N (never overflows — the rung comparison is
+    * a Long shift, max `125·2^15`). */
   val EmbPlanesMax = 16
 
   /** Target EXPECTED occupancy per (band, bucket) group — the constant
@@ -1177,7 +1185,8 @@ object Dedup {
   private[graft] def embBandKeys(e: DataFrame): DataFrame =
     embBandKeys(e, adaptiveEmbPlanesOf(e))
 
-  private[graft] def embBandKeys(e: DataFrame, planes: Int): DataFrame = {
+  private[graft] def embBandKeys(e: DataFrame, planes: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.FloatVecDot.float_vec_dot
     require(planes >= 1 && planes <= EmbPlanesMax,
       s"planes $planes outside [1, $EmbPlanesMax]")
@@ -1190,9 +1199,11 @@ object Dedup {
       }
       struct(lit(b).as("band"), concat(bits: _*).as("bucket"))
     }
-    e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"),
-        col("bk.bucket").as("bucket"))
+    val carried = keep.map(col)
+    e.select(col("vec_id") +: carried :+
+        explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col("vec_id") +: carried :+ col("bk.band").as("band") :+
+        col("bk.bucket").as("bucket"): _*)
   }
 
   /** Two-phase exact verification of candidate pairs `(va, vb)`: a
@@ -1219,6 +1230,15 @@ object Dedup {
   def embeddingCosine(s: SparkSession, dir: String): DataFrame =
     lshPairs(embNormed(s, dir))
 
+  /** d05 at an EXPLICIT planes-per-band — the deployment-pinned recall
+    * contract ([[graft.operators.DedupDeployment]] records the chosen P
+    * beside the corpus so re-runs and rebuilds honor it; the adaptive
+    * ladder remains the default when nothing is recorded). Identical
+    * verification, identical output shape; only the candidate geometry
+    * is pinned. */
+  def embeddingCosineAt(s: SparkSession, dir: String, planes: Int): DataFrame =
+    lshPairs(embNormed(s, dir), Some(planes))
+
   /** d05's verified ≥τ pair table over an already-normed embedding frame
     * — shared with the d19 agreement audit so both read one `e`.
     *
@@ -1239,8 +1259,8 @@ object Dedup {
     * sizes it, published with d15's recommended rule.
     * [[embeddingCosineSalted]] (d05b) stays the skew insurance: the
     * ladder bounds the EXPECTED occupancy, salting bounds a hot cell. */
-  private def lshPairs(e: DataFrame): DataFrame = {
-    val bb = embBandKeys(e)
+  private def lshPairs(e: DataFrame, planes: Option[Int] = None): DataFrame = {
+    val bb = planes.fold(embBandKeys(e))(embBandKeys(e, _))
     // candidate generation: pairs via equi-join on (band, bucket)
     val cands = bb.as("x").join(bb.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -1284,6 +1304,62 @@ object Dedup {
     embVerify(e, cands)
   }
 
+  /** [[adaptiveEmbPlanes]] as a Column over a count column — the same
+    * integer ladder in distributed form, one CASE rung per plane, used
+    * by [[embeddingCosineScoped]] to derive EACH scope's geometry inside
+    * the plan (no per-scope driver round-trips). */
+  private[graft] def embPlanesLadder(n: Column): Column =
+    (EmbPlanesPerBand until EmbPlanesMax).foldRight(lit(EmbPlanesMax)) {
+      (p, rest) => when(n <= lit(EmbTargetOccupancy << p), lit(p))
+        .otherwise(rest)
+    }
+
+  /** d05 with PARTITION-SCOPED adaptive banding (d27) — the
+    * past-the-ceiling story for the plane ladder, written as an
+    * operator: [[adaptiveEmbPlanes]] caps at [[EmbPlanesMax]] (= 16)
+    * planes, which holds expected bucket occupancy at
+    * [[EmbTargetOccupancy]] only up to `T·2^16` ≈ 8.2M vectors per
+    * banding SCOPE — but a 100 TB corpus is 10⁹–10¹⁰ vectors. The recipe
+    * is the hypertable lesson applied to dedup: band WITHIN natural
+    * partition scopes (source shard, ingest date, language — here the
+    * embeddings table's `label`, its source-shard stand-in) so per-scope
+    * N stays under the ceiling and every scope gets its OWN ladder rung.
+    * Near-dups concentrate within such scopes (same crawl, same source,
+    * same day); cross-scope pairs are deliberately out of contract —
+    * exactly the trade a sharded 100 TB near-dup pass makes.
+    *
+    * Shape: one banding pass at the LARGEST scope's rung (per-scope
+    * buckets are prefix-truncations — [[embPlaneSlot]]'s prefix
+    * stability yet again), one broadcast of the tiny per-scope geometry
+    * table, candidates equi-joined on (scope, band, bucket), then the
+    * shared two-phase exact verification. Every shuffle keys on
+    * high-cardinality columns; scope count and per-scope rungs are data,
+    * not config, so the same plan serves 10 scopes or 10⁵. */
+  def embeddingCosineScoped(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"), col("embedding"), col("label").as("scope"),
+        normD(col("embedding")).as("nrm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val cnts = e.groupBy("scope").agg(count(lit(1)).as("n"))
+    // banding width = the largest scope's rung (ladder is monotone, so
+    // it covers every scope's prefix); ONE tiny driver-side aggregate,
+    // the same geometry-decision pattern as CorpusCount
+    val maxN = cnts.agg(max(col("n"))).head().getLong(0)
+    val bb = embBandKeys(e, adaptiveEmbPlanes(maxN), keep = Seq("scope"))
+      .join(broadcast(cnts.select(col("scope"),
+        embPlanesLadder(col("n")).as("p"))), Seq("scope"))
+      .select(col("vec_id"), col("scope"), col("band"),
+        col("bucket").substr(lit(1), col("p")).as("bucket"))
+    val cands = bb.as("x").join(bb.as("y"),
+        col("x.scope") === col("y.scope") &&
+          col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    embVerify(e, cands)
+  }
+
   /** Plane counts [[embPlanesSweep]] sweeps — a fixed literal grid
     * around the fixture corpora's adaptive floor (4), reaching the
     * rungs an enlarged corpus derives, so the published curve shows
@@ -1305,9 +1381,38 @@ object Dedup {
     * retaining ≥95% of the best recall, ties to the smallest P. One
     * normed materialization and one exact pair table serve every grid
     * point; both evict after the 5-row summary materializes. */
-  def embPlanesSweep(s: SparkSession, dir: String): DataFrame = {
+  def embPlanesSweep(s: SparkSession, dir: String): DataFrame =
+    embPlanesSweepOver(embNormed(s, dir))
+
+  /** Deterministic hash-sample share (percent of vec_ids) the REGISTERED
+    * d26 sweep runs at — the sweep's own documented discipline made
+    * mechanical: its truth side is an exact all-pairs pass (quadratic by
+    * definition, the audit cost), so the instrument itself must run on a
+    * sampled shard at scale, never the full corpus. 50% keeps the
+    * fixture curves statistically meaningful while cutting the quadratic
+    * truth side ×4; a 100 TB deployment passes the pct that caps the
+    * shard at ~10⁴–10⁵ vectors. */
+  val SweepSamplePct = 50
+
+  /** [[embPlanesSweep]] over a deterministic hash-sample of the corpus
+    * (`md5(vec_id) % 100 < pct` — the p02/p03 split machinery, so the
+    * shard is a pure function of the data: same sample every rerun,
+    * every engine, every partition layout, and the DuckDB oracle replays
+    * it exactly). This is the entry point a deployment SIZES the planes
+    * knob with: the per-bucket geometry it measures is scale-free
+    * (collision probability per band is a property of the vector
+    * DIRECTIONS, not the corpus size), so a capped shard prices the
+    * recall↔work trade without paying the truth side's O(N²). */
+  def embPlanesSweepSampled(s: SparkSession, dir: String,
+      pct: Int = SweepSamplePct): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"sample pct $pct outside [1, 100]")
+    embPlanesSweepOver(
+      embNormed(s, dir).filter(Sampling.pctBucket(col("vec_id")) < pct))
+  }
+
+  private def embPlanesSweepOver(e0: DataFrame): DataFrame = {
     import graft.functions.FloatVecDot.float_vec_dot
-    val e = embNormed(s, dir).persist()
+    val e = e0.persist()
     // exact ≥τ truth via ONE broadcast nested-loop pass: the corpus is
     // broadcast (the truth side runs on a fixture or sampled shard by
     // design — see above), every pair scores its float dot inline with
@@ -1326,8 +1431,7 @@ object Dedup {
           (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") > CosineThreshold)
       .select("va", "vb").persist()
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    // band ONCE at EmbPlanesMax, join ONCE at the COARSEST grid point:
+    // band ONCE at the FINEST grid point, join ONCE at the COARSEST:
     // the bucket bits are prefix-stable (bucket(P) = substr(bucket(
     // Pmax), 1, P), see embPlaneSlot — the same arrangement the oracle
     // replays), so a pair colliding on P planes collides on every
@@ -1335,10 +1439,17 @@ object Dedup {
     // Per-pair band-max prefix-match flags then recover each point's
     // exact candidate/verified counts from one aggregate — five
     // banding passes, self-joins, and distincts collapse into one
-    // banding pass, one join, and one grouped aggregate.
-    val bbMax = embBandKeys(e, EmbPlanesMax).persist()
-    val pMin = EmbPlanesGrids.head
-    val flagCols = EmbPlanesGrids.map(p =>
+    // banding pass, one join, and one grouped aggregate. Banding width
+    // is EmbPlanesGrids.max, NOT EmbPlanesMax: no flag inspects a bit
+    // past the finest grid point, and the wider string would carry
+    // 12 bands × 8 unread codegen dots per vector through the persisted
+    // frame for nothing. pMin is .min, not .head — the coarse join must
+    // be a SUPERSET of every grid point's candidates, an invariant a
+    // reordered grid list must not be able to break positionally.
+    val grids = EmbPlanesGrids.distinct.sorted
+    val bbMax = embBandKeys(e, grids.max).persist()
+    val pMin = grids.head
+    val flagCols = grids.map(p =>
       (substring(col("x.bucket"), 1, p) ===
         substring(col("y.bucket"), 1, p)).as(s"m$p"))
     val pairFlags = bbMax.as("x").join(bbMax.as("y"),
@@ -1350,42 +1461,45 @@ object Dedup {
         flagCols: _*)
       .groupBy("va", "vb")
       .agg(max(col(s"m$pMin")).as(s"m$pMin"),
-        EmbPlanesGrids.tail.map(p => max(col(s"m$p")).as(s"m$p")): _*)
-      .persist()
-    // verified = candidates ∩ exact (the truth table is tiny — ≥τ
-    // pairs only — so it broadcasts into the wide candidate set)
-    def gridCounts(df: DataFrame, prefix: String): DataFrame = df.agg(
-      coalesce(sum(col(s"m$pMin").cast("long")), lit(0L))
-        .as(s"$prefix$pMin"),
-      EmbPlanesGrids.tail.map(p =>
-        coalesce(sum(col(s"m$p").cast("long")), lit(0L))
-          .as(s"$prefix$p")): _*)
-    val candCounts = gridCounts(pairFlags, "c")
-    val verCounts =
-      gridCounts(pairFlags.join(broadcast(exact), Seq("va", "vb")), "v")
-    val rows = EmbPlanesGrids.map { p =>
-      candCounts.select(col(s"c$p").as("n_candidates"))
-        .crossJoin(verCounts.select(col(s"v$p").as("n_verified")))
-        .crossJoin(nExact)
-        .select(lit(p).as("planes"), col("n_candidates"),
-          col("n_verified"), col("n_exact"),
-          when(col("n_candidates") > 0,
-            col("n_verified").cast(DoubleType) / col("n_candidates"))
-            .otherwise(lit(1.0)).as("candidate_precision"),
-          when(col("n_exact") > 0,
-            col("n_verified").cast(DoubleType) / col("n_exact"))
-            .otherwise(lit(1.0)).as("recall"))
+        grids.tail.map(p => max(col(s"m$p")).as(s"m$p")): _*)
+    // ONE aggregate recovers every grid point's candidate AND verified
+    // counts: the tiny exact truth table broadcast-left-joins into the
+    // flags (verified = in exact ∧ collides at p), then one pass sums
+    // all 2×|grids| flag columns. The former per-grid assembly
+    // (crossJoins of three 1-row aggregates per point) re-aggregated
+    // the persisted flags 15 times — THAT, not the truth side, was the
+    // sweep's fixed cost at bench scale. The 1-row result and the
+    // 5-row summary built from it are driver-bounded by construction.
+    val nEx = exact.count()
+    val aggCols = grids.flatMap { p =>
+      Seq(coalesce(sum(col(s"m$p").cast("long")), lit(0L)).as(s"c$p"),
+        coalesce(sum(when(col("ex").isNotNull && col(s"m$p"), 1L)
+          .otherwise(0L)), lit(0L)).as(s"v$p"))
     }
-    val out = markRecommended(rows.reduce(_.unionByName(_)),
-      quality = col("n_verified"), cost = col("n_candidates"),
-      param = col("planes"))
-    graft.plans.PlanCapture.note("pipeline", out)
-    val materialized = out.localCheckpoint(true)
-    pairFlags.unpersist()
+    val counts = pairFlags
+      .join(broadcast(exact.withColumn("ex", lit(1))), Seq("va", "vb"),
+        "left")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .head()
     bbMax.unpersist()
     exact.unpersist()
     e.unpersist()
-    materialized
+    val summary = grids.map { p =>
+      val c = counts.getAs[Long](s"c$p")
+      val v = counts.getAs[Long](s"v$p")
+      (p, c, v, nEx,
+        if (c > 0) v.toDouble / c else 1.0,
+        if (nEx > 0) v.toDouble / nEx else 1.0)
+    }
+    val sess = e0.sparkSession
+    import sess.implicits._
+    val out = markRecommended(
+      summary.toDF("planes", "n_candidates", "n_verified", "n_exact",
+        "candidate_precision", "recall"),
+      quality = col("n_verified"), cost = col("n_candidates"),
+      param = col("planes"))
+    graft.plans.PlanCapture.note("pipeline", out)
+    out
   }
 
   /** The planes-per-band [[embPlanesSweep]] recommends — what a

@@ -18,10 +18,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Sampling {
 
   /** Percent bucket 0–99 from the md5 of the id: the standard
-    * hash-mod-100 split key. */
+    * hash-mod-100 split key. Shared with every operator that needs a
+    * DETERMINISTIC sample (d26's sweep shard) — the selection is a pure
+    * function of the id, replayed bit-identically by the oracle. */
+  private[operators] def pctBucket(id: org.apache.spark.sql.Column) =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+
   private def hashBucketOf(id: org.apache.spark.sql.Column) =
-    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100).as("bucket")
+    pctBucket(id).as("bucket")
 
   private def hashBucket(idCol: String) = hashBucketOf(col(idCol))
 

@@ -131,6 +131,125 @@ class AdaptiveGeometrySpec extends SparkSpec {
       rec.head.getAs[Int]("planes"))
   }
 
+  test("sampled sweep: pct=100 is the full sweep bit-for-bit; the " +
+      "registered shard is deterministic and strictly smaller") {
+    val sf = "/root/testdata/sf0.01"
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().sortBy(_.getAs[Int]("planes"))
+        .map(r => (r.getAs[Int]("planes"), r.getAs[Long]("n_candidates"),
+          r.getAs[Long]("n_verified"), r.getAs[Long]("n_exact"),
+          r.getAs[Boolean]("recommended"))).toSeq
+    assert(rowsOf(Dedup.embPlanesSweepSampled(spark, sf, pct = 100)) ==
+      rowsOf(Dedup.embPlanesSweep(spark, sf)),
+      "pct=100 must degenerate to the full-corpus sweep")
+    // the default shard: a pure function of vec_ids — same rows on
+    // every run — and a strict subset of the corpus's work
+    val s1 = rowsOf(Dedup.embPlanesSweepSampled(spark, sf))
+    val s2 = rowsOf(Dedup.embPlanesSweepSampled(spark, sf))
+    assert(s1 == s2, "hash-shard must be deterministic across runs")
+    val full = rowsOf(Dedup.embPlanesSweep(spark, sf))
+    assert(s1.map(_._2).sum < full.map(_._2).sum,
+      "sampled candidates must be strictly fewer than full-corpus")
+    intercept[IllegalArgumentException] {
+      Dedup.embPlanesSweepSampled(spark, sf, pct = 0)
+    }
+  }
+
+  test("plane ladder past the ceiling: pins to EmbPlanesMax at every " +
+      "rung edge, Column form agrees with the driver form") {
+    val t = Dedup.EmbTargetOccupancy
+    // the exact cap edge: N = T·2^16 is the LAST corpus the ceiling
+    // holds target occupancy for; every larger N pins to the ceiling
+    assert(Dedup.adaptiveEmbPlanes(t << Dedup.EmbPlanesMax) ==
+      Dedup.EmbPlanesMax)
+    assert(Dedup.adaptiveEmbPlanes((t << (Dedup.EmbPlanesMax - 1)) + 1) ==
+      Dedup.EmbPlanesMax)
+    assert(Dedup.adaptiveEmbPlanes(t << (Dedup.EmbPlanesMax - 1)) ==
+      Dedup.EmbPlanesMax - 1)
+    // 10^10 vectors — the 100 TB order of magnitude: the ladder pins,
+    // it does not overflow or throw (scoping is the recipe, see
+    // EmbPlanesMax's scaladoc and embeddingCosineScoped/d27)
+    assert(Dedup.adaptiveEmbPlanes(10000000000L) == Dedup.EmbPlanesMax)
+    // the distributed (Column) ladder d27 derives per-scope rungs with
+    // agrees with the driver-side ladder everywhere, including past cap
+    val ns = Seq(1L, 125L, 2000L, 2001L, 5000L, 999999L,
+      t << 15, (t << 15) + 1, t << 16, Long.MaxValue)
+    val got = ns.toDF("n")
+      .select(col("n"), Dedup.embPlanesLadder(col("n")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ns.foreach(n => assert(got(n) == Dedup.adaptiveEmbPlanes(n),
+      s"ladder forms disagree at n=$n"))
+  }
+
+  test("d27 scoped banding is bit-identical to running d05 per scope, " +
+      "with each scope on its OWN ladder rung") {
+    // three scopes of very different populations: scope 0 lands above
+    // the floor edge (2600 → P=5), scopes 1 and 2 stay at the floor
+    // (300 → P=4) — the whole point of d27 is that one frame carries
+    // several rungs at once. Each scope gets a planted near-dup clique
+    // (identical vectors collide in every band at any P), plus a pair
+    // of identical vectors SPLIT ACROSS scopes 1|2 that the contract
+    // must NOT emit (cross-scope pairs are out of contract).
+    val dir = java.nio.file.Files.createTempDirectory("graft-d27").toString
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Float], Int)]
+    var id = 0L
+    def tail(i: Long) = Array.tabulate(64)(j =>
+      (((i * j + i * 31 + j * 17) % 23) - 11).toFloat)
+    // mutually near-orthogonal clique patterns (pairwise |cos| < 0.03):
+    // same magnitudes, sign stripes of different widths per scope —
+    // so the cross-scope plant cannot accidentally pair with the HOST
+    // scope's own clique
+    def clique(scope: Int): Array[Float] = Array.tabulate(64) { j =>
+      val sign = scope match {
+        case 0 => 1
+        case 1 => if (j % 2 == 0) 1 else -1
+        case _ => if ((j / 2) % 2 == 0) 1 else -1
+      }
+      (sign * ((j % 5) + 1)).toFloat
+    }
+    (0 until 2600).foreach { i =>
+      rows += ((id, if (i < 6) clique(0) else tail(id), 0)); id += 1
+    }
+    (0 until 300).foreach { i =>
+      rows += ((id, if (i < 4) clique(1) else tail(id), 1)); id += 1
+    }
+    (0 until 300).foreach { i =>
+      rows += ((id, if (i < 4) clique(2) else tail(id), 2)); id += 1
+    }
+    // the cross-scope plant: one more copy of scope 1's clique vector,
+    // living in scope 2 — within-scope it pairs with nothing
+    val crossId = id
+    rows += ((crossId, clique(1), 2)); id += 1
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Dedup.embeddingCosineScoped(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: physically shard the corpus by label and run the plain
+    // adaptive d05 on each shard — per-scope counts drive the same
+    // ladder, and prefix-stability makes direct banding at a scope's
+    // rung identical to truncating the wide string
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val want = Seq(0, 1, 2).flatMap { l =>
+      val sd = java.nio.file.Files
+        .createTempDirectory(s"graft-scope-$l").toString
+      e.filter(col("label") === l).drop("label")
+        .write.parquet(s"$sd/embeddings.parquet")
+      Dedup.embeddingCosine(spark, sd).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got.nonEmpty && got == want,
+      s"scoped mismatch: got-only ${got.diff(want).take(3)}, " +
+        s"want-only ${want.diff(got).take(3)}")
+    // every planted clique recovered within its scope…
+    assert(got.count { case (a, b, _) => a < 6 && b < 6 } == 15,
+      "scope-0 clique (6 ids → 15 pairs) missed")
+    // …and the cross-scope twin emitted with NOBODY (its cosine-1.0
+    // partners live in scope 1; it is alone in scope 2's geometry)
+    assert(!got.exists { case (a, b, _) => a == crossId || b == crossId },
+      "cross-scope pair leaked into the within-scope contract")
+  }
+
   test("CorpusCount: memoizes identical plans, distinguishes filters, skips non-file frames") {
     CorpusCount.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
