@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable record of the embedding-LSH planes-per-band choice — the
+  * dedup analog of the ANN index's GRID file
+  * ([[graft.streaming.IndexDeployment]]): the IVF stride a generation was
+  * built at is recorded beside its artifacts and honored by
+  * rebuild/recall-loss, but until round 15 the near-dup geometry knob had
+  * a sizing instrument (d26, [[Dedup.embPlanesSweep]]) and a consumption
+  * seam ([[Dedup.recommendedEmbPlanes]]) with NO persistence — an
+  * operator-chosen P died with the session, so a re-run after restart
+  * silently fell back to the adaptive ladder and could band a 100 TB
+  * corpus at a different recall contract than the one the deployment
+  * sized.
+  *
+  * The artifact is a one-line `PLANES` file under the deployment root,
+  * written atomically (temp-write + overwrite-rename, the same
+  * `CURRENT`-pointer move as the index deployment — readers observe the
+  * old or the new value, never a torn write). [[nearDupPairs]] is the
+  * honoring entry point: recorded P if present, else the corpus-adaptive
+  * ladder ([[Dedup.adaptiveEmbPlanes]]) — so the ORACLE-checked default
+  * path (d05) is unchanged, and pinning is an explicit operator action
+  * taken with the d26 curve in hand.
+  *
+  * Reference provenance: the reference keeps its one deployment knob set
+  * (batch size, backoff, masking policy) in a config file read at startup
+  * (`/root/reference/config/pipeline.example.yaml`, loaded at
+  * `src/config/loader.py`) — a restart reproduces the run. This module
+  * gives the dedup geometry the same property.
+  */
+object DedupDeployment {
+
+  private val PlanesFile = "PLANES"
+
+  private def fs(s: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
+  /** Record the deployment's planes-per-band. Atomic: a reader racing
+    * the write sees the previous record, never a partial file. */
+  def recordEmbPlanes(s: SparkSession, rootDir: String, planes: Int): Unit = {
+    require(planes >= 1 && planes <= Dedup.EmbPlanesMax,
+      s"planes $planes outside [1, ${Dedup.EmbPlanesMax}]")
+    val (f, root) = fs(s, rootDir)
+    f.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$PlanesFile.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$planes\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(root.toUri, s.sessionState.newHadoopConf())
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, PlanesFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The recorded planes-per-band, or None when the deployment never
+    * pinned one (→ the adaptive ladder applies). Read from disk on every
+    * call — restart-safe by construction. */
+  def recordedEmbPlanes(s: SparkSession, rootDir: String): Option[Int] = {
+    val (f, root) = fs(s, rootDir)
+    val p = new org.apache.hadoop.fs.Path(root, PlanesFile)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Size the knob with the d26 instrument (on a deterministic sampled
+    * shard — the sweep's own discipline) and record the recommendation:
+    * the one-call path from "the corpus changed" to "the next near-dup
+    * run is pinned at a measured operating point". Returns the recorded
+    * planes. */
+  def sizeAndRecord(s: SparkSession, sfDir: String, rootDir: String,
+      pct: Int = Dedup.SweepSamplePct): Int = {
+    import org.apache.spark.sql.functions.col
+    val planes = Dedup.embPlanesSweepSampled(s, sfDir, pct)
+      .filter(col("recommended")).head().getAs[Int]("planes")
+    recordEmbPlanes(s, rootDir, planes)
+    planes
+  }
+
+  /** The honoring entry point: d05's verified ≥τ near-dup pairs, banded
+    * at the deployment's recorded P when one exists, else the adaptive
+    * ladder — byte-identical to [[Dedup.embeddingCosine]] in that case. */
+  def nearDupPairs(s: SparkSession, sfDir: String,
+      rootDir: String): DataFrame =
+    recordedEmbPlanes(s, rootDir) match {
+      case Some(p) => Dedup.embeddingCosineAt(s, sfDir, p)
+      case None => Dedup.embeddingCosine(s, sfDir)
+    }
+}
