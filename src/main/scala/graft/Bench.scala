@@ -199,6 +199,45 @@ object Bench {
     spark.range(1L << 20).selectExpr("sum(id) s", "count(distinct id % 7) c")
       .write.format("noop").mode("overwrite").save()
 
+    // --- host-speed calibration probes (VERDICT r14 item 2) -------------
+    // Two consecutive rounds of uniform driver-side dips were adjudicated
+    // host noise from README evidence; these put the adjudication IN the
+    // artifact. Both probes are FIXED work — their wall time is a pure
+    // function of host speed/steal, never of engine changes — so a round
+    // whose queries and probes moved by the same ratio is a host shift,
+    // and a round whose queries moved against still probes is a code
+    // change. calib_cpu = single-threaded FNV-1a over 2^27 longs (raw
+    // per-core speed incl. CPU steal); calib_spark = a fixed 2^27-row
+    // codegen aggregate through the same noop sink as the queries (the
+    // 32-thread fabric: scheduler + codegen + memory). Three samples
+    // before the pack and three after (conditions drift over a ~25-min
+    // run); the JSON carries the overall median plus the start/end
+    // medians so drift WITHIN the run is visible too.
+    def calibCpuOnce(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0xcbf29ce484222325L
+      var i = 0L
+      while (i < (1L << 27)) {
+        h ^= i; h *= 0x100000001b3L; i += 1
+      }
+      if (h == 42L) System.err.println("") // keep the loop un-eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibSparkOnce(): Double = {
+      val t0 = System.nanoTime()
+      // modulo before the sum: 2^27 raw xxhash64 longs overflow an ANSI
+      // sum; bounded residues keep the hash work and never overflow
+      spark.range(1L << 27)
+        .selectExpr("sum(xxhash64(id) % 1048576) h", "count(id) c")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median3(f: () => Double): Double =
+      Vector.fill(3)(f()).sorted.apply(1)
+    calibCpuOnce(); calibSparkOnce() // warm the probes themselves
+    val calibCpuStart = median3(calibCpuOnce _)
+    val calibSparkStart = median3(calibSparkOnce _)
+
     if (doWarm) SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -463,6 +502,14 @@ object Bench {
       System.err.println(s"[bench] state audit failed: ${e.getMessage}")
       ""
     }
+    // end-of-run calibration (same probes): drift between the start and
+    // end medians bounds how much the host moved DURING the run
+    val calibCpuEnd = median3(calibCpuOnce _)
+    val calibSparkEnd = median3(calibSparkOnce _)
+    def med2(a: Double, b: Double): Double = (a + b) / 2
+    val calibJson =
+      f""","calib_cpu_sec":${med2(calibCpuStart, calibCpuEnd)}%.3f,"calib_spark_sec":${med2(calibSparkStart, calibSparkEnd)}%.3f,"calib_cpu_start_end":[$calibCpuStart%.3f,$calibCpuEnd%.3f],"calib_spark_start_end":[$calibSparkStart%.3f,$calibSparkEnd%.3f]"""
+
     // deltas vs previous round (positive = slower than last round)
     val (prevName, prevQ) = previousBench()
     val deltas = results.collect {
@@ -472,7 +519,7 @@ object Bench {
     val prevN = results.count { case (k, v) => v >= 0 && prevQ.contains(k) }
     val prevJson =
       s""","prev":"$prevName","prev_n":$prevN,"prev_delta_sec":$deltas"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3+quiet-window","queries":$qs,"queries_spread_sec":$spreadJson,"queries_n_samples":$sampleCountJson$corpusJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,$streamSpreadJson,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal$ccJson$stateJson,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3+quiet-window","queries":$qs,"queries_spread_sec":$spreadJson,"queries_n_samples":$sampleCountJson$corpusJson$calibJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,$streamSpreadJson,"batch_size_sweep":$sweepJson,"batch_size_optimal":$sweepOptimal$ccJson$stateJson,"sf":"$sfDir","warmup":${if (doWarm) "\"per-query sf0.001\"" else "null"}$prevJson}"""
     // Stdout protocol (VERDICT r08 item 2): the driver FRONT-truncates its
     // stdout tail to 2,000 chars, and the full line above is ~8 kB — four
     // rounds of `"parsed": null` because only a mid-line fragment
@@ -490,7 +537,7 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val nFailed = results.values.count(_ < 0)
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3+quiet-window","n_queries":${results.size},"n_failed":$nFailed,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"median-of-3+quiet-window","n_queries":${results.size},"n_failed":$nFailed$calibJson,"stream_eps":$eps%.0f,"stream_eps_multi":$epsMulti%.0f,"stream_eps_commitlog":$epsClog%.0f,"stream_qps_ann":$qpsAnn%.0f,"stream_vps_index_cdc":$vpsIdx%.0f,"stream_ips_visual":$ipsVisual%.0f,"stream_ips_audio":$ipsAudio%.0f,"batch_size_optimal":$sweepOptimal,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     println(compact)
     spark.stop()
   }
