@@ -241,12 +241,13 @@ object ScaleTrend {
     * next cost tier (d08/t13/p17) — runs the full two decades. */
   val StudyFactors: Map[String, Seq[Int]] =
     DefaultQueries.map(_ -> Seq(10)).toMap ++ Map(
-      // r14: the LSH family reruns DEEPER after the adaptive bucket
-      // geometry — d19's former 20× ceiling was the d05-shared fixed
-      // bucket space; d05 earns a second point to show the candidate
-      // trend, d19 its formerly-impossible 20× plus 30×
-      "d05_dedup_embedding" -> Seq(10, 20),
-      "d19_dedup_method_agreement" -> Seq(10, 20, 30),
+      // r15: the LSH family runs the FULL two decades — r14 proved the
+      // adaptive ladder's candidate counts linear to 100× via the
+      // geometry probe but stopped the wall-clock rows at d05@20× /
+      // d19@30×; now that the geometry makes them disk-feasible, the
+      // central claim carries its own 100× wall-time evidence
+      "d05_dedup_embedding" -> Seq(10, 20, 30, 100),
+      "d19_dedup_method_agreement" -> Seq(10, 20, 30, 100),
       "m11_visual_ann" -> Seq(10, 30),
       "m12_visual_dup_recall" -> Seq(10, 30),
       // the q44 family runs both decades since the vector-scoring
