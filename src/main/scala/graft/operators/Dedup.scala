@@ -1260,14 +1260,32 @@ object Dedup {
     * [[embeddingCosineSalted]] (d05b) stays the skew insurance: the
     * ladder bounds the EXPECTED occupancy, salting bounds a hot cell. */
   private def lshPairs(e: DataFrame, planes: Option[Int] = None): DataFrame = {
-    val bb = planes.fold(embBandKeys(e))(embBandKeys(e, _))
-    // candidate generation: pairs via equi-join on (band, bucket)
-    val cands = bb.as("x").join(bb.as("y"),
+    import graft.functions.FloatVecDot.float_vec_dot
+    // SCORE WHERE GENERATED (the q44 r15 lesson applied to the LSH
+    // verify): the band keys carry their vector payload into the
+    // self-join, so the approx cosine filter runs INSIDE the join stage
+    // and candidate occurrences die before any exchange. The former
+    // shape shuffled every occurrence through a distinct and then joined
+    // the id pairs back against `e` twice — at 100× that exchanged
+    // ~165M occurrence rows plus two array-wide pair joins per pass,
+    // which (not the banding) dominated d05's wall time (268 s → the
+    // in-stage filter leaves only the ≥τ-ish survivors, a set the size
+    // of the ANSWER, to cross an exchange). A pair colliding in several
+    // bands evaluates the filter once per collision (same verdict each
+    // time — the predicate is a pure function of the two vectors) and
+    // the tiny survivor distinct dedups it; the exact-decimal re-score
+    // (embVerify) is unchanged, so the output — and the DuckDB oracle —
+    // is bit-identical.
+    val p = planes.getOrElse(adaptiveEmbPlanesOf(e))
+    val bbp = embBandKeys(e, p, keep = Seq("embedding", "nrm"))
+    val survivors = bbp.as("x").join(bbp.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
+      .filter(float_vec_dot(col("x.embedding"), col("y.embedding")) /
+        (col("x.nrm") * col("y.nrm")) > CosineThreshold - 1e-6)
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-      .distinct() // a pair colliding in several bands must score once
-    embVerify(e, cands)
+      .distinct()
+    embVerify(e, survivors)
   }
 
   /** Hot-band occupancy threshold for [[embeddingCosineSalted]]: a
@@ -1292,13 +1310,20 @@ object Dedup {
     * occupancy probe and a broadcast of the (few) hot keys. */
   def embeddingCosineSalted(s: SparkSession, dir: String,
       hotThreshold: Long = EmbHotBucketThreshold, salts: Int = 8): DataFrame = {
+    import graft.functions.FloatVecDot.float_vec_dot
     val e = embNormed(s, dir)
-    val bb = embBandKeys(e)
+    // payload rides the banding and the (possibly grid-decomposed)
+    // self-join so the approx filter runs in-stage — the lshPairs r15
+    // shape on the skew-insurance path, same bit-identical output
+    val bbp = embBandKeys(e, adaptiveEmbPlanesOf(e),
+      keep = Seq("embedding", "nrm"))
     // the s10 occupancy evidence: distributed aggregate over the banded
     // index, hot keys broadcast back (see selfPairsSaltedByOccupancy)
     val cands = graft.ops.SaltedJoin
-      .selfPairsSaltedByOccupancy(bb, Seq("band", "bucket"), "vec_id",
-        hotThreshold, salts)
+      .selfPairsSaltedByOccupancy(bbp, Seq("band", "bucket"), "vec_id",
+        hotThreshold, salts, keep = Seq("embedding", "nrm"))
+      .filter(float_vec_dot(col("a_embedding"), col("b_embedding")) /
+        (col("a_nrm") * col("b_nrm")) > CosineThreshold - 1e-6)
       .select(col("a").as("va"), col("b").as("vb"))
       .distinct()
     embVerify(e, cands)
@@ -1345,19 +1370,26 @@ object Dedup {
     // it covers every scope's prefix); ONE tiny driver-side aggregate,
     // the same geometry-decision pattern as CorpusCount
     val maxN = cnts.agg(max(col("n"))).head().getLong(0)
-    val bb = embBandKeys(e, adaptiveEmbPlanes(maxN), keep = Seq("scope"))
+    val bb = embBandKeys(e, adaptiveEmbPlanes(maxN),
+        keep = Seq("scope", "embedding", "nrm"))
       .join(broadcast(cnts.select(col("scope"),
         embPlanesLadder(col("n")).as("p"))), Seq("scope"))
       .select(col("vec_id"), col("scope"), col("band"),
-        col("bucket").substr(lit(1), col("p")).as("bucket"))
-    val cands = bb.as("x").join(bb.as("y"),
+        col("bucket").substr(lit(1), col("p")).as("bucket"),
+        col("embedding"), col("nrm"))
+    // in-stage approx filter (the lshPairs shape): occurrences die
+    // inside the join stage, only answer-sized survivors exchange
+    val survivors = bb.as("x").join(bb.as("y"),
         col("x.scope") === col("y.scope") &&
           col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
+      .filter(graft.functions.FloatVecDot.float_vec_dot(
+          col("x.embedding"), col("y.embedding")) /
+        (col("x.nrm") * col("y.nrm")) > CosineThreshold - 1e-6)
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
-    embVerify(e, cands)
+    embVerify(e, survivors)
   }
 
   /** Plane counts [[embPlanesSweep]] sweeps — a fixed literal grid
@@ -1556,30 +1588,61 @@ object Dedup {
   /** d18's `(assign, verified within-cluster pairs)` — one definition
     * shared by the dedup itself and the d19 agreement audit. */
   private def semCore(e: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.FloatVecDot.float_vec_dot
     val cents = e.filter(col("vec_id") % semStrideOf(e) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"))
-    val assign = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"),  col("cid"),
+    // Two-phase argmax assignment, no window (r15; measured on the 20×
+    // corpus: 184 s → ~50 s, and the exact-everywhere alternative
+    // re-measured at ~150 s — the N·K BigDecimal dot stream, not just
+    // the former row_number window's full-width sort exchange, was the
+    // d18/d19 wall-time dominator): a codegen FLOAT cosine scores every
+    // (vector, centroid) pair INSIDE the broadcast-join stage; the
+    // per-vector float max comes from a map-side-combined aggregate
+    // broadcast back; and only candidates within 1e-6 of their vector's
+    // float max pay the exact-decimal re-score (|float − exact| ≪ 1e-9
+    // per pair, so the margin set always contains the exact argmax —
+    // the embVerify prune applied to assignment; exact-decimal work
+    // drops from N·K evaluations to ≈N). The exact argmax with ties to
+    // the smallest cid is max(struct(ccos, −cid)) — bit-identical to
+    // row_number(ccos DESC, cid ASC) = 1 (struct ordering compares
+    // ccos first, then the negated id), with map-side partials instead
+    // of a sorted window exchange: only N tiny rows ever cross it.
+    val scored = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"),
+        col("cv"), col("cn"),
+        (float_vec_dot(col("embedding"), col("cv")) /
+          (col("nrm") * col("cn"))).as("fcos"))
+    val fmax = scored.groupBy("vec_id").agg(max(col("fcos")).as("fmax"))
+    val assign = scored.join(broadcast(fmax), Seq("vec_id"))
+      .filter(col("fcos") >= col("fmax") - 1e-6)
+      .select(col("vec_id"), col("cid"),
         (dotDec(col("embedding"), col("cv")).cast(DoubleType) /
           (col("nrm") * col("cn"))).as("ccos"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("rn") === 1).select("vec_id", "cid")
-    // candidate pairs from the NARROW (vec_id, cid) frame — the only
-    // quadratic shuffle carries two longs per row; embVerify re-joins
-    // the vectors for the pairs that survive its prune. The self-join
-    // rides the d05b occupancy-salting path: with the adaptive stride,
-    // clusters average √N members but their SIZES follow the corpus's
-    // own cluster skew (the r13 scale study hit one cluster's
-    // (n_c/1)² pair cell exceeding the sandbox's spill disk at 20×
-    // data), so clusters above the d05b hot threshold decompose into a
-    // salts² grid of bounded cells — bit-identical pair set, cold
-    // corpora short-circuit to the plain join (eager occupancy probe,
-    // the pre-flight-AQE move).
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cid"))
+    // within-cluster pairs SCORED WHERE GENERATED (the lshPairs r15
+    // shape): the assignment joins its vectors back on (one O(N)
+    // vec_id-keyed exchange), the cluster self-join carries them as
+    // keep payload, and the approx cosine filter runs INSIDE the join
+    // stage — the N·√N candidate stream dies before any exchange,
+    // where the former id-pair form shuffled it through a distinct and
+    // re-joined `e` twice (at 100× that was ~89M pair rows, the
+    // dominant d18/d19 cost). The self-join rides the d05b
+    // occupancy-salting path: clusters average √N members but their
+    // SIZES follow the corpus's own cluster skew (the r13 study hit one
+    // cluster's pair cell exceeding the spill disk at 20×), so clusters
+    // above the hot threshold decompose into a salts² grid of bounded
+    // cells — bit-identical pair set, cold corpora short-circuit to the
+    // plain join (eager occupancy probe, the pre-flight-AQE move).
+    import graft.functions.FloatVecDot.float_vec_dot
+    val aP = assign.join(e, Seq("vec_id"))
     val cands = graft.ops.SaltedJoin
-      .selfPairsSaltedByOccupancy(assign, Seq("cid"), "vec_id",
-        EmbHotBucketThreshold, salts = 8)
+      .selfPairsSaltedByOccupancy(aP, Seq("cid"), "vec_id",
+        EmbHotBucketThreshold, salts = 8, keep = Seq("embedding", "nrm"))
+      .filter(float_vec_dot(col("a_embedding"), col("b_embedding")) /
+        (col("a_nrm") * col("b_nrm")) > CosineThreshold - 1e-6)
       .select(col("a").as("va"), col("b").as("vb"))
     (assign, embVerify(e, cands))
   }

@@ -480,28 +480,55 @@ object ScaleTrend {
     * Updated per study round; the r14 text reflects the rerun AFTER the
     * adaptive LSH bucket geometry and the bounded top-k tail landed. */
   private val Findings: String = """
-## Findings (r14; root-caused; single-run ratios vary ±10-20% —
+## Findings (r15; root-caused; single-run ratios vary ±10-20% —
 ## flagged ratios are confirmed by a second run, MIN stands)
 
-- **The r13 fixed-bucket LSH flag is FIXED by the adaptive plane
-  ladder.** The geometry table above is the direct evidence: the
-  bucket space now grows with the corpus (occupied groups 192 → 3k →
+- **The LSH family's full-depth 100× points ran — and the first
+  measurements rewrote two operators.** The r14 geometry probe proved
+  candidate counts linear to 100×, but the first wall-clock 100× runs
+  (this round, pre-rewrite) measured d05 at 268 s and d19 at 941 s:
+  correct and disk-feasible, yet dominated by exchanges the q44
+  lesson already named — every candidate occurrence (~165M at 100×)
+  was shuffled through a distinct and the id pairs re-joined against
+  the corpus twice. Two applications of "score pairs where they are
+  generated" fixed it: (a) lshPairs (d05/d05b/d19/d27) carries each
+  vector's payload INTO the band self-join so the approx cosine
+  filter runs inside the join stage — occurrences die before any
+  exchange, only answer-sized survivors reach the exact re-score;
+  d05's 100× point fell 268 s → 11.8 s (table: ×10.0 on a ×100
+  corpus). (b) semCore's assignment (d18/d19) replaced its N·K
+  row_number window with a two-phase argmax: codegen float cosine
+  in-stage, map-side per-vector float max broadcast back, exact
+  BigDecimal re-score only on the ≤1e-6 margin set (provably
+  containing the exact argmax), argmax via max(struct(ccos, −cid)) —
+  measured on the 20× corpus: d18 184 s → ~50 s, with the
+  exact-everywhere alternative at ~150 s pinning the N·K BigDecimal
+  stream (not just the window exchange) as the dominator. d19's 100×
+  point fell 941 s → 374 s (table: ×132.2, under the ×150 flag
+  line); its remaining cost is the two
+  89M-row in-stage broadcast-join streams (assignment and
+  within-cluster pairs) — linear in candidates, heavy constant — and
+  its ratio column reads high against a ~3 s fixed-cost-dominated
+  base (the r14 base-shrink lesson: compare absolutes across rounds,
+  not ratios; d19 is the run-on-demand method-agreement AUDIT, not a
+  production-path operator). All rewrites are bit-identical by
+  construction and re-verified hash-green against the DuckDB oracle.
+
+- **The r13 fixed-bucket LSH flag stays FIXED by the adaptive plane
+  ladder (r14).** The geometry table above is the direct evidence:
+  the bucket space grows with the corpus (occupied groups 192 → 3k →
   6k → 24.6k) and candidate occurrences per vector hold ≈constant
   (cand÷N 562–897 across TWO DECADES) where the fixed 12×2^4 space
   made them quadratic (r13 measured cand÷N 790 → 7,900 → 15,800 at
   sf0.1/10×/20×; at 100× it would have been ~79,000 — the adaptive
-  ladder carries 165M occurrences there instead of ~15.8B). Wall
-  times follow in ABSOLUTE terms: d05 completes 20× in 37.8 s and d19
-  — whose 20× run FILLED THE SPILL DISK at r13 — completes 20× in
-  98 s and 30× in 143 s. Their ratio COLUMNS (d05 ×19.6 @20×, d19
-  ×37.8 @30×) read higher than r13's because the r14 plane-weight
-  cache cut the family's sf0.1 BASES ~3× (d05 6.2→1.9 s, d19
-  10.5→3.8 s): the denominator shrank while the scaled points held
-  their absolute times — compare absolutes across rounds, not ratios.
-  The DuckDB oracle replays the count-derived geometry term-for-term
+  ladder carries 165M occurrences there instead of ~15.8B). The
+  DuckDB oracle replays the count-derived geometry term-for-term
   (integer CASE ladder + prefix truncation), cross-checked hash-exact
-  on a 10× corpus at the P=6 rung, and the d26 sweep publishes the
-  planes↔recall curve that sizes a deployment's explicit override.
+  on a 10× corpus at the P=6 rung; the d26 sweep (now on a
+  deterministic hash-shard — its own documented sampling discipline
+  made mechanical) publishes the planes↔recall curve that sizes a
+  deployment's explicit override, and the chosen P persists in the
+  PLANES artifact (DedupDeployment).
 
 - **m11/m12's first-decade level shift is corpus structure — now with
   the mechanism MEASURED, correcting r13's digit hypothesis.** The
@@ -521,8 +548,8 @@ object ScaleTrend {
   permute now (the c_name treatment, spec-pinned), which future-proofs
   digit-bearing corpora without touching this ceiling.
 
-- **q44b's formerly disk-impossible 100× point COMPLETES — the series
-  family scores pairs where they are generated.** The r14 vector
+- **q44b's formerly disk-impossible 100× point COMPLETES (r14) — the
+  series family scores pairs where they are generated.** The r14 vector
   rewrite folds each profile into a 24-slot decimal array (NULL = hour
   absent, preserving the hour-join's pair-presence contract) and a
   codegen BigDecimal-exact dot (DecimalSeriesDot) scores the N·K
@@ -531,7 +558,7 @@ object ScaleTrend {
   wider than N rows of arrays crosses an exchange, where the former
   hour-join form exploded both streams ×24 rows through exchanges and
   a hash aggregate whose sort-fallback filled the ~77 GB spill disk at
-  100× even on a 48 GB heap. Measured now: ×4.0 @10×, ×5.4 @30×,
+  100× even on a 48 GB heap. Measured at r14: ×4.0 @10×, ×5.4 @30×,
   **×21.4 @100×** (51 s) — UNDER the data factor at every point where
   the N^1.5 candidate model alone predicts ×31.6 at 100×, because the
   surviving exchanges are all O(N). The bounded top-3 tail
@@ -542,8 +569,9 @@ object ScaleTrend {
   bands; within-band pairs grow ×100 per decade — r12-adjudicated
   weak-by-design; q44b is the scale path). The same vector scoring
   (profiles ride through the band grid join via `keep`, so the pair
-  stream is never exchanged) collapses the constant: ×2.6 @10× where
-  r13 measured ×106, ×12.1 @30×, ×106.8 @100× (237 s) — the ratio
+  stream is never exchanged) collapses the constant (r14 measured:
+  ×2.6 @10× where r13 measured ×106, ×12.1 @30×, ×106.8 @100×, 237 s)
+  — the ratio
   curve tracks the (factor/10)² pair count exactly as the cost model
   says it must, on a ~40× smaller constant, and the exact variant is
   now runnable in-sandbox at the full study depth.
