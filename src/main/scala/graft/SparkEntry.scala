@@ -143,11 +143,21 @@ object SparkEntry {
     "d26_emb_planes_sweep" ->
       canon("planes")((s, d) => Dedup.embPlanesSweepSampled(s, d)),
     "d27_dedup_scoped" -> Dedup.embeddingCosineScoped _,
+    // d27b: d27 over the planted-twin corpus variant (derived in-query,
+    // oracle-replayed) — the driver corpus's only near-dup pair is
+    // cross-label, so the plain d27 hash check is 0-row; this entry
+    // hash-covers the scoped PAIR path (rows > 0 by construction)
+    "d27b_dedup_scoped_planted" -> Dedup.embeddingCosineScopedPlanted _,
     "d16_passage_cuts" ->
       canon("doc_id", "span_start")(Dedup.passageCuts),
     "d17_cut_accounting" -> Dedup.cutAccounting _,
     "d18_semantic_dedup" -> canon("vec_id")(Dedup.semanticDedup),
     "d19_dedup_method_agreement" -> Dedup.dedupMethodAgreement _,
+    // d19b: the agreement audit on a deterministic md5-bucket hash-shard
+    // (the d26 sampling discipline — the full d19 is the run-on-demand
+    // exact audit; the sampled entry is what a 100 TB corpus prices)
+    "d19b_method_agreement_sampled" ->
+      ((s: SparkSession, d: String) => Dedup.dedupMethodAgreementSampled(s, d)),
     "d21_dedup_nfc" -> Dedup.nfcDedup _,
     "d22_dedup_canonical" -> Dedup.canonicalDedup _,
     "d23_dedup_winnow" -> Dedup.winnowPairs _,
@@ -556,6 +566,98 @@ object SparkEntry {
   private lazy val embBandSql: String =
     s"SELECT vec_id, band, substr(fb, 1, ${embPlanesSql("e")}) AS bucket" +
       s" FROM (\n  $embBandFullSql)"
+
+  /** Shared d27/d27b oracle: per-scope count → inline integer ladder →
+    * full-bit banding prefix-truncated at each scope's rung →
+    * within-scope candidates → exact re-score, over whatever CTE chain
+    * `ePreamble` uses to define `e(vec_id, embedding, scope, n2)` (the
+    * plain corpus for d27; the planted-twin variant for d27b). */
+  private def scopedPairsSqlOver(ePreamble: String): String = {
+    val ladder = {
+      val whens =
+        (Dedup.EmbPlanesPerBand until Dedup.EmbPlanesMax)
+          .map(p => s"WHEN n <= ${Dedup.EmbTargetOccupancy << p} THEN $p")
+          .mkString(" ")
+      s"CASE $whens ELSE ${Dedup.EmbPlanesMax} END"
+    }
+    s"""WITH $ePreamble,
+       |cnt AS (SELECT scope, $ladder AS p
+       |        FROM (SELECT scope, count(*) AS n FROM e GROUP BY scope)),
+       |bbf AS (
+       |  $embBandFullSql),
+       |bb AS (SELECT b.vec_id, s.scope, b.band,
+       |         substr(b.fb, 1, c.p) AS bucket
+       |       FROM bbf b
+       |       JOIN (SELECT vec_id, scope FROM e) s USING (vec_id)
+       |       JOIN cnt c USING (scope)),
+       |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |         FROM bb x JOIN bb y ON x.scope = y.scope
+       |           AND x.band = y.band AND x.bucket = y.bucket
+       |           AND x.vec_id < y.vec_id)
+       |SELECT va, vb,
+       |  CAST($dotAB AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+       |FROM cand JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
+       |WHERE CAST($dotAB AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > ${Dedup.CosineThreshold}
+       |ORDER BY va, vb""".stripMargin
+  }
+
+  /** Shared d19/d19b oracle: full-outer join of the d05 (LSH-found) and
+    * d18 (cluster-found) verified ≥τ pair tables plus the 1-row rollup,
+    * over whatever `eCte` defines `e(vec_id, embedding, n2)` — the full
+    * corpus for d19, the md5-bucket hash-shard for d19b. Every geometry
+    * term (plane ladder, centroid stride) derives from `e`'s own count,
+    * so the shard re-derives its own rungs exactly like the engine. */
+  private def agreementSqlOver(eCte: String): String = {
+    val tau = Dedup.CosineThreshold
+    val cos = s"CAST($dotAB AS DOUBLE)" +
+      " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+    s"""WITH $eCte,
+       |bb AS (
+       |  $embBandSql),
+       |lshc AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |         FROM bb x JOIN bb y ON x.band = y.band
+       |           AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |lshp AS (SELECT va, vb, 1 AS l
+       |  FROM lshc JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
+       |  WHERE $cos > $tau),
+       |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
+       |          WHERE vec_id % ${adaptiveStrideSql("e")} = 0),
+       |ac AS (SELECT a.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(list_zip(a.embedding, c.cv),
+       |      z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6))
+       |         * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+       |  FROM e a, cents c),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS rn FROM ac)
+       |  WHERE rn = 1),
+       |semc AS (SELECT x.vec_id AS va, y.vec_id AS vb
+       |         FROM assign x JOIN assign y ON x.cid = y.cid
+       |           AND x.vec_id < y.vec_id),
+       |semp AS (SELECT va, vb, 1 AS m
+       |  FROM semc JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
+       |  WHERE $cos > $tau),
+       |j AS (SELECT coalesce(l, 0) AS l, coalesce(m, 0) AS m
+       |      FROM lshp FULL JOIN semp USING (va, vb))
+       |SELECT CAST(sum(l) AS BIGINT) AS n_lsh,
+       |  CAST(sum(m) AS BIGINT) AS n_sem,
+       |  CAST(sum(l * m) AS BIGINT) AS n_both,
+       |  CAST(sum(l) - sum(l * m) AS BIGINT) AS n_lsh_only,
+       |  CAST(sum(m) - sum(l * m) AS BIGINT) AS n_sem_only,
+       |  CAST(sum(l * m) AS DOUBLE)
+       |    / (sum(l) + sum(m) - sum(l * m)) AS jaccard_overlap
+       |FROM j""".stripMargin
+  }
+
+  /** Exact-decimal norm² over an arbitrary source relation — the embCte
+    * body applied to a CTE that already carries a `scope` column. */
+  private def n2Expr: String =
+    """list_sum(list_transform(embedding,
+      |          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))))"""
+      .stripMargin
 
   /** Full s01/s02/s03/s05/s07 oracle bodies — their own map entries, and
     * composed as subqueries by the s06 and s09 recall oracles. */
@@ -2533,39 +2635,34 @@ object SparkEntry {
     // drive the SAME integer ladder as d05's (inline CASE over the scope
     // population), buckets are prefix truncations of the full bit
     // strings, candidates pair only within a scope
-    "d27_dedup_scoped" -> {
-      val ladder = {
-        val whens =
-          (Dedup.EmbPlanesPerBand until Dedup.EmbPlanesMax)
-            .map(p => s"WHEN n <= ${Dedup.EmbTargetOccupancy << p} THEN $p")
-            .mkString(" ")
-        s"CASE $whens ELSE ${Dedup.EmbPlanesMax} END"
-      }
-      s"""WITH e AS (SELECT vec_id, embedding, label AS scope,
-         |        list_sum(list_transform(embedding,
-         |          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)))) AS n2
-         |      FROM embeddings),
-         |cnt AS (SELECT scope, $ladder AS p
-         |        FROM (SELECT scope, count(*) AS n FROM e GROUP BY scope)),
-         |bbf AS (
-         |  $embBandFullSql),
-         |bb AS (SELECT b.vec_id, s.scope, b.band,
-         |         substr(b.fb, 1, c.p) AS bucket
-         |       FROM bbf b
-         |       JOIN (SELECT vec_id, scope FROM e) s USING (vec_id)
-         |       JOIN cnt c USING (scope)),
-         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
-         |         FROM bb x JOIN bb y ON x.scope = y.scope
-         |           AND x.band = y.band AND x.bucket = y.bucket
-         |           AND x.vec_id < y.vec_id)
-         |SELECT va, vb,
-         |  CAST($dotAB AS DOUBLE)
-         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
-         |FROM cand JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
-         |WHERE CAST($dotAB AS DOUBLE)
-         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) > ${Dedup.CosineThreshold}
-         |ORDER BY va, vb""".stripMargin
-    },
+    "d27_dedup_scoped" -> scopedPairsSqlOver(
+      s"""e AS (SELECT vec_id, embedding, label AS scope,
+         |        $n2Expr AS n2
+         |      FROM embeddings)""".stripMargin),
+    // d27b: the same scoped suffix over the planted-twin corpus variant
+    // — same-scope twin per scope (min vec_id re-keyed at +off), one
+    // cross-scope twin (min scope's min vector copied into the max
+    // scope at +2·off) that the within-scope contract must NOT emit
+    "d27b_dedup_scoped_planted" -> scopedPairsSqlOver(
+      s"""base AS (SELECT vec_id, embedding, label AS scope FROM embeddings),
+         |mx AS (SELECT max(vec_id) + 1 AS o FROM base),
+         |sp AS (SELECT b.vec_id + (SELECT o FROM mx) AS vec_id,
+         |              b.embedding, b.scope
+         |       FROM base b
+         |       JOIN (SELECT scope, min(vec_id) AS vec_id FROM base
+         |             GROUP BY scope) m USING (scope, vec_id)),
+         |cp AS (SELECT b.vec_id + 2 * (SELECT o FROM mx) AS vec_id,
+         |              b.embedding,
+         |              (SELECT max(scope) FROM base) AS scope
+         |       FROM base b
+         |       WHERE b.scope = (SELECT min(scope) FROM base)
+         |         AND b.vec_id = (SELECT min(vec_id) FROM base
+         |                         WHERE scope = (SELECT min(scope) FROM base))),
+         |pl AS (SELECT * FROM base UNION ALL SELECT * FROM sp
+         |       UNION ALL SELECT * FROM cp),
+         |e AS (SELECT vec_id, embedding, scope,
+         |        $n2Expr AS n2
+         |      FROM pl)""".stripMargin),
     // d16: stride-1 token-window fingerprints; canonical first occurrence
     // exempt (rk=1 by (doc_id,pos)); islands merge overlapping cut windows
     "d16_passage_cuts" -> d16OracleSql,
@@ -2672,48 +2769,15 @@ object SparkEntry {
          |ORDER BY s.vec_id""".stripMargin,
     // d19: full-outer join of the d05 (LSH-found) and d18 (cluster-found)
     // verified >= tau pair tables; same band/centroid constructions
-    "d19_dedup_method_agreement" -> {
-      val tau = Dedup.CosineThreshold
-      val cos = s"CAST($dotAB AS DOUBLE)" +
-        " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
-      s"""WITH $embCte,
-         |bb AS (
-         |  $embBandSql),
-         |lshc AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
-         |         FROM bb x JOIN bb y ON x.band = y.band
-         |           AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
-         |lshp AS (SELECT va, vb, 1 AS l
-         |  FROM lshc JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
-         |  WHERE $cos > $tau),
-         |cents AS (SELECT vec_id AS cid, embedding AS cv, n2 AS cn2 FROM e
-         |          WHERE vec_id % ${adaptiveStrideSql("e")} = 0),
-         |ac AS (SELECT a.vec_id, c.cid,
-         |    CAST(list_sum(list_transform(list_zip(a.embedding, c.cv),
-         |      z -> CAST(CAST(z[1] AS DOUBLE) AS DECIMAL(12,6))
-         |         * CAST(CAST(z[2] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)
-         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
-         |  FROM e a, cents c),
-         |assign AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cid) AS rn FROM ac)
-         |  WHERE rn = 1),
-         |semc AS (SELECT x.vec_id AS va, y.vec_id AS vb
-         |         FROM assign x JOIN assign y ON x.cid = y.cid
-         |           AND x.vec_id < y.vec_id),
-         |semp AS (SELECT va, vb, 1 AS m
-         |  FROM semc JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
-         |  WHERE $cos > $tau),
-         |j AS (SELECT coalesce(l, 0) AS l, coalesce(m, 0) AS m
-         |      FROM lshp FULL JOIN semp USING (va, vb))
-         |SELECT CAST(sum(l) AS BIGINT) AS n_lsh,
-         |  CAST(sum(m) AS BIGINT) AS n_sem,
-         |  CAST(sum(l * m) AS BIGINT) AS n_both,
-         |  CAST(sum(l) - sum(l * m) AS BIGINT) AS n_lsh_only,
-         |  CAST(sum(m) - sum(l * m) AS BIGINT) AS n_sem_only,
-         |  CAST(sum(l * m) AS DOUBLE)
-         |    / (sum(l) + sum(m) - sum(l * m)) AS jaccard_overlap
-         |FROM j""".stripMargin
-    },
+    "d19_dedup_method_agreement" -> agreementSqlOver(embCte),
+    // d19b: the identical agreement body over the deterministic
+    // md5-bucket hash-shard (the d26 predicate at AgreementSamplePct) —
+    // every geometry term (plane ladder, centroid stride) re-derives
+    // from the SHARD's own counts inside the shared CTEs
+    "d19b_method_agreement_sampled" -> agreementSqlOver(embCteFrom(
+      "(SELECT * FROM embeddings WHERE" +
+        " CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)" +
+        s" % 100 < ${Dedup.AgreementSamplePct})")),
     "s01_sim_bruteforce_topk" -> s01Sql,
     "s02_sim_ann_lsh" -> s02Sql,
     "s03_sim_ann_ivf" -> s03Sql,

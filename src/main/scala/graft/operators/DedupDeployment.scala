@@ -38,14 +38,19 @@ object DedupDeployment {
     (p.getFileSystem(s.sessionState.newHadoopConf()), p)
   }
 
-  /** Record the deployment's planes-per-band. Atomic: a reader racing
-    * the write sees the previous record, never a partial file. */
+  /** Record the deployment's planes-per-band. Atomic reader-vs-writer:
+    * a reader racing the write sees the previous record, never a torn
+    * file. Writer-vs-writer safe too (ADVICE r15): each writer stages
+    * through its own uniquely-named temp file, so two concurrent
+    * recorders cannot interleave on a shared staging path — the last
+    * rename wins whole. */
   def recordEmbPlanes(s: SparkSession, rootDir: String, planes: Int): Unit = {
     require(planes >= 1 && planes <= Dedup.EmbPlanesMax,
       s"planes $planes outside [1, ${Dedup.EmbPlanesMax}]")
     val (f, root) = fs(s, rootDir)
     f.mkdirs(root)
-    val tmp = new org.apache.hadoop.fs.Path(root, s"$PlanesFile.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"$PlanesFile.tmp.${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(s"$planes\n".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
@@ -75,7 +80,9 @@ object DedupDeployment {
     * shard — the sweep's own discipline) and record the recommendation:
     * the one-call path from "the corpus changed" to "the next near-dup
     * run is pinned at a measured operating point". Returns the recorded
-    * planes. */
+    * planes. Note the registered d26 oracle replays the DEFAULT pct
+    * only (see [[Dedup.embPlanesSweepSampled]]'s oracle contract); a
+    * non-default pct is deterministic but not driver-hash-covered. */
   def sizeAndRecord(s: SparkSession, sfDir: String, rootDir: String,
       pct: Int = Dedup.SweepSamplePct): Int = {
     import org.apache.spark.sql.functions.col
@@ -94,4 +101,19 @@ object DedupDeployment {
       case Some(p) => Dedup.embeddingCosineAt(s, sfDir, p)
       case None => Dedup.embeddingCosine(s, sfDir)
     }
+
+  /** The pipeline-shaped maintenance pass (VERDICT r15 item 6: the
+    * deployment seam's production caller, the near-dup analog of the
+    * index path's GRID-honoring rebuild): size-and-record the geometry
+    * ONCE when the deployment has no pinned P (first run / new corpus),
+    * then run the near-dup pass at whatever the artifact pins — so a
+    * restart, or an operator who already recorded a P from the d26
+    * curve, is honored rather than re-sized. Returns the governing P
+    * and the verified ≥τ pair table. */
+  def maintenanceRun(s: SparkSession, sfDir: String,
+      rootDir: String): (Int, DataFrame) = {
+    val p = recordedEmbPlanes(s, rootDir)
+      .getOrElse(sizeAndRecord(s, sfDir, rootDir))
+    (p, Dedup.embeddingCosineAt(s, sfDir, p))
+  }
 }

@@ -121,6 +121,24 @@ object IndexDemo {
       s"${IndexDeployment.generations(spark, root).mkString(",")} " +
       s"(live ${IndexDeployment.currentGen(spark, root).get})")
 
+    // -- 8. near-dup geometry deployment (the PLANES sibling of GRID) -------
+    // the dedup analog of steps 1/4: the first maintenance pass sizes
+    // the embedding-LSH planes knob with the d26 sampled instrument and
+    // persists it beside the deployment; a restarted pass (or one after
+    // an operator pinned a P from the published curve) reads the
+    // artifact and bands at the recorded rung instead of re-deriving
+    val dedupRoot = s"$work/neardup"
+    val (planes0, pairs0) =
+      graft.operators.DedupDeployment.maintenanceRun(spark, sfDir, dedupRoot)
+    println(s"[index-demo] near-dup maintenance: sized+recorded " +
+      s"PLANES=$planes0, ${pairs0.count()} verified pairs")
+    val (planes1, _) =
+      graft.operators.DedupDeployment.maintenanceRun(spark, sfDir, dedupRoot)
+    require(planes1 == planes0,
+      s"restarted maintenance re-sized: $planes1 != recorded $planes0")
+    println(s"[index-demo] restarted maintenance honored recorded " +
+      s"PLANES=$planes1 (no re-size)")
+
     session.close()
     idx.unpersistAll()
     spark.stop()

@@ -250,6 +250,126 @@ class AdaptiveGeometrySpec extends SparkSpec {
       "cross-scope pair leaked into the within-scope contract")
   }
 
+  test("d27b planted fixture: one same-scope twin per scope emitted, " +
+      "cross-scope plant excluded, base pairs preserved") {
+    val sf = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val scopes = e.select(col("label")).distinct().count()
+    val mins = e.groupBy("label").agg(min(col("vec_id")).as("v"))
+      .collect().map(_.getAs[Long]("v")).toSet
+    val got = Dedup.embeddingCosineScopedPlanted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every scope's planted twin recovered at cosine 1.0…
+    val planted = got.filter { case (a, b, _) => b == a + off }
+    assert(planted.length == scopes,
+      s"expected $scopes planted twins, got ${planted.length}")
+    assert(planted.forall { case (a, _, c) => mins(a) && c > 0.999999 },
+      "planted twin must pair each scope's min vec_id at cosine ~1")
+    // …the cross-scope plant (ids ≥ 2·off) pairs with NOBODY…
+    assert(!got.exists { case (a, b, _) => a >= 2 * off || b >= 2 * off },
+      "cross-scope plant leaked into the within-scope contract")
+    // …and the base corpus's own within-scope pairs (if any) survive:
+    // d27 output is a subset of d27b's sub-off rows
+    val base = Dedup.embeddingCosineScoped(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(base.subsetOf(
+      got.filter { case (a, b, _) => a < off && b < off }.toSet))
+  }
+
+  test("d27 scoped banding on an EMPTY corpus returns the empty frame " +
+      "(ladder floor, no NPE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(Dedup.embeddingCosineScoped(spark, dir).collect().isEmpty)
+  }
+
+  test("d19b sampled agreement IS d19 on the physical md5 shard " +
+      "(bit-identical), and the shard pair path carries real pairs") {
+    // corpus with ids whose md5 bucket is < 50 (in-shard) hosting a
+    // planted twin, plus an out-of-shard twin that must NOT count
+    def bucket(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 100).toInt
+    }
+    val pct = Dedup.AgreementSamplePct
+    val in = (0L until 400L).filter(bucket(_) < pct).take(60)
+    val out = (0L until 400L).filter(bucket(_) >= pct).take(60)
+    require(in.size == 60 && out.size == 60)
+    def vec(seed: Long): Array[Float] = Array.tabulate(64)(j =>
+      (((seed * j + seed * 31 + j * 17) % 23) - 11).toFloat)
+    val twin = Array.tabulate(64)(j => ((j % 5) + 1).toFloat)
+    // twins at the first two IN-shard ids; another twin pair at the
+    // first two OUT-of-shard ids (must not reach the sampled audit)
+    val rows =
+      in.zipWithIndex.map { case (id, i) =>
+        (id, if (i < 2) twin else vec(id), 0) } ++
+      out.zipWithIndex.map { case (id, i) =>
+        (id, if (i < 2) twin.map(-_) else vec(id + 7919), 0) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-d19b").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val sampled = Dedup.dedupMethodAgreementSampled(spark, dir).head()
+    // the physical shard: only the in-sample rows, same geometry
+    // re-derivation from the shard's own count
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-d19b-shard").toString
+    rows.filter { case (id, _, _) => bucket(id) < pct }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$shardDir/embeddings.parquet")
+    val physical = Dedup.dedupMethodAgreement(spark, shardDir).head()
+    assert(sampled == physical,
+      "sampled operator must equal d19 over the physical shard")
+    // the in-shard twin is found by LSH (identical vectors collide in
+    // every band), so the sampled pair path is exercised with rows > 0
+    assert(sampled.getAs[Long]("n_lsh") >= 1L,
+      "in-shard planted twin missed by the sampled agreement audit")
+  }
+
+  test("semCore argmax audit: silent-identical on a well-conditioned " +
+      "corpus, raises loudly on a quantization-boundary corpus") {
+    val sf = "/root/testdata/sf0.001"
+    // full-audit run must be value-identical to audit-off (the audit
+    // only cross-checks; values are untouched when it passes)
+    val offR = Dedup.semanticDedupAudited(spark, sf, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val onR = Dedup.semanticDedupAudited(spark, sf, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(offR == onR, "audit changed values — it must only verify")
+    // adversarial corpus: N=4 → stride 2 → centroids {0, 2}. Vector 1's
+    // float cosine ranks centroid 2 ahead of centroid 0 by ~7.6e-6
+    // (outside the 1e-6 margin) because 62 elements of centroid 0 sit
+    // just BELOW the decimal quantization boundary (−4.9e-7 → 0) and
+    // one just ABOVE it (5.2e-7 → 1e-6): the exact-decimal argmax is
+    // centroid 0, strictly. The margin path assigns 2 — the audit must
+    // refuse to let that stand.
+    val c1 = Array.tabulate(64)(j =>
+      if (j == 0) 0.5f else if (j == 63) 5.2e-7f else -4.9e-7f)
+    val c2 = Array.tabulate(64)(j => if (j == 0) 0.5f else 0f)
+    val v = Array.fill(64)(0.5f)
+    val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
+    Seq((0L, c1, 0), (1L, v, 0), (2L, c2, 0), (3L, c2.clone(), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // audit off: the wrong assignment passes silently (vec 1 → cid 2)
+    val silent = Dedup.semanticDedupAudited(spark, dir, 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(silent(1L) == 2L,
+      "adversarial corpus no longer diverges — rebuild the fixture")
+    // audit on: the divergence fails loudly instead
+    val ex = intercept[Throwable] {
+      Dedup.semanticDedupAudited(spark, dir, 100).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("semCore argmax audit")),
+      s"expected the audit raise, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("CorpusCount: memoizes identical plans, distinguishes filters, skips non-file frames") {
     CorpusCount.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString

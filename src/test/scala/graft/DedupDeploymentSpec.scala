@@ -59,6 +59,31 @@ class DedupDeploymentSpec extends SparkSpec {
       "a rejected record must not clobber the artifact")
   }
 
+  test("maintenanceRun: a pre-recorded P GOVERNS the pipeline-shaped " +
+      "run (honored, not re-sized); first run sizes once and persists") {
+    // operator pinned P=3 from the d26 curve; the maintenance pass must
+    // band at 3 even though the instrument would recommend otherwise
+    val root = freshRoot()
+    DedupDeployment.recordEmbPlanes(spark, root, 3)
+    val (p, pairs) = DedupDeployment.maintenanceRun(spark, sf, root)
+    assert(p == 3, "maintenance re-sized over an operator-pinned P")
+    assert(DedupDeployment.recordedEmbPlanes(spark, root) == Some(3),
+      "maintenance must not rewrite the pinned artifact")
+    val want = Dedup.embeddingCosineAt(spark, sf, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == want,
+      "pinned P must govern the maintenance pass's banding")
+    // fresh deployment: the first maintenance run sizes with the d26
+    // instrument and persists its pick — the restart then honors it
+    val root2 = freshRoot()
+    val (p2, _) = DedupDeployment.maintenanceRun(spark, sf, root2)
+    assert(DedupDeployment.recordedEmbPlanes(spark, root2) == Some(p2),
+      "first maintenance run must persist the sized P")
+    val (p3, _) = DedupDeployment.maintenanceRun(spark, sf, root2)
+    assert(p3 == p2, "restarted maintenance must read, not re-size")
+  }
+
   test("sizeAndRecord records the d26 recommendation (sampled instrument)") {
     val root = freshRoot()
     val p = DedupDeployment.sizeAndRecord(spark, sf, root)
