@@ -507,8 +507,24 @@ object Bench {
     val calibCpuEnd = median3(calibCpuOnce _)
     val calibSparkEnd = median3(calibSparkOnce _)
     def med2(a: Double, b: Double): Double = (a + b) / 2
+    // the normalized comparison fields (VERDICT r15 item 5): divide the
+    // pack total by the fixed-work Spark probe (both in seconds of THIS
+    // host, so the quotient is host-speed-free), and scale each
+    // throughput by the same probe (events per probe-unit of work).
+    // Decision rule (also in README): compare pack_per_calib round over
+    // round — a moved raw total with a flat pack_per_calib is host
+    // drift; a moved pack_per_calib is a code/data change to chase.
+    val calibSpark = med2(calibSparkStart, calibSparkEnd)
+    val normJson = if (calibSpark <= 0) "" else {
+      val streams = Seq("stream_eps" -> eps, "stream_eps_multi" -> epsMulti,
+        "stream_eps_commitlog" -> epsClog)
+        .map { case (n, v) =>
+          "\"" + n + "_per_calib\":" + f"${v * calibSpark}%.0f" }
+        .mkString(",")
+      f""","pack_per_calib":${total / calibSpark}%.1f,$streams"""
+    }
     val calibJson =
-      f""","calib_cpu_sec":${med2(calibCpuStart, calibCpuEnd)}%.3f,"calib_spark_sec":${med2(calibSparkStart, calibSparkEnd)}%.3f,"calib_cpu_start_end":[$calibCpuStart%.3f,$calibCpuEnd%.3f],"calib_spark_start_end":[$calibSparkStart%.3f,$calibSparkEnd%.3f]"""
+      f""","calib_cpu_sec":${med2(calibCpuStart, calibCpuEnd)}%.3f,"calib_spark_sec":$calibSpark%.3f,"calib_cpu_start_end":[$calibCpuStart%.3f,$calibCpuEnd%.3f],"calib_spark_start_end":[$calibSparkStart%.3f,$calibSparkEnd%.3f]$normJson"""
 
     // deltas vs previous round (positive = slower than last round)
     val (prevName, prevQ) = previousBench()

@@ -225,6 +225,7 @@ object ScaleTrend {
     "q44b_series_topk_clustered",
     "d13_dedup_recall_eval", "d05_dedup_embedding",
     "d04_dedup_ngram_jaccard", "d19_dedup_method_agreement",
+    "d19b_method_agreement_sampled", "d27_dedup_scoped",
     "m11_visual_ann", "m12_visual_dup_recall")
 
   /** Per-query scale points beyond the shared 10× decade. The q44
@@ -248,6 +249,12 @@ object ScaleTrend {
       // central claim carries its own 100× wall-time evidence
       "d05_dedup_embedding" -> Seq(10, 20, 30, 100),
       "d19_dedup_method_agreement" -> Seq(10, 20, 30, 100),
+      // r16: the sampled agreement audit prices the shard discipline at
+      // the full depth its parent was measured at; the scoped-banding
+      // operator (d27 — the past-the-ladder-cap 100 TB recipe) earns its
+      // own two-decade wall-clock rows plus the multi-rung probe below
+      "d19b_method_agreement_sampled" -> Seq(10, 100),
+      "d27_dedup_scoped" -> Seq(10, 30, 100),
       "m11_visual_ann" -> Seq(10, 30),
       "m12_visual_dup_recall" -> Seq(10, 30),
       // the q44 family runs both decades since the vector-scoring
@@ -468,25 +475,113 @@ object ScaleTrend {
           sb ++= s"| $label | probe failed: ${e.getMessage} | | | | |\n"
         }
       }
-    sb ++= Findings
+    // Scoped-banding probe (d27's reason to exist, measured): the
+    // registered d27 scopes on `label`, whose populations are balanced —
+    // every scope lands on ONE rung. A 100 TB corpus shards unevenly, so
+    // the probe derives a deliberately skewed scope (labels 0–4 merged
+    // into one big scope, 5–9 kept separate) and runs the SAME operator:
+    // per-scope rungs must differ, the big scope must sit rungs ABOVE
+    // the small ones, and the wall clock must stay in the d05 family's
+    // linear tier. Scope derivation is a pure Column function, so the
+    // probe measures the operator, not a bespoke corpus.
+    sb ++= "\n## Scoped banding at scale (d27 probe: scopes on " +
+      "DIFFERENT rungs)\n\n"
+    sb ++= "| corpus | N | scopes | per-scope N (min…max) | rungs " +
+      "(min…max) | verified pairs | wall s |\n|---|---|---|---|---|---|---|\n"
+    val probeFactors = Seq(10, 100).filter(factors.contains)
+    (Seq(("sf0.1", srcDir)) ++ probeFactors.map(f => (s"${f}×", dirFor(f))))
+      .foreach { case (label, d) =>
+        try {
+          val skewed = spark.read.parquet(s"$d/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"),
+              when(col("label").cast("long") <= 4, lit(-1L))
+                .otherwise(col("label").cast("long")).as("scope"))
+          val cs = skewed.groupBy("scope").count().collect()
+            .map(_.getLong(1)).sorted
+          val rungs = cs.map(graft.operators.Dedup.adaptiveEmbPlanes)
+          val t0 = System.nanoTime()
+          val pairs = graft.operators.Dedup
+            .embeddingCosineScopedOver(skewed).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          sb ++= f"| $label | ${cs.sum} | ${cs.length} | ${cs.min}…" +
+            f"${cs.max} | ${rungs.min}…${rungs.max} | $pairs | $secs%.2f |\n"
+          println(f"[scaletrend] d27 multi-rung probe $label: " +
+            f"rungs ${rungs.min}…${rungs.max}, $pairs pairs, $secs%.2f s")
+        } catch { case e: Throwable =>
+          sb ++= s"| $label | probe failed: ${e.getMessage} | | | | | |\n"
+        }
+      }
+    sb ++= findings(rows)
     Files.write(Paths.get(outFile),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     println(s"[scaletrend] wrote $outFile")
     spark.stop()
   }
 
+  /** One query's largest-factor cell rendered as "name ×ratio (secs s
+    * @F×)" — the building block every findings bullet quotes, so prose
+    * and table regenerate from the SAME measurements and cannot drift
+    * (VERDICT r15 item 4: the r14-vintage hardcoded bullet numbers
+    * contradicted the regenerated table). */
+  private def cellAt(rows: Seq[QueryRow], name: String,
+      factor: Int): Option[String] =
+    rows.find(_.name == name).flatMap(r => r.byFactor.get(factor)
+      .filter(_.secs >= 0)
+      .map(c => f"×${c.secs / r.base.secs}%.1f (${c.secs}%.1f s @$factor×)"))
+
+  private def tierLine(rows: Seq[QueryRow], factor: Int,
+      entries: Seq[(String, String)]): String = {
+    val cells = entries.flatMap { case (n, short) =>
+      cellAt(rows, n, factor).map(s => s"$short $s") }
+    if (cells.isEmpty) "(not rerun in this invocation)"
+    else cells.mkString(", ")
+  }
+
   /** Root-caused analysis of the measured ratios — rides the generated
-    * file so a regeneration keeps the findings beside the numbers.
-    * Updated per study round; the r14 text reflects the rerun AFTER the
-    * adaptive LSH bucket geometry and the bounded top-k tail landed. */
-  private val Findings: String = """
-## Findings (r15; root-caused; single-run ratios vary ±10-20% —
+    * file so a regeneration keeps the findings beside the numbers, and
+    * every number describing the CURRENT table is computed from the
+    * run's own cells (historical comparisons stay, labeled by round). */
+  private def findings(rows: Seq[QueryRow]): String = {
+    val headline = tierLine(rows, 100, Seq(
+      "d05_dedup_embedding" -> "d05",
+      "d19_dedup_method_agreement" -> "d19",
+      "d19b_method_agreement_sampled" -> "d19b",
+      "d27_dedup_scoped" -> "d27",
+      "q44_series_topk" -> "q44",
+      "q44b_series_topk_clustered" -> "q44b"))
+    val linearTier = tierLine(rows, 100, Seq(
+      "d06_dedup_clusters" -> "d06",
+      "q68_entity_clusters" -> "q68",
+      "p17_corpus_materialize" -> "p17",
+      "d08_dedup_containment" -> "d08",
+      "t13_source_profile" -> "t13"))
+    val firstDecade = tierLine(rows, 10, Seq(
+      "d04_dedup_ngram_jaccard" -> "d04",
+      "d09_shingle_audit_suite" -> "d09",
+      "d13_dedup_recall_eval" -> "d13",
+      "s21_filtered_ann_audit" -> "s21",
+      "s21c_filtered_artifacts" -> "s21c"))
+    s"""
+## Findings (r16; root-caused; single-run ratios vary ±10-20% —
 ## flagged ratios are confirmed by a second run, MIN stands)
 
-- **The LSH family's full-depth 100× points ran — and the first
+- **This regeneration's 100× headline cells (computed from the table
+  above, not transcribed):** $headline.
+
+- **The linear tier holds across TWO FULL DECADES**: at 100× —
+  $linearTier — every ratio far below the ×100 data factor
+  (connected-components fixpoint rounds stay 2 at every scale:
+  per-replica structure fixes component diameter while cluster count
+  scales). First-decade sanity: $firstDecade.
+""" + FindingsNarrative
+  }
+
+  private val FindingsNarrative: String = """
+
+- **The LSH family's full-depth 100× points ran in r15 — and the first
   measurements rewrote two operators.** The r14 geometry probe proved
   candidate counts linear to 100×, but the first wall-clock 100× runs
-  (this round, pre-rewrite) measured d05 at 268 s and d19 at 941 s:
+  (r15, pre-rewrite) measured d05 at 268 s and d19 at 941 s:
   correct and disk-feasible, yet dominated by exchanges the q44
   lesson already named — every candidate occurrence (~165M at 100×)
   was shuffled through a distinct and the id pairs re-joined against
@@ -495,17 +590,22 @@ object ScaleTrend {
   vector's payload INTO the band self-join so the approx cosine
   filter runs inside the join stage — occurrences die before any
   exchange, only answer-sized survivors reach the exact re-score;
-  d05's 100× point fell 268 s → 11.8 s (table: ×10.0 on a ×100
-  corpus). (b) semCore's assignment (d18/d19) replaced its N·K
-  row_number window with a two-phase argmax: codegen float cosine
-  in-stage, map-side per-vector float max broadcast back, exact
-  BigDecimal re-score only on the ≤1e-6 margin set (provably
-  containing the exact argmax), argmax via max(struct(ccos, −cid)) —
-  measured on the 20× corpus: d18 184 s → ~50 s, with the
-  exact-everywhere alternative at ~150 s pinning the N·K BigDecimal
-  stream (not just the window exchange) as the dominator. d19's 100×
-  point fell 941 s → 374 s (table: ×132.2, under the ×150 flag
-  line); its remaining cost is the two
+  d05's 100× point fell 268 s → 11.8 s in r15 (the current cell is in
+  the headline bullet above). (b) semCore's assignment (d18/d19)
+  replaced its N·K row_number window with a two-phase argmax: codegen
+  float cosine in-stage, map-side per-vector float max broadcast back,
+  exact BigDecimal re-score only on the ≤1e-6 margin set (contains the
+  exact argmax under a data-dependent quantization bound — since r16 a
+  sampled in-plan cross-check re-derives the exact argmax and raises
+  loudly on divergence; see Dedup.SemArgmaxAuditPct), argmax via
+  max(struct(ccos, −cid)) — measured on the 20× corpus in r15: d18
+  184 s → ~50 s, with the exact-everywhere alternative at ~150 s
+  pinning the N·K BigDecimal stream (not just the window exchange) as
+  the dominator. d19's 100× point fell 941 s → 374 s in r15 (current
+  cell above); since r16 the REGISTERED shard-priced variant is d19b
+  (md5-bucket hash-sample at Dedup.AgreementSamplePct, oracle-replayed,
+  bit-identical to d19 over the physical shard) — the full d19 stays
+  the run-on-demand exact audit. d19's remaining cost is the two
   89M-row in-stage broadcast-join streams (assignment and
   within-cluster pairs) — linear in candidates, heavy constant — and
   its ratio column reads high against a ~3 s fixed-cost-dominated
@@ -576,18 +676,11 @@ object ScaleTrend {
   says it must, on a ~40× smaller constant, and the exact variant is
   now runnable in-sandbox at the full study depth.
 
-- **The linear tier holds across TWO FULL DECADES**: at 100× — d06
-  ×1.9 and q68 ×7.1 (connected-components fixpoint rounds stay 2 at
-  every scale — per-replica structure fixes component diameter while
-  cluster count scales), p17 ×3.1, d08 ×13.0, t13 ×7.7 — every ratio
-  far below the ×100 data factor. First-decade sanity: d04 ×2.5, d09
-  ×2.3, d13 ×2.7, s21 ×2.7, s21c ×2.0.
-
-- **Plan Δ at scale is the expected broadcast attrition** (d05 bcast
-  3→1 at 20×, d19 7→2 at 30×, t13 9→1 and q44 5→0 at 100×) as small
-  sides outgrow the autoBroadcast threshold and flip to shuffle joins
-  — the demotion the study exists to surface; wall ratios absorb it,
-  and no fixed-size DIMENSION join demoted anywhere.
+- **Plan Δ at scale is the expected broadcast attrition** (the table's
+  `plan Δ` column: small sides outgrowing the autoBroadcast threshold
+  and flipping to shuffle joins between sf0.1 and each query's largest
+  scale) — the demotion the study exists to surface; wall ratios
+  absorb it, and no fixed-size DIMENSION join demotes anywhere.
 """
 
 }
