@@ -561,6 +561,23 @@ object ScaleTrend {
       "d13_dedup_recall_eval" -> "d13",
       "s21_filtered_ann_audit" -> "s21",
       "s21c_filtered_artifacts" -> "s21c"))
+    // the m11/m12 adjudication anchors on MARGINAL growth between two
+    // replica-collided points (10× and 30×) — computed here from the
+    // same cells the table shows, for the reason the level shift itself
+    // is excluded (see the corpus-structure bullet below)
+    def marginal(name: String, short: String): Option[String] =
+      rows.find(_.name == name).flatMap { r =>
+        (r.byFactor.get(10), r.byFactor.get(30)) match {
+          case (Some(a), Some(b)) if a.secs > 0 && b.secs > 0 =>
+            Some(f"$short ×${a.secs / r.base.secs}%.1f→×${b.secs / r.base.secs}%.1f (marginal ×${b.secs / a.secs}%.1f for 3× data)")
+          case _ => None
+        }
+      }
+    val visualMarginal = Seq(marginal("m11_visual_ann", "m11"),
+      marginal("m12_visual_dup_recall", "m12")).flatten match {
+      case Nil => "(m11/m12 not rerun in this invocation)"
+      case xs => xs.mkString("; ")
+    }
     s"""
 ## Findings (r16; root-caused; single-run ratios vary ±10-20% —
 ## flagged ratios are confirmed by a second run, MIN stands)
@@ -573,6 +590,12 @@ object ScaleTrend {
   (connected-components fixpoint rounds stay 2 at every scale:
   per-replica structure fixes component diameter while cluster count
   scales). First-decade sanity: $firstDecade.
+
+- **m11/m12 this regeneration (both points replica-collided — see the
+  corpus-structure bullet):** $visualMarginal — the engine verdict
+  anchors on the marginal column staying ≈sub-linear for 3× data, not
+  on the level shift, which is a property of the shared documents
+  corpus, not the operators.
 """ + FindingsNarrative
   }
 
@@ -642,11 +665,12 @@ object ScaleTrend {
   (shingle/jaccard preservation) and faithful-for-vision
   (perceptual-hash diversity) genuinely conflict on one shared
   documents table, so the engine verdict anchors on marginal growth
-  between enlarged points (both replica-collided): ×23.3→×51.8 (m11)
-  and ×20.0→×51.4 (m12) from 10× to 30× — ×2.2–2.6 for 3× data,
-  sub-linear, refuting any residual engine quadratic. Digits DO
-  permute now (the c_name treatment, spec-pinned), which future-proofs
-  digit-bearing corpora without touching this ceiling.
+  between enlarged points (both replica-collided) — the CURRENT
+  numbers are in the generated m11/m12 bullet above (r15 measured
+  ×2.2–2.6 for 3× data, sub-linear, refuting any residual engine
+  quadratic; the level varies with the per-round fixture corpus).
+  Digits DO permute now (the c_name treatment, spec-pinned), which
+  future-proofs digit-bearing corpora without touching this ceiling.
 
 - **q44b's formerly disk-impossible 100× point COMPLETES (r14) — the
   series family scores pairs where they are generated.** The r14 vector
