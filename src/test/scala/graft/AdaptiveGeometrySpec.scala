@@ -327,6 +327,12 @@ class AdaptiveGeometrySpec extends SparkSpec {
     // every band), so the sampled pair path is exercised with rows > 0
     assert(sampled.getAs[Long]("n_lsh") >= 1L,
       "in-shard planted twin missed by the sampled agreement audit")
+    intercept[IllegalArgumentException] {
+      Dedup.dedupMethodAgreementSampled(spark, dir, pct = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupMethodAgreementSampled(spark, dir, pct = 101)
+    }
   }
 
   test("semCore argmax audit: silent-identical on a well-conditioned " +
