@@ -642,7 +642,8 @@ object SparkEntry {
        |  WHERE $cos > $tau),
        |j AS (SELECT coalesce(l, 0) AS l, coalesce(m, 0) AS m
        |      FROM lshp FULL JOIN semp USING (va, vb))
-       |SELECT CAST(sum(l) AS BIGINT) AS n_lsh,
+       |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_vectors,
+       |  CAST(sum(l) AS BIGINT) AS n_lsh,
        |  CAST(sum(m) AS BIGINT) AS n_sem,
        |  CAST(sum(l * m) AS BIGINT) AS n_both,
        |  CAST(sum(l) - sum(l * m) AS BIGINT) AS n_lsh_only,

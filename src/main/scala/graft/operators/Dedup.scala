@@ -1817,12 +1817,19 @@ object Dedup {
       .select(col("va"), col("vb"), lit(1).as("in_lsh"))
     val sem = semCore(e)._2
       .select(col("va"), col("vb"), lit(1).as("in_sem"))
+    // n_vectors = the population BOTH methods searched — on a corpus
+    // (or shard) with no ≥τ pairs every count column is legitimately
+    // NULL, and without it the oracle hash would only prove "both
+    // engines found nothing"; the population column pins the shard
+    // predicate and geometry inputs themselves (r16, the d27b
+    // non-vacuous-fixture discipline applied to the 1-row rollup)
     lsh.join(sem, Seq("va", "vb"), "full_outer")
       .select(coalesce(col("in_lsh"), lit(0)).as("l"),
         coalesce(col("in_sem"), lit(0)).as("m"))
       .agg(sum(col("l")).as("n_lsh"), sum(col("m")).as("n_sem"),
         sum(col("l") * col("m")).as("n_both"))
-      .select(col("n_lsh"), col("n_sem"), col("n_both"),
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_vectors"))))
+      .select(col("n_vectors"), col("n_lsh"), col("n_sem"), col("n_both"),
         (col("n_lsh") - col("n_both")).as("n_lsh_only"),
         (col("n_sem") - col("n_both")).as("n_sem_only"),
         (col("n_both").cast(DoubleType) /
