@@ -148,6 +148,9 @@ object SparkEntry {
     // cross-label, so the plain d27 hash check is 0-row; this entry
     // hash-covers the scoped PAIR path (rows > 0 by construction)
     "d27b_dedup_scoped_planted" -> Dedup.embeddingCosineScopedPlanted _,
+    // d28: the instrument that prices d27's accepted cross-scope trade —
+    // global d05 pairs vs scoped d27 pairs, full-outer, with coverage
+    "d28_scoped_loss_audit" -> Dedup.scopedLossAudit _,
     "d16_passage_cuts" ->
       canon("doc_id", "span_start")(Dedup.passageCuts),
     "d17_cut_accounting" -> Dedup.cutAccounting _,
@@ -2664,6 +2667,59 @@ object SparkEntry {
          |e AS (SELECT vec_id, embedding, scope,
          |        $n2Expr AS n2
          |      FROM pl)""".stripMargin),
+    // d28: global (corpus-rung) vs scoped (per-scope-rung) verified pair
+    // tables from the SAME full-bit banding CTE, full-outer + rollup —
+    // the d19 shape applied to the scoping decision
+    "d28_scoped_loss_audit" -> {
+      val ladder = {
+        val whens =
+          (Dedup.EmbPlanesPerBand until Dedup.EmbPlanesMax)
+            .map(p => s"WHEN n <= ${Dedup.EmbTargetOccupancy << p} THEN $p")
+            .mkString(" ")
+        s"CASE $whens ELSE ${Dedup.EmbPlanesMax} END"
+      }
+      val cos = s"CAST($dotAB AS DOUBLE)" +
+        " / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+      s"""WITH e AS (SELECT vec_id, embedding, label AS scope,
+         |        $n2Expr AS n2
+         |      FROM embeddings),
+         |bbf AS (
+         |  $embBandFullSql),
+         |bbg AS (SELECT vec_id, band,
+         |          substr(fb, 1, ${embPlanesSql("e")}) AS bucket
+         |        FROM bbf),
+         |gcand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |          FROM bbg x JOIN bbg y ON x.band = y.band
+         |            AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |gp AS (SELECT va, vb, 1 AS g
+         |  FROM gcand JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
+         |  WHERE $cos > ${Dedup.CosineThreshold}),
+         |cnt AS (SELECT scope, $ladder AS p
+         |        FROM (SELECT scope, count(*) AS n FROM e GROUP BY scope)),
+         |bbs AS (SELECT b.vec_id, s.scope, b.band,
+         |          substr(b.fb, 1, c.p) AS bucket
+         |        FROM bbf b
+         |        JOIN (SELECT vec_id, scope FROM e) s USING (vec_id)
+         |        JOIN cnt c USING (scope)),
+         |scand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |          FROM bbs x JOIN bbs y ON x.scope = y.scope
+         |            AND x.band = y.band AND x.bucket = y.bucket
+         |            AND x.vec_id < y.vec_id),
+         |sp AS (SELECT va, vb, 1 AS m
+         |  FROM scand JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id
+         |  WHERE $cos > ${Dedup.CosineThreshold}),
+         |j AS (SELECT coalesce(g, 0) AS g, coalesce(m, 0) AS m
+         |      FROM gp FULL JOIN sp USING (va, vb))
+         |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_vectors,
+         |  CAST(sum(g) AS BIGINT) AS n_global,
+         |  CAST(sum(m) AS BIGINT) AS n_scoped,
+         |  CAST(sum(g * m) AS BIGINT) AS n_both,
+         |  CAST(sum(g) - sum(g * m) AS BIGINT) AS n_global_only,
+         |  CAST(sum(m) - sum(g * m) AS BIGINT) AS n_scoped_only,
+         |  CASE WHEN sum(g) = 0 THEN NULL
+         |    ELSE CAST(sum(g * m) AS DOUBLE) / sum(g) END AS scoped_coverage
+         |FROM j""".stripMargin
+    },
     // d16: stride-1 token-window fingerprints; canonical first occurrence
     // exempt (rk=1 by (doc_id,pos)); islands merge overlapping cut windows
     "d16_passage_cuts" -> d16OracleSql,

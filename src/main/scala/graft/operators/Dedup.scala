@@ -1450,6 +1450,46 @@ object Dedup {
       base.unionByName(samePlants).unionByName(crossPlant))
   }
 
+  /** Scoped-banding loss audit (d28) — the instrument that PRICES d27's
+    * accepted trade before a 100 TB deployment commits to it: scoped
+    * banding deliberately drops cross-scope pairs (near-dups concentrate
+    * within a source shard / crawl / day, so the loss should be small —
+    * but "should" is a hypothesis about THIS corpus, and the operator
+    * that decides to scope needs the number, exactly as d19 prices
+    * LSH-vs-SemDeDup and d13 prices each dedup rung's recall). One
+    * full-outer join of the GLOBAL verified ≥τ pair table (d05's
+    * corpus-rung banding) against the SCOPED one (d27's per-scope
+    * rungs), rolled up with the shared population column:
+    * `scoped_coverage` = n_both / n_global is the fraction of globally
+    * found pairs the scoped pass retains; `n_global_only` counts pairs
+    * lost to the scope boundary PLUS any recall difference between the
+    * corpus rung and a scope's coarser rung; `n_scoped_only` counts the
+    * reverse (a scope's fewer planes collide MORE, so scoped banding
+    * can catch pairs the global geometry misses — neither side's found
+    * set contains the other, which is why the audit is a full outer
+    * join and not a subtraction). Cost: one d05 + one d27 — linear at
+    * the candidate level, run-on-demand like d13/d19. NULL coverage on
+    * a corpus where the global pass finds nothing. */
+  def scopedLossAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = embNormed(s, dir)
+    val g = lshPairs(e).select(col("va"), col("vb"), lit(1).as("in_g"))
+    val sc = embeddingCosineScoped(s, dir)
+      .select(col("va"), col("vb"), lit(1).as("in_s"))
+    g.join(sc, Seq("va", "vb"), "full_outer")
+      .select(coalesce(col("in_g"), lit(0)).as("gg"),
+        coalesce(col("in_s"), lit(0)).as("ss"))
+      .agg(sum(col("gg")).as("n_global"), sum(col("ss")).as("n_scoped"),
+        sum(col("gg") * col("ss")).as("n_both"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_vectors"))))
+      .select(col("n_vectors"), col("n_global"), col("n_scoped"),
+        col("n_both"),
+        (col("n_global") - col("n_both")).as("n_global_only"),
+        (col("n_scoped") - col("n_both")).as("n_scoped_only"),
+        when(col("n_global") === 0, lit(null))
+          .otherwise(col("n_both").cast(DoubleType) / col("n_global"))
+          .as("scoped_coverage"))
+  }
+
   /** Plane counts [[embPlanesSweep]] sweeps — a fixed literal grid
     * around the fixture corpora's adaptive floor (4), reaching the
     * rungs an enlarged corpus derives, so the published curve shows

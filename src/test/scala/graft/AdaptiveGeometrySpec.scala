@@ -335,6 +335,34 @@ class AdaptiveGeometrySpec extends SparkSpec {
     }
   }
 
+  test("d28 loss audit prices the scope boundary: within-scope twins " +
+      "count in n_both, the cross-scope twin lands in n_global_only") {
+    // scope 0 hosts a 3-clique (3 within-scope pairs); one more copy of
+    // the clique vector lives in scope 1 — globally it pairs with all
+    // three clique members (3 more pairs), scoped it pairs with nobody.
+    // Identical vectors collide in every band at any rung, so both
+    // passes find their respective sets deterministically.
+    val clique = Array.tabulate(64)(j => ((j % 5) + 1).toFloat)
+    def tail(i: Long) = Array.tabulate(64)(j =>
+      (((i * j + i * 31 + j * 17) % 23) - 11).toFloat)
+    val rows =
+      (0L until 600L).map(i => (i, if (i < 3) clique else tail(i), 0)) ++
+      (600L until 900L).map(i => (i, tail(i + 7919), 1)) :+
+      ((900L, clique.clone(), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-d28").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = Dedup.scopedLossAudit(spark, dir).head()
+    assert(r.getAs[Long]("n_vectors") == 901L)
+    assert(r.getAs[Long]("n_both") >= 3L,
+      "within-scope clique pairs must be found by BOTH passes")
+    assert(r.getAs[Long]("n_global_only") >= 3L,
+      "cross-scope twin pairs must be global-only (the priced trade)")
+    val cov = r.getAs[Double]("scoped_coverage")
+    assert(cov > 0 && cov < 1,
+      s"coverage must price a real partial loss, got $cov")
+  }
+
   test("semCore argmax audit: silent-identical on a well-conditioned " +
       "corpus, raises loudly on a quantization-boundary corpus") {
     val sf = "/root/testdata/sf0.001"
