@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
+import org.apache.spark.sql.functions.col
 import scala.util.chaining._
 import graft.operators._
 
@@ -30,11 +31,17 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => fn(s, d).repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
+  /** [[canon]] with Column sort keys — for the handful of queries whose
+    * canonical order carries a DESC direction (q50/q57/q63). */
+  private def canonBy(cols: org.apache.spark.sql.Column*)(
+      fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => fn(s, d).repartition(1).sortWithinPartitions(cols: _*)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
-    "q01_filter_project" -> CoreQueries.q01FilterProject _,
-    "q02_mask_sha256" -> CoreQueries.q02MaskSha256 _,
-    "q03_latest_state" -> CoreQueries.q03LatestState _,
-    "q04_delete_propagation" -> CoreQueries.q04DeletePropagation _,
+    "q01_filter_project" -> canon("o_orderkey")(CoreQueries.q01FilterProject),
+    "q02_mask_sha256" -> canon("c_custkey")(CoreQueries.q02MaskSha256),
+    "q03_latest_state" -> canon("user_id")(CoreQueries.q03LatestState),
+    "q04_delete_propagation" -> canon("user_id")(CoreQueries.q04DeletePropagation),
     // version_event_id completes the total order: the window itself
     // tie-breaks equal timestamps on event_id, so the presentation key
     // must too or tied rows hash nondeterministically
@@ -42,96 +49,100 @@ object SparkEntry {
       canon("user_id", "valid_from_us", "version_event_id")(
         CoreQueries.q69Scd2History),
     "q70_pit_join" -> canon("purchase_event_id")(CoreQueries.q70PitJoin),
-    "q05_type_cast" -> CoreQueries.q05TypeCast _,
-    "q06_max_progress" -> CoreQueries.q06MaxProgress _,
-    "q07_join_inner" -> CoreQueries.q07JoinInner _,
-    "q08_join_left" -> CoreQueries.q08JoinLeft _,
-    "q08b_join_anti" -> CoreQueries.q08bJoinAnti _,
-    "q09_join_multiway" -> CoreQueries.q09JoinMultiway _,
-    "q10_join_broadcast" -> CoreQueries.q10JoinBroadcast _,
-    "q11_agg_tpch_q1" -> CoreQueries.q11AggTpchQ1 _,
+    "q05_type_cast" -> canon("l_orderkey", "l_linenumber")(CoreQueries.q05TypeCast),
+    "q06_max_progress" -> canon("user_id")(CoreQueries.q06MaxProgress),
+    "q07_join_inner" -> canon("o_orderkey")(CoreQueries.q07JoinInner),
+    "q08_join_left" -> canon("c_custkey")(CoreQueries.q08JoinLeft),
+    "q08b_join_anti" -> canon("c_custkey")(CoreQueries.q08bJoinAnti),
+    "q09_join_multiway" -> canon("n_name")(CoreQueries.q09JoinMultiway),
+    "q10_join_broadcast" -> canon("r_name", "n_name")(CoreQueries.q10JoinBroadcast),
+    "q11_agg_tpch_q1" -> canon("l_returnflag", "l_linestatus")(CoreQueries.q11AggTpchQ1),
     "q12_count_distinct" -> CoreQueries.q12CountDistinct _,
     "q12b_approx_distinct" -> CoreQueries.q12bApproxDistinct _,
-    "q13_rollup" -> CoreQueries.q13Rollup _,
-    "q14_having_subquery" -> CoreQueries.q14HavingSubquery _,
-    "q15_window_rank" -> CoreQueries.q15WindowRank _,
-    "q16_window_analytic" -> CoreQueries.q16WindowAnalytic _,
-    "q17_time_bucket" -> CoreQueries.q17TimeBucket _,
+    "q13_rollup" -> canon("n_name", "o_orderpriority")(CoreQueries.q13Rollup),
+    "q14_having_subquery" -> canon("c_nationkey")(CoreQueries.q14HavingSubquery),
+    "q15_window_rank" -> canon("c_nationkey", "rn")(CoreQueries.q15WindowRank),
+    "q16_window_analytic" -> canon("o_custkey", "o_orderkey")(CoreQueries.q16WindowAnalytic),
+    "q17_time_bucket" -> canon("bucket_us")(CoreQueries.q17TimeBucket),
     "q18_topk" -> CoreQueries.q18TopK _,
     "q18b_shipping_priority" -> CoreQueries.q18bShippingPriority _,
-    "q19_setops" -> CoreQueries.q19SetOps _,
+    "q19_setops" -> canon("tag", "c_custkey")(CoreQueries.q19SetOps),
     "q19b_setops_all" -> canon("tag", "o_orderpriority")(CoreQueries.q19bSetOpsAll),
-    "q20_scalar" -> CoreQueries.q20Scalar _,
-    "q21_array_json" -> CoreQueries.q21ArrayJson _,
+    "q20_scalar" -> canon("o_orderkey")(CoreQueries.q20Scalar),
+    "q21_array_json" -> canon("c_nationkey")(CoreQueries.q21ArrayJson),
     "q22_mask_hmac" -> CoreQueries.q22MaskHmac _,
-    "q23_cube" -> ExtendedQueries.q23Cube _,
-    "q24_pivot" -> ExtendedQueries.q24Pivot _,
-    "q39_unpivot" -> ExtendedQueries.q39Unpivot _,
-    "q25_window_family" -> ExtendedQueries.q25WindowFamily _,
-    "q26_exists_subquery" -> ExtendedQueries.q26ExistsSubquery _,
-    "q27_percentiles" -> ExtendedQueries.q27Percentiles _,
+    "q23_cube" -> canon("n_name", "o_orderstatus")(ExtendedQueries.q23Cube),
+    "q24_pivot" -> canon("n_name")(ExtendedQueries.q24Pivot),
+    "q39_unpivot" -> canon("n_name", "o_orderpriority")(ExtendedQueries.q39Unpivot),
+    "q25_window_family" -> canon("o_custkey", "o_orderkey")(ExtendedQueries.q25WindowFamily),
+    "q26_exists_subquery" -> canon("c_custkey")(ExtendedQueries.q26ExistsSubquery),
+    "q27_percentiles" -> canon("l_returnflag")(ExtendedQueries.q27Percentiles),
     "q27b_percentiles_approx" -> canon("l_returnflag")(ExtendedQueries.q27bPercentilesApprox),
-    "q28_string_agg" -> ExtendedQueries.q28StringAgg _,
-    "q29_conditional_agg" -> ExtendedQueries.q29ConditionalAgg _,
-    "q30_date_arith" -> ExtendedQueries.q30DateArith _,
-    "q31_asof_join" -> ExtendedQueries.q31AsofJoin _,
-    "q32_grouping_sets" -> ExtendedQueries.q32GroupingSets _,
-    "q33_range_join" -> ExtendedQueries.q33RangeJoin _,
-    "q34_sessionize" -> ExtendedQueries.q34Sessionize _,
-    "q35_json_extract" -> ExtendedQueries.q35JsonExtract _,
-    "q36_correlated_subquery" -> ExtendedQueries.q36CorrelatedSubquery _,
-    "q37_range_frame" -> ExtendedQueries.q37RangeFrame _,
-    "q38_window_distinct" -> ExtendedQueries.q38WindowDistinct _,
-    "q40_join_full_outer" -> CoreQueries.q40JoinFullOuter _,
-    "q41_cohort_retention" -> ExtendedQueries.q41CohortRetention _,
-    "q42_event_funnel" -> ExtendedQueries.q42EventFunnel _,
+    "q28_string_agg" -> canon("c_nationkey")(ExtendedQueries.q28StringAgg),
+    "q29_conditional_agg" -> canon("yr")(ExtendedQueries.q29ConditionalAgg),
+    "q30_date_arith" -> canon("o_orderkey")(ExtendedQueries.q30DateArith),
+    "q31_asof_join" -> canon("user_id", "purchase_id")(ExtendedQueries.q31AsofJoin),
+    "q32_grouping_sets" -> canon("n_name", "o_orderpriority")(ExtendedQueries.q32GroupingSets),
+    "q33_range_join" -> canon("band")(ExtendedQueries.q33RangeJoin),
+    "q34_sessionize" -> canon("user_id", "session_seq")(ExtendedQueries.q34Sessionize),
+    "q35_json_extract" -> canon("event_type")(ExtendedQueries.q35JsonExtract),
+    "q36_correlated_subquery" -> canon("o_orderkey")(ExtendedQueries.q36CorrelatedSubquery),
+    "q37_range_frame" -> canon("o_orderkey")(ExtendedQueries.q37RangeFrame),
+    "q38_window_distinct" -> canon("o_orderkey")(ExtendedQueries.q38WindowDistinct),
+    "q40_join_full_outer" -> canon("custkey")(CoreQueries.q40JoinFullOuter),
+    "q41_cohort_retention" -> canon("cohort_week", "week_offset")(ExtendedQueries.q41CohortRetention),
+    "q42_event_funnel" -> canon("idx")(ExtendedQueries.q42EventFunnel),
     "q43_copurchase_pairs" -> ExtendedQueries.q43CopurchasePairs _,
-    "q44_series_topk" -> ((s: SparkSession, d: String) =>
+    "q44_series_topk" -> canon("qid", "rank")((s, d) =>
       ExtendedQueries.q44SeriesTopK(s, d)),
-    "q44b_series_topk_clustered" -> ((s: SparkSession, d: String) =>
+    "q44b_series_topk_clustered" -> canon("qid", "rank")((s, d) =>
       ExtendedQueries.q44bSeriesTopKClustered(s, d)),
     "q45_smallqty_revenue" -> ExtendedQueries.q45SmallQtyRevenue _,
     "q46_waiting_suppliers" -> ExtendedQueries.q46WaitingSuppliers _,
-    "q47_dormant_highbal" -> ExtendedQueries.q47DormantHighBalance _,
+    "q47_dormant_highbal" -> canon("n_name")(ExtendedQueries.q47DormantHighBalance),
     "q48_large_volume_cust" -> ExtendedQueries.q48LargeVolumeCustomers _,
     "q49_disjunctive_revenue" -> ExtendedQueries.q49DisjunctiveRevenue _,
-    "q50_custdist" -> ExtendedQueries.q50CustDist _,
+    "q50_custdist" -> canonBy(col("custdist").desc, col("c_count").desc)(ExtendedQueries.q50CustDist),
     "q55_mincost_supplier" -> ExtendedQueries.q55MinCostSupplier _,
-    "q56_top_supplier_revenue" -> ExtendedQueries.q56TopSupplierRevenue _,
-    "q57_part_supplier_counts" -> ExtendedQueries.q57PartSupplierCounts _,
-    "q58_majority_share_supp" -> ExtendedQueries.q58MajorityShareSuppliers _,
-    "q59_late_order_priorities" -> ExtendedQueries.q59LateOrderPriorities _,
+    "q56_top_supplier_revenue" -> canon("s_suppkey")(ExtendedQueries.q56TopSupplierRevenue),
+    "q57_part_supplier_counts" -> canonBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))(ExtendedQueries.q57PartSupplierCounts),
+    "q58_majority_share_supp" -> canon("s_name")(ExtendedQueries.q58MajorityShareSuppliers),
+    "q59_late_order_priorities" -> canon("o_orderpriority")(ExtendedQueries.q59LateOrderPriorities),
     "q60_forecast_revenue" -> ExtendedQueries.q60ForecastRevenue _,
-    "q61_volume_shipping" -> ExtendedQueries.q61VolumeShipping _,
-    "q62_market_share" -> ExtendedQueries.q62MarketShare _,
-    "q63_product_profit" -> ExtendedQueries.q63ProductProfit _,
+    "q61_volume_shipping" -> canon("supp_nation", "cust_nation", "l_year")(ExtendedQueries.q61VolumeShipping),
+    "q62_market_share" -> canon("o_year")(ExtendedQueries.q62MarketShare),
+    "q63_product_profit" -> canonBy(col("nation"), col("o_year").desc)(ExtendedQueries.q63ProductProfit),
     "q64_returned_items" -> ExtendedQueries.q64ReturnedItems _,
-    "q65_priority_shipclass" -> ExtendedQueries.q65PriorityShipClass _,
+    "q65_priority_shipclass" -> canon("ship_class")(ExtendedQueries.q65PriorityShipClass),
     "q66_promo_revenue" -> ExtendedQueries.q66PromoRevenue _,
     "q67_fuzzy_match" -> canon("a_key", "b_key")(ExtendedQueries.q67FuzzyMatch),
     "q68_entity_clusters" -> canon("c_custkey")(ExtendedQueries.q68EntityClusters),
-    "q51_gapfill_interpolate" -> ExtendedQueries.q51GapfillInterpolate _,
-    "q52_stats_moments" -> ExtendedQueries.q52StatsMoments _,
-    "q53_distribution_rank" -> ExtendedQueries.q53DistributionRank _,
-    "q54_mode_median" -> ExtendedQueries.q54ModeMedian _,
+    "q51_gapfill_interpolate" -> canon("event_type", "h")(ExtendedQueries.q51GapfillInterpolate),
+    "q52_stats_moments" -> canon("l_returnflag")(ExtendedQueries.q52StatsMoments),
+    "q53_distribution_rank" -> canon("o_custkey", "o_orderkey")(ExtendedQueries.q53DistributionRank),
+    "q54_mode_median" -> canon("flag")(ExtendedQueries.q54ModeMedian),
     // training-data / north-star operator surface
-    "d01_dedup_exact" -> Dedup.exact _,
+    "d01_dedup_exact" -> canon("rep_id")(Dedup.exact),
     "d02_dedup_minhash_lsh" -> canon("da", "db")(Dedup.minhashLsh),
-    "d03_dedup_simhash" -> Dedup.simhash _,
+    "d03_dedup_simhash" -> canon("doc_id")(Dedup.simhash),
     "d04_dedup_ngram_jaccard" -> canon("da", "db")(Dedup.ngramJaccard),
-    "d05_dedup_embedding" -> Dedup.embeddingCosine _,
+    // d05 family: the verified-pair operators return unsorted frames
+    // (r16 — the in-operator orderBy cost a rangepartitioning Exchange
+    // plus its sampling pass in every consumer); the canon tail restores
+    // the identical (va, vb) presentation order for the oracle
+    "d05_dedup_embedding" -> canon("va", "vb")(Dedup.embeddingCosine),
     "d05b_dedup_embedding_salted" ->
-      ((s: SparkSession, dir: String) => Dedup.embeddingCosineSalted(s, dir)),
-    "d06_dedup_clusters" -> Dedup.clusters _,
+      canon("va", "vb")((s, dir) => Dedup.embeddingCosineSalted(s, dir)),
+    "d06_dedup_clusters" -> canon("doc_id")(Dedup.clusters),
     "d07_dedup_incremental" -> canon("doc_id")(Dedup.incremental),
     "d07b_dedup_incremental_bloom" ->
       canon("doc_id")((s, dir) => Dedup.incremental(s, dir, bloomPruneIndex = true)),
     "d08_dedup_containment" -> canon("inner_id", "outer_id")(Dedup.containment),
     "d09_shingle_audit_suite" -> canon("audit")(Sampling.shingleAuditSuite),
-    "d10_substring_dup_rate" -> Dedup.substringDupRate _,
+    "d10_substring_dup_rate" -> canon("doc_id")(Dedup.substringDupRate),
     "d11_cluster_size_histogram" ->
-      ((s: SparkSession, dir: String) => Dedup.clusterSizeHistogram(s, dir)),
-    "d12_dedup_bag" -> Dedup.bagDedup _,
+      canon("cluster_size")((s, dir) => Dedup.clusterSizeHistogram(s, dir)),
+    "d12_dedup_bag" -> canon("rep_id")(Dedup.bagDedup),
     "d13_dedup_recall_eval" -> Dedup.dedupRecallEval _, // 1 row
     "d14_dedup_funnel" ->
       canon("stage")((s: SparkSession, dir: String) => Dedup.dedupFunnel(s, dir)),
@@ -142,18 +153,19 @@ object SparkEntry {
     // full-corpus embPlanesSweep stays the fixture/spec entry point
     "d26_emb_planes_sweep" ->
       canon("planes")((s, d) => Dedup.embPlanesSweepSampled(s, d)),
-    "d27_dedup_scoped" -> Dedup.embeddingCosineScoped _,
+    "d27_dedup_scoped" -> canon("va", "vb")(Dedup.embeddingCosineScoped),
     // d27b: d27 over the planted-twin corpus variant (derived in-query,
     // oracle-replayed) — the driver corpus's only near-dup pair is
     // cross-label, so the plain d27 hash check is 0-row; this entry
     // hash-covers the scoped PAIR path (rows > 0 by construction)
-    "d27b_dedup_scoped_planted" -> Dedup.embeddingCosineScopedPlanted _,
+    "d27b_dedup_scoped_planted" ->
+      canon("va", "vb")(Dedup.embeddingCosineScopedPlanted),
     // d28: the instrument that prices d27's accepted cross-scope trade —
     // global d05 pairs vs scoped d27 pairs, full-outer, with coverage
     "d28_scoped_loss_audit" -> Dedup.scopedLossAudit _,
     "d16_passage_cuts" ->
       canon("doc_id", "span_start")(Dedup.passageCuts),
-    "d17_cut_accounting" -> Dedup.cutAccounting _,
+    "d17_cut_accounting" -> canon("lang")(Dedup.cutAccounting),
     "d18_semantic_dedup" -> canon("vec_id")(Dedup.semanticDedup),
     "d19_dedup_method_agreement" -> Dedup.dedupMethodAgreement _,
     // d19b: the agreement audit on a deterministic md5-bucket hash-shard
@@ -161,10 +173,10 @@ object SparkEntry {
     // exact audit; the sampled entry is what a 100 TB corpus prices)
     "d19b_method_agreement_sampled" ->
       ((s: SparkSession, d: String) => Dedup.dedupMethodAgreementSampled(s, d)),
-    "d21_dedup_nfc" -> Dedup.nfcDedup _,
-    "d22_dedup_canonical" -> Dedup.canonicalDedup _,
-    "d23_dedup_winnow" -> Dedup.winnowPairs _,
-    "d24_dedup_template" -> Dedup.skeletonDedup _,
+    "d21_dedup_nfc" -> canon("rep_id")(Dedup.nfcDedup),
+    "d22_dedup_canonical" -> canon("rep_id")(Dedup.canonicalDedup),
+    "d23_dedup_winnow" -> canon("da", "db")(Dedup.winnowPairs),
+    "d24_dedup_template" -> canon("rep_id")(Dedup.skeletonDedup),
     "d25_keeper_quality" -> canon("cluster")(Dedup.qualityKeeper),
     "s01_sim_bruteforce_topk" -> canon("qid", "rank")(Similarity.bruteForceTopK),
     "s02_sim_ann_lsh" -> canon("qid", "rank")(Similarity.annLsh),
@@ -176,9 +188,9 @@ object SparkEntry {
     "s08_sim_filtered_topk" -> canon("qid", "rank")(Similarity.filteredTopK),
     "s09_quantization_recall" -> canon("method")(Similarity.quantizationRecall),
     "s10_index_stats" -> canon("index_name")(Similarity.indexStats),
-    "s11_embedding_stats" -> Similarity.embeddingStats _,
+    "s11_embedding_stats" -> canon("dim")(Similarity.embeddingStats),
     "s12_ivf_probe_audit" -> canon("n_probe")(Similarity.ivfProbeAudit),
-    "s13_embedding_drift" -> Similarity.embeddingDrift _,
+    "s13_embedding_drift" -> canon("dim")(Similarity.embeddingDrift),
     "s14_pq_tuning_sweep" -> canon("pq_m")(Similarity.pqTuningSweep),
     "s19_dim_tuning_sweep" -> canon("dims")(Similarity.dimTuningSweep),
     // neighbor_id completes the total order: adcRanked cuts with
@@ -202,13 +214,13 @@ object SparkEntry {
     "s21c_filtered_artifacts" ->
       canon("method")(Similarity.filteredAnnAuditArtifacts),
     "s22_label_purity" -> canon("label")(Similarity.labelPurity),
-    "t01_text_langid" -> TextAnalysis.langId _,
-    "t02_text_quality" -> TextAnalysis.quality _,
-    "t03_text_tokens" -> TextAnalysis.tokenCount _,
-    "t04_text_fingerprint" -> TextAnalysis.fingerprint _,
-    "t05_text_repetition" -> TextAnalysis.repetition _,
+    "t01_text_langid" -> canon("doc_id")(TextAnalysis.langId),
+    "t02_text_quality" -> canon("doc_id")(TextAnalysis.quality),
+    "t03_text_tokens" -> canon("doc_id")(TextAnalysis.tokenCount),
+    "t04_text_fingerprint" -> canon("doc_id")(TextAnalysis.fingerprint),
+    "t05_text_repetition" -> canon("doc_id")(TextAnalysis.repetition),
     "t06_boilerplate_ngrams" -> TextAnalysis.boilerplate _,
-    "t07_keywords_tfdf" -> TextAnalysis.keywords _,
+    "t07_keywords_tfdf" -> canon("doc_id", "rk")(TextAnalysis.keywords),
     "m01_media_meta" -> canon("doc_id")(Multimodal.mediaMeta),
     "m02_media_resize" -> canon("doc_id")(Multimodal.resizeQuery),
     "m03_frame_sample" -> canon("doc_id", "frame_offset")(Multimodal.frameSampleQuery),
@@ -225,42 +237,42 @@ object SparkEntry {
     "m13_audio_ann" -> canon("qid", "rank")(Multimodal.audioAnnQuery),
     "m14_audio_ann_recall" ->
       canon("method")(Multimodal.audioAnnRecallQuery),
-    "p01_hash_split" -> Sampling.hashSplit _,
-    "p02_stratified_sample" -> Sampling.stratifiedSample _,
+    "p01_hash_split" -> canon("split")(Sampling.hashSplit),
+    "p02_stratified_sample" -> canon("lang", "rk")(Sampling.stratifiedSample),
     "p03_split_leakage" -> canon("da", "db")(Sampling.splitLeakage),
-    "p04_sequence_packing" -> Sampling.sequencePacking _,
-    "p10_packing_efficiency" -> Sampling.packingEfficiency _,
+    "p04_sequence_packing" -> canon("lang", "doc_id")(Sampling.sequencePacking),
+    "p10_packing_efficiency" -> canon("lang")(Sampling.packingEfficiency),
     "p21_padding_audit" -> canon("lang")(Sampling.paddingAudit),
-    "p05_decontamination" -> Sampling.decontamination _,
-    "p06_token_budget_sample" -> Sampling.tokenBudgetSample _,
+    "p05_decontamination" -> canon("doc_id")(Sampling.decontamination),
+    "p06_token_budget_sample" -> canon("lang")(Sampling.tokenBudgetSample),
     "p07_domain_mixture" -> canon("lang")(Sampling.domainMixture),
     "p08_cluster_split" -> canon("split")(Sampling.clusterSplit),
     "p09_curriculum" -> canon("stage")(Sampling.curriculum),
-    "p11_repeat_factor" -> Sampling.repeatFactor _,
-    "p12_epoch_shuffle" -> Sampling.epochShuffle _,
-    "p13_temperature_mixture" -> Sampling.temperatureMixture _,
+    "p11_repeat_factor" -> canon("source")(Sampling.repeatFactor),
+    "p12_epoch_shuffle" -> canon("epoch", "shard", "pos")(Sampling.epochShuffle),
+    "p13_temperature_mixture" -> canon("lang")(Sampling.temperatureMixture),
     "p14_sliding_chunks" ->
       canon("doc_id", "chunk_id")(Sampling.slidingChunks),
-    "p15_shard_manifest" -> Sampling.shardManifest _,
-    "p16_apply_cuts" -> Sampling.applyCuts _,
-    "p17_corpus_materialize" -> Sampling.corpusMaterialize _,
-    "p18_train_decontaminate" -> Sampling.trainDecontaminate _,
+    "p15_shard_manifest" -> canon("lang", "shard_id")(Sampling.shardManifest),
+    "p16_apply_cuts" -> canon("doc_id")(Sampling.applyCuts),
+    "p17_corpus_materialize" -> canon("doc_id")(Sampling.corpusMaterialize),
+    "p18_train_decontaminate" -> canon("doc_id")(Sampling.trainDecontaminate),
     "p19_dsir_weighting" -> canon("doc_id")(Sampling.dsirWeighting),
     "p20_snapshot_diff" -> canon("doc_id")(Sampling.snapshotDiff),
     "t08_filter_funnel" -> canon("stage")(TextAnalysis.filterFunnel),
-    "t09_pii_scan" -> TextAnalysis.piiScan _,
+    "t09_pii_scan" -> canon("doc_id")(TextAnalysis.piiScan),
     "t10_vocab_zipf" -> canon("rank")(TextAnalysis.vocab),
-    "t11_bigram_novelty" -> TextAnalysis.bigramNovelty _,
+    "t11_bigram_novelty" -> canon("doc_id")(TextAnalysis.bigramNovelty),
     "t12_token_surprisal" -> canon("doc_id")(TextAnalysis.surprisal),
     "t13_source_profile" -> canon("source")(TextAnalysis.sourceProfile),
     "t14_source_overlap" ->
-      ((s: SparkSession, dir: String) => TextAnalysis.sourceOverlap(s, dir)),
-    "t15_gopher_rules" -> TextAnalysis.gopherRules _,
-    "t16_code_detect" -> TextAnalysis.codeDetect _,
-    "t17_readability" -> TextAnalysis.readability _,
+      canon("source_a", "source_b")((s, dir) => TextAnalysis.sourceOverlap(s, dir)),
+    "t15_gopher_rules" -> canon("doc_id")(TextAnalysis.gopherRules),
+    "t16_code_detect" -> canon("doc_id")(TextAnalysis.codeDetect),
+    "t17_readability" -> canon("doc_id")(TextAnalysis.readability),
     "t18_bigram_xent" -> canon("doc_id")(TextAnalysis.bigramXent),
     "t19_cms_heavy_hitters" -> canon("rank")(TextAnalysis.cmsHeavyHitters),
-    "t20_encoding_scan" -> TextAnalysis.encodingScan _,
+    "t20_encoding_scan" -> canon("doc_id")(TextAnalysis.encodingScan),
   )
 
   // ---- shared DuckDB oracle fragments (north-star queries) ----------------

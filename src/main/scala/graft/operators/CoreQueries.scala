@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *    bit-identical doubles regardless of aggregation order / parallelism;
   *  - averages are `CAST(sum_dec AS DOUBLE) / count` — one double division
   *    with identical operands on both engines;
-  *  - every query ends in an ORDER BY on a unique key set;
+  *  - every query's canonical row order is a unique key set, applied at
+  *    the harness tail (SparkEntry.canon — r16: in-operator ORDER BYs cost
+  *    a rangepartitioning Exchange whose sampling pass re-executes the
+  *    final stage; the answer-sized outputs sort once, in one partition);
   *  - event timestamps travel as epoch-microsecond BIGINTs (see [[Tables]]).
   *
   * Scale notes are inline per query: each plan is shaped so the same code
@@ -33,13 +36,11 @@ object CoreQueries {
     Tables.table(s, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderstatus")
-      .orderBy("o_orderkey")
 
   // --- Q2: PII masking via built-in sha2 (codegen'd; no UDF) -------------
   def q02MaskSha256(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "customer")
       .select(col("c_custkey"), sha2(col("c_name"), 256).as("masked"))
-      .orderBy("c_custkey")
 
   // --- Q3: latest-state materialization (reference §2.5 upsert view) -----
   // row_number over (entity, ts desc) = 1, dropping entities whose final
@@ -54,7 +55,6 @@ object CoreQueries {
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"), col("value").as("last_value"),
         col("ts_us").as("last_ts_us"))
-      .orderBy("user_id")
   }
 
   // --- Q4: delete propagation = latest inserts ANTI JOIN delete markers --
@@ -72,7 +72,7 @@ object CoreQueries {
     val deleted = ev.filter(col("event_type") === "error" &&
         col("event_id") % 100 < 15)
       .select("user_id").distinct()
-    latest.join(deleted, Seq("user_id"), "left_anti").orderBy("user_id")
+    latest.join(deleted, Seq("user_id"), "left_anti")
   }
 
   // --- Q69: SCD Type-2 historization (q03's history-complete dual) -------
@@ -143,7 +143,6 @@ object CoreQueries {
         col("l_quantity").cast("bigint").as("qty_big"),
         dec(col("l_extendedprice")).cast("double").as("price_dec"),
         col("l_shipdate").cast("date").as("ship_date"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   // --- Q6: max-progress aggregation (reference offset tracking §2.4) -----
   def q06MaxProgress(s: SparkSession, dir: String): DataFrame =
@@ -151,7 +150,6 @@ object CoreQueries {
       .groupBy("user_id")
       .agg(max(col("ts_us")).as("max_ts_us"), count(lit(1)).as("n"),
         money(col("value")).as("sum_value"))
-      .orderBy("user_id")
 
   // --- Q7: inner equi-join (shuffle hash/SMJ on the big sides; AQE picks)
   def q07JoinInner(s: SparkSession, dir: String): DataFrame = {
@@ -160,7 +158,6 @@ object CoreQueries {
     o.join(c, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
         col("o_totalprice"))
-      .orderBy("o_orderkey")
   }
 
   // --- Q8a: left outer join + aggregate ----------------------------------
@@ -171,7 +168,6 @@ object CoreQueries {
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
         money(col("o_totalprice")).as("total_spent"))
-      .orderBy("c_custkey")
   }
 
   // --- Q8b: anti join (customers with no URGENT orders; ~e^-2 of customers
@@ -182,7 +178,6 @@ object CoreQueries {
       .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
   }
 
   // --- Q9: multi-way join, TPC-H Q5 shape ---------------------------------
@@ -202,7 +197,6 @@ object CoreQueries {
       .groupBy(col("n_name"))
       .agg(sum(rev).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_lines"))
-      .orderBy("n_name")
   }
 
   // --- Q10: broadcast dim join (fact × tiny dims, zero fact shuffle pre-agg)
@@ -217,7 +211,6 @@ object CoreQueries {
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_lines"),
         money(col("l_extendedprice")).as("total_price"))
-      .orderBy("r_name", "n_name")
   }
 
   // --- Q11: TPC-H Q1 hash aggregate (partial+final, exact decimal) --------
@@ -241,7 +234,6 @@ object CoreQueries {
         (col("sum_qty_dec").cast(DoubleType) / col("count_order")).as("avg_qty"),
         (col("sum_base_dec").cast(DoubleType) / col("count_order")).as("avg_price"),
         col("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
   }
 
   // --- Q12: exact distinct (expands to two-phase agg; no driver collect) --
@@ -285,7 +277,6 @@ object CoreQueries {
         money(col("o_totalprice")).as("total_price"))
       .select(col("n_name"), col("o_orderpriority"), col("g_nation"),
         col("g_prio"), col("n_orders"), col("total_price"))
-      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
   }
 
   // --- Q14: HAVING over scalar subquery (TPC-H Q11 shape) ------------------
@@ -298,7 +289,6 @@ object CoreQueries {
     totals.crossJoin(broadcast(avgAll))
       .filter(col("tb").cast(DoubleType) > col("avg_tb"))
       .select(col("c_nationkey"), col("tb").cast(DoubleType).as("total_bal"))
-      .orderBy("c_nationkey")
   }
 
   // --- Q15: ranking window, top-3 per nation -------------------------------
@@ -309,7 +299,6 @@ object CoreQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
-      .orderBy("c_nationkey", "rn")
   }
 
   // --- Q16: analytic window (lag + 10-row moving sum, reference §2.4) ------
@@ -322,7 +311,6 @@ object CoreQueries {
         sum(dec(col("o_totalprice"))).over(w.rowsBetween(-9, 0))
           .cast(DoubleType).as("moving_sum_10"))
       .select("o_custkey", "o_orderkey", "prev_price", "moving_sum_10")
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   // --- Q17: event-time tumbling window (1h), pure integer bucket math ------
@@ -332,7 +320,6 @@ object CoreQueries {
         expr("ts_us DIV 3600000000") * lit(3600000000L))
       .groupBy("bucket_us")
       .agg(count(lit(1)).as("n"), money(col("value")).as("sum_value"))
-      .orderBy("bucket_us")
 
   // --- Q18: top-k (plans as TakeOrderedAndProject — no full sort) ----------
   def q18TopK(s: SparkSession, dir: String): DataFrame =
@@ -379,7 +366,6 @@ object CoreQueries {
     val onlyA = a.except(b).withColumn("tag", lit("only_a"))
     both.unionByName(onlyA)
       .select("tag", "c_custkey")
-      .orderBy("tag", "c_custkey")
   }
 
   /** ALL-variant set ops (bag semantics — `intersectAll`/`exceptAll`
@@ -411,7 +397,6 @@ object CoreQueries {
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
         length(col("o_orderpriority")).as("pri_len"),
         (col("o_orderkey") % 97).as("mod97"))
-      .orderBy("o_orderkey")
 
   // --- Q22: HMAC-SHA256 keyed masking (custom Catalyst expression §2.8) ----
   // No DuckDB oracle: DuckDB 1.0's sha256() is VARCHAR-only, so a raw-byte
@@ -460,7 +445,6 @@ object CoreQueries {
         col("c_custkey").isNotNull.as("in_building"),
         coalesce(col("n_f_orders"), lit(0L)).as("n_f_orders"),
         coalesce(col("f_total"), lit(0.0)).as("f_total"))
-      .orderBy("custkey")
   }
 
   // --- Q21: array / map / json ----------------------------------------------
@@ -478,6 +462,5 @@ object CoreQueries {
         col("cust_keys"),
         to_json(struct(col("n_nationkey"), col("n_cust"))).as("j"),
         element_at(map(lit("name"), col("n_name")), "name").as("map_val"))
-      .orderBy("c_nationkey")
   }
 }

@@ -25,7 +25,6 @@ object Dedup {
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
       .select(col("rep_id"), col("n_copies"))
-      .orderBy("rep_id")
 
   // --- Unicode-normalization-aware exact dedup ------------------------------
   /** NFC-normalized exact dedup (d21) — the d01 rung after Unicode
@@ -50,7 +49,6 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"),
         countDistinct(col("text")).as("n_raw_variants"))
       .select(col("rep_id"), col("n_copies"), col("n_raw_variants"))
-      .orderBy("rep_id")
 
   // --- canonical-ladder exact dedup ----------------------------------------
   /** Canonical-key exact dedup (d22) — the ladder rung between [[nfcDedup]]
@@ -76,7 +74,6 @@ object Dedup {
         countDistinct(col("nfc")).as("n_nfc_variants"))
       .select(col("rep_id"), col("n_copies"), col("n_raw_variants"),
         col("n_nfc_variants"))
-      .orderBy("rep_id")
 
   // --- template-skeleton dedup ---------------------------------------------
   /** Template-skeleton family detection (d24) — the rung PAST [[
@@ -105,7 +102,6 @@ object Dedup {
       .filter(col("n_distinct_texts") >= 2)
       .select(col("rep_id"), col("n_docs"), col("n_distinct_texts"),
         length(col("sk")).cast("long").as("skeleton_chars"))
-      .orderBy("rep_id")
 
   // --- quality-aware keeper selection --------------------------------------
   /** Quality-aware canonical keeper selection (d25) — the keeper POLICY
@@ -206,7 +202,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
-      .orderBy("da", "db")
   }
 
   // --- canonical bag-fingerprint dedup -------------------------------------
@@ -237,7 +232,6 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"),
         countDistinct(col("text")).as("n_raw_variants"))
       .select(col("rep_id"), col("n_copies"), col("n_raw_variants"))
-      .orderBy("rep_id")
 
   // --- MinHash + LSH banding ----------------------------------------------
   // K=16 signatures, 4 bands × 4 rows. Candidates = pairs sharing a band
@@ -599,7 +593,6 @@ object Dedup {
     labels
       .select(col("doc_id"), col("cluster"),
         (col("cluster") === col("doc_id")).as("is_keeper"))
-      .orderBy("doc_id")
   }
 
   /** Cluster-size histogram (d11) — the dedup-quality audit over the d06
@@ -622,7 +615,6 @@ object Dedup {
     clusterTable.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"), min("cluster").as("first_cluster"))
-      .orderBy("cluster_size")
 
   /** Dedup funnel (d14) — the per-stage survivor report a dedup run
     * publishes (the dedup twin of t08's quality funnel): how many
@@ -761,7 +753,6 @@ object Dedup {
     nibbles.groupBy("doc_id")
       .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("hexc")))),
         x => x.getField("hexc")), "").as("simhash128"))
-      .orderBy("doc_id")
   }
 
   // --- n-gram jaccard (exact, postings-join bounded) -----------------------
@@ -1071,7 +1062,6 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
         (col("n_dup_shingles").cast(DoubleType) / col("n_shingles"))
           .as("dup_rate"))
-      .orderBy("doc_id")
   }
 
   /** Passage length (tokens) for [[passageCuts]]: the exact-substring
@@ -1163,7 +1153,6 @@ object Dedup {
         (col("tokens_total") - col("tokens_cut")).as("net_tokens"),
         (col("tokens_cut").cast(DoubleType) / col("tokens_total"))
           .as("cut_rate"))
-      .orderBy("lang")
   }
 
   /** Normed embedding frame, width-normalized (Tables.spread): one small
@@ -1210,7 +1199,16 @@ object Dedup {
     * codegen'd double dot prunes (|double − exact| ≪ 1e-9 here, margin
     * 1e-6 is generous), then the surviving handful is re-scored with
     * exact decimals — identical output to scoring every candidate
-    * exactly, ~100× cheaper. */
+    * exactly, ~100× cheaper.
+    *
+    * No presentation sort here (r16): the former `.orderBy(va, vb)` put
+    * a rangepartitioning Exchange — plus the range partitioner's
+    * sampling pass — inside EVERY consumer, including the d18/d19/d28
+    * aggregation paths where row order is semantically dead. The
+    * declared pair queries (d05/d05b/d27/d27b) canonicalize at the
+    * harness tail instead (`SparkEntry.canon("va", "vb")` —
+    * repartition(1) + in-partition sort gives the identical total
+    * order on the answer-sized output without the sampling pass). */
   private def embVerify(e: DataFrame, cands: DataFrame): DataFrame = {
     import graft.functions.FloatVecDot.float_vec_dot
     cands
@@ -1224,7 +1222,6 @@ object Dedup {
         (dotDec(col("a.embedding"), col("b.embedding")).cast(DoubleType) /
           (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") > CosineThreshold)
-      .orderBy("va", "vb")
   }
 
   def embeddingCosine(s: SparkSession, dir: String): DataFrame =
@@ -1428,6 +1425,12 @@ object Dedup {
     * Production d27 semantics are untouched; this entry exists so the
     * driver's hard correctness signal covers the pair path. */
   def embeddingCosineScopedPlanted(s: SparkSession, dir: String): DataFrame = {
+    // r16 note: an in-query persist of `base` (+ eager output
+    // materialization) was tried and MEASURED SLOWER at bench scale
+    // (3.3 s → 4.5 s, 47 → 81 jobs): the cache build, InMemoryTableScan
+    // stages, and the eager checkpoint cost more than the repeated
+    // column-pruned parquet scans they replaced, and runtime exchange
+    // reuse already dedups the heavy subtrees. Kept lazy on purpose.
     val base = Tables.spread(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), col("embedding"), col("label").as("scope"))
     val maxRow = base.agg(max(col("vec_id"))).head()
@@ -1471,6 +1474,11 @@ object Dedup {
     * the candidate level, run-on-demand like d13/d19. NULL coverage on
     * a corpus where the global pass finds nothing. */
   def scopedLossAudit(s: SparkSession, dir: String): DataFrame = {
+    // r16 note: sharing one persisted widened scan across the global
+    // side, the scoped side, and the population count was tried and
+    // measured NO FASTER at bench scale (the column-pruned scans it
+    // dedups are already cheap, and the cache build + eager checkpoint
+    // add jobs) — kept lazy, like d27b.
     val e = embNormed(s, dir)
     val g = lshPairs(e).select(col("va"), col("vb"), lit(1).as("in_g"))
     val sc = embeddingCosineScoped(s, dir)

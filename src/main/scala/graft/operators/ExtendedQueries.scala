@@ -31,7 +31,6 @@ object ExtendedQueries {
         money(col("o_totalprice")).as("total_price"))
       .select("n_name", "o_orderstatus", "g_nation", "g_status",
         "n_orders", "total_price")
-      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))
   }
 
   // --- Q24: PIVOT (wide conditional aggregation) ----------------------------
@@ -53,7 +52,6 @@ object ExtendedQueries {
     // agree on any corpus, not just ones where every cell is populated.
     pivoted.select(col("n_name") +:
         Priorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
-      .orderBy("n_name")
   }
 
   // --- Q39: unpivot (melt) — the inverse of q24 -----------------------------
@@ -67,7 +65,6 @@ object ExtendedQueries {
       .unpivot(Array(col("n_name")),
         Priorities.map(p => col(s"`$p`")).toArray,
         "o_orderpriority", "n")
-      .orderBy("n_name", "o_orderpriority")
 
   // --- Q25: analytic window family -----------------------------------------
   def q25WindowFamily(s: SparkSession, dir: String): DataFrame = {
@@ -81,7 +78,6 @@ object ExtendedQueries {
         lead(dec(col("o_totalprice")), 1).over(w).cast(DoubleType).as("next_price"),
         first(dec(col("o_totalprice"))).over(wFull).cast(DoubleType).as("first_price"),
         last(dec(col("o_totalprice"))).over(wFull).cast(DoubleType).as("last_price"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   // --- Q54: ordered-set aggregates (mode, discrete median) -------------------
@@ -114,7 +110,7 @@ object ExtendedQueries {
         .orderBy(col("q").asc)))
       .filter(col("rn") === 1)
       .select(col("flag"), col("q").cast(DoubleType).as("median_qty"))
-    mode.join(med, "flag").orderBy("flag")
+    mode.join(med, "flag")
   }
 
   // --- Q53: distribution-rank window functions -------------------------------
@@ -134,7 +130,6 @@ object ExtendedQueries {
         dec(col("o_totalprice")).cast(DoubleType).as("price"),
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cume"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   // --- Q26: EXISTS / NOT EXISTS quantifiers (as semi/anti joins) ------------
@@ -146,7 +141,6 @@ object ExtendedQueries {
     c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
       .join(open, c("c_custkey") === open("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
   }
 
   // --- Q27: exact percentiles (linear interpolation) ------------------------
@@ -232,7 +226,6 @@ object ExtendedQueries {
         interp(0.95, "95").as("p95"),
         interp(0.99, "99").as("p99"),
         col("n"))
-      .orderBy("l_returnflag")
   }
 
   // --- Q27b: approximate percentiles (scale path) ---------------------------
@@ -280,7 +273,6 @@ object ExtendedQueries {
       .groupBy("c_nationkey")
       .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").as("names"),
         count(lit(1)).as("n"))
-      .orderBy("c_nationkey")
 
   // --- Q29: conditional aggregation -----------------------------------------
   def q29ConditionalAgg(s: SparkSession, dir: String): DataFrame =
@@ -295,7 +287,6 @@ object ExtendedQueries {
         (sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))
           .cast(DoubleType) / count(when(col("o_orderstatus") === "F", 1)))
           .as("avg_finished_price"))
-      .orderBy("yr")
 
   // --- Q30: date/time arithmetic --------------------------------------------
   def q30DateArith(s: SparkSession, dir: String): DataFrame =
@@ -308,7 +299,6 @@ object ExtendedQueries {
         trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
         last_day(col("o_orderdate").cast("date")).as("month_end"),
         quarter(col("o_orderdate")).as("qtr"))
-      .orderBy("o_orderkey")
 
   // --- Q32: GROUPING SETS ---------------------------------------------------
   // Distinct-dimension rollups in ONE pass over the joined fact — at scale
@@ -329,7 +319,6 @@ object ExtendedQueries {
         money(col("o_totalprice")).as("total_price"))
       .select("n_name", "o_orderpriority", "g_nation", "g_prio",
         "n_orders", "total_price")
-      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
   }
 
   // --- Q33: range (band) join -----------------------------------------------
@@ -352,7 +341,6 @@ object ExtendedQueries {
       .groupBy("band")
       .agg(count(lit(1)).as("n_items"),
         money(col("l_extendedprice")).as("total_price"))
-      .orderBy("band")
   }
 
   // --- Q34: gap-based sessionization (batch session_window analog) ----------
@@ -377,7 +365,6 @@ object ExtendedQueries {
         min(col("ts_us")).as("session_start_us"),
         max(col("ts_us")).as("session_end_us"),
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
-      .orderBy("user_id", "session_seq")
   }
 
   // --- Q35: JSON path extraction over a semi-structured column --------------
@@ -391,7 +378,6 @@ object ExtendedQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-      .orderBy("event_type")
 
   // --- Q36: correlated scalar subquery (decorrelated by Catalyst) -----------
   /** Orders priced above their own customer's average order price,
@@ -412,8 +398,7 @@ object ExtendedQueries {
       |    (SELECT count(*) FROM graft_q36_orders i
       |     WHERE i.o_custkey = o.o_custkey)
       |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
-      |     FROM graft_q36_orders i WHERE i.o_custkey = o.o_custkey)
-      |ORDER BY o_orderkey""".stripMargin)
+      |     FROM graft_q36_orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin)
   }
 
   // --- Q37: RANGE window frame (time-interval rolling sum) ------------------
@@ -430,7 +415,6 @@ object ExtendedQueries {
           PARTITION BY o_custkey ORDER BY o_orderdate
           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
           AS DOUBLE)""").as("spend_30d"))
-      .orderBy("o_orderkey")
 
   // --- Q38: running distinct count over a window ----------------------------
   // Spark (like most engines) rejects COUNT(DISTINCT) with an ORDER BY
@@ -452,7 +436,6 @@ object ExtendedQueries {
         when(row_number().over(first) === 1, 1L).otherwise(0L))
       .select(col("o_orderkey"), col("o_custkey"),
         sum(col("is_first")).over(running).as("distinct_priorities_so_far"))
-      .orderBy("o_orderkey")
   }
 
   // --- Q31: as-of join (merge-sorted, single shuffle) -----------------------
@@ -481,7 +464,6 @@ object ExtendedQueries {
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts_us").as("purchase_ts_us"),
         col("asof_view_id"), col("asof_view_ts"))
-      .orderBy("user_id", "purchase_id")
   }
 
   /** Microseconds per week — the cohort bucket for [[q41CohortRetention]]
@@ -515,7 +497,6 @@ object ExtendedQueries {
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
         col("n_cohort"),
         (col("n_users").cast(DoubleType) / col("n_cohort")).as("retention"))
-      .orderBy("cohort_week", "week_offset")
   }
 
   // --- Q42: ordered event funnel ---------------------------------------------
@@ -566,7 +547,6 @@ object ExtendedQueries {
       .withColumn("conv_from_prev",
         coalesce(col("n_users").cast(DoubleType) /
           lag(col("n_users"), 1).over(w), lit(1.0)))
-      .orderBy("idx")
       .select("step", "n_users", "conv_from_prev")
   }
 
@@ -739,7 +719,6 @@ object ExtendedQueries {
       .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "t")))
       .select(col("qid"), (col("pos") + 1).as("rank"),
         col("t.nid").as("neighbor_id"), (-col("t.nc")).as("cos_sim"))
-      .orderBy("qid", "rank")
   }
 
   /** Coarse-cluster stride for [[q44bSeriesTopKClustered]]: centroids
@@ -934,7 +913,6 @@ object ExtendedQueries {
       .groupBy("n_name")
       .agg(count(lit(1)).as("numcust"),
         sum(dec(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
-      .orderBy("n_name")
   }
 
   /** Order-total quantity threshold for [[q48LargeVolumeCustomers]] —
@@ -1051,7 +1029,6 @@ object ExtendedQueries {
         when(col("vsum").isNotNull, 1).otherwise(0).as("present"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         prevV.cast(DoubleType).as("locf_sum"), interp.as("interp_sum"))
-      .orderBy("event_type", "h")
   }
 
   // --- Q52: statistical moments from exact sums ------------------------------
@@ -1095,7 +1072,6 @@ object ExtendedQueries {
         sqrt(greatest(varX, lit(0.0))).as("stddev_qty"),
         varY.as("var_price"), cov.as("cov_qty_price"),
         corr.as("corr_qty_price"))
-      .orderBy("l_returnflag")
   }
 
   // --- Q50: customer order-count distribution (TPC-H Q13 shape) -------------
@@ -1115,7 +1091,6 @@ object ExtendedQueries {
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
   // --- Q55: min-cost supplier (TPC-H Q2 shape) ------------------------------
@@ -1192,7 +1167,6 @@ object ExtendedQueries {
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("rev").cast(DoubleType).as("total_revenue"))
-      .orderBy("s_suppkey")
   }
 
   // --- Q57: supplier-count by part attributes (TPC-H Q16 shape) -------------
@@ -1224,8 +1198,6 @@ object ExtendedQueries {
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-        col("p_size"))
   }
 
   // --- Q59: priority counts of late orders (TPC-H Q4 shape) -----------------
@@ -1252,7 +1224,6 @@ object ExtendedQueries {
         "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
-      .orderBy("o_orderpriority")
   }
 
   // --- Q60: forecast revenue change (TPC-H Q6 shape) ------------------------
@@ -1309,7 +1280,6 @@ object ExtendedQueries {
         year(col("l_shipdate")).as("l_year"))
       .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
   // --- Q62: national market share (TPC-H Q8 shape) --------------------------
@@ -1361,7 +1331,6 @@ object ExtendedQueries {
       .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg((vol.cast(DoubleType) / tot.cast(DoubleType)).as("mkt_share"))
-      .orderBy("o_year")
   }
 
   // --- Q63: product-type profit (TPC-H Q9 shape) ----------------------------
@@ -1394,7 +1363,6 @@ object ExtendedQueries {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(profit).cast(DoubleType).as("sum_profit"))
-      .orderBy(col("nation"), col("o_year").desc)
   }
 
   // --- Q64: returned-item reporting (TPC-H Q10 shape) -----------------------
@@ -1445,7 +1413,6 @@ object ExtendedQueries {
         .otherwise("ontime").as("ship_class"))
       .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
         sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
-      .orderBy("ship_class")
   }
 
   // --- Q66: promotion revenue share (TPC-H Q14 shape) -----------------------
@@ -1509,7 +1476,6 @@ object ExtendedQueries {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_name", "s_acctbal")
-      .orderBy("s_name")
   }
 
   // --- Q67: approximate string join (entity resolution) --------------------

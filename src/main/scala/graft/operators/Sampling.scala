@@ -74,7 +74,6 @@ object Sampling {
           .when(col("bucket") < 90, "val").otherwise("test"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
-      .orderBy("split")
 
   /** Context length for [[sequencePacking]] (tokens per training window). */
   val ContextLen = 512
@@ -114,7 +113,6 @@ object Sampling {
         expr(s"cum_before div $ContextLen").as("start_bin"),
         expr(s"(cum_before + n_tokens - 1) div $ContextLen").as("end_bin"),
         (col("cum_before") % ContextLen).as("offset_in_bin"))
-      .orderBy("lang", "doc_id")
   }
 
   /** Packing-efficiency audit (p10) over [[sequencePacking]]'s layout:
@@ -137,7 +135,6 @@ object Sampling {
         col("n_straddling"),
         (col("n_bins") * ContextLen - col("n_tokens"))
           .as("tail_waste_tokens"))
-      .orderBy("lang")
 
   /** Fixed-length example budget for the PADDED (one-document-per-
     * sequence, SFT-style) layout [[paddingAudit]] compares against
@@ -183,7 +180,6 @@ object Sampling {
           .as("packed_util"),
         (col("padded_kept_tokens").cast(DoubleType) /
           (col("n_docs") * PadMaxLen)).as("padded_util"))
-      .orderBy("lang")
   }
 
   /** Context windows per output shard for [[shardManifest]] — the file
@@ -212,7 +208,6 @@ object Sampling {
         max(col("end_bin")).as("last_bin"),
         sum(when(expr(s"end_bin div $BinsPerShard") > col("shard_id"), 1L)
           .otherwise(0L)).as("n_straddle_out"))
-      .orderBy("lang", "shard_id")
 
   /** Sliding-window geometry: [[ChunkLen]]-token windows advancing by
     * [[ChunkStride]] (overlap = ChunkLen − ChunkStride = 32 tokens of
@@ -335,7 +330,6 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         size(col("keep")).cast("long").as("n_tokens_clean"),
         concat_ws(" ", col("keep")).as("clean_text"))
-      .orderBy("doc_id")
   }
 
   /** Train-side document frequency above which a shingle is dropped from
@@ -392,7 +386,6 @@ object Sampling {
         (col("n_shingles") > 0 &&
           coalesce(col("n_shared"), lit(0L)) * 10 >= col("n_shingles"))
           .as("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** Token budget per language for [[tokenBudgetSample]]. */
@@ -423,7 +416,6 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens_total"),
         min(col("doc_id")).as("first_doc"))
-      .orderBy("lang")
   }
 
   /** Per-document cluster-aware split assignment behind [[clusterSplit]]:
@@ -479,7 +471,6 @@ object Sampling {
       .join(meta, "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("n_shingles"), col("n_shared_eval_shingles"))
-      .orderBy("doc_id")
   }
 
   private[graft] def clusterSplitAssign(s: SparkSession, dir: String,
@@ -605,7 +596,6 @@ object Sampling {
           .as("effective_tokens"))
       .withColumn("deficit_tokens",
         col("target_tokens") - col("effective_tokens"))
-      .orderBy("source")
   }
 
   /** Stratified deterministic sample: the k hash-smallest documents per
@@ -622,7 +612,6 @@ object Sampling {
       .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= PerStratum)
       .select("lang", "rk", "doc_id")
-      .orderBy("lang", "rk")
   }
 
   /** Curriculum staging (p09): bucket the corpus into ordered training
@@ -683,7 +672,6 @@ object Sampling {
         expr("(total_tokens div total_weight) * weight" +
           " + (total_tokens % total_weight) * weight div total_weight")
           .as("expected_tokens"))
-      .orderBy("lang")
   }
 
   /** Shard count and epoch count for [[epochShuffle]]. */
@@ -715,7 +703,6 @@ object Sampling {
       .orderBy(col("h"), col("doc_id"))
     g.withColumn("pos", row_number().over(w).cast("int"))
       .select("epoch", "shard", "pos", "doc_id")
-      .orderBy("epoch", "shard", "pos")
   }
 
   /** The three shingle-based audit aggregates (d04, d08, p05) over ONE
@@ -772,7 +759,6 @@ object Sampling {
     val sh = Dedup.shingledDocs(s, dir).persist()
     val out = shingleAuditFrames(s, dir, sh)
       .reduce(_.unionByName(_))
-      .orderBy("audit")
     graft.plans.PlanCapture.note("pipeline", out)
     val materialized = out.localCheckpoint(true)
     sh.unpersist()

@@ -373,7 +373,6 @@ object Similarity {
       .select(col("dim"), col("n_vecs"),
         (col("sdec").cast(DoubleType) / col("n_vecs")).as("mean_v"),
         col("min_v"), col("max_v"), col("n_zero"), col("n_pos"))
-      .orderBy("dim")
 
   /** kNN label-consistency audit (s22) — the supervised probe an
     * embedding pipeline runs before trusting a space for curation or
@@ -423,7 +422,6 @@ object Similarity {
           .as("n_correct"))
       .select(col("qlabel").as("label"), col("n_queries"), col("n_hits"),
         col("n_correct"))
-      .orderBy("label")
   }
 
   /** Embedding drift audit (s13) — the per-dimension comparison a
@@ -453,7 +451,6 @@ object Similarity {
         (col("sa").cast(DoubleType) / col("n_a")).as("mean_a"),
         (col("sb").cast(DoubleType) / col("n_b")).as("mean_b"))
       .withColumn("mean_shift", abs(col("mean_a") - col("mean_b")))
-      .orderBy("dim")
   }
 
   /** Probe budgets [[ivfProbeAudit]] sweeps, bracketing the production

@@ -49,7 +49,6 @@ object TextAnalysis {
       .getItem(0)
     counts.select(col("doc_id"), best.getField("lang").as("pred_lang"),
         best.getField("score").as("score"))
-      .orderBy("doc_id")
   }
 
   // --- quality scoring -----------------------------------------------------
@@ -72,12 +71,11 @@ object TextAnalysis {
         lit(0.5) * col("type_token_ratio") +
           lit(0.3) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) +
           lit(0.2) * col("stopword_ratio"))
-      .orderBy("doc_id")
   }
 
   // --- readability ---------------------------------------------------------
   def readability(s: SparkSession, dir: String): DataFrame =
-    readabilityOf(Tables.table(s, dir, "documents")).orderBy("doc_id")
+    readabilityOf(Tables.table(s, dir, "documents"))
 
   /** Flesch-style readability scoring (t17) — the grade-level curation
     * signal alongside t02's lexical quality and t15's Gopher rules:
@@ -113,7 +111,6 @@ object TextAnalysis {
         size(regexp_extract_all(lower(col("text")), lit("[a-z]{1,4}"), lit(0)))
           .as("subword_tokens"),
         length(col("text")).as("n_chars"))
-      .orderBy("doc_id")
 
   // --- within-doc repetition signals ---------------------------------------
   /** Gopher-style repetition quality signals: the share of the most
@@ -145,7 +142,6 @@ object TextAnalysis {
         when(col("n_bigrams") > 0,
             lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"))
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
-      .orderBy("doc_id")
   }
 
   // --- corpus-level boilerplate mining -------------------------------------
@@ -308,7 +304,6 @@ object TextAnalysis {
         greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
-      .orderBy("source_a", "source_b")
   }
 
   def keywords(s: SparkSession, dir: String): DataFrame = {
@@ -323,7 +318,6 @@ object TextAnalysis {
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("tok").as("keyword"),
         col("tf"), col("df"))
-      .orderBy("doc_id", "rk")
   }
 
   // --- bigram novelty ------------------------------------------------------
@@ -359,7 +353,6 @@ object TextAnalysis {
         when(col("n_bigrams") > 0,
           lit(1.0) - col("n_common").cast(DoubleType) / col("n_bigrams"))
           .otherwise(lit(0.0)))
-      .orderBy("doc_id")
   }
 
   // --- curation filter funnel ----------------------------------------------
@@ -447,7 +440,6 @@ object TextAnalysis {
         length(red).as("redacted_len"))
       .withColumn("has_pii",
         col("n_emails") + col("n_ips") + col("n_phones") > 0)
-      .orderBy("doc_id")
   }
 
   // --- Gopher rule-based quality filter ------------------------------------
@@ -470,7 +462,7 @@ object TextAnalysis {
     gopherRulesOf(Tables.table(s, dir, "documents"))
 
   private[graft] def gopherRulesOf(raw: DataFrame): DataFrame =
-    gopherSignals(raw).orderBy("doc_id")
+    gopherSignals(raw)
 
   /** The unsorted [[gopherRules]] signal computation — pure per-row
     * expressions, so it applies unchanged to a STREAMING DataFrame (the
@@ -557,7 +549,6 @@ object TextAnalysis {
             lit(2) * col("n_indent_lines") >= col("n_lines")) ||
           (col("n_kw_hits") >= 3 &&
             lit(10) * col("n_kw_hits") >= col("n_tokens")))
-      .orderBy("doc_id")
   }
 
   // --- document fingerprinting --------------------------------------------
@@ -567,7 +558,6 @@ object TextAnalysis {
         md5(canonical(col("text"))).as("fp_full"),
         md5(substring(canonical(col("text")), 1, 64)).as("fp_prefix64"),
         greatest(lit(0), size(tokens(col("text"))) - 2).as("n_shingles"))
-      .orderBy("doc_id")
 
   /** Class ceiling for [[bigramXent]]: conditional probabilities below
     * 2^-[[XentMaxClass]] all land in the top class (the "tail" a
@@ -697,7 +687,7 @@ object TextAnalysis {
     * occurrence counting only for the two-char signatures); classes use
     * explicit `\\x{…}` escapes, the d22 Java↔RE2 parity rule. */
   def encodingScan(s: SparkSession, dir: String): DataFrame =
-    encodingScanOf(Tables.table(s, dir, "documents")).orderBy("doc_id")
+    encodingScanOf(Tables.table(s, dir, "documents"))
 
   private[graft] def encodingScanOf(docs: DataFrame): DataFrame = {
     def charsOf(pattern: String): Column =

@@ -1982,7 +1982,9 @@ class OperatorsSpec extends SparkSpec {
       .map { case (k, xs) => k -> xs.size.toLong } ++
       (if (zeros > 0) Map(0L -> zeros) else Map.empty))
       .toSeq.sortBy { case (k, n) => (-n, -k) }
-    assert(rows.toSeq == expected)
+    // operator returns an unsorted distributed frame (r16: canonical
+    // order is the harness tail's concern) — compare order-insensitively
+    assert(rows.toSeq.sortBy { case (k, n) => (-n, -k) } == expected)
   }
 
   test("q55-q58: decorrelated quantifier semantics hold on the live corpus") {
@@ -2341,7 +2343,8 @@ class OperatorsSpec extends SparkSpec {
       .map { case (n, cs) =>
         (n, cs.size.toLong, cs.map(c => d2(c._3)).sum.toDouble) }
       .toSeq.sortBy(_._1)
-    assert(got.toSeq == expected)
+    // operator returns an unsorted distributed frame (r16) — sort here
+    assert(got.toSeq.sortBy(_._1) == expected)
   }
 
   test("q48: HAVING threshold, decimal quantity sums, price-ranked top-20") {
