@@ -123,8 +123,68 @@ case class DecimalVecDot(a: Expression, b: Expression) extends BinaryExpression 
 }
 
 object DecimalVecDot {
+  /** r16 per-task optimization (guide §1.2 step 2): the BigDecimal loop
+    * costs ~38 µs per 64-dim call — `BigDecimal.valueOf(double)` parses
+    * `Double.toString` per ELEMENT, and the encode/truth pipelines run
+    * hundreds of thousands of these per pass (pqCodesFor is N·M·K of
+    * them). The fast path below computes the IDENTICAL value in scaled
+    * long arithmetic: the element derivation
+    * `BigDecimal.valueOf(x).setScale(6, HALF_UP)` is reproduced as
+    * `round(|x|·1e6)` whenever that rounding decision is provably
+    * unambiguous — the double product `|x|·1e6` carries ≤ y·2⁻⁵² ≈ 4.4e-7
+    * absolute error at the capped |y| ≤ 2e9, and the shortest-string
+    * value `Double.toString` denotes differs from x by ≤ ulp, so when
+    * the fractional part sits ≥ 1e-4 away from the HALF_UP tie every
+    * representation rounds the same way. Inside the tie zone, out of
+    * the magnitude cap, or on long overflow (products are exact in
+    * long only up to |unscaled| ≤ 2e9 per side; the sum guards with
+    * addExact), the call falls back to the original BigDecimal loop —
+    * so the fast path changes latency, never the value. Bit-identity
+    * incl. adversarial tie inputs is spec-locked (VectorOpsSpec). */
   def dot(a: ArrayData, b: ArrayData): Decimal = {
     val n = FloatVecDot.checkDense(a, b, "decimal_vec_dot")
+    try fastDot(a, b, n)
+    catch { case _: ArithmeticException => slowDot(a, b, n) }
+  }
+
+  /** Unscaled long of `BigDecimal.valueOf(x).setScale(6, HALF_UP)`;
+    * throws ArithmeticException when the decision is not provably
+    * identical to the string-derivation path (tie zone / magnitude). */
+  private def scaled6(x: Double): Long = {
+    if (x == 0.0) return 0L
+    val ax = math.abs(x)
+    val y = ax * 1e6
+    // |unscaled| cap keeps per-element products exact in a signed long
+    if (y >= 2.0e9) throw new ArithmeticException("decimal fast path: range")
+    val f = math.floor(y)
+    val r = y - f
+    // ambiguity bound: the double product carries ≤ 4.4e-7 absolute
+    // error at the 2e9 cap and the shortest-string value differs from x
+    // by ≤ 4.5e-7 scaled — 1e-4 is a 100× margin over both, and narrow
+    // enough that random corpora rarely defer (a 1e-2 zone deferred ~90%
+    // of 64-dim calls, measured)
+    if (math.abs(r - 0.5) <= 1e-4)
+      throw new ArithmeticException("decimal fast path: tie zone")
+    val u = (if (r > 0.5) f + 1 else f).toLong
+    if (x < 0) -u else u
+  }
+
+  private def fastDot(a: ArrayData, b: ArrayData, n: Int): Decimal = {
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum = Math.addExact(sum, Math.multiplyExact(
+        scaled6(a.getFloat(i).toDouble), scaled6(b.getFloat(i).toDouble)))
+      i += 1
+    }
+    // scale-12 unscaled sum; (30,12) writes via the byte-array path, so
+    // the stored bytes equal the BigDecimal branch's exactly
+    Decimal(java.math.BigDecimal.valueOf(sum, 12), 30, 12)
+  }
+
+  /** The original element-exact BigDecimal loop — the semantics anchor
+    * the fast path must match (also the spec's reference). */
+  private[graft] def slowDot(a: ArrayData, b: ArrayData, n: Int): Decimal = {
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
@@ -221,6 +281,36 @@ object DecimalSeriesDot {
     * rather than rounding. */
   def dot(a: ArrayData, b: ArrayData, p: Int, s: Int): Decimal = {
     val n = math.min(a.numElements(), b.numElements())
+    // r16 fast path: elements are compact decimals (p ≤ 18 guaranteed by
+    // checkInputDataTypes), so the exact product/sum is plain integer
+    // arithmetic on unscaled longs — no BigDecimal per slot. multiplyExact
+    // /addExact overflow (unscaled magnitudes the fixture corpora never
+    // reach) falls back to the original BigDecimal loop; values are
+    // IDENTICAL by construction (same integers, same scale), spec-locked.
+    try fastDot(a, b, p, s, n)
+    catch { case _: ArithmeticException => slowDot(a, b, p, s, n) }
+  }
+
+  private def fastDot(a: ArrayData, b: ArrayData, p: Int, s: Int,
+      n: Int): Decimal = {
+    var sum = 0L
+    var present = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        sum = Math.addExact(sum, Math.multiplyExact(
+          a.getDecimal(i, p, s).toUnscaledLong,
+          b.getDecimal(i, p, s).toUnscaledLong))
+        present = true
+      }
+      i += 1
+    }
+    if (!present) null
+    else Decimal(java.math.BigDecimal.valueOf(sum, 2 * s), 38, 2 * s)
+  }
+
+  private[graft] def slowDot(a: ArrayData, b: ArrayData, p: Int, s: Int,
+      n: Int): Decimal = {
     var acc: java.math.BigDecimal = null
     var i = 0
     while (i < n) {

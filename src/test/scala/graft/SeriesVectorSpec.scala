@@ -78,6 +78,62 @@ class SeriesVectorSpec extends SparkSpec {
     }
   }
 
+  test("r16 fast paths are bit-identical to the BigDecimal reference " +
+      "loops: random, tie-zone, range-capped, and overflow inputs") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // --- decimal_vec_dot (float inputs, HALF_UP scale-6 elements) ---
+    val rnd = new scala.util.Random(7)
+    def arr(xs: Array[Float]) = ArrayData.toArrayData(xs)
+    def refEquals(a: Array[Float], b: Array[Float]): Unit = {
+      val got = graft.functions.DecimalVecDot.dot(arr(a), arr(b))
+      val want = graft.functions.DecimalVecDot.slowDot(arr(a), arr(b), a.length)
+      assert(got.toJavaBigDecimal.compareTo(want.toJavaBigDecimal) == 0 &&
+        got.toJavaBigDecimal.scale == want.toJavaBigDecimal.scale,
+        s"fast $got != reference $want")
+    }
+    (0 until 50).foreach { _ =>
+      val a = Array.fill(64)(rnd.nextFloat() * 20 - 10)
+      val b = Array.fill(64)(rnd.nextFloat() * 20 - 10)
+      refEquals(a, b)
+    }
+    // exact HALF_UP ties: 0.0078125f = 2^-7 is exactly x.xxxxxx5 at
+    // scale 7, so the element derivation must round UP on both paths
+    // (the fast path must detect the tie zone and defer)
+    refEquals(Array.fill(8)(0.0078125f), Array.fill(8)(1.0f))
+    refEquals(Array.fill(8)(-0.0078125f), Array.fill(8)(1.0f))
+    refEquals(Array(0.0000005f, -0.0000005f, 1.5e-6f), Array(1f, 1f, 1f))
+    // magnitudes past the fast-path range cap fall back whole-call
+    refEquals(Array(3.5e9f, 1.0f), Array(2.0f, 2.0f))
+    // a sum that overflows the long accumulator falls back whole-call
+    refEquals(Array.fill(64)(1.9e3f), Array.fill(64)(1.9e3f))
+    refEquals(Array.fill(4)(0.0f), Array.fill(4)(0.0f))
+
+    // --- decimal_series_dot (compact-decimal slots) ---
+    def dec(s: String) = new java.math.BigDecimal(s)
+    def darr(xs: Array[java.math.BigDecimal]) = {
+      val ds = xs.map(x => if (x == null) null
+        else org.apache.spark.sql.types.Decimal(x, 18, 6))
+      ArrayData.toArrayData(ds)
+    }
+    def seriesRefEquals(a: Array[java.math.BigDecimal],
+        b: Array[java.math.BigDecimal]): Unit = {
+      val got = graft.functions.DecimalSeriesDot.dot(darr(a), darr(b), 18, 6)
+      val want = graft.functions.DecimalSeriesDot.slowDot(darr(a), darr(b),
+        18, 6, math.min(a.length, b.length))
+      if (want == null) assert(got == null)
+      else assert(got != null &&
+        got.toJavaBigDecimal.compareTo(want.toJavaBigDecimal) == 0,
+        s"series fast $got != reference $want")
+    }
+    // unscaled ~1e12 each: products ~1e24 overflow multiplyExact and
+    // must fall back to the BigDecimal loop with the identical value
+    seriesRefEquals(Array(dec("999999.999999"), dec("888888.888888")),
+      Array(dec("999999.999999"), dec("777777.777777")))
+    seriesRefEquals(Array(dec("1.5"), null, dec("-2.25")),
+      Array(dec("2"), dec("9"), dec("4")))
+    seriesRefEquals(Array[java.math.BigDecimal](null), Array(dec("3")))
+  }
+
   test("decimal_series_dot past the exactness envelope fails with the " +
       "targeted overflow message, not a bare Decimal ctor error") {
     // 120 worst-case DECIMAL(18,6) slots: each product is 10^24-ish at
